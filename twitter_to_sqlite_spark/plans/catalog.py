@@ -1,0 +1,966 @@
+"""Query catalog: every SURVEY §2 operator (plus the LLM-data-pipeline
+operators) as a named (PySpark plan, DuckDB oracle SQL) pair.
+
+The driver runs each Spark plan and its oracle side-by-side at sf0.01
+and hash-compares row values — so every computed column is aliased
+identically on both sides, hashing uses md5 (bit-identical in both
+engines), float outputs are rounded after double-precision arithmetic
+with matching operation order, and exact sums go through DECIMAL so
+they are order-independent.
+
+Query names map to SURVEY §2 operator ids in each docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from twitter_to_sqlite_spark import tables
+from twitter_to_sqlite_spark.functions import dedup, multimodal, similarity, text
+from twitter_to_sqlite_spark.operators import relational as R
+from twitter_to_sqlite_spark.operators import sinks
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Core relational operators (SURVEY §2.5-2.8)
+# =====================================================================
+
+def q_facet_count(spark, sf_dir):
+    """A6 facet count: events per event_type, ordered desc downstream."""
+    return R.facet_count(_t(spark, sf_dir, "events"), "event_type", "n")
+
+
+SQL_FACET_COUNT = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+def q_latest_per_key(spark, sf_dir):
+    """A2 latest-per-key: most recent event per user (order = event_id,
+    the reference's chronological-integer-id convention, README.md:374)."""
+    ev = _t(spark, sf_dir, "events")
+    out = R.latest_per_key(ev, ["user_id"], "event_id")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+SQL_LATEST_PER_KEY = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_change_detection(spark, sf_dir):
+    """A3 change-detection append (count_history semantics,
+    utils.py:690-701): keep events whose value differs from the user's
+    previous event."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return R.change_detection(ev, ["user_id"], "event_id", "value")
+
+
+SQL_CHANGE_DETECTION = """
+SELECT user_id, event_id, value
+FROM (SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM events)
+WHERE prev IS NULL OR value != prev
+"""
+
+
+def q_top_k(spark, sf_dir):
+    """A4/A5 order-by-id + limit: top 10 orders by totalprice."""
+    o = _t(spark, sf_dir, "orders")
+    return R.top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+SQL_TOP_K = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J1/F1 anti-join (skip-existing filter cli.py:483-487; README.md:243
+    `followed_id not in (select id from users)`): customers never seen
+    as an events user."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey"), "c_name")
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
+    return R.anti_join(c, ev, "c_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT user_id FROM events)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """J2 semi-join: customers with at least one order (README.md:212
+    IN-subquery pattern)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return R.semi_join(c, o, "c_custkey")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_star_join(spark, sf_dir):
+    """J3 key-lookup star join: revenue per region through
+    customer→nation→region (broadcast dims), exact DECIMAL sum cast to
+    double so Spark and the oracle agree bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    joined = R.key_lookup_join(o, c, o.o_custkey == c.c_custkey)
+    joined = R.key_lookup_join(joined, n, F.col("c_nationkey") == n.n_nationkey)
+    joined = R.key_lookup_join(joined, r, F.col("n_regionkey") == r.r_regionkey)
+    return joined.groupBy("r_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_STAR_JOIN = """
+SELECT r_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_self_join(spark, sf_dir):
+    """J4 fact self-join (tweet→quoted-original shape, utils.py:353-354):
+    each lineitem joined to the next line of the same order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_linenumber").alias("l_linenumber"),
+            F.col("b.l_linenumber").alias("next_linenumber"),
+            F.col("b.l_quantity").alias("next_quantity"),
+        )
+    )
+
+
+SQL_SELF_JOIN = """
+SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS l_linenumber,
+       b.l_linenumber AS next_linenumber, b.l_quantity AS next_quantity
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+"""
+
+
+def q_graph_mutual(spark, sf_dir):
+    """J5 graph-edge self-join: mutual pairs over a derived follower
+    edge list (following-table semantics, utils.py:355-369)."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("follower_id"),
+        (F.col("event_id") % 25).alias("followed_id"),
+    )
+    return R.mutual_edges(edges, "follower_id", "followed_id")
+
+
+SQL_GRAPH_MUTUAL = """
+WITH e AS (SELECT DISTINCT user_id AS a, event_id % 25 AS b FROM events)
+SELECT x.a AS a, x.b AS b
+FROM e x JOIN e y ON x.a = y.b AND x.b = y.a
+WHERE x.a < x.b
+"""
+
+
+def q_m2m_bridge(spark, sf_dir):
+    """J6/K5 m2m bridge traversal (media_tweets shape, utils.py:442-446):
+    distinct parts per order through the lineitem bridge."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+SQL_M2M_BRIDGE = """
+SELECT o_orderkey, count(DISTINCT l_partkey) AS n_parts
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+"""
+
+
+def q_watermark_filter(spark, sf_dir):
+    """F2/C1 since_id watermark: rows above the stored high-water mark
+    (utils.py:179-180, 214-222). Watermark = max(event_id) before a
+    cutoff, applied as a pushdown-able predicate."""
+    ev = _t(spark, sf_dir, "events")
+    wm = (
+        ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .agg(F.max("event_id").alias("__wm"))
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("event_id") > F.col("__wm"))
+        .drop("__wm")
+    )
+
+
+SQL_WATERMARK_FILTER = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_id > (SELECT max(event_id) FROM events WHERE ts < TIMESTAMP '2024-01-08')
+"""
+
+
+def q_upsert_lww(spark, sf_dir):
+    """K1 keyed last-write-wins upsert (INSERT OR REPLACE,
+    utils.py:432-434): replay events split into a stored half and an
+    incoming half; final state = winning row per (user_id, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "event_id", "value"]
+    half = 500
+    existing = R.latest_per_key(
+        ev.filter(F.col("event_id") < half).select(*cols),
+        ["user_id", "event_type"],
+        "event_id",
+    )
+    incoming = ev.filter(F.col("event_id") >= half).select(*cols)
+    out = sinks.upsert_plan(existing, incoming, ["user_id", "event_type"], "event_id")
+    return out.select(
+        "user_id", "event_type",
+        F.col("event_id").alias("version_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+SQL_UPSERT_LWW = """
+SELECT user_id, event_type, event_id AS version_id, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_insert_if_absent(spark, sf_dir):
+    """K2 INSERT OR IGNORE (first_seen preservation, utils.py:459-469):
+    existing rows win; only genuinely new keys are appended."""
+    c = _t(spark, sf_dir, "customer")
+    existing = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", F.lit("old").alias("src")
+    )
+    incoming = c.select("c_custkey", "c_name", F.lit("new").alias("src"))
+    return sinks.insert_if_absent_plan(existing, incoming, ["c_custkey"])
+
+
+SQL_INSERT_IF_ABSENT = """
+SELECT c_custkey, c_name, 'old' AS src FROM customer WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, c_name, 'new' AS src FROM customer WHERE c_custkey % 2 != 0
+"""
+
+
+def q_hash_id(spark, sf_dir):
+    """K4/P13 content-hash surrogate key (sources dim, utils.py:668-673):
+    md5 of canonical content; identical rows collapse."""
+    d = _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+    return d.select(
+        F.md5(F.concat_ws("|", "lang", "source")).alias("id"),
+        "lang",
+        "source",
+    )
+
+
+SQL_HASH_ID = """
+SELECT DISTINCT md5(lang || '|' || source) AS id, lang, source FROM documents
+"""
+
+
+def q_source_regex(spark, sf_dir):
+    """P4 source-dimension regexp extraction (utils.py:668-673, regex
+    utils.py:35): pull url+name out of an anchor tag."""
+    d = _t(spark, sf_dir, "documents").select("source").distinct()
+    html = F.concat(
+        F.lit('<a href="https://'), F.col("source"),
+        F.lit('.example.com" rel="nofollow">'), F.upper(F.col("source")), F.lit("</a>"),
+    )
+    pat = r'<a href="(.*?)".*?>(.*?)</a>'
+    return d.select(
+        F.regexp_extract(html, pat, 1).alias("url"),
+        F.regexp_extract(html, pat, 2).alias("name"),
+    )
+
+
+SQL_SOURCE_REGEX = r"""
+WITH s AS (SELECT DISTINCT '<a href="https://' || source || '.example.com" rel="nofollow">'
+                  || upper(source) || '</a>' AS html FROM documents)
+SELECT regexp_extract(html, '<a href="(.*?)".*?>(.*?)</a>', 1) AS url,
+       regexp_extract(html, '<a href="(.*?)".*?>(.*?)</a>', 2) AS name
+FROM s
+"""
+
+
+def q_timestamp_iso(spark, sf_dir):
+    """P2/P11 timestamp parse→ISO-8601 string (transform_tweet,
+    utils.py:310): the reference stores ISO text; we format once at the
+    edge and keep typed timestamps internally."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("created_iso"),
+    )
+
+
+SQL_TIMESTAMP_ISO = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS created_iso
+FROM orders
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """P14 JSON decode of a text column (sqlite JSON-text columns,
+    SURVEY §1.2)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_ci_in_list(spark, sf_dir):
+    """P12 case-normalized key match (user_ids_for_screen_names,
+    utils.py:647-653)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        F.lower(F.col("c_mktsegment")).isin("building", "automobile")
+    ).select("c_custkey", "c_mktsegment")
+
+
+SQL_CI_IN_LIST = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE lower(c_mktsegment) IN ('building', 'automobile')
+"""
+
+
+def q_distinct(spark, sf_dir):
+    """A8 SELECT DISTINCT (README.md:326 recipe)."""
+    return R.distinct_values(_t(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+SQL_DISTINCT = "SELECT DISTINCT o_custkey FROM orders"
+
+
+def q_union_dedup(spark, sf_dir):
+    """§2.7 union of overlapping batches + pk dedup (every ingest loop)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    b1 = ev.filter(F.col("event_id") < 300)
+    b2 = ev.filter(F.col("event_id") >= 200)
+    return b1.unionByName(b2).dropDuplicates(["event_id"])
+
+
+SQL_UNION_DEDUP = """
+SELECT DISTINCT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type FROM events WHERE event_id < 300
+  UNION ALL
+  SELECT event_id, user_id, event_type FROM events WHERE event_id >= 200
+)
+"""
+
+
+def q_page_minmax(spark, sf_dir):
+    """A1 per-page min/max id fold (pagination bounds, utils.py:209-213)."""
+    return R.page_min_max(_t(spark, sf_dir, "events"), ["event_type"], "event_id")
+
+
+SQL_PAGE_MINMAX = """
+SELECT event_type, min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
+def q_batch_chunks(spark, sf_dir):
+    """A9 fixed-size chunking (100-tweet write buffers, cli.py:312-320)."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    chunked = R.batch_chunks(ev, "event_id", 100)
+    return chunked.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+SQL_BATCH_CHUNKS = """
+SELECT (row_number() OVER (ORDER BY event_id) - 1) // 100 AS chunk_pre, * FROM events
+"""  # replaced below — kept readable via builder
+
+
+SQL_BATCH_CHUNKS = """
+WITH c AS (SELECT event_id,
+                  CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 100) AS BIGINT) AS chunk
+           FROM events)
+SELECT chunk, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+FROM c GROUP BY chunk
+"""
+
+
+# =====================================================================
+# Text search (SURVEY §2.9)
+# =====================================================================
+
+def q_text_terms(spark, sf_dir):
+    """T1 FTS inverted index: per-term document frequency and total
+    term frequency over documents (FTS5 analogue, utils.py:352)."""
+    d = _t(spark, sf_dir, "documents")
+    idx = R.build_inverted_index(d, "doc_id", "text")
+    return idx.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("total_tf"),
+    )
+
+
+SQL_TEXT_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS term
+  FROM documents
+)
+SELECT term, count(DISTINCT doc_id) AS n_docs, count(*) AS total_tf
+FROM tok WHERE term <> '' GROUP BY term
+"""
+
+
+def q_fts_search(spark, sf_dir):
+    """T1/T2 FTS AND-query through the inverted index: docs containing
+    both 'spark' and 'join'."""
+    d = _t(spark, sf_dir, "documents")
+    idx = R.build_inverted_index(d, "doc_id", "text")
+    return R.fts_search(idx, "doc_id", ["spark", "join"], mode="all")
+
+
+SQL_FTS_SEARCH = r"""
+SELECT doc_id FROM documents
+WHERE list_contains(string_split_regex(lower(text), '\W+'), 'spark')
+  AND list_contains(string_split_regex(lower(text), '\W+'), 'join')
+"""
+
+
+def q_keyword_track(spark, sf_dir):
+    """T3 streaming `track` phrase filter (cli.py:644-668): match if all
+    terms of any phrase appear."""
+    d = _t(spark, sf_dir, "documents")
+    return R.keyword_track_filter(d, "text", ["spark join", "window"]).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_KEYWORD_TRACK = r"""
+SELECT doc_id, lang FROM documents
+WHERE (list_contains(string_split_regex(lower(text), '\W+'), 'spark')
+       AND list_contains(string_split_regex(lower(text), '\W+'), 'join'))
+   OR list_contains(string_split_regex(lower(text), '\W+'), 'window')
+"""
+
+
+# =====================================================================
+# LLM-data-pipeline operators: dedup
+# =====================================================================
+
+_PLANT_OFFSET = 1_000_000
+
+
+def _docs_with_planted_dups(spark, sf_dir, n: int = 20) -> DataFrame:
+    """documents ∪ near-copies of the first n docs (one appended token)
+    so near-dup detectors have guaranteed positives to find."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return d.unionByName(planted)
+
+
+_SQL_DOCS_PLANTED = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text || ' zzz' AS text
+  FROM documents WHERE doc_id < 20
+"""
+
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')"
+
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT id, unnest(
+    list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id AS id, {_SQL_TOKS} AS t FROM docs)
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (training-data pipeline op;
+    reference analogue hash_id, archive.py:248)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs over documents + planted dups."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH docs AS ({_SQL_DOCS_PLANTED}),
+sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.id = id_a
+JOIN sz sb ON sb.id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+"""
+
+
+_MINHASH_N = 16
+_MINHASH_BANDS = 4
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash + banded LSH candidate pairs (b=4, r=4 → ~0.71 Jaccard
+    knee) over documents + planted dups."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+
+
+_R = _MINHASH_N // _MINHASH_BANDS
+SQL_DEDUP_MINHASH = f"""
+WITH docs AS ({_SQL_DOCS_PLANTED}),
+sh AS ({_SQL_SHINGLES}),
+mh AS (
+  SELECT id, seed,
+         min(('0x' || substring(md5(seed::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS v
+  FROM sh, range({_MINHASH_N}) s(seed)
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, seed // {_R} AS band,
+         md5(string_agg(v::VARCHAR, ',' ORDER BY seed)) AS bh
+  FROM mh GROUP BY id, seed // {_R}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+"""
+
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4
+_SIMHASH_MAXHAM = 3
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: banded bucket candidates + Hamming ≤ 3
+    verification, over documents + planted dups."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return dedup.simhash_pairs(
+        d, "doc_id", "text",
+        bits=_SIMHASH_BITS, bands=_SIMHASH_BANDS, max_hamming=_SIMHASH_MAXHAM,
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    r = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << r) - 1
+    bands_sel = "\n  UNION ALL\n".join(
+        f"  SELECT id, simhash, {b} AS band, (simhash >> {b * r}) & {mask} AS bv FROM sig"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+WITH docs AS ({_SQL_DOCS_PLANTED}),
+tok AS (
+  SELECT DISTINCT id, unnest(t) AS token
+  FROM (SELECT doc_id AS id, {_SQL_TOKS} AS t FROM docs)
+),
+h AS (SELECT id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv FROM tok),
+votes AS (SELECT id, {votes} FROM h GROUP BY id),
+sig AS (SELECT id, {sig} AS simhash FROM votes),
+bands AS (
+{bands_sel}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SIMHASH_MAXHAM}
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+# =====================================================================
+# LLM-data-pipeline operators: similarity search
+# =====================================================================
+
+_SQL_COS = """round(
+  list_dot_product(a, b)
+  / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(b, b))), 4)"""
+
+
+def q_ann_brute_force(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for query vectors vec_id<5."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(e, queries, k=3)
+
+
+SQL_ANN_BRUTE_FORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM c, q WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+_LSH_DIMS = [0, 8, 16, 24]
+
+
+def _sql_bucket(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{d + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(_LSH_DIMS)
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-3: probe only the query's
+    hyperplane-sign bucket — the 100 TB scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.lsh_bucketed_topk(e, queries, k=3, dims=_LSH_DIMS)
+
+
+SQL_ANN_LSH = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a,
+                  {_sql_bucket("embedding")} AS bucket
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
+             {_sql_bucket("embedding")} AS bucket
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucketed, with planted
+    near-identical vectors (v*1.01) so positives exist."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    return similarity.embedding_near_dup_pairs(
+        e.unionByName(planted), threshold=0.95, dims=_LSH_DIMS
+    )
+
+
+SQL_EMBED_NEAR_DUP = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.01) AS v
+  FROM embeddings WHERE vec_id < 10
+),
+wb AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM base),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS a, y.v AS b
+  FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, {_SQL_COS} AS cosine
+FROM pairs WHERE {_SQL_COS} >= 0.95
+"""
+
+
+# =====================================================================
+# LLM-data-pipeline operators: text analysis + multimodal
+# =====================================================================
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace words + chars/4 BPE-ish estimate."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.token_count(d).select("doc_id", "n_words", "n_tokens_est")
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_words,
+       greatest(len({_SQL_TOKS})::BIGINT,
+                CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_tokens_est
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Document quality features + composite score (Gopher/C4-style)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_score(d).select(
+        "doc_id", "mean_word_len", "stopword_ratio", "punct_ratio",
+        "dup_word_ratio", "quality",
+    )
+
+
+_SQL_STOPLIST = "[" + ", ".join(f"'{s}'" for s in text.EN_STOPWORDS) + "]"
+
+SQL_QUALITY_SCORE = f"""
+WITH f AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(t)::DOUBLE AS n_words,
+    len(list_filter(t, x -> list_contains({_SQL_STOPLIST}, x)))::DOUBLE AS n_stop,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS n_punct,
+    len(list_distinct(t))::DOUBLE AS n_distinct,
+    list_sum(list_transform(t, x -> length(x)::BIGINT))::DOUBLE AS sum_wl,
+    length(text)::DOUBLE AS n_chars
+  FROM f
+)
+SELECT doc_id,
+  round(sum_wl / greatest(n_words, 1.0), 4) AS mean_word_len,
+  round(n_stop / greatest(n_words, 1.0), 4) AS stopword_ratio,
+  round(n_punct / greatest(n_chars, 1.0), 4) AS punct_ratio,
+  round(1.0 - n_distinct / greatest(n_words, 1.0), 4) AS dup_word_ratio,
+  round(least((n_stop / greatest(n_words, 1.0)) * 2, 1.0) * 0.4
+        + (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5, 1.0)) * 0.2
+        + (1.0 - (1.0 - n_distinct / greatest(n_words, 1.0))) * 0.4, 4) AS quality
+FROM m
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID via English-stopword ratio."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.language_id(d).select("doc_id", "en_score", "lang_guess")
+
+
+SQL_LANG_ID = f"""
+WITH m AS (
+  SELECT doc_id,
+    len(list_filter({_SQL_TOKS}, x -> list_contains({_SQL_STOPLIST}, x)))::DOUBLE
+      / greatest(len({_SQL_TOKS})::DOUBLE, 1.0) AS ratio
+  FROM documents
+)
+SELECT doc_id, round(ratio, 4) AS en_score,
+       CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_guess
+FROM m
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: min shingle hash (1-hash MinHash)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.fingerprint(d, "doc_id", "text", shingle_k=3)
+
+
+SQL_FINGERPRINT = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+sh AS ({_SQL_SHINGLES})
+SELECT id AS doc_id,
+       min(('0x' || substring(md5(shingle), 1, 15))::BIGINT) AS fingerprint
+FROM sh GROUP BY id
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction via Arrow mapInPandas (codec
+    stubbed with deterministic byte stats; plumbing is real)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    return multimodal.extract_features(media)
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       ascii(substring(text, 1, 1)) AS first_byte,
+       (list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+        % 2147483648)::BIGINT AS byte_checksum
+FROM documents
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # core relational (SURVEY §2)
+    "facet_count": q_facet_count,
+    "latest_per_key": q_latest_per_key,
+    "change_detection": q_change_detection,
+    "top_k": q_top_k,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "star_join": q_star_join,
+    "self_join": q_self_join,
+    "graph_mutual": q_graph_mutual,
+    "m2m_bridge": q_m2m_bridge,
+    "watermark_filter": q_watermark_filter,
+    "upsert_lww": q_upsert_lww,
+    "insert_if_absent": q_insert_if_absent,
+    "hash_id": q_hash_id,
+    "source_regex": q_source_regex,
+    "timestamp_iso": q_timestamp_iso,
+    "json_extract": q_json_extract,
+    "ci_in_list": q_ci_in_list,
+    "distinct": q_distinct,
+    "union_dedup": q_union_dedup,
+    "page_minmax": q_page_minmax,
+    "batch_chunks": q_batch_chunks,
+    # text search (§2.9)
+    "text_terms": q_text_terms,
+    "fts_search": q_fts_search,
+    "keyword_track": q_keyword_track,
+    # LLM-data-pipeline: dedup
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    # LLM-data-pipeline: similarity
+    "ann_brute_force": q_ann_brute_force,
+    "ann_lsh": q_ann_lsh,
+    "embed_near_dup": q_embed_near_dup,
+    # LLM-data-pipeline: text analysis + multimodal
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "facet_count": SQL_FACET_COUNT,
+    "latest_per_key": SQL_LATEST_PER_KEY,
+    "change_detection": SQL_CHANGE_DETECTION,
+    "top_k": SQL_TOP_K,
+    "anti_join": SQL_ANTI_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "star_join": SQL_STAR_JOIN,
+    "self_join": SQL_SELF_JOIN,
+    "graph_mutual": SQL_GRAPH_MUTUAL,
+    "m2m_bridge": SQL_M2M_BRIDGE,
+    "watermark_filter": SQL_WATERMARK_FILTER,
+    "upsert_lww": SQL_UPSERT_LWW,
+    "insert_if_absent": SQL_INSERT_IF_ABSENT,
+    "hash_id": SQL_HASH_ID,
+    "source_regex": SQL_SOURCE_REGEX,
+    "timestamp_iso": SQL_TIMESTAMP_ISO,
+    "json_extract": SQL_JSON_EXTRACT,
+    "ci_in_list": SQL_CI_IN_LIST,
+    "distinct": SQL_DISTINCT,
+    "union_dedup": SQL_UNION_DEDUP,
+    "page_minmax": SQL_PAGE_MINMAX,
+    "batch_chunks": SQL_BATCH_CHUNKS,
+    "text_terms": SQL_TEXT_TERMS,
+    "fts_search": SQL_FTS_SEARCH,
+    "keyword_track": SQL_KEYWORD_TRACK,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ann_brute_force": SQL_ANN_BRUTE_FORCE,
+    "ann_lsh": SQL_ANN_LSH,
+    "embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query: star join + window rank + facet — exercises scan,
+    broadcast join, agg, window, sort in one plan."""
+    rev = q_star_join(spark, sf_dir)
+    w = Window.orderBy(F.col("revenue").desc())
+    return rev.withColumn("revenue_rank", F.row_number().over(w))

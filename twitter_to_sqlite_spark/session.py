@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode is a single JVM; the settings that matter there (shuffle
+partitions ≈ cores, AQE coalesce) are the same ones that matter on a
+1000-executor cluster — AQE re-plans partition counts and skew joins
+at runtime, so the static numbers only need to be sane, not perfect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "twitter_to_sqlite_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Scale notes:
+      - AQE enabled: runtime partition coalescing + skew-join splitting,
+        which is what keeps the same plans healthy at 100 TB.
+      - shuffle.partitions is a *starting* number; AQE coalesces down.
+      - Arrow on: every pandas_udf / mapInPandas path is Arrow-batched.
+      - UTC session timezone: deterministic timestamp semantics so the
+        DuckDB oracle and Spark agree.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver's events.parquet stores TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read as long and convert in tables.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
