@@ -1,0 +1,114 @@
+"""Sink-semantics tests (SURVEY §2.2 K1-K5, §2.8 C1-C3): the SQLite
+INSERT OR REPLACE / OR IGNORE behaviors the reference relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_to_sqlite_spark.operators import checkpoint as C
+from twitter_to_sqlite_spark.operators import sinks as S
+
+
+def test_upsert_last_write_wins(spark):
+    existing = spark.createDataFrame(
+        [(1, "old", 10), (2, "keep", 11)], "id long, v string, ver long"
+    )
+    incoming = spark.createDataFrame(
+        [(1, "new", 12), (3, "ins", 12)], "id long, v string, ver long"
+    )
+    out = {r["id"]: r["v"] for r in S.upsert_plan(existing, incoming, ["id"], "ver").collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_within_batch_dup_deterministic(spark):
+    # SURVEY §7.3 hard-part 3: same pk twice in one batch — the later
+    # (higher version) write wins; incoming beats existing on ties.
+    existing = spark.createDataFrame([(1, "stored", 5)], "id long, v string, ver long")
+    incoming = spark.createDataFrame(
+        [(1, "first", 5), (1, "second", 6)], "id long, v string, ver long"
+    )
+    out = S.upsert_plan(existing, incoming, ["id"], "ver").collect()
+    assert len(out) == 1 and out[0]["v"] == "second"
+    # tie on version: incoming wins over existing
+    inc2 = spark.createDataFrame([(1, "tie", 5)], "id long, v string, ver long")
+    out2 = S.upsert_plan(existing, inc2, ["id"], "ver").collect()
+    assert out2[0]["v"] == "tie"
+
+
+def test_insert_if_absent_preserves_first_seen(spark):
+    # following-table semantics (utils.py:459-469): first_seen survives
+    existing = spark.createDataFrame(
+        [(100, 200, "2020-01-01")], "followed_id long, follower_id long, first_seen string"
+    )
+    incoming = spark.createDataFrame(
+        [(100, 200, "2020-06-06"), (100, 201, "2020-06-06")],
+        "followed_id long, follower_id long, first_seen string",
+    )
+    out = {
+        (r["followed_id"], r["follower_id"]): r["first_seen"]
+        for r in S.insert_if_absent_plan(
+            existing, incoming, ["followed_id", "follower_id"]
+        ).collect()
+    }
+    assert out == {(100, 200): "2020-01-01", (100, 201): "2020-06-06"}
+
+
+def test_hash_id_collapses_identical_rows(spark):
+    df = spark.createDataFrame(
+        [("Example Web", "https://web.example.com")] * 3
+        + [("Example Mobile", "https://mobile.example.com")],
+        "name string, url string",
+    )
+    out = S.hash_id_plan(df, id_col="id").collect()
+    assert len(out) == 2
+    assert all(len(r["id"]) == 40 for r in out)
+
+
+def test_m2m_bridge_plan(spark):
+    df = spark.createDataFrame(
+        [(9003, 7001), (9003, 7001), (9004, 7001)], "tid long, mid long"
+    )
+    out = {(r["media_id"], r["tweets_id"])
+           for r in S.m2m_bridge_plan(df, "mid", "tid", "media", "tweets").collect()}
+    assert out == {(7001, 9003), (7001, 9004)}
+
+
+def test_write_upsert_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id long, v string, ver long")
+    S.write_upsert(spark, b1, path, ["id"], "ver")
+    b2 = spark.createDataFrame([(2, "b2", 2), (3, "c", 2)], "id long, v string, ver long")
+    S.write_upsert(spark, b2, path, ["id"], "ver")
+    out = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_watermark_store_monotonic(spark, tmp_path):
+    ws = C.WatermarkStore(spark, str(tmp_path / "since_ids"))
+    assert ws.get("user", "101") is None
+    ws.set("user", "101", 900)
+    ws.set("user", "101", 850)  # lower: ignored (running max)
+    assert ws.get("user", "101") == 900
+    ws.set("search", "abc", 5)
+    assert ws.get("search", "abc") == 5
+    assert ws.get("user", "101") == 900
+
+
+def test_watermark_advance_from_batch(spark, tmp_path):
+    ws = C.WatermarkStore(spark, str(tmp_path / "since_ids"))
+    df = spark.createDataFrame([(3,), (9,), (7,)], "id long")
+    assert ws.advance_from(df, "home", "feed") == 9
+    assert ws.get("home", "feed") == 9
+
+
+def test_migration_runner_applied_once(spark, tmp_path):
+    runs = []
+    migs = [
+        ("m001_first", lambda s: runs.append("m001")),
+        ("m002_second", lambda s: runs.append("m002")),
+    ]
+    mr = C.MigrationRunner(spark, str(tmp_path / "migrations"))
+    assert mr.run(migs) == ["m001_first", "m002_second"]
+    assert mr.run(migs) == []  # idempotent re-run (migrations.py semantics)
+    assert runs == ["m001", "m002"]
+    assert mr.applied() == {"m001_first", "m002_second"}

@@ -1,0 +1,133 @@
+"""Streaming capture (SURVEY §2.10, entry point 3: track/follow).
+
+The reference holds a filtered HTTP stream open and upserts one tweet
+per transaction (stream_filter utils.py:603-633; track cli.py:644-668;
+follow cli.py:671-706). The Spark shape:
+
+  readStream (line-JSON source) → validity filter (F3) → streaming
+  fixup (P7) → track/follow predicates (T3) → foreachBatch: the SAME
+  save_tweets pipeline as batch ingest, fanned out as keyed upserts.
+
+The source here is a file-glob stream (each dropped file ≈ a chunk of
+the HTTP line stream) — the production swap is a socket/Kafka bridge
+feeding identical line-JSON; everything downstream is source-agnostic.
+Checkpointing gives resume-on-crash (the reference's Ctrl-C story) and
+pk-keyed upserts make redelivery idempotent — effectively exactly-once
+on the keyed tables, matching the reference's INSERT OR REPLACE.
+
+Scale: each micro-batch shuffles only its own rows; the upsert rewrite
+is proportional to touched partitions (see sinks.write_upsert). For
+windowed aggregation extensions, add withWatermark on created_ts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_to_sqlite_spark import schemas
+from twitter_to_sqlite_spark.operators import relational as R
+from twitter_to_sqlite_spark.operators import sinks
+from twitter_to_sqlite_spark.transforms import tweets as TT
+
+
+def read_tweet_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """S9 source: line-JSON tweet stream from a directory glob.
+
+    Keeps only records with id + created_at — the reference drops
+    maintenance messages the same way (F3, utils.py:624-632).
+    """
+    reader = spark.readStream.schema(schemas.streaming_tweet_schema())
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(path)
+    return raw.filter(
+        F.col("id").isNotNull() & F.col("created_at").isNotNull()
+    )
+
+
+def track_filter(df: DataFrame, phrases: list[str]) -> DataFrame:
+    """T3 `track` semantics on the stream (terms AND within a phrase,
+    OR across phrases) — evaluated over text/full_text."""
+    with_text = df.withColumn(
+        "__match_text",
+        F.coalesce(F.col("extended_tweet.full_text"), F.col("full_text"), F.col("text")),
+    )
+    return R.keyword_track_filter(with_text, "__match_text", phrases).drop("__match_text")
+
+
+def follow_filter(df: DataFrame, user_ids: list[int]) -> DataFrame:
+    """`follow` semantics (utils.py:606-615): tweets by, replying to,
+    or retweeting a followed user."""
+    ids = [int(u) for u in user_ids]
+    return df.filter(
+        F.col("user.id").isin(ids)
+        | F.col("in_reply_to_user_id").isin(ids)
+        | F.col("retweeted_status.user.id").isin(ids)
+    )
+
+
+def location_filter(df: DataFrame, boxes: list[tuple[float, float, float, float]]) -> DataFrame:
+    """`locations` bounding boxes (west,south,east,north) against the
+    tweet place bounding box centroid."""
+    coords = F.col("place.bounding_box.coordinates")[0]
+    lon = F.aggregate(coords, F.lit(0.0), lambda a, p: a + p[0]) / F.size(coords)
+    lat = F.aggregate(coords, F.lit(0.0), lambda a, p: a + p[1]) / F.size(coords)
+    pred = F.lit(False)
+    for west, south, east, north in boxes:
+        pred = pred | (
+            (lon >= west) & (lon <= east) & (lat >= south) & (lat <= north)
+        )
+    return df.filter(F.col("place").isNotNull() & pred)
+
+
+def upsert_tables_batch(tables_root: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: normalize the micro-batch through the full
+    save_tweets pipeline and MERGE each output table by pk (K1/K6 —
+    per-batch atomicity replaces the reference's per-row transaction)."""
+
+    PKS = {
+        "tweets": ["id"],
+        "users": ["id"],
+        "places": ["id"],
+        "sources": ["id"],
+        "media": ["id"],
+        "media_tweets": ["media_id", "tweets_id"],
+    }
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fixed = TT.fix_streaming_tweet(batch)
+        out = TT.save_tweets(fixed)
+        for name, df in out.items():
+            versioned = df.withColumn("__batch", F.lit(batch_id).cast("long"))
+            sinks.write_upsert(
+                spark, versioned, f"{tables_root}/{name}", PKS[name], "__batch"
+            )
+
+    return fn
+
+
+def start_capture(spark: SparkSession, source_path: str, tables_root: str,
+                  checkpoint_dir: str, phrases: list[str] | None = None,
+                  follow_ids: list[int] | None = None,
+                  available_now: bool = False):
+    """Wire source → filters → foreachBatch upsert sink. Returns the
+    StreamingQuery (caller awaits/stops)."""
+    stream = read_tweet_stream(spark, source_path)
+    if phrases:
+        stream = track_filter(stream, phrases)
+    if follow_ids:
+        stream = follow_filter(stream, follow_ids)
+    writer = (
+        stream.writeStream.foreachBatch(upsert_tables_batch(tables_root))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
