@@ -1,0 +1,235 @@
+"""CLI mirroring the reference's subcommand surface (cli.py:35-880).
+
+Same command names and core options; the database path becomes a
+directory of parquet tables. Network-dependent commands accept
+--input-json (a file of API-shaped JSON rows) so every command is
+usable offline; with real credentials (`auth.json`, written by `auth`)
+they hit the live API via requests-oauthlib when that package exists.
+
+    python -m twitter_to_sqlite_spark.cli user-timeline db_dir 101 --since
+    python -m twitter_to_sqlite_spark.cli import db_dir archive.zip
+    python -m twitter_to_sqlite_spark.cli search db_dir "tide pools"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from twitter_to_sqlite_spark.database import TweetDatabase
+from twitter_to_sqlite_spark.session import get_spark
+
+
+def _auth_fetch(auth_path: str):
+    """Real OAuth1 fetch (O1, utils.py:69-75) — gated on
+    requests-oauthlib being installed."""
+    try:
+        from requests_oauthlib import OAuth1Session  # type: ignore
+    except ImportError as e:  # pragma: no cover - not in this container
+        raise SystemExit(
+            "requests-oauthlib not installed; use --input-json for offline runs"
+        ) from e
+    creds = json.load(open(auth_path))
+    session = OAuth1Session(
+        client_key=creds["api_key"],
+        client_secret=creds["api_secret_key"],
+        resource_owner_key=creds["access_token"],
+        resource_owner_secret=creds["access_token_secret"],
+    )
+
+    def fetch(url, params):
+        r = session.get(url, params=params)
+        return r.status_code, r.json()
+
+    return fetch
+
+
+def _file_fetch(path: str):
+    """Offline fetch: serve rows from a JSON file, honoring
+    count/max_id/since_id like the live endpoints."""
+    rows = [json.loads(line) for line in open(path)] if path.endswith(
+        (".jsonl", ".ndjson")
+    ) else json.load(open(path))
+
+    def fetch(url, params):
+        out = sorted(rows, key=lambda t: -t.get("id", 0))
+        if "max_id" in params:
+            out = [t for t in out if t.get("id", 0) <= params["max_id"]]
+        if "since_id" in params:
+            out = [t for t in out if t.get("id", 0) > params["since_id"]]
+        if "count" in params:
+            out = out[: params["count"]]
+        if "search" in url:
+            return 200, {"statuses": out}
+        return 200, out
+
+    return fetch
+
+
+def _fetch_from(args):
+    if getattr(args, "input_json", None):
+        return _file_fetch(args.input_json)
+    return _auth_fetch(args.auth)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="twitter-to-sqlite-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add(name, **kwargs):
+        sp = sub.add_parser(name, **kwargs)
+        sp.add_argument("db_path")
+        sp.add_argument("-a", "--auth", default="auth.json")
+        sp.add_argument("--input-json", help="offline JSON source instead of the API")
+        return sp
+
+    sp = add("user-timeline")
+    sp.add_argument("identifiers", nargs="*")
+    sp.add_argument("--since", action="store_true")
+    sp.add_argument("--since_id", type=int)
+    sp.add_argument("--stop_after", type=int)
+
+    for name in ("home-timeline", "mentions-timeline"):
+        sp = add(name)
+        sp.add_argument("--user-id", type=int, default=0)
+        sp.add_argument("--since", action="store_true")
+        sp.add_argument("--since_id", type=int)
+
+    sp = add("favorites")
+    sp.add_argument("--user-id", type=int, default=0)
+    sp.add_argument("--stop_after", type=int)
+
+    sp = add("search")
+    sp.add_argument("q")
+    sp.add_argument("--since", action="store_true")
+    sp.add_argument("--geocode")
+    sp.add_argument("--lang")
+    sp.add_argument("--locale")
+    sp.add_argument("--result_type")
+
+    sp = add("users-lookup")
+    sp.add_argument("identifiers", nargs="+")
+    sp.add_argument("--ids", action="store_true")
+
+    sp = add("statuses-lookup")
+    sp.add_argument("identifiers", nargs="+")
+    sp.add_argument("--skip-existing", action="store_true")
+
+    for name in ("followers", "friends"):
+        sp = add(name)
+        sp.add_argument("--user-id", type=int, required=False)
+
+    for name in ("followers-ids", "friends-ids"):
+        sp = add(name)
+        sp.add_argument("--user-id", type=int, required=True)
+
+    sp = add("lists")
+    sp.add_argument("--user-id", type=int, required=True)
+    sp.add_argument("--members", action="store_true")
+
+    sp = add("list-members")
+    sp.add_argument("list_ids", nargs="+")
+
+    sp = add("import")
+    sp.add_argument("paths", nargs="+")
+
+    sp = add("track")
+    sp.add_argument("phrases", nargs="+")
+    sp.add_argument("--stream-dir", required=True,
+                    help="directory watched for line-JSON stream files")
+
+    sp = add("follow")
+    sp.add_argument("user_ids", nargs="+", type=int)
+    sp.add_argument("--stream-dir", required=True)
+
+    sp = add("fetch")
+    sp.add_argument("url")
+
+    sp = sub.add_parser("auth")
+    sp.add_argument("-a", "--auth", default="auth.json")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "auth":
+        creds = {
+            k: input(f"{k}: ")
+            for k in ("api_key", "api_secret_key", "access_token",
+                      "access_token_secret")
+        }
+        json.dump(creds, open(args.auth, "w"))
+        return 0
+
+    spark = get_spark("cli")
+    db = TweetDatabase(spark, args.db_path)
+    from twitter_to_sqlite_spark import commands as C
+
+    if args.command == "user-timeline":
+        fetch = _fetch_from(args)
+        for ident in args.identifiers or ["0"]:
+            n = C.user_timeline(spark, fetch, db, int(ident),
+                                since=args.since, since_id=args.since_id,
+                                stop_after=args.stop_after)
+            print(f"user {ident}: {n} tweets")
+    elif args.command == "home-timeline":
+        print(C.home_timeline(spark, _fetch_from(args), db, args.user_id,
+                              since=args.since, since_id=args.since_id))
+    elif args.command == "mentions-timeline":
+        print(C.mentions_timeline(spark, _fetch_from(args), db, args.user_id,
+                                  since=args.since, since_id=args.since_id))
+    elif args.command == "favorites":
+        print(C.favorites(spark, _fetch_from(args), db, args.user_id,
+                          stop_after=args.stop_after))
+    elif args.command == "search":
+        print(C.search(spark, _fetch_from(args), db, args.q, since=args.since,
+                       geocode=args.geocode, lang=args.lang,
+                       locale=args.locale, result_type=args.result_type))
+    elif args.command == "users-lookup":
+        print(C.users_lookup(spark, _fetch_from(args), db, args.identifiers,
+                             use_ids=args.ids))
+    elif args.command == "statuses-lookup":
+        print(C.statuses_lookup(spark, _fetch_from(args), db, args.identifiers,
+                                skip_existing=args.skip_existing))
+    elif args.command in ("followers", "friends"):
+        fetch = _fetch_from(args)
+        profile = {"id": args.user_id}
+        print(C.followers(spark, fetch, db, profile,
+                          reverse=args.command == "friends"))
+    elif args.command in ("followers-ids", "friends-ids"):
+        print(C.followers_ids(spark, _fetch_from(args), db, args.user_id,
+                              reverse=args.command == "friends-ids"))
+    elif args.command == "lists":
+        print(C.lists_command(spark, _fetch_from(args), db, args.user_id,
+                              members=args.members))
+    elif args.command == "list-members":
+        fetch = _fetch_from(args)
+        for lid in args.list_ids:
+            print(C.list_members(spark, fetch, db, lid))
+    elif args.command == "import":
+        for path in args.paths:
+            tables = C.import_archive_command(spark, db, path)
+            print(f"{path}: {', '.join(tables)}")
+    elif args.command in ("track", "follow"):
+        from twitter_to_sqlite_spark.streaming import capture
+        q = capture.start_capture(
+            spark, args.stream_dir, args.db_path,
+            f"{args.db_path}/_checkpoints/{args.command}",
+            phrases=args.phrases if args.command == "track" else None,
+            follow_ids=args.user_ids if args.command == "follow" else None,
+        )
+        print(f"streaming {args.command} started; Ctrl-C to stop")
+        try:
+            q.awaitTermination()
+        except KeyboardInterrupt:
+            q.stop()
+    elif args.command == "fetch":
+        fetch = _fetch_from(args)
+        status, body = fetch(args.url, {})
+        print(json.dumps(body, indent=4, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

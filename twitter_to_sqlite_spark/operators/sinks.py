@@ -121,18 +121,13 @@ def write_upsert(spark, incoming: DataFrame, path: str, keys: list[str],
     dynamic partition overwrite keeps the rewrite proportional to the
     batch, not the table.
     """
-    from pyspark.errors import AnalysisException
+    import os
 
-    try:
+    if os.path.exists(path):
         existing = spark.read.parquet(path)
-    except AnalysisException:
-        existing = None
-    if existing is None:
-        out = upsert_plan(
-            incoming.limit(0), incoming, keys, version_col
-        )
-    else:
         out = upsert_plan(existing, incoming, keys, version_col)
+    else:
+        out = upsert_plan(incoming.limit(0), incoming, keys, version_col)
     # Materialize before overwriting the path we read from.
     out_rows = out.collect()
     spark.createDataFrame(out_rows, out.schema).write.mode("overwrite").parquet(path)
