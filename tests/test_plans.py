@@ -1,0 +1,96 @@
+"""Physical-plan property tests: the scale story, asserted.
+
+Correctness says what a query returns; these tests pin HOW it runs —
+pushdown reaching the parquet scan, dims broadcast instead of
+shuffled, global top-k compiling to TakeOrderedAndProject, projection
+pruning the scan schema. A regression here is a 100 TB performance
+bug even when results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from twitter_to_sqlite_spark.plans import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = catalog.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def count_nodes(plan: str, node: str) -> int:
+    """Count operator nodes in the details section of a formatted plan
+    (each node appears once as '(n) <Node>')."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}", plan, flags=re.MULTILINE))
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "star_join")
+    assert count_nodes(plan, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_prunes_dim_columns(spark):
+    plan = plan_of(spark, "star_join")
+    # nation scan must read exactly its two key columns
+    assert "struct<n_nationkey:int,n_regionkey:int>" in plan
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = plan_of(spark, "anti_join")
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_semi_join_is_broadcast_or_shuffle_semi(spark):
+    plan = plan_of(spark, "semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_top_k_uses_take_ordered(spark):
+    # ORDER BY + LIMIT must not materialize a global sort
+    plan = plan_of(spark, "top_k")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_projection_prunes_scan(spark):
+    plan = plan_of(spark, "timestamp_iso")
+    assert "struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>" in plan
+
+
+def test_watermark_filter_prunes_columns(spark):
+    plan = plan_of(spark, "watermark_filter")
+    # the watermark-side scan reads only (event_id, ts)
+    assert "struct<event_id:bigint,ts:bigint>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from pyspark.sql import functions as F
+    from twitter_to_sqlite_spark import tables
+
+    df = tables.load_table(spark, SF, "orders").filter(
+        F.col("o_orderkey") > 1000
+    ).select("o_orderkey")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "GreaterThan(o_orderkey,1000)" in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    plan = plan_of(spark, "ann_brute_force")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_minhash_single_scan(spark):
+    # the signature computation must appear exactly once (no per-band
+    # recomputation of the md5-heavy projection)
+    plan = plan_of(spark, "dedup_minhash")
+    assert count_nodes(plan, "Scan parquet") == 2  # documents + planted-dup branch
