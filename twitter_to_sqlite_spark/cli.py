@@ -165,6 +165,14 @@ def main(argv=None) -> int:
     spark = get_spark("cli")
     db = TweetDatabase(spark, args.db_path)
     from twitter_to_sqlite_spark import commands as C
+    from twitter_to_sqlite_spark.migrations import run_migrations
+
+    # Reference semantics (utils.py:43-66): migrations run against
+    # existing databases before any command touches them.
+    if db.table_names():
+        ran = run_migrations(db)
+        if ran:
+            print(f"applied migrations: {', '.join(ran)}")
 
     if args.command == "user-timeline":
         fetch = _fetch_from(args)

@@ -117,3 +117,36 @@ class TweetDatabase:
         if changed:
             self.append("count_history", melted)
         return changed
+
+    # ------------------------------------------------------ text search
+    def build_fts(self, table: str, id_col: str, text_cols: list[str]) -> str:
+        """T1/T2 (FTS5 shadow tables, utils.py:330-332,352): materialize
+        an inverted-index table `<table>_fts` over the given columns.
+
+        Scale: the index is a derived table — rebuildable, partitionable
+        by term — that turns text search into an equi-join instead of a
+        full scan. Incremental maintenance = rebuild of touched
+        partitions (FTS5's triggers ≈ recompute-on-write here).
+        """
+        from twitter_to_sqlite_spark.operators.relational import build_inverted_index
+
+        src = self.read(table)
+        if src is None:
+            raise FileNotFoundError(table)
+        concat = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols])
+        base = src.select(F.col(id_col).alias("id"), concat.alias("__text"))
+        idx = build_inverted_index(base, "id", "__text")
+        name = f"{table}_fts"
+        self.overwrite(name, idx)
+        return name
+
+    def search_fts(self, table: str, terms: list[str], mode: str = "all") -> DataFrame:
+        """FTS query through the index: ids of rows matching the terms
+        (AND by default, like FTS5), joined back to the base table."""
+        from twitter_to_sqlite_spark.operators.relational import fts_search
+
+        idx = self.read(f"{table}_fts")
+        if idx is None:
+            raise FileNotFoundError(f"{table}_fts — run build_fts first")
+        ids = fts_search(idx, "id", terms, mode=mode)
+        return self.read(table).join(ids, "id", "left_semi")

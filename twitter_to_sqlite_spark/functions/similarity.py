@@ -88,21 +88,50 @@ def sign_bucket(vec_col, dims: list[int]):
     return bucket
 
 
+def _probe_buckets(bucket, n_bits: int, radius: int):
+    """Multiprobe bucket set: the query's bucket plus every bucket
+    within Hamming distance `radius` (radius ≤ 2 supported — beyond
+    that you want more bits, not more probes)."""
+    probes = [bucket]
+    if radius >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    if radius >= 2:
+        probes += [
+            bucket.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_bits) for j in range(i + 1, n_bits)
+        ]
+    return F.array(*probes)
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       dims: list[int] | None = None,
+                      multiprobe: int = 0,
                       decimals: int = 4) -> DataFrame:
     """Approximate cosine top-k: compare only within the query's
-    sign-LSH bucket.
+    sign-LSH bucket(s).
 
     Scale path: the corpus can be *stored* partitioned by bucket, so a
-    query probes 1/2^bits of the data; recall is tuned by bit count
-    and multiprobe. Baseline for recall measurement: brute_force_topk.
+    single-probe query touches 1/2^bits of the data. Recall tuning is
+    two-dimensional: more `dims` → smaller buckets, lower recall per
+    probe; `multiprobe=r` → also probe buckets within Hamming distance
+    r of the query's (probing b+choose(b,r) buckets), recovering most
+    of the recall while still pruning the corpus. The corpus side is
+    never exploded — only the (small, broadcast) query side fans out.
+    Baseline for recall measurement: brute_force_topk
+    (tests/test_fts_and_recall.py).
     """
     dims = dims or [0, 8, 16, 24]
     q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn").withColumn(
         "bucket", sign_bucket("__qv", dims)
     )
+    if multiprobe:
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.array_distinct(
+                _probe_buckets(F.col("bucket"), len(dims), multiprobe)
+            )),
+        )
     c = _side(corpus, id_col, vec_col, "neighbor_id", "__cv", "__cn").withColumn(
         "bucket", sign_bucket("__cv", dims)
     )

@@ -128,6 +128,12 @@ def write_upsert(spark, incoming: DataFrame, path: str, keys: list[str],
         out = upsert_plan(existing, incoming, keys, version_col)
     else:
         out = upsert_plan(incoming.limit(0), incoming, keys, version_col)
+    # A dunder version column is engine bookkeeping — don't persist it.
+    # Stored rows then carry no version; on the next merge they union
+    # as null, which sorts after any real incoming version under
+    # desc ordering, so incoming still beats stored (K1 semantics).
+    if version_col.startswith("__"):
+        out = out.drop(version_col)
     # Materialize before overwriting the path we read from.
     out_rows = out.collect()
     spark.createDataFrame(out_rows, out.schema).write.mode("overwrite").parquet(path)
