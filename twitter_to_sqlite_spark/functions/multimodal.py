@@ -81,7 +81,10 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
                 feats, columns=["media_id", "n_bytes", "first_byte", "byte_checksum"]
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    from twitter_to_sqlite_spark.functions.dedup import spread
+
+    narrow = spread(media.select("media_id", "payload"))
+    return narrow.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

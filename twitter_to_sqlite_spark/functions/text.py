@@ -106,6 +106,9 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Identical content ⇒ identical fingerprint; near-identical content
     usually shares it (this is MinHash with one hash function).
     """
+    from twitter_to_sqlite_spark.functions.dedup import spread
+
+    df = spread(df)
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))

@@ -439,6 +439,71 @@ FROM c GROUP BY chunk
 """
 
 
+def q_entity_expansion(spark, sf_dir):
+    """P1 entity URL expansion (expand_entities, utils.py:275-281 —
+    SURVEY §7.3 hard-part 1): the general aggregate-fold implementation
+    checked against an unrolled-replace oracle. Synthetic entity arrays
+    (two t.co URLs per row) are built from documents columns."""
+    from twitter_to_sqlite_spark.transforms.tweets import expand_entities
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    text = F.concat(
+        F.lit("see https://t.co/"), F.col("source"),
+        F.lit(" and https://t.co/"), F.col("lang"), F.lit(" here"),
+    )
+    ents = F.array(
+        F.struct(
+            F.concat(F.lit("https://t.co/"), F.col("source")).alias("url"),
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com")).alias("expanded_url"),
+        ),
+        F.struct(
+            F.concat(F.lit("https://t.co/"), F.col("lang")).alias("url"),
+            F.lit(None).cast("string").alias("expanded_url"),  # null → keep original
+        ),
+    )
+    base = d.select("doc_id", text.alias("__text"), ents.alias("__ents"))
+    return base.select(
+        "doc_id",
+        expand_entities(F.col("__text"), F.col("__ents")).alias("expanded"),
+    )
+
+
+SQL_ENTITY_EXPANSION = """
+WITH base AS (
+  SELECT doc_id,
+         'see https://t.co/' || source || ' and https://t.co/' || lang || ' here' AS t,
+         'https://t.co/' || source AS u1,
+         'https://' || source || '.example.com' AS e1,
+         'https://t.co/' || lang AS u2
+  FROM documents
+)
+SELECT doc_id, replace(replace(t, u1, e1), u2, u2) AS expanded FROM base
+"""
+
+
+def q_html_unescape(spark, sf_dir):
+    """P2 HTML unescape (html.unescape in transform_tweet,
+    utils.py:301): the five standard entities, decoded in
+    html.unescape-compatible order (&amp; last)."""
+    from twitter_to_sqlite_spark.transforms.tweets import html_unescape
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    text = F.concat(
+        F.lit("A &amp; B &lt;"), F.col("lang"), F.lit("&gt; &quot;"),
+        F.col("source"), F.lit("&quot; &#39;x&#39; &amp;lt;"),
+    )
+    return d.select("doc_id", html_unescape(text).alias("unescaped"))
+
+
+SQL_HTML_UNESCAPE = """
+SELECT doc_id,
+  replace(replace(replace(replace(replace(
+    'A &amp; B &lt;' || lang || '&gt; &quot;' || source || '&quot; &#39;x&#39; &amp;lt;',
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS unescaped
+FROM documents
+"""
+
+
 # =====================================================================
 # Text search (SURVEY §2.9)
 # =====================================================================
@@ -600,7 +665,12 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 """
 
-_SIMHASH_BITS = 32
+# 48 bits (not 32): documents drawn from a shared small vocabulary
+# produce clustered signatures, and at 32 bits the hamming≤3 criterion
+# matches thousands of non-duplicates — noisy output AND a candidate
+# explosion. 48 bits keeps every power in a signed long and cuts the
+# bucket collision rate ~4000×. Bands=4 ⇒ pigeonhole covers hamming≤3.
+_SIMHASH_BITS = 48
 _SIMHASH_BANDS = 4
 _SIMHASH_MAXHAM = 3
 
@@ -633,7 +703,7 @@ def _simhash_sql() -> str:
     return f"""
 WITH docs AS ({_SQL_DOCS_PLANTED}),
 tok AS (
-  SELECT DISTINCT id, unnest(t) AS token
+  SELECT id, unnest(t) AS token
   FROM (SELECT doc_id AS id, {_SQL_TOKS} AS t FROM docs)
 ),
 h AS (SELECT id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv FROM tok),
@@ -896,6 +966,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_dedup": q_union_dedup,
     "page_minmax": q_page_minmax,
     "batch_chunks": q_batch_chunks,
+    "entity_expansion": q_entity_expansion,
+    "html_unescape": q_html_unescape,
     # text search (§2.9)
     "text_terms": q_text_terms,
     "fts_search": q_fts_search,
@@ -940,6 +1012,8 @@ ORACLE_SQL: dict[str, str] = {
     "union_dedup": SQL_UNION_DEDUP,
     "page_minmax": SQL_PAGE_MINMAX,
     "batch_chunks": SQL_BATCH_CHUNKS,
+    "entity_expansion": SQL_ENTITY_EXPANSION,
+    "html_unescape": SQL_HTML_UNESCAPE,
     "text_terms": SQL_TEXT_TERMS,
     "fts_search": SQL_FTS_SEARCH,
     "keyword_track": SQL_KEYWORD_TRACK,
