@@ -44,6 +44,12 @@ def main() -> None:
         force(q(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Ingest throughput: the reference's flagship path (save_tweets) on
+    # a synthetic 20k-tweet batch. The reference is API-rate-bound
+    # (~200 tweets/s theoretical page rate, single-threaded SQLite
+    # writes); this measures our normalization+fan-out pipeline alone.
+    ingest_rate = _ingest_benchmark(spark, n_tweets=20_000)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "catalog_total_runtime",
@@ -51,7 +57,59 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest_tweets_per_sec": ingest_rate,
     }))
+
+
+def _synthetic_tweet(i: int) -> dict:
+    user_id = i % 997
+    return {
+        "id": 1_000_000 + i,
+        "id_str": str(1_000_000 + i),
+        "created_at": "Mon Feb 03 10:20:30 +0000 2020",
+        "full_text": f"synthetic tweet number {i} about topic {i % 50} "
+                     f"&amp; more https://t.co/x{i % 100}",
+        "entities": {
+            "hashtags": [], "symbols": [], "user_mentions": [],
+            "urls": [{
+                "url": f"https://t.co/x{i % 100}",
+                "expanded_url": f"https://example.com/{i % 100}",
+                "display_url": f"example.com/{i % 100}",
+                "indices": [0, 10],
+            }],
+        },
+        "source": '<a href="https://mobile.example.com" rel="nofollow">Example Mobile</a>',
+        "user": {
+            "id": user_id,
+            "id_str": str(user_id),
+            "screen_name": f"user{user_id}",
+            "name": f"User {user_id}",
+            "followers_count": user_id * 3,
+            "friends_count": user_id,
+            "listed_count": 1,
+            "created_at": "Tue Nov 15 13:18:50 +0000 2016",
+            "entities": {"url": {"urls": []}, "description": {"urls": []}},
+        },
+        "retweet_count": i % 7,
+        "favorite_count": i % 13,
+        "lang": "en",
+    }
+
+
+def _ingest_benchmark(spark, n_tweets: int) -> float:
+    import json as _json
+
+    from twitter_to_sqlite_spark import schemas
+    from twitter_to_sqlite_spark.transforms.tweets import save_tweets
+
+    rows = [_json.dumps(_synthetic_tweet(i)) for i in range(n_tweets)]
+    rdd = spark.sparkContext.parallelize(rows, 32)
+    raw = spark.read.schema(schemas.tweet_schema()).json(rdd)
+    t0 = time.perf_counter()
+    for df in save_tweets(raw).values():
+        force(df)
+    dt = time.perf_counter() - t0
+    return round(n_tweets / dt, 1)
 
 
 if __name__ == "__main__":

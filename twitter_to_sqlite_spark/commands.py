@@ -59,7 +59,13 @@ def save_tweet_batch(db: TweetDatabase, raw: DataFrame,
     by pk; count_history recorded from the users batch."""
     out = TT.save_tweets(raw)
     bid = batch_id if batch_id is not None else time.time_ns()
-    db.upsert("tweets", out["tweets"], ["id"], bid)
+    # The fact table is date-partitioned (created-at day) so each batch
+    # rewrites only the days it touches — at archive scale a backfill
+    # of one month never touches the other years.
+    facts = out["tweets"].withColumn(
+        "day", F.coalesce(F.substring("created_at", 1, 10), F.lit("unknown"))
+    )
+    db.upsert_partitioned("tweets", facts, ["id"], "day", bid)
     db.upsert("users", out["users"], ["id"], bid)
     db.upsert("places", out["places"], ["id"], bid)
     db.upsert("sources", out["sources"], ["id"], bid)

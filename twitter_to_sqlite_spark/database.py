@@ -61,6 +61,22 @@ class TweetDatabase:
             "__batch",
         )
 
+    def upsert_partitioned(self, name: str, df: DataFrame, keys: list[str],
+                           partition_col: str,
+                           batch_id: int | None = None) -> None:
+        """K1 upsert with partition pruning: only partitions present in
+        the batch are read and rewritten (sinks.write_upsert_partitioned)
+        — MERGE cost proportional to the batch, not the table."""
+        version = batch_id if batch_id is not None else time.time_ns()
+        sinks.write_upsert_partitioned(
+            self.spark,
+            df.withColumn("__batch", F.lit(version).cast("long")),
+            self.path(name),
+            keys,
+            "__batch",
+            partition_col,
+        )
+
     def insert_if_absent(self, name: str, df: DataFrame, keys: list[str]) -> None:
         """K2 INSERT OR IGNORE by pk."""
         existing = self.read(name)
