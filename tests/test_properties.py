@@ -1,0 +1,112 @@
+"""Property-based invariants for the sink plans (hypothesis).
+
+The reference has no property testing (SURVEY §5); these pin the
+algebraic laws the SQLite pk-constraints gave it for free:
+  upsert:    keys(result) = keys(existing) ∪ keys(incoming);
+             winner = max version, incoming beats existing on ties
+  ignore:    existing rows survive byte-identical; only new keys append
+  exact dedup: partitions the input (Σ n_dups = N, hashes distinct)
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from twitter_to_sqlite_spark.functions import dedup
+from twitter_to_sqlite_spark.operators import sinks
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),     # key
+        st.text(alphabet="abc", max_size=3),       # value
+        st.integers(min_value=0, max_value=9),     # version
+    ),
+    min_size=0, max_size=8,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string, ver long")
+
+
+def _python_upsert(existing, incoming):
+    """Executable spec: last-write-wins, incoming beats existing on
+    version ties; within a batch the later (higher-version) row wins,
+    ties within the incoming batch resolved by the plan's deterministic
+    ordering (version desc) — we only assert the chosen version here
+    and the value when it is unambiguous."""
+    best: dict = {}
+    for src, rows in ((0, existing), (1, incoming)):
+        for k, v, ver in rows:
+            cur = best.get(k)
+            if cur is None or (ver, src) > (cur[0], cur[1]):
+                best[k] = (ver, src, {v})
+            elif (ver, src) == (cur[0], cur[1]):
+                cur[2].add(v)
+    return best
+
+
+@given(existing=ROWS, incoming=ROWS)
+@SETTINGS
+def test_upsert_plan_lww_invariants(spark, existing, incoming):
+    # dedup existing on key first (a stored table has unique pks)
+    seen = {}
+    for k, v, ver in existing:
+        seen[k] = (k, v, ver)
+    existing = list(seen.values())
+    out = sinks.upsert_plan(
+        _df(spark, existing), _df(spark, incoming), ["id"], "ver"
+    ).collect()
+    got = {r["id"]: (r["v"], r["ver"]) for r in out}
+    spec = _python_upsert(existing, incoming)
+    assert set(got) == set(spec)
+    for k, (ver, src, values) in spec.items():
+        assert got[k][1] == ver
+        assert got[k][0] in values
+    # no duplicate keys in output
+    assert len(out) == len(got)
+
+
+@given(existing=ROWS, incoming=ROWS)
+@SETTINGS
+def test_insert_if_absent_invariants(spark, existing, incoming):
+    seen = {}
+    for k, v, ver in existing:
+        seen[k] = (k, v, ver)
+    existing = list(seen.values())
+    out = sinks.insert_if_absent_plan(
+        _df(spark, existing), _df(spark, incoming), ["id"]
+    ).collect()
+    got = {r["id"]: (r["v"], r["ver"]) for r in out}
+    # existing rows unchanged
+    for k, v, ver in existing:
+        assert got[k] == (v, ver)
+    # keys = union; no dups
+    assert set(got) == {k for k, _, _ in existing} | {k for k, _, _ in incoming}
+    assert len(out) == len(got)
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12),
+                   min_size=1, max_size=8)
+)
+@SETTINGS
+def test_exact_dedup_partitions_input(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df).collect()
+    assert sum(r["n_dups"] for r in out) == len(texts)
+    hashes = [r["content_hash"] for r in out]
+    assert len(hashes) == len(set(hashes))
+    # keep_id is a real doc id of a doc with that content
+    import hashlib
+    for r in out:
+        assert hashlib.md5(texts[r["keep_id"]].encode()).hexdigest() == r["content_hash"]

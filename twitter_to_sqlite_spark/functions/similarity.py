@@ -141,6 +141,62 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
     return _score_and_rank(pairs, k, decimals)
 
 
+def ivf_assign(vec_col, centroids: list[list[float]]):
+    """IVF coarse quantization: index of the max-dot-product centroid.
+
+    Centroids are a small literal list (driver-side sample or k-means
+    output), compiled into one array expression — assignment is pure
+    per-row compute, no shuffle, no UDF.
+    """
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    v = F.transform(vec_col if not isinstance(vec_col, str) else F.col(vec_col),
+                    lambda x: x.cast("double"))
+    scores = F.transform(cents, lambda c: _dot(v, c))
+    return F.array_position(scores, F.array_max(scores)) - 1
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
+             k: int, id_col: str = "vec_id", vec_col: str = "embedding",
+             n_probe: int = 1, decimals: int = 4) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus partitioned into
+    centroid cells; a query searches only its n_probe nearest cells.
+
+    The data-adaptive complement to sign-LSH: cells follow the actual
+    density of the corpus (centroids from sampling/k-means), so recall
+    per probed fraction is higher on clustered embeddings. At rest the
+    corpus is *stored* partitioned by cell — a probe is a partition-
+    pruned scan. n_probe > 1 fans out only the (broadcast) query side,
+    like LSH multiprobe.
+    """
+    n_cells = len(centroids)
+    n_probe = min(n_probe, n_cells)
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+
+    c = _side(corpus, id_col, vec_col, "neighbor_id", "__cv", "__cn").withColumn(
+        "cell", ivf_assign(F.col("__cv"), centroids)
+    )
+    q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn")
+    # top-n_probe cells per query: rank centroid dot products
+    scores = F.transform(cents, lambda cc: _dot(F.col("__qv"), cc))
+    probe_cells = F.slice(
+        F.reverse(F.array_sort(F.zip_with(
+            scores,
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+        ))),
+        1, n_probe,
+    )
+    q = q.withColumn("cell", F.explode(F.transform(probe_cells, lambda p: p["cell"]).cast("array<long>")))
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _score_and_rank(pairs, k, decimals)
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dims: list[int] | None = None,

@@ -796,6 +796,56 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
+_IVF_CELLS = 8
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-3: coarse-quantize the corpus into cells
+    around sampled centroids (first 8 vectors — deterministic stand-in
+    for k-means output), probe the query's best cell. Data-adaptive
+    complement to the sign-LSH path."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id").collect()
+    ]
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(e, queries, centroids, k=3, n_probe=1)
+
+
+SQL_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
+         (SELECT cell FROM cents
+          ORDER BY list_dot_product(e.embedding::DOUBLE[], cv) DESC, cell
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS a,
+         (SELECT cell FROM cents
+          ORDER BY list_dot_product(e.embedding::DOUBLE[], cv) DESC, cell
+          LIMIT 1) AS cell
+  FROM embeddings e WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine
+  FROM c JOIN q USING (cell) WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def q_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucketed, with planted
     near-identical vectors (v*1.01) so positives exist."""
@@ -980,6 +1030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LLM-data-pipeline: similarity
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embed_near_dup": q_embed_near_dup,
     # LLM-data-pipeline: text analysis + multimodal
     "token_count": q_token_count,
@@ -1023,6 +1074,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_brute_force": SQL_ANN_BRUTE_FORCE,
     "ann_lsh": SQL_ANN_LSH,
+    "ann_ivf": SQL_ANN_IVF,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "token_count": SQL_TOKEN_COUNT,
     "quality_score": SQL_QUALITY_SCORE,
