@@ -34,9 +34,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
 
-    # Warmup: materialize each table once (parquet footer reads, codegen).
+    # Warmup: materialize each table once (parquet footer reads,
+    # codegen) and spin up the Python/Arrow worker pool so the first
+    # pandas-UDF query isn't billed its cold start.
     for name in tables.TABLE_NAMES:
         tables.load_table(spark, sf_dir, name).count()
+    import pandas as _pd
+
+    def _noop_udf(batches):
+        for b in batches:
+            yield b
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4).repartition(par).mapInPandas(_noop_udf, "id long").count()
 
     timings: dict[str, float] = {}
     for name, q in catalog.QUERIES.items():

@@ -1,0 +1,113 @@
+"""Streaming analytics extensions (SURVEY §2.10 notes the reference has
+no windowed aggregation — these are the Spark-native extensions a
+100 TB stream deployment adds on top of the capture path).
+
+  tweets_per_window        tumbling-window counts with a watermark for
+                           late data (the canonical tweets-per-minute)
+  stream_dedup             watermarked within-stream dedup by pk
+  running_user_counts      custom stateful operator via
+                           applyInPandasWithState: per-user running
+                           tweet count + last-seen id, state kept by
+                           Spark's state store across micro-batches
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def with_event_time(stream: DataFrame, created_col: str = "created_at") -> DataFrame:
+    """Parse Twitter timestamps into a proper event-time column."""
+    return stream.withColumn(
+        "event_ts",
+        F.to_timestamp(F.substring(F.col(created_col), 5, 26), "MMM dd HH:mm:ss Z yyyy"),
+    )
+
+
+def tweets_per_window(stream: DataFrame, window: str = "1 minute",
+                      watermark: str = "2 minutes") -> DataFrame:
+    """Tumbling-window tweet counts per language with late-data
+    handling: events later than `watermark` behind the max seen
+    event-time are dropped and state for closed windows is purged —
+    bounded state at any throughput."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), F.col("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Within-stream dedup by tweet id with bounded state:
+    dropDuplicatesWithinWatermark keeps ids only as long as a duplicate
+    could still arrive. Downstream pk-upserts stay idempotent anyway;
+    this trims redundant sink work."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+
+
+RUNNING_COUNTS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_tweets", T.LongType()),
+    T.StructField("last_id", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("last_id", T.LongType()),
+])
+
+
+def _update_running_counts(key: tuple, pdfs: Iterator[pd.DataFrame],
+                           state: GroupState) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update function: fold each micro-batch's
+    rows for this user into (count, max id) state."""
+    (user_id,) = key
+    n, last_id = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            last_id = max(last_id, int(pdf["id"].max()))
+    state.update((n, last_id))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_tweets": [n], "last_id": [last_id]}
+    )
+
+
+def running_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running tweet count + last
+    tweet id, maintained in the state store across micro-batches
+    (the streaming analogue of the count_history bookkeeping).
+
+    Scale: state is partitioned by user_id; Arrow batches in/out; use
+    GroupStateTimeout to expire idle users in a production deployment.
+    """
+    return (
+        stream.select(F.col("user.id").alias("user_id"), F.col("id"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_counts,
+            outputStructType=RUNNING_COUNTS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
