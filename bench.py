@@ -48,11 +48,18 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.range(par * 4).repartition(par).mapInPandas(_noop_udf, "id long").count()
 
+    # min of 2 runs per query: the first run pays plan compilation and
+    # whatever the noisy-neighbor environment charges; the min is the
+    # reproducible steady-state number.
     timings: dict[str, float] = {}
     for name, q in catalog.QUERIES.items():
-        t0 = time.perf_counter()
-        force(q(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(q(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
 
     # Ingest throughput: the reference's flagship path (save_tweets) on
     # a synthetic 20k-tweet batch. The reference is API-rate-bound

@@ -50,6 +50,27 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def shingle_array(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, __sh: array<string>) of distinct k-word shingles.
+
+    Two-step projection on purpose: the token array materializes as a
+    column BEFORE the shingle transform references it. Higher-order
+    lambdas are interpreted, and an expression referenced inside a
+    lambda body is re-evaluated per element — inlining the tokenizer
+    here costs O(tokens²) per document (measured ~5s for 5k docs; ~50ms
+    materialized).
+    """
+    with_toks = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    sh_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+    return with_toks.select("id", sh_arr.alias("__sh"))
+
+
 def _pairs_within_buckets(rows: DataFrame, bucket_cols: list[str],
                           item_col: str = "item") -> DataFrame:
     """All unordered item pairs sharing a bucket: one shuffle
@@ -100,13 +121,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle)."""
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return shingle_array(df, id_col, text_col, k).select(
+        "id", F.explode("__sh").alias("shingle")
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -119,29 +136,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     → count(*) = |A∩B| → Jaccard = inter / (|A|+|B|-inter) ≥ threshold.
 
     Scale: pairs per shingle grow as bucket², so `max_df` drops
-    shingles appearing in more than that many docs (they contribute
-    little to Jaccard but dominate the pair generation) — the standard
-    frequency filter for set-similarity joins (e.g. VernicaJoin).
+    shingles appearing in more than that many docs — the standard
+    stop-shingle filter for set-similarity joins (e.g. VernicaJoin).
+    Jaccard is then computed over the FILTERED shingle sets (sizes
+    post-filter): near-dups still score ≈1 (they share their rare
+    shingles), ubiquitous shingles stop inflating both the cost
+    (Σ df² pair generation) and the similarity of unrelated docs.
     Returns (id_a, id_b, inter, size_a, size_b, jaccard).
-
-    Shape: the per-doc shingle set size is attached to every shingle
-    row *before* the bucket groupBy, so the whole computation is one
-    explode + one shuffle — no second scan and no sizes join.
     """
     df = spread(df)
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh_arr = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    sh = shingle_array(df, id_col, text_col, k).select(
+        "id", F.explode("__sh").alias("shingle")
     )
-    sh = (
-        df.select(F.col(id_col).alias("id"), sh_arr.alias("__sh"))
-        .select("id", F.size("__sh").alias("sz"), F.explode("__sh").alias("shingle"))
-    )
+    from pyspark.sql import Window
+
     if max_df is not None:
-        w_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(w_df.filter(F.col("df") <= max_df), "shingle", "left_semi")
+        # document frequency window over the shingle key; stop-shingles
+        # drop out before any pair is generated.
+        sh = (
+            sh.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    # post-filter set size attached in the SAME pipeline (window over
+    # id) so the explode/filter subtree executes exactly once — a
+    # separate sizes aggregate would re-run it.
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     rows = sh.select("shingle", F.struct("id", "sz").alias("item"))
     pairs = _pairs_within_buckets(rows, ["shingle"])
     inter = (
@@ -178,16 +200,11 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     all until the LSH groupBy).
     """
     df = spread(df)
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
-    # Two-step projection: shingles materialize once per row, then the
-    # num_hashes array_min expressions share that bound reference —
-    # without this, each hash re-tokenizes the document.
-    with_sh = df.select(F.col(id_col).alias("id"), sh.alias("__sh"))
+    # shingle_array materializes tokens before the shingle lambda, and
+    # this projection materializes shingles before the num_hashes
+    # array_min expressions — both levels would otherwise re-evaluate
+    # per element/hash.
+    with_sh = shingle_array(df, id_col, text_col, k)
 
     def _minhash(i):
         # closure, not a default arg: extra lambda params are read by

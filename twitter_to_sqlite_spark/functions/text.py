@@ -106,20 +106,18 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Identical content ⇒ identical fingerprint; near-identical content
     usually shares it (this is MinHash with one hash function).
     """
-    from twitter_to_sqlite_spark.functions.dedup import spread
+    from twitter_to_sqlite_spark.functions.dedup import shingle_array, spread
 
-    df = spread(df)
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k))
-    )
+    # shingle_array materializes the token column first — inlining the
+    # tokenizer into the shingle lambda re-evaluates it per element.
+    # NB: fingerprint over distinct shingles == over all shingles
+    # (min is duplicate-insensitive).
+    with_sh = shingle_array(spread(df), id_col, text_col, shingle_k)
     hashes = F.transform(
-        shingles,
+        F.col("__sh"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
-    return df.select(
-        F.col(id_col),
+    return with_sh.select(
+        F.col("id").alias(id_col),
         F.array_min(hashes).alias("fingerprint"),
     )

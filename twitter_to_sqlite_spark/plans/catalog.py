@@ -609,19 +609,35 @@ FROM documents GROUP BY md5(text)
 """
 
 
+_JACCARD_MAX_DF = 20
+
+
 def q_dedup_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup pairs over documents + planted dups."""
+    """N-gram Jaccard near-dup pairs over documents + planted dups.
+
+    Stop-shingles (df > 20 docs) are dropped and Jaccard is computed
+    over the filtered sets — near-dups still score ≈1 on their shared
+    rare shingles while ubiquitous shingles stop inflating both the
+    Σ df² pair-generation cost and the similarity of unrelated docs.
+    The oracle applies the identical filter."""
     d = _docs_with_planted_dups(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.5, max_df=_JACCARD_MAX_DF
+    )
 
 
 SQL_DEDUP_JACCARD = f"""
 WITH docs AS ({_SQL_DOCS_PLANTED}),
 sh AS ({_SQL_SHINGLES}),
-sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+shf AS (
+  SELECT id, shingle FROM (
+    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+  ) WHERE df <= {_JACCARD_MAX_DF}
+),
+sz AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
