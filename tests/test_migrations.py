@@ -50,6 +50,45 @@ def test_run_migrations_applied_once(spark, db):
         [(1, '<a href="https://x.example.com">X</a>')], "id long, source string"
     )
     db.overwrite("tweets", tweets)
-    assert M.run_migrations(db) == ["convert_source_column"]
+    assert M.run_migrations(db) == ["convert_source_column", "partition_tweets_by_day"]
     assert M.run_migrations(db) == []
-    assert not db.read("tweets").collect()[0]["source"].startswith("<")
+    row = db.read("tweets").collect()[0]
+    assert not row["source"].startswith("<")
+    assert row["day"] == "unknown"  # no created_at column in this fixture
+
+
+def test_partition_tweets_by_day_migration(spark, db):
+    tweets = spark.createDataFrame(
+        [(1, "2020-02-03T10:20:30+00:00", "x"), (2, None, "y")],
+        "id long, created_at string, full_text string",
+    )
+    db.overwrite("tweets", tweets)
+    assert M.partition_tweets_by_day(db) == 2
+    out = {r["id"]: str(r["day"]) for r in db.read("tweets").collect()}
+    assert out == {1: "2020-02-03", 2: "unknown"}
+    # idempotent
+    assert M.partition_tweets_by_day(db) == 0
+    # partitioned layout on disk
+    import os
+    assert any(d.startswith("day=") for d in os.listdir(db.path("tweets")))
+
+
+def test_legacy_flat_table_upsert_fallback(spark, db):
+    """A pre-partitioning tweets table must still accept partitioned
+    upserts (plain-merge fallback, no crash)."""
+    from twitter_to_sqlite_spark.operators import sinks as S
+    from pyspark.sql import functions as F
+
+    legacy = spark.createDataFrame(
+        [(1, "old")], "id long, full_text string"
+    )
+    db.overwrite("tweets", legacy)
+    incoming = spark.createDataFrame(
+        [(1, "new", "2020-02-03"), (2, "two", "2020-02-03")],
+        "id long, full_text string, day string",
+    ).withColumn("__batch", F.lit(1).cast("long"))
+    S.write_upsert_partitioned(
+        spark, incoming, db.path("tweets"), ["id"], "__batch", "day"
+    )
+    out = {r["id"]: r["full_text"] for r in db.read("tweets").collect()}
+    assert out == {1: "new", 2: "two"}

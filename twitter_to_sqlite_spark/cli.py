@@ -58,6 +58,14 @@ def _file_fetch(path: str):
             out = [t for t in out if t.get("id", 0) <= params["max_id"]]
         if "since_id" in params:
             out = [t for t in out if t.get("id", 0) > params["since_id"]]
+        # IN-list point lookups (statuses/users-lookup)
+        if "id" in params:
+            wanted = {int(i) for i in str(params["id"]).split(",")}
+            out = [t for t in out if t.get("id") in wanted]
+        if "screen_name" in params:
+            names = set(str(params["screen_name"]).split(","))
+            out = [t for t in out
+                   if (t.get("screen_name") or t.get("user", {}).get("screen_name")) in names]
         if "count" in params:
             out = out[: params["count"]]
         if "search" in url:
@@ -84,8 +92,18 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--input-json", help="offline JSON source instead of the API")
         return sp
 
+    def add_identifier_options(sp):
+        # reference add_identifier_options (cli.py:14-30): --sql runs a
+        # query against the db's tables to extend the identifier list;
+        # --attach registers extra parquet-table dirs under an alias.
+        sp.add_argument("--sql", help="SQL whose first column extends identifiers")
+        sp.add_argument("--attach", action="append", default=[],
+                        metavar="ALIAS:PATH",
+                        help="extra table dir to register as ALIAS_<table>")
+
     sp = add("user-timeline")
     sp.add_argument("identifiers", nargs="*")
+    add_identifier_options(sp)
     sp.add_argument("--since", action="store_true")
     sp.add_argument("--since_id", type=int)
     sp.add_argument("--stop_after", type=int)
@@ -109,11 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--result_type")
 
     sp = add("users-lookup")
-    sp.add_argument("identifiers", nargs="+")
+    sp.add_argument("identifiers", nargs="*")
+    add_identifier_options(sp)
     sp.add_argument("--ids", action="store_true")
 
     sp = add("statuses-lookup")
-    sp.add_argument("identifiers", nargs="+")
+    sp.add_argument("identifiers", nargs="*")
+    add_identifier_options(sp)
     sp.add_argument("--skip-existing", action="store_true")
 
     for name in ("followers", "friends"):
@@ -174,9 +194,29 @@ def main(argv=None) -> int:
         if ran:
             print(f"applied migrations: {', '.join(ran)}")
 
+    def resolve_idents(args):
+        """S12: identifiers ∪ first column of --sql over the db's
+        tables (+ --attach'd table dirs registered as alias_<table>)."""
+        from twitter_to_sqlite_spark.sources.api import resolve_identifiers_sql
+
+        idents = list(getattr(args, "identifiers", []) or [])
+        sql = getattr(args, "sql", None)
+        if not sql:
+            return idents
+        views = {name: db.read(name) for name in db.table_names()
+                 if db.read(name) is not None}
+        for spec in getattr(args, "attach", []):
+            alias, _, apath = spec.partition(":")
+            other = TweetDatabase(spark, apath or alias)
+            for name in other.table_names():
+                v = other.read(name)
+                if v is not None:
+                    views[f"{alias}_{name}"] = v
+        return resolve_identifiers_sql(spark, idents, sql, views)
+
     if args.command == "user-timeline":
         fetch = _fetch_from(args)
-        for ident in args.identifiers or ["0"]:
+        for ident in resolve_idents(args) or ["0"]:
             n = C.user_timeline(spark, fetch, db, int(ident),
                                 since=args.since, since_id=args.since_id,
                                 stop_after=args.stop_after)
@@ -195,10 +235,10 @@ def main(argv=None) -> int:
                        geocode=args.geocode, lang=args.lang,
                        locale=args.locale, result_type=args.result_type))
     elif args.command == "users-lookup":
-        print(C.users_lookup(spark, _fetch_from(args), db, args.identifiers,
+        print(C.users_lookup(spark, _fetch_from(args), db, resolve_idents(args),
                              use_ids=args.ids))
     elif args.command == "statuses-lookup":
-        print(C.statuses_lookup(spark, _fetch_from(args), db, args.identifiers,
+        print(C.statuses_lookup(spark, _fetch_from(args), db, resolve_idents(args),
                                 skip_existing=args.skip_existing))
     elif args.command in ("followers", "friends"):
         fetch = _fetch_from(args)

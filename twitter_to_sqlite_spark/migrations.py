@@ -48,9 +48,29 @@ def convert_source_column(db: TweetDatabase) -> int:
     return n
 
 
-MIGRATIONS = [
-    ("convert_source_column", None),  # bound to a db in run_migrations
-]
+def partition_tweets_by_day(db: TweetDatabase) -> int:
+    """Upgrade a legacy flat tweets table to the day-partitioned layout
+    (partition column derived from the ISO created_at). Returns rows
+    rewritten; no-op when already partitioned or missing."""
+    tweets = db.read("tweets")
+    if tweets is None or "day" in tweets.columns:
+        return 0
+    day = (
+        F.coalesce(F.substring("created_at", 1, 10), F.lit("unknown"))
+        if "created_at" in tweets.columns
+        else F.lit("unknown")
+    )
+    out = tweets.withColumn("day", day)
+    rows = out.collect()
+    n = len(rows)
+    if n:
+        (
+            db.spark.createDataFrame(rows, out.schema)
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(db.path("tweets"))
+        )
+    return n
 
 
 def run_migrations(db: TweetDatabase) -> list[str]:
@@ -58,5 +78,8 @@ def run_migrations(db: TweetDatabase) -> list[str]:
     (reference open_database, utils.py:43-66 — runs only against
     existing databases; a fresh db records them as applied)."""
     runner = MigrationRunner(db.spark, db.path("migrations"))
-    bound = [("convert_source_column", lambda spark: convert_source_column(db))]
+    bound = [
+        ("convert_source_column", lambda spark: convert_source_column(db)),
+        ("partition_tweets_by_day", lambda spark: partition_tweets_by_day(db)),
+    ]
     return runner.run(bound)

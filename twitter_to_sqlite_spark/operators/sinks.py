@@ -133,6 +133,13 @@ def write_upsert_partitioned(spark, incoming: DataFrame, path: str,
     if not touched:
         return
     if os.path.exists(path):
+        # Legacy layout (table written before partitioning was enabled):
+        # fall back to a plain full upsert without the partition column.
+        probe = spark.read.parquet(path)
+        if partition_col not in probe.columns:
+            write_upsert(spark, incoming.drop(partition_col), path, keys,
+                         version_col)
+            return
         # Partition pruning: the IN-filter on the partition column means
         # only touched directories are scanned. Partition-column type
         # inference may read the column back as date/int — cast to the
