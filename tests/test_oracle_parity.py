@@ -45,7 +45,9 @@ def _canon_cell(v):
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_canon_cell(r[i]) for i in order) for r in rows
+        (tuple(_canon_cell(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), v if v is not None else "")
+                            for v in t),
     )
 
 

@@ -439,6 +439,71 @@ FROM c GROUP BY chunk
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical rollup (region → nation → total) — the Datasette
+    facet drill-down generalized; subtotal rows carry NULL keys in both
+    engines. Exact DECIMAL sums cast to double."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    out = joined.rollup("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # subtotal rows get 'ALL' instead of NULL keys: hash/sort-friendly
+    # for any comparator, and the data has no genuine NULL names.
+    return out.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+        F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+        "revenue",
+        "n_orders",
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot: order counts per status column, grouped by priority
+    (the reference's ni-devices key→column pivot shape, archive.py:132,
+    on a relational input). Explicit value list keeps the schema
+    static; zero-filled so both engines agree on empty cells."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in ("F", "O", "P")],
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_entity_expansion(spark, sf_dir):
     """P1 entity URL expansion (expand_entities, utils.py:275-281 —
     SURVEY §7.3 hard-part 1): the general aggregate-fold implementation
@@ -1034,6 +1099,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_chunks": q_batch_chunks,
     "entity_expansion": q_entity_expansion,
     "html_unescape": q_html_unescape,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_status": q_pivot_status,
     # text search (§2.9)
     "text_terms": q_text_terms,
     "fts_search": q_fts_search,
@@ -1081,6 +1148,8 @@ ORACLE_SQL: dict[str, str] = {
     "batch_chunks": SQL_BATCH_CHUNKS,
     "entity_expansion": SQL_ENTITY_EXPANSION,
     "html_unescape": SQL_HTML_UNESCAPE,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "pivot_status": SQL_PIVOT_STATUS,
     "text_terms": SQL_TEXT_TERMS,
     "fts_search": SQL_FTS_SEARCH,
     "keyword_track": SQL_KEYWORD_TRACK,
