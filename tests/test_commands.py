@@ -209,3 +209,55 @@ def test_import_archive_command(spark, db, tmp_path):
     tables = C.import_archive_command(spark, db, str(zp))
     assert tables == ["archive_follower"]
     assert db.read("archive_follower").count() == 1
+
+
+def test_followers_stub_profile_does_not_null_users(spark, db):
+    """ADVICE r1 (high): an id-only profile stub must not replace-upsert
+    over a hydrated users row."""
+    hydrated = dict(fixture_tweets()[0]["user"])  # id 101, full profile
+    follower = fixture_tweets()[0]["retweeted_status"]["user"]
+
+    def fetch(url, params):
+        return 200, {"users": [follower], "next_cursor": 0}
+
+    C.followers(spark, fetch, db, hydrated)
+    name_before = db.read("users").filter("id = 101").collect()[0]["screen_name"]
+    assert name_before is not None
+    # Re-run with only the id available (offline fallback path).
+    C.followers(spark, fetch, db, {"id": 101})
+    row = db.read("users").filter("id = 101").collect()[0]
+    assert row["screen_name"] == name_before  # not nulled
+
+
+def test_user_timeline_screen_name_and_default(spark, db):
+    """ADVICE r1 (low): screen-name identifiers resolve via users/show;
+    None resolves via verify_credentials."""
+    tweets = fixture_tweets()
+    me = dict(tweets[0]["user"])
+
+    def fetch(url, params):
+        if "users/show" in url:
+            assert params.get("screen_name") == me["screen_name"]
+            return 200, me
+        if "verify_credentials" in url:
+            return 200, me
+        return timeline_fetch(tweets)(url, params)
+
+    n = C.user_timeline(spark, fetch, db, me["screen_name"])
+    assert n == 3
+    assert db.watermarks.get("user", f"id:{me['id']}") == 9003
+    # None → authenticated user; watermark already set so since → 0 new
+    assert C.user_timeline(spark, fetch, db, None, since=True) == 0
+
+
+def test_resolve_profile_numeric_vs_name(spark):
+    calls = []
+
+    def fetch(url, params):
+        calls.append(params)
+        return 200, {"id": 7, "screen_name": "seven"}
+
+    assert C.resolve_profile(fetch, "7")["id"] == 7
+    assert calls[-1] == {"user_id": 7}
+    assert C.resolve_profile(fetch, "seven")["id"] == 7
+    assert calls[-1] == {"screen_name": "seven"}

@@ -112,3 +112,81 @@ def test_migration_runner_applied_once(spark, tmp_path):
     assert mr.run(migs) == []  # idempotent re-run (migrations.py semantics)
     assert runs == ["m001", "m002"]
     assert mr.applied() == {"m001_first", "m002_second"}
+
+
+def test_write_upsert_never_materializes_on_driver(spark, tmp_path, monkeypatch):
+    """The merged table must never cross the driver: no collect() of a
+    wide DataFrame, no createDataFrame, anywhere in the write path
+    (VERDICT r1 #1 — the old collect()/createDataFrame rewrite capped
+    tables at spark.driver.maxResultSize)."""
+    from pyspark.sql import DataFrame, SparkSession
+
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id long, v string, ver long")
+    S.write_upsert(spark, b1, path, ["id"], "ver")
+
+    orig_collect = DataFrame.collect
+
+    def guarded_collect(self):
+        if len(self.columns) > 1:
+            raise AssertionError("wide collect() inside the write path")
+        return orig_collect(self)
+
+    def no_create(*a, **k):
+        raise AssertionError("createDataFrame inside the write path")
+
+    b2 = spark.createDataFrame([(2, "b2", 2), (3, "c", 2)], "id long, v string, ver long")
+    monkeypatch.setattr(DataFrame, "collect", guarded_collect)
+    monkeypatch.setattr(SparkSession, "createDataFrame", no_create)
+    S.write_upsert(spark, b2, path, ["id"], "ver")
+    monkeypatch.undo()
+    out = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_write_upsert_partitioned_never_materializes_on_driver(spark, tmp_path, monkeypatch):
+    """Partitioned MERGE: only the single-column touched-partition probe
+    may collect; merged rows stay executor-side."""
+    from pyspark.sql import DataFrame, SparkSession
+
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame(
+        [(1, "a", "d1", 1), (2, "b", "d2", 1)], "id long, v string, day string, ver long"
+    )
+    S.write_upsert_partitioned(spark, b1, path, ["id"], "ver", "day")
+
+    orig_collect = DataFrame.collect
+
+    def guarded_collect(self):
+        if len(self.columns) > 1:
+            raise AssertionError("wide collect() inside the write path")
+        return orig_collect(self)
+
+    def no_create(*a, **k):
+        raise AssertionError("createDataFrame inside the write path")
+
+    b2 = spark.createDataFrame(
+        [(2, "b2", "d2", 2), (3, "c", "d3", 2)], "id long, v string, day string, ver long"
+    )
+    monkeypatch.setattr(DataFrame, "collect", guarded_collect)
+    monkeypatch.setattr(SparkSession, "createDataFrame", no_create)
+    S.write_upsert_partitioned(spark, b2, path, ["id"], "ver", "day")
+    monkeypatch.undo()
+    out = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+    # untouched partition d1 still present, merged d2 replaced in place
+    days = {r["day"] for r in spark.read.parquet(path).select("day").distinct().collect()}
+    assert days == {"d1", "d2", "d3"}
+
+
+def test_write_swap_overwrites_plan_reading_own_path(spark, tmp_path):
+    """write_swap lets a plan that reads from the target path rewrite
+    that same path (the case that forced the old driver materialize)."""
+    path = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(path)
+    doubled = spark.read.parquet(path).withColumn("id", F.col("id") * 2)
+    S.write_swap(doubled, path)
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == [i * 2 for i in range(100)]
+    import os
+    assert not [d for d in os.listdir(str(tmp_path)) if "__tmp" in d or "__old" in d]

@@ -126,3 +126,51 @@ def test_resolve_identifiers_sql(spark):
         spark, [1], "SELECT id FROM idents ORDER BY id", {"idents": df}
     )
     assert out == [1, 5, 6]
+
+
+def test_file_fetch_endpoint_envelopes(tmp_path):
+    """ADVICE r1 (medium): --input-json must serve cursor-paginated
+    endpoints as {'<key>': [...], 'next_cursor': 0} dicts, profile
+    endpoints as a single dict — not bare lists."""
+    import json as _json
+
+    from twitter_to_sqlite_spark.cli import _file_fetch
+
+    users = [
+        {"id": 1, "screen_name": "alpha", "followers_count": 5},
+        {"id": 2, "screen_name": "beta", "followers_count": 6},
+    ]
+    p = tmp_path / "users.json"
+    p.write_text(_json.dumps(users))
+    fetch = _file_fetch(str(p))
+
+    status, body = fetch("https://api.twitter.com/1.1/followers/list.json",
+                         {"cursor": -1, "count": 200})
+    assert status == 200 and body["next_cursor"] == 0
+    assert {u["id"] for u in body["users"]} == {1, 2}
+
+    status, body = fetch("https://api.twitter.com/1.1/lists/ownerships.json",
+                         {"cursor": -1})
+    assert "lists" in body and body["next_cursor"] == 0
+
+    status, body = fetch("https://api.twitter.com/1.1/users/show.json",
+                         {"screen_name": "beta"})
+    assert body["id"] == 2
+    status, body = fetch("https://api.twitter.com/1.1/users/show.json",
+                         {"user_id": 99})
+    assert body["errors"][0]["code"] == 50
+    status, body = fetch(
+        "https://api.twitter.com/1.1/account/verify_credentials.json", {})
+    assert body["id"] == 1
+
+    ids_file = tmp_path / "ids.json"
+    ids_file.write_text(_json.dumps([11, 12, 13]))
+    status, body = _file_fetch(str(ids_file))(
+        "https://api.twitter.com/1.1/followers/ids.json", {"cursor": -1})
+    assert body == {"ids": [11, 12, 13], "next_cursor": 0}
+
+    # cursor_paginate drives it end-to-end without TypeError
+    from twitter_to_sqlite_spark.sources.api import cursor_paginate
+    pages = list(cursor_paginate(
+        fetch, "https://api.twitter.com/1.1/friends/list.json", {}, "users"))
+    assert len(pages) == 1 and len(pages[0]) == 2

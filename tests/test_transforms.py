@@ -127,3 +127,27 @@ def test_streaming_fixup(spark):
     )
     out2 = TT.fix_streaming_tweet(df2).collect()
     assert out2[0]["full_text"] == "just the text"
+
+
+def test_sources_hash_non_ascii_matches_sqlite_utils(spark):
+    """ADVICE r1 (low): ids must match sqlite_utils.hash_record exactly,
+    including json.dumps' ensure_ascii \\uXXXX escaping of non-ASCII
+    client names (and astral chars → surrogate pairs)."""
+    from twitter_to_sqlite_spark.transforms.tweets import extract_sources
+
+    name = "Tweetbot für Mac 🚀"
+    url = "https://example.com/tweetbot"
+    df = spark.createDataFrame(
+        [(1, f'<a href="{url}" rel="nofollow">{name}</a>')],
+        "id long, source string",
+    )
+    sources, facts = extract_sources(df)
+    got = sources.collect()[0]
+    expected = hashlib.sha1(
+        json.dumps(
+            {"name": name, "url": url},
+            separators=(",", ":"), sort_keys=True, default=repr,
+        ).encode("utf8")
+    ).hexdigest()
+    assert got["id"] == expected and got["name"] == name
+    assert facts.collect()[0]["source"] == expected

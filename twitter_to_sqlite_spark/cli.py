@@ -45,15 +45,42 @@ def _auth_fetch(auth_path: str):
     return fetch
 
 
+# Cursor-paginated endpoints return {'<key>': [...], 'next_cursor': N}
+# rather than a bare list (reference cursor_paginate utils.py:571-586).
+_CURSOR_KEYS = (
+    ("followers/ids", "ids"),
+    ("friends/ids", "ids"),
+    ("followers/list", "users"),
+    ("friends/list", "users"),
+    ("lists/ownerships", "lists"),
+    ("lists/members", "users"),
+)
+
+
 def _file_fetch(path: str):
     """Offline fetch: serve rows from a JSON file, honoring
-    count/max_id/since_id like the live endpoints."""
+    count/max_id/since_id and each endpoint's payload envelope
+    (bare list, {'statuses': ...}, cursor dicts, single profile)."""
     rows = [json.loads(line) for line in open(path)] if path.endswith(
         (".jsonl", ".ndjson")
     ) else json.load(open(path))
 
     def fetch(url, params):
-        out = sorted(rows, key=lambda t: -t.get("id", 0))
+        dicts = [t for t in rows if isinstance(t, dict)]
+        plain = [t for t in rows if not isinstance(t, dict)]
+        # Single-profile endpoints return one dict, not a list.
+        if "users/show" in url or "verify_credentials" in url:
+            uid = params.get("user_id")
+            sn = params.get("screen_name")
+            for t in dicts:
+                if uid is not None and t.get("id") == int(uid):
+                    return 200, t
+                if sn and t.get("screen_name") == str(sn):
+                    return 200, t
+            if uid is None and sn is None and dicts:
+                return 200, dicts[0]
+            return 200, {"errors": [{"code": 50, "message": "User not found."}]}
+        out = sorted(dicts, key=lambda t: -t.get("id", 0))
         if "max_id" in params:
             out = [t for t in out if t.get("id", 0) <= params["max_id"]]
         if "since_id" in params:
@@ -66,6 +93,12 @@ def _file_fetch(path: str):
             names = set(str(params["screen_name"]).split(","))
             out = [t for t in out
                    if (t.get("screen_name") or t.get("user", {}).get("screen_name")) in names]
+        # Cursor endpoints get the whole file as one terminal page
+        # (ids endpoints serve bare-int rows when the file holds them).
+        for frag, key in _CURSOR_KEYS:
+            if frag in url:
+                payload = plain if (key == "ids" and plain) else out
+                return 200, {key: payload, "next_cursor": 0}
         if "count" in params:
             out = out[: params["count"]]
         if "search" in url:
@@ -216,11 +249,13 @@ def main(argv=None) -> int:
 
     if args.command == "user-timeline":
         fetch = _fetch_from(args)
-        for ident in resolve_idents(args) or ["0"]:
-            n = C.user_timeline(spark, fetch, db, int(ident),
+        # None → authenticated user via verify_credentials; screen
+        # names pass through (commands.user_timeline resolves them).
+        for ident in resolve_idents(args) or [None]:
+            n = C.user_timeline(spark, fetch, db, ident,
                                 since=args.since, since_id=args.since_id,
                                 stop_after=args.stop_after)
-            print(f"user {ident}: {n} tweets")
+            print(f"user {ident if ident is not None else 'me'}: {n} tweets")
     elif args.command == "home-timeline":
         print(C.home_timeline(spark, _fetch_from(args), db, args.user_id,
                               since=args.since, since_id=args.since_id))
@@ -242,7 +277,21 @@ def main(argv=None) -> int:
                                 skip_existing=args.skip_existing))
     elif args.command in ("followers", "friends"):
         fetch = _fetch_from(args)
-        profile = {"id": args.user_id}
+        from twitter_to_sqlite_spark.sources import api as A
+
+        # Hydrate the real profile first (reference cli.py:149) so the
+        # profile upsert never nulls an existing users row; fall back
+        # to an id-only stub — commands.followers skips its upsert.
+        try:
+            if args.user_id:
+                profile = A.get_profile(fetch, C.URLS["users_show"],
+                                        user_id=args.user_id)
+            else:
+                profile = C.resolve_profile(fetch, None)
+        except A.ApiError:
+            if args.user_id is None:
+                raise
+            profile = {"id": args.user_id}
         print(C.followers(spark, fetch, db, profile,
                           reverse=args.command == "friends"))
     elif args.command in ("followers-ids", "friends-ids"):

@@ -110,10 +110,38 @@ def _scan_and_save(spark, fetch, db, url, args, since_type, since_key,
     return total
 
 
-def user_timeline(spark, fetch, db: TweetDatabase, user_id: int,
+def resolve_profile(fetch, identifier=None) -> dict:
+    """Resolve an identifier to a full user profile: users/show for an
+    id or screen name, verify_credentials when None (the reference
+    resolves every identifier to a profile before scanning and defaults
+    to the authenticated user, cli.py:215-260)."""
+    if identifier is None:
+        status, body = fetch(URLS["verify"], {})
+        if isinstance(body, dict) and body.get("errors"):
+            raise api.ApiError(body["errors"])
+        return body
+    s = str(identifier)
+    if s.lstrip("-").isdigit():
+        return api.get_profile(fetch, URLS["users_show"], user_id=int(s))
+    return api.get_profile(fetch, URLS["users_show"], screen_name=s)
+
+
+def user_timeline(spark, fetch, db: TweetDatabase, identifier=None,
                   since=False, since_id=None, stop_after=None) -> int:
     """user-timeline (cli.py:215-320): per-user statuses scan, watermark
-    key id:{user_id} (utils.py:228-249)."""
+    key id:{user_id} (utils.py:228-249).
+
+    `identifier` may be a numeric user id (no extra fetch), a screen
+    name (resolved via users/show, profile saved like the reference),
+    or None (the authenticated user via verify_credentials)."""
+    s = str(identifier) if identifier is not None else None
+    if s is not None and s.lstrip("-").isdigit():
+        user_id = int(s)
+    else:
+        profile = resolve_profile(fetch, identifier)
+        user_id = int(profile["id"])
+        prof = TT.transform_user(users_dataframe(spark, [profile]))
+        db.upsert("users", prof, ["id"])
     return _scan_and_save(
         spark, fetch, db, URLS["user_timeline"],
         {"user_id": user_id, "tweet_mode": "extended"},
@@ -270,10 +298,13 @@ def followers(spark, fetch, db: TweetDatabase, profile: dict,
         else:
             _save_following_edges(spark, db, profile["id"], ids)
         total += len(page)
-    # the profile user itself is also saved (cli.py:149)
-    prof = TT.transform_user(users_dataframe(spark, [profile]))
-    db.upsert("users", prof, ["id"])
-    db.record_user_counts(prof)
+    # The profile user itself is also saved (cli.py:149) — but only a
+    # hydrated profile: replace-upserting an id-only stub would null
+    # out every column of an already-hydrated users row.
+    if set(profile) - {"id"}:
+        prof = TT.transform_user(users_dataframe(spark, [profile]))
+        db.upsert("users", prof, ["id"])
+        db.record_user_counts(prof)
     return total
 
 

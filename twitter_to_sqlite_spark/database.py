@@ -84,10 +84,7 @@ class TweetDatabase:
             out = df.dropDuplicates(keys)
         else:
             out = sinks.insert_if_absent_plan(existing, df, keys)
-        rows = out.collect()
-        self.spark.createDataFrame(rows, out.schema).write.mode("overwrite").parquet(
-            self.path(name)
-        )
+        sinks.write_swap(out, self.path(name))
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """K3 drop & recreate."""

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark.database import TweetDatabase
+from twitter_to_sqlite_spark.operators import sinks
 from twitter_to_sqlite_spark.operators.checkpoint import MigrationRunner
 from twitter_to_sqlite_spark.transforms.tweets import extract_sources
 
@@ -41,10 +42,7 @@ def convert_source_column(db: TweetDatabase) -> int:
     migrated = tweets.filter(
         ~F.col("source").startswith("<") | F.col("source").isNull()
     ).unionByName(fixed)
-    rows = migrated.collect()
-    db.spark.createDataFrame(rows, migrated.schema).write.mode(
-        "overwrite"
-    ).parquet(db.path("tweets"))
+    sinks.write_swap(migrated, db.path("tweets"))
     return n
 
 
@@ -61,15 +59,9 @@ def partition_tweets_by_day(db: TweetDatabase) -> int:
         else F.lit("unknown")
     )
     out = tweets.withColumn("day", day)
-    rows = out.collect()
-    n = len(rows)
+    n = out.count()
     if n:
-        (
-            db.spark.createDataFrame(rows, out.schema)
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(db.path("tweets"))
-        )
+        sinks.write_swap(out, db.path("tweets"), partition_by=["day"])
     return n
 
 

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from twitter_to_sqlite_spark.operators.sinks import write_swap
+
 # Reference endpoint-type registry, utils.py:19-24.
 SINCE_ID_TYPES = {"user": 1, "home": 2, "mentions": 3, "search": 4}
 
@@ -66,11 +68,9 @@ class WatermarkStore:
             .unionByName(incoming)
             .groupBy("type", "key")
             .agg(F.max("since_id").alias("since_id"))
+            .select(*[F.col(f.name).cast(f.dataType) for f in SINCE_IDS_SCHEMA])
         )
-        rows = merged.collect()
-        self.spark.createDataFrame(rows, SINCE_IDS_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(self.path)
+        write_swap(merged.coalesce(1), self.path)
 
     def advance_from(self, df: DataFrame, type_name: str, key: str,
                      id_col: str = "id") -> int | None:
@@ -114,8 +114,5 @@ class MigrationRunner:
             new = self.spark.createDataFrame(
                 [(n,) for n in sorted(done | set(ran))], "name string"
             ).withColumn("applied", now)
-            rows = new.collect()
-            self.spark.createDataFrame(rows, MIGRATIONS_SCHEMA).write.mode(
-                "overwrite"
-            ).parquet(self.path)
+            write_swap(new.coalesce(1), self.path)
         return ran

@@ -16,6 +16,10 @@ touched partitions (see ``write_upsert``'s partition pruning).
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -100,14 +104,71 @@ def m2m_bridge_plan(df: DataFrame, left_id: str, right_id: str,
 
 # --------------------------------------------------------------- I/O
 
-def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    """Full-refresh overwrite — archive_* drop & recreate
-    (archive.py:240-248). ``overwriteSchema`` ≈ the reference's
-    drop-table-first semantics."""
-    w = df.write.mode("overwrite").option("overwriteSchema", "true")
+def write_swap(df: DataFrame, path: str,
+               partition_by: list[str] | None = None) -> None:
+    """Executor-side rewrite of a parquet table whose plan may READ
+    from ``path`` itself: write the plan to a temp sibling directory,
+    then atomically swap it over the old one.
+
+    This is the scale-safe replacement for the collect()-then-rewrite
+    pattern — the table never crosses the driver; the merge runs fully
+    distributed and the swap is two directory renames (atomic on POSIX
+    and HDFS; on S3-style object stores, substitute a Delta/Iceberg
+    commit — same plan, transactional metadata swap instead of rename).
+    Crash-safety: a crash between the two renames leaves the old table
+    at ``<path>.__old-*`` — recoverable, never half-written.
+    """
+    tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
+    old = f"{path}.__old-{uuid.uuid4().hex[:8]}"
+    w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    w.parquet(tmp)
+    try:
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+    finally:
+        for leftover in (old, tmp):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
+
+
+def swap_partitions(tmp: str, path: str, partition_col: str) -> None:
+    """Move every ``<partition_col>=<value>`` directory from a freshly
+    written temp dataset into the live table, replacing same-valued
+    partitions — dynamic partition overwrite expressed as per-partition
+    directory swaps, so the merged plan can read the live partitions it
+    is replacing. Untouched partitions are never opened or moved.
+
+    Displaced partition dirs are renamed to a dot-prefixed name first
+    (hidden from Spark's partition discovery) so a concurrent reader
+    never sees ``day=X.__old`` parsed as a partition value.
+    """
+    os.makedirs(path, exist_ok=True)
+    prefix = f"{partition_col}="
+    try:
+        for d in os.listdir(tmp):
+            if not d.startswith(prefix):
+                continue
+            src, dst = os.path.join(tmp, d), os.path.join(path, d)
+            displaced = os.path.join(path, f".{d}.__old")
+            if os.path.exists(displaced):
+                shutil.rmtree(displaced, ignore_errors=True)
+            if os.path.exists(dst):
+                os.rename(dst, displaced)
+            os.rename(src, dst)
+            if os.path.exists(displaced):
+                shutil.rmtree(displaced, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Full-refresh overwrite — archive_* drop & recreate
+    (archive.py:240-248). Routed through the atomic swap so a plan
+    derived from the table itself can still full-refresh it."""
+    write_swap(df, path, partition_by)
 
 
 def write_upsert_partitioned(spark, incoming: DataFrame, path: str,
@@ -125,10 +186,6 @@ def write_upsert_partitioned(spark, incoming: DataFrame, path: str,
     expressed here on plain parquet so the engine needs no extra
     dependency.
     """
-    import os
-
-    from pyspark.sql import functions as F
-
     touched = [r[0] for r in incoming.select(partition_col).distinct().collect()]
     if not touched:
         return
@@ -155,18 +212,12 @@ def write_upsert_partitioned(spark, incoming: DataFrame, path: str,
         merged = upsert_plan(incoming.limit(0), incoming, keys, version_col)
     if version_col.startswith("__"):
         merged = merged.drop(version_col)
-    rows = merged.collect()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            spark.createDataFrame(rows, merged.schema)
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Write the merged touched partitions to a temp dataset (fully
+    # distributed — the plan reads the live partitions while they are
+    # still in place), then swap only those partition directories in.
+    tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    swap_partitions(tmp, path, partition_col)
 
 
 def write_upsert(spark, incoming: DataFrame, path: str, keys: list[str],
@@ -178,10 +229,8 @@ def write_upsert(spark, incoming: DataFrame, path: str, keys: list[str],
     rewrite. At scale, partition `path` by a stable bucket of the key
     (or date) and rewrite only partitions present in `incoming` —
     dynamic partition overwrite keeps the rewrite proportional to the
-    batch, not the table.
+    batch, not the table (write_upsert_partitioned).
     """
-    import os
-
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         out = upsert_plan(existing, incoming, keys, version_col)
@@ -193,6 +242,7 @@ def write_upsert(spark, incoming: DataFrame, path: str, keys: list[str],
     # desc ordering, so incoming still beats stored (K1 semantics).
     if version_col.startswith("__"):
         out = out.drop(version_col)
-    # Materialize before overwriting the path we read from.
-    out_rows = out.collect()
-    spark.createDataFrame(out_rows, out.schema).write.mode("overwrite").parquet(path)
+    # Executor-side rewrite + atomic swap: the merged table never
+    # crosses the driver (the old collect()/createDataFrame pattern
+    # capped tables at spark.driver.maxResultSize).
+    write_swap(out, path)

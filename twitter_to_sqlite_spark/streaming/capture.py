@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark import schemas
 from twitter_to_sqlite_spark.operators import relational as R
-from twitter_to_sqlite_spark.operators import sinks
 from twitter_to_sqlite_spark.transforms import tweets as TT
 
 
@@ -85,30 +84,24 @@ def location_filter(df: DataFrame, boxes: list[tuple[float, float, float, float]
 
 
 def upsert_tables_batch(tables_root: str) -> Callable[[DataFrame, int], None]:
-    """foreachBatch sink: normalize the micro-batch through the full
-    save_tweets pipeline and MERGE each output table by pk (K1/K6 —
-    per-batch atomicity replaces the reference's per-row transaction)."""
+    """foreachBatch sink: normalize the micro-batch through the SAME
+    save_tweet_batch pipeline as batch ingest (K1/K6 — per-batch
+    atomicity replaces the reference's per-row transaction).
 
-    PKS = {
-        "tweets": ["id"],
-        "users": ["id"],
-        "places": ["id"],
-        "sources": ["id"],
-        "media": ["id"],
-        "media_tweets": ["media_id", "tweets_id"],
-    }
+    Sharing the batch path matters for layout: tweets land in the same
+    day-partitioned dataset the batch commands maintain, so streaming
+    and batch writes into one tables_root never produce a mixed
+    flat/partitioned layout."""
+    from twitter_to_sqlite_spark.commands import save_tweet_batch
+    from twitter_to_sqlite_spark.database import TweetDatabase
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         fixed = TT.fix_streaming_tweet(batch)
-        out = TT.save_tweets(fixed)
-        for name, df in out.items():
-            versioned = df.withColumn("__batch", F.lit(batch_id).cast("long"))
-            sinks.write_upsert(
-                spark, versioned, f"{tables_root}/{name}", PKS[name], "__batch"
-            )
+        db = TweetDatabase(spark, tables_root)
+        save_tweet_batch(db, fixed, batch_id)
 
     return fn
 

@@ -20,8 +20,13 @@ per-tweet loop.
 
 from __future__ import annotations
 
+import hashlib
+import json
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # Twitter created_at format: 'Wed Sep 04 13:51:55 +0000 2019'.
 # Spark's parser accepts day-of-week ('E') only when formatting, so we
@@ -111,41 +116,64 @@ def transform_user(df: DataFrame) -> DataFrame:
     return out.drop(*drops)
 
 
+def _hash_record_sha1():
+    """Exact sqlite_utils.hash_record twin: sha1 of
+    ``json.dumps(record, separators=(",", ":"), sort_keys=True,
+    default=repr)`` — note json.dumps' default ensure_ascii escapes
+    non-ASCII to \\uXXXX, which Spark's to_json does not, so ids over
+    non-ASCII client names would diverge with a pure-JVM hash. A
+    vectorized Pandas UDF reproduces the byte stream exactly; it runs
+    only over the DISTINCT (name, url) pairs (dozens of rows), never
+    the fact table."""
+
+    @pandas_udf("string")
+    def hash_source(name: pd.Series, url: pd.Series) -> pd.Series:
+        def h(n, u):
+            payload = json.dumps(
+                {"name": n, "url": u},
+                separators=(",", ":"), sort_keys=True, default=repr,
+            )
+            return hashlib.sha1(payload.encode("utf8")).hexdigest()
+
+        return pd.Series([h(n, u) for n, u in zip(name, url)])
+
+    return hash_source
+
+
 def extract_sources(tweets: DataFrame) -> tuple[DataFrame, DataFrame]:
     """P4 (extract_and_save_source, utils.py:668-673): parse the source
     anchor tag into a {url,name} dimension keyed by sha1 of the
-    canonical row JSON (sqlite_utils hash_id semantics), and rewrite
-    the fact column to that key.
+    canonical row JSON (sqlite_utils hash_id semantics, including
+    ensure_ascii escaping — see _hash_record_sha1), and rewrite the
+    fact column to that key.
 
     Returns (sources_dim, tweets_with_fk). Broadcast-sized dim at any
-    scale (distinct clients are few).
+    scale (distinct clients are few); the fact rewrite is a broadcast
+    join on the parsed (name, url) pair, fully JVM-side.
     """
-    parsed = F.struct(
-        F.regexp_extract(F.col("source"), SOURCE_RE, 2).alias("name"),
-        F.regexp_extract(F.col("source"), SOURCE_RE, 1).alias("url"),
-    )
-    with_id = tweets.withColumn(
-        "__source_parsed", parsed
+    parsed = tweets.withColumn(
+        "__sname", F.regexp_extract(F.col("source"), SOURCE_RE, 2)
     ).withColumn(
-        # sha1 over canonical JSON with sorted keys (name, url) matches
-        # the reference's hash_id over {"name":..., "url":...}.
-        "__source_id",
-        F.when(
-            F.col("source").isNotNull(),
-            F.sha1(F.to_json(F.col("__source_parsed"))),
-        ),
+        "__surl", F.regexp_extract(F.col("source"), SOURCE_RE, 1)
     )
-    sources = (
-        with_id.filter(F.col("source").isNotNull())
-        .select(
-            F.col("__source_id").alias("id"),
-            F.col("__source_parsed.name").alias("name"),
-            F.col("__source_parsed.url").alias("url"),
+    dim = (
+        parsed.filter(F.col("source").isNotNull())
+        .select("__sname", "__surl")
+        .dropDuplicates()
+        .withColumn("__source_id", _hash_record_sha1()("__sname", "__surl"))
+    )
+    sources = dim.select(
+        F.col("__source_id").alias("id"),
+        F.col("__sname").alias("name"),
+        F.col("__surl").alias("url"),
+    )
+    facts = (
+        parsed.join(F.broadcast(dim), ["__sname", "__surl"], "left")
+        .withColumn(
+            "source",
+            F.when(F.col("source").isNotNull(), F.col("__source_id")),
         )
-        .dropDuplicates(["id"])
-    )
-    facts = with_id.withColumn("source", F.col("__source_id")).drop(
-        "__source_parsed", "__source_id"
+        .drop("__sname", "__surl", "__source_id")
     )
     return sources, facts
 
