@@ -94,3 +94,25 @@ def test_dedup_minhash_single_scan(spark):
     # recomputation of the md5-heavy projection)
     plan = plan_of(spark, "dedup_minhash")
     assert count_nodes(plan, "Scan parquet") == 2  # documents + planted-dup branch
+
+
+def test_batch_chunks_dist_no_global_window(spark):
+    """VERDICT r1 #3: the distributed chunker must contain no
+    single-partition Window.orderBy (every Window node carries a
+    non-empty partition spec)."""
+    import re
+
+    plan = plan_of(spark, "batch_chunks_dist")
+    # A windowspecdefinition whose FIRST argument is an ordering term
+    # (ends in ASC/DESC) has no partition columns — a global window.
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a rank window in the plan"
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            f"global (unpartitioned) Window in plan: windowspecdefinition({spec})"
+        )
+    # sanity: the detector does flag the global variant
+    global_plan = plan_of(spark, "batch_chunks")
+    gspecs = re.findall(r"windowspecdefinition\(([^)]*)\)", global_plan)
+    assert any(" ASC" in s.split(",")[0] for s in gspecs)

@@ -183,6 +183,61 @@ def batch_chunks(df: DataFrame, order_col: str, chunk_size: int) -> DataFrame:
     )
 
 
+def batch_chunks_dist(df: DataFrame, order_col: str, chunk_size: int,
+                      num_partitions: int | None = None) -> DataFrame:
+    """Distributed chunk assignment: identical semantics to
+    ``batch_chunks`` for a unique `order_col`, with NO single-partition
+    global window — the scale path (VERDICT r1 #3).
+
+    Two-pass prefix sum, the zipWithIndex shape kept in the DataFrame
+    API so Catalyst still sees the plan:
+
+      1. split the key domain into ~balanced ranges via approxQuantile
+         (driver holds n-1 boundary values — bounded); the range id is
+         a PURE FUNCTION of the key, so every job recomputing the plan
+         assigns identical ranges (repartitionByRange's sampling is
+         job-nondeterministic and cannot be used here),
+      2. per-range local ranks via a window PARTITIONED by range id
+         (parallel across ranges),
+      3. per-range row counts (one row per range) → cumulative offsets,
+      4. broadcast the offsets back; global rank = offset + local rank.
+
+    At 1000 executors each window partition is one task; nothing ever
+    funnels through a single sorted partition.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col(order_col).cast("double")))
+    else:
+        pid = F.lit(0)
+    local_w = Window.partitionBy("__pid").orderBy(F.col(order_col).asc())
+    local = df.withColumn("__pid", pid).withColumn(
+        "__lrn", F.row_number().over(local_w)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for p, cnt in counts:
+        offsets.append((p, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "chunk",
+            F.floor((F.col("__off") + F.col("__lrn") - 1) / F.lit(chunk_size))
+            .cast("long"),
+        )
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def distinct_values(df: DataFrame, cols: list[str]) -> DataFrame:
     """SELECT DISTINCT (README.md:326 follow recipe)."""
     return df.select(*cols).distinct()

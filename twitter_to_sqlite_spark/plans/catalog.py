@@ -439,6 +439,23 @@ FROM c GROUP BY chunk
 """
 
 
+def q_batch_chunks_dist(spark, sf_dir):
+    """A9 scale path: chunk ids via range-partition + per-partition
+    rank + prefix-sum offsets — no single-partition window anywhere in
+    the plan (operators/relational.py batch_chunks_dist)."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    chunked = R.batch_chunks_dist(ev, "event_id", 100)
+    return chunked.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+# Same oracle as the global variant: semantics are identical.
+SQL_BATCH_CHUNKS_DIST = SQL_BATCH_CHUNKS
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Hierarchical rollup (region → nation → total) — the Datasette
     facet drill-down generalized; subtotal rows carry NULL keys in both
@@ -1097,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_dedup": q_union_dedup,
     "page_minmax": q_page_minmax,
     "batch_chunks": q_batch_chunks,
+    "batch_chunks_dist": q_batch_chunks_dist,
     "entity_expansion": q_entity_expansion,
     "html_unescape": q_html_unescape,
     "rollup_revenue": q_rollup_revenue,
@@ -1146,6 +1164,7 @@ ORACLE_SQL: dict[str, str] = {
     "union_dedup": SQL_UNION_DEDUP,
     "page_minmax": SQL_PAGE_MINMAX,
     "batch_chunks": SQL_BATCH_CHUNKS,
+    "batch_chunks_dist": SQL_BATCH_CHUNKS_DIST,
     "entity_expansion": SQL_ENTITY_EXPANSION,
     "html_unescape": SQL_HTML_UNESCAPE,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
