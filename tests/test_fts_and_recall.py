@@ -91,3 +91,33 @@ def test_embedding_near_dup_planted(spark):
     ).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert {(i, i + 10_000) for i in range(5)} <= found
+
+
+def test_ivf_kmeans_centroids_beat_standin(spark):
+    """VERDICT r1 #4: data-adaptive k-means centroids must beat the old
+    'first 8 vectors' stand-in on recall vs brute force (measured:
+    standin 0.467/0.611 at n_probe=1/2; kmeans iters=3 0.5/0.711)."""
+    emb = tables.load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    k = 3
+    exact = similarity.brute_force_topk(emb, queries, k)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    standin = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    km = similarity.kmeans_centroids(emb, 8, iters=3)
+
+    def recall(cents, n_probe):
+        approx = similarity.ivf_topk(emb, queries, cents, k, n_probe=n_probe)
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        return len(e & a) / len(e)
+
+    for n_probe in (1, 2):
+        r_std, r_km = recall(standin, n_probe), recall(km, n_probe)
+        assert r_km >= r_std, f"n_probe={n_probe}: kmeans {r_km} < standin {r_std}"
+    assert recall(km, 2) >= 0.65
+    # empty-cell handling: k larger than natural clusters still returns
+    # exactly k centroid vectors
+    assert len(similarity.kmeans_centroids(emb.limit(20), 8, iters=2)) == 8

@@ -157,6 +157,55 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
     return F.array_position(scores, F.array_max(scores)) - 1
 
 
+def kmeans_centroids(corpus: DataFrame, k: int, iters: int = 1,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     decimals: int | None = 4) -> list[list[float]]:
+    """Spherical-k-means centroids for IVF coarse quantization
+    (VERDICT r1 #4 — replaces the 'first k vectors' stand-in).
+
+    Deterministic Lloyd's: init = the first k vectors by `id_col`;
+    each iteration assigns every vector to its max-dot-product centroid
+    (ivf_assign — the same rule ivf_topk uses) and recomputes each
+    centroid as the element-wise mean of its cell, keeping the previous
+    centroid for an empty cell. `decimals` rounds the means so the
+    centroid literals are reproducible across engines (FP summation
+    order differs between Spark's partial aggs and any oracle).
+
+    Scale: assignment + mean are one distributed pass per iteration
+    (posexplode → (cell, dim) partial-agg mean); only k×dim doubles
+    ever reach the driver. For 100 TB corpora run the iterations on a
+    sampled fraction — centroids converge on samples.
+    """
+    init = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    ]
+    cents = init
+    for _ in range(iters):
+        assigned = corpus.select(
+            _as_double(F.col(vec_col)).alias("v")
+        ).withColumn("cell", ivf_assign(F.col("v"), cents))
+        mean_expr = (
+            F.round(F.avg("x"), decimals) if decimals is not None else F.avg("x")
+        )
+        mean_rows = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(mean_expr.alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: list(r["cv"]) for r in mean_rows}
+        cents = [by_cell.get(j, cents[j]) for j in range(k)]
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
              k: int, id_col: str = "vec_id", vec_col: str = "embedding",
              n_probe: int = 1, decimals: int = 4) -> DataFrame:

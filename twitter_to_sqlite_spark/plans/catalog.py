@@ -897,25 +897,42 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 _IVF_CELLS = 8
 
 
+_EMB_DIM = 64
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate top-3: coarse-quantize the corpus into cells
-    around sampled centroids (first 8 vectors — deterministic stand-in
-    for k-means output), probe the query's best cell. Data-adaptive
-    complement to the sign-LSH path."""
+    around k-means centroids (one deterministic Lloyd iteration from a
+    first-k init — similarity.kmeans_centroids), probe the query's best
+    cell. Data-adaptive complement to the sign-LSH path; the oracle
+    reproduces the identical iteration relationally."""
     e = _t(spark, sf_dir, "embeddings")
-    centroids = [
-        [float(x) for x in r["embedding"]]
-        for r in e.filter(F.col("vec_id") < _IVF_CELLS)
-        .orderBy("vec_id").collect()
-    ]
+    centroids = similarity.kmeans_centroids(e, _IVF_CELLS, iters=1)
     queries = e.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(e, queries, centroids, k=3, n_probe=1)
 
 
 SQL_ANN_IVF = f"""
-WITH cents AS (
+WITH init AS (
   SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
   FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+a0 AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         (SELECT cell FROM init
+          ORDER BY list_dot_product(e.embedding::DOUBLE[], cv) DESC, cell
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+dims AS (
+  SELECT cell, i, round(avg(v[i]), 4) AS m
+  FROM a0, generate_series(1, {_EMB_DIM}) AS t(i)
+  GROUP BY cell, i
+),
+upd AS (SELECT cell, list(m ORDER BY i) AS cv FROM dims GROUP BY cell),
+cents AS (
+  SELECT i.cell, coalesce(u.cv, i.cv) AS cv
+  FROM init i LEFT JOIN upd u USING (cell)
 ),
 c AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
