@@ -110,3 +110,43 @@ def test_exact_dedup_partitions_input(spark, texts):
     import hashlib
     for r in out:
         assert hashlib.md5(texts[r["keep_id"]].encode()).hexdigest() == r["content_hash"]
+
+
+def test_hot_bucket_guard_drops_only_hot_buckets(spark):
+    """VERDICT r1 #8: an adversarial hot bucket (one band value shared
+    by hundreds of docs) must not detonate pair generation; pairs from
+    non-hot buckets are bit-identical with and without the cap."""
+    from pyspark.sql import functions as F
+
+    # 300 identical docs (every band collides → hot buckets of 300)
+    # plus 3 pairs of distinct near-dup docs in their own buckets.
+    hot = [(i, "the same adversarial document text repeated") for i in range(300)]
+    cold = []
+    for j in range(3):
+        base = 1000 + 2 * j
+        text = f"unique document number {j} about a rare subject {j}"
+        cold += [(base, text), (base + 1, text)]
+    df = spark.createDataFrame(hot + cold, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_pairs(df, num_hashes=8, bands=2)
+    capped_events = []
+    capped = dedup.minhash_lsh_pairs(
+        df, num_hashes=8, bands=2, max_bucket=50,
+        on_oversize=capped_events.append,
+    )
+    cold_ids = {r[0] for r in cold}
+    cold_pairs_uncapped = {
+        (r["id_a"], r["id_b"]) for r in uncapped.collect()
+        if r["id_a"] in cold_ids and r["id_b"] in cold_ids
+    }
+    capped_rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # non-hot pairs identical; hot-bucket pairs gone
+    assert {p for p in capped_rows if p[0] in cold_ids} == cold_pairs_uncapped
+    assert all(a in cold_ids and b in cold_ids for a, b in capped_rows)
+    assert cold_pairs_uncapped == {(1000, 1001), (1002, 1003), (1004, 1005)}
+    # observability callback saw the dropped buckets
+    assert capped_events and capped_events[0] >= 1
+    # bounded work: the capped candidate count is the cold pairs only,
+    # vs ~300²/2 per band uncapped
+    assert uncapped.count() > 40_000
+    assert capped.count() == 3

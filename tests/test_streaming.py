@@ -7,11 +7,14 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import socket
+import threading
 
 import pytest
 from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark.streaming import capture
+from twitter_to_sqlite_spark.streaming.bridge import SocketLineBridge
 
 
 def minimal_tweet(tid, text, user_id=101, screen_name="robinex",
@@ -121,3 +124,116 @@ def test_capture_resume_is_idempotent(spark, dirs):
             spark.read.parquet(f"{tables}/tweets").collect()}
     assert sorted(rows) == [1, 5]
     assert rows[1] == "kakapo one updated"  # K1 last-write-wins across batches
+
+
+# ---------------------------------------------------------------- S9 bridge
+
+
+class FlakyLineServer(threading.Thread):
+    """Local stand-in for the streaming endpoint: serves ONE payload of
+    line-JSON per connection then drops the connection — the failure
+    mode the reference's reconnect loop (utils.py:603-633) exists for."""
+
+    def __init__(self, payloads):
+        super().__init__(daemon=True)
+        self.payloads = [list(p) for p in payloads]
+        self.sock = socket.create_server(("127.0.0.1", 0))
+        self.port = self.sock.getsockname()[1]
+        self.connections = 0
+
+    def run(self):
+        while self.payloads:
+            conn, _ = self.sock.accept()
+            self.connections += 1
+            lines = self.payloads.pop(0)
+            with conn:
+                conn.sendall(("\n".join(lines) + "\n").encode())
+        self.sock.close()
+
+
+def test_bridge_reconnects_and_loses_nothing(tmp_path):
+    """VERDICT r1 #5: dropped connection → partial chunk flushed,
+    linear-backoff reconnect, remaining records picked up."""
+    recs = [json.dumps({"id": i, "txt": f"t{i}"}) for i in range(5)]
+    server = FlakyLineServer([recs[:3], recs[3:]])
+    server.start()
+    spool = tmp_path / "spool"
+    sleeps = []
+    events = []
+    bridge = SocketLineBridge(
+        "127.0.0.1", server.port, str(spool), chunk_records=2,
+        sleep_fn=sleeps.append, on_event=lambda k, d: events.append(k),
+    )
+    total = bridge.run(stop_after=5)
+    assert total == 5
+    assert server.connections == 2
+    assert bridge.reconnects >= 1 and sleeps  # backoff actually slept
+    assert events.count("connect") == 2
+    # every record durable, in order, across the connection drop
+    chunks = sorted(f for f in os.listdir(spool) if f.startswith("chunk-"))
+    got = []
+    for c in chunks:
+        got += open(spool / c).read().splitlines()
+    assert got == recs
+    # the partial chunk (record 3 alone) was flushed at the drop
+    assert any(len(open(spool / c).read().splitlines()) == 1 for c in chunks)
+
+
+def test_bridge_restart_resumes_chunk_numbering(tmp_path):
+    spool = tmp_path / "spool"
+    recs = [json.dumps({"id": i}) for i in range(3)]
+    server = FlakyLineServer([recs])
+    server.start()
+    b1 = SocketLineBridge("127.0.0.1", server.port, str(spool),
+                          chunk_records=1, sleep_fn=lambda d: None)
+    b1.run(stop_after=3)
+    n_before = len(os.listdir(spool))
+    server2 = FlakyLineServer([[json.dumps({"id": 99})]])
+    server2.start()
+    b2 = SocketLineBridge("127.0.0.1", server2.port, str(spool),
+                          chunk_records=1, sleep_fn=lambda d: None)
+    b2.run(stop_after=1)
+    names = sorted(os.listdir(spool))
+    assert len(names) == n_before + 1
+    # monotonic numbering continued — restarted bridge never clobbers
+    assert names[-1] == f"chunk-{n_before:08d}.jsonl"
+
+
+def test_bridge_gives_up_after_max_reconnects(tmp_path):
+    # nothing listens on this port → every connect fails
+    probe = socket.create_server(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    events = []
+    bridge = SocketLineBridge(
+        "127.0.0.1", port, str(tmp_path / "s"), max_reconnects=3,
+        connect_timeout=0.2, sleep_fn=lambda d: None,
+        on_event=lambda k, d: events.append(k),
+    )
+    assert bridge.run() == 0
+    assert events.count("error") == 4  # initial + 3 retries
+    assert events[-1] == "giveup"
+
+
+def test_capture_from_socket_end_to_end(spark, dirs):
+    """tcp:// source through start_capture: bridge spools, the file
+    stream consumes, keyed upserts land — with a mid-stream drop."""
+    _, tables, ckpt = dirs
+    spool = os.path.join(os.path.dirname(tables), "spool")
+    tweets = [minimal_tweet(i, f"kakapo number {i}") for i in (1, 2, 3)]
+    lines = [json.dumps(t) for t in tweets]
+    server = FlakyLineServer([lines[:2], lines[2:]])
+    server.start()
+    q = capture.start_capture(
+        spark, f"tcp://127.0.0.1:{server.port}", tables, ckpt,
+        phrases=["kakapo"], spool_dir=spool,
+        bridge_kwargs={"chunk_records": 2, "stop_after": 3,
+                       "sleep_fn": lambda d: None},
+    )
+    bridge = capture.active_bridge(spool)
+    bridge._thread.join(30)
+    assert bridge.records == 3 and bridge.reconnects >= 1
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["id"] for r in spark.read.parquet(f"{tables}/tweets").collect())
+    assert ids == [1, 2, 3]

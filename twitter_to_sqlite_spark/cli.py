@@ -123,6 +123,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("db_path")
         sp.add_argument("-a", "--auth", default="auth.json")
         sp.add_argument("--input-json", help="offline JSON source instead of the API")
+        # O4 (reference shows a progressbar by default, --silent hides
+        # it; here it is opt-in — a Spark driver is usually headless
+        # and rendering implies an extra users/show profile fetch for
+        # the expected total).
+        sp.add_argument("--progress", action="store_true",
+                        help="render a progress bar with expected totals")
         return sp
 
     def add_identifier_options(sp):
@@ -254,7 +260,8 @@ def main(argv=None) -> int:
         for ident in resolve_idents(args) or [None]:
             n = C.user_timeline(spark, fetch, db, ident,
                                 since=args.since, since_id=args.since_id,
-                                stop_after=args.stop_after)
+                                stop_after=args.stop_after,
+                                render_progress=args.progress)
             print(f"user {ident if ident is not None else 'me'}: {n} tweets")
     elif args.command == "home-timeline":
         print(C.home_timeline(spark, _fetch_from(args), db, args.user_id,
@@ -264,7 +271,8 @@ def main(argv=None) -> int:
                                   since=args.since, since_id=args.since_id))
     elif args.command == "favorites":
         print(C.favorites(spark, _fetch_from(args), db, args.user_id,
-                          stop_after=args.stop_after))
+                          stop_after=args.stop_after,
+                          render_progress=args.progress))
     elif args.command == "search":
         print(C.search(spark, _fetch_from(args), db, args.q, since=args.since,
                        geocode=args.geocode, lang=args.lang,
@@ -293,7 +301,8 @@ def main(argv=None) -> int:
                 raise
             profile = {"id": args.user_id}
         print(C.followers(spark, fetch, db, profile,
-                          reverse=args.command == "friends"))
+                          reverse=args.command == "friends",
+                          render_progress=args.progress))
     elif args.command in ("followers-ids", "friends-ids"):
         print(C.followers_ids(spark, _fetch_from(args), db, args.user_id,
                               reverse=args.command == "friends-ids"))
@@ -310,6 +319,17 @@ def main(argv=None) -> int:
             print(f"{path}: {', '.join(tables)}")
     elif args.command in ("track", "follow"):
         from twitter_to_sqlite_spark.streaming import capture
+        if args.progress:
+            # O4 streaming twin: per-micro-batch counts off the
+            # listener bus (reference prints one dot per tweet,
+            # cli.py:664-667).
+            from twitter_to_sqlite_spark.progress import attach_capture_listener
+            attach_capture_listener(
+                spark,
+                lambda p: print(
+                    f"batch {p['batch_id']}: {p['num_input_rows']} tweets "
+                    f"({p['seconds']:.1f}s)", flush=True),
+            )
         q = capture.start_capture(
             spark, args.stream_dir, args.db_path,
             f"{args.db_path}/_checkpoints/{args.command}",

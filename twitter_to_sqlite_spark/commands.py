@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark import schemas
 from twitter_to_sqlite_spark.database import TweetDatabase
+from twitter_to_sqlite_spark.progress import ProgressReporter, timeline_expected
 from twitter_to_sqlite_spark.sources import api
 from twitter_to_sqlite_spark.transforms import tweets as TT
 
@@ -77,9 +78,12 @@ def save_tweet_batch(db: TweetDatabase, raw: DataFrame,
 def _scan_and_save(spark, fetch, db, url, args, since_type, since_key,
                    since, since_id, stop_after, key=None, sleep=0.0,
                    bridge: tuple[str, object] | None = None,
-                   extra_tweet_rows_cb=None) -> int:
+                   extra_tweet_rows_cb=None, progress=None) -> int:
     """Shared timeline ingest (S1/S2/S3/S4 → save pipeline → C1),
-    the reference's _shared_timeline/fetch_timeline shape."""
+    the reference's _shared_timeline/fetch_timeline shape. ``progress``
+    is an O4 ProgressReporter updated once per fetched page
+    (reference cli.py:298-320 advances its bar per tweet; per-page is
+    the same signal at the granularity the scan actually has)."""
     if since and since_id is None:
         since_id = db.watermarks.get(since_type, since_key)
     scan = api.TimelineScan(
@@ -92,6 +96,8 @@ def _scan_and_save(spark, fetch, db, url, args, since_type, since_key,
     for page in scan.pages():
         rows.extend(page.rows)
         total += len(page.rows)
+        if progress is not None:
+            progress.update(len(page.rows))
         if page.max_id is not None:
             max_seen = max(max_seen or 0, page.max_id)
     if rows:
@@ -107,6 +113,8 @@ def _scan_and_save(spark, fetch, db, url, args, since_type, since_key,
             extra_tweet_rows_cb(rows)
     if max_seen is not None:
         db.watermarks.set(since_type, since_key, max_seen)
+    if progress is not None:
+        progress.finish()
     return total
 
 
@@ -127,25 +135,39 @@ def resolve_profile(fetch, identifier=None) -> dict:
 
 
 def user_timeline(spark, fetch, db: TweetDatabase, identifier=None,
-                  since=False, since_id=None, stop_after=None) -> int:
+                  since=False, since_id=None, stop_after=None,
+                  on_progress=None, render_progress=False) -> int:
     """user-timeline (cli.py:215-320): per-user statuses scan, watermark
     key id:{user_id} (utils.py:228-249).
 
     `identifier` may be a numeric user id (no extra fetch), a screen
     name (resolved via users/show, profile saved like the reference),
-    or None (the authenticated user via verify_credentials)."""
+    or None (the authenticated user via verify_credentials).
+
+    O4: when progress is requested the profile is always resolved so
+    the reporter gets the reference's expected total —
+    ``statuses_count``, cleared under since/since_id (cli.py:294-297)."""
     s = str(identifier) if identifier is not None else None
-    if s is not None and s.lstrip("-").isdigit():
+    want_progress = on_progress is not None or render_progress
+    profile = None
+    if s is not None and s.lstrip("-").isdigit() and not want_progress:
         user_id = int(s)
     else:
         profile = resolve_profile(fetch, identifier)
         user_id = int(profile["id"])
         prof = TT.transform_user(users_dataframe(spark, [profile]))
         db.upsert("users", prof, ["id"])
+    prog = None
+    if want_progress:
+        expected = timeline_expected(profile or {}, "statuses", since, since_id)
+        name = (profile or {}).get("screen_name", user_id)
+        prog = ProgressReporter(f"Importing tweets for @{name}", expected,
+                                on_event=on_progress, render=render_progress)
     return _scan_and_save(
         spark, fetch, db, URLS["user_timeline"],
         {"user_id": user_id, "tweet_mode": "extended"},
         "user", f"id:{user_id}", since, since_id, stop_after,
+        progress=prog,
     )
 
 
@@ -171,7 +193,8 @@ def mentions_timeline(spark, fetch, db: TweetDatabase, auth_user_id: int,
 
 
 def favorites(spark, fetch, db: TweetDatabase, user_id: int,
-              stop_after=None) -> int:
+              stop_after=None, on_progress=None,
+              render_progress=False) -> int:
     """favorites (cli.py:185-212): saves tweets + favorited_by bridge
     (utils.py:435-441)."""
     def bridge_cb(rows):
@@ -180,12 +203,22 @@ def favorites(spark, fetch, db: TweetDatabase, user_id: int,
         )
         db.upsert("favorited_by", bdf, ["user", "tweet"])
 
+    prog = None
+    if on_progress is not None or render_progress:
+        prog = ProgressReporter("Importing favorites", None,
+                                on_event=on_progress, render=render_progress)
     scan = api.TimelineScan(
         fetch, URLS["favorites"],
         args={"user_id": user_id, "tweet_mode": "extended"},
         stop_after=stop_after, sleep_fn=lambda s: None,
     )
-    rows = [r for p in scan.pages() for r in p.rows]
+    rows = []
+    for p in scan.pages():
+        rows.extend(p.rows)
+        if prog is not None:
+            prog.update(len(p.rows))
+    if prog is not None:
+        prog.finish()
     if rows:
         save_tweet_batch(db, tweets_dataframe(spark, rows))
         bridge_cb(rows)
@@ -279,11 +312,23 @@ def _save_following_edges(spark, db, followed_id, follower_ids,
 
 
 def followers(spark, fetch, db: TweetDatabase, profile: dict,
-              reverse=False) -> int:
+              reverse=False, on_progress=None, render_progress=False) -> int:
     """followers/friends (cli.py:86-183): cursored 200-user pages →
     users upsert + following edges. reverse=True = friends (profile
-    follows them)."""
+    follows them).
+
+    O4: expected total from the profile's followers/friends count, the
+    reference's progressbar length (cli.py:151-157)."""
     url = URLS["friends_list"] if reverse else URLS["followers_list"]
+    noun = "friends" if reverse else "followers"
+    prog = None
+    if on_progress is not None or render_progress:
+        expected = timeline_expected(profile, noun)
+        who = profile.get("screen_name", profile.get("id"))
+        label = (f"Importing {expected:,} {noun} for @{who}"
+                 if expected is not None else f"Importing {noun} for @{who}")
+        prog = ProgressReporter(label, expected, on_event=on_progress,
+                                render=render_progress)
     total = 0
     for page in api.cursor_paginate(
         fetch, url, {"user_id": profile["id"]}, "users", page_size=200
@@ -298,6 +343,8 @@ def followers(spark, fetch, db: TweetDatabase, profile: dict,
         else:
             _save_following_edges(spark, db, profile["id"], ids)
         total += len(page)
+        if prog is not None:
+            prog.update(len(page))
     # The profile user itself is also saved (cli.py:149) — but only a
     # hydrated profile: replace-upserting an id-only stub would null
     # out every column of an already-hydrated users row.
@@ -305,6 +352,8 @@ def followers(spark, fetch, db: TweetDatabase, profile: dict,
         prof = TT.transform_user(users_dataframe(spark, [profile]))
         db.upsert("users", prof, ["id"])
         db.record_user_counts(prof)
+    if prog is not None:
+        prog.finish()
     return total
 
 

@@ -249,18 +249,29 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dims: list[int] | None = None,
-                             decimals: int = 4) -> DataFrame:
+                             decimals: int = 4,
+                             max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) above a
     cosine threshold, bucketed by sign-LSH to avoid the n² join.
 
     Near-dup vectors (cos ≥ threshold) almost always agree on every
     probed coordinate sign, so bucket equality keeps recall high while
-    cutting candidate pairs by ~2^bits.
+    cutting candidate pairs by ~2^bits. `max_bucket` is the skew guard:
+    a hot bucket (correlated embeddings all sharing their probed signs)
+    is excluded from the self-join instead of exploding size² — pairs
+    in every other bucket are unchanged.
     """
     dims = dims or [0, 8, 16, 24]
     withb = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", sign_bucket("v", dims)).withColumn("n", _norm(F.col("v")))
+    if max_bucket is not None:
+        ok = (
+            withb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("bucket")
+        )
+        withb = withb.join(F.broadcast(ok), "bucket", "left_semi")
     a = withb.select("bucket", F.col("id").alias("id_a"),
                      F.col("v").alias("__qv"), F.col("n").alias("__qn"))
     b = withb.select("bucket", F.col("id").alias("id_b"),

@@ -1,0 +1,190 @@
+"""Socket → spool bridge for the live streaming source (S9).
+
+The reference holds one long-lived filtered-stream HTTP connection
+open and wraps it in a reconnect loop (``stream_filter``'s ``while
+True`` + requests timeout handling, reference utils.py:603-633).
+Spark Structured Streaming wants replayable, offset-addressable input
+instead of a raw socket, so the live connection is *bridged*:
+
+    tcp socket (line-JSON)  →  SocketLineBridge  →  spool dir of
+        chunk files  →  capture.read_tweet_stream file source
+        (checkpointed, watermarkable, resumable)
+
+The bridge owns exactly the reconnect behavior the reference's loop
+provides: any socket error or server EOF flushes the partial chunk,
+sleeps a linearly-growing backoff (the Twitter streaming guidance for
+TCP-level errors: start small, grow linearly, cap), and reconnects.
+Chunk files are numbered monotonically and written tmp-then-rename, so
+the Spark file source never observes a partial file, a restarted
+bridge resumes numbering after the last durable chunk, and the
+downstream pk-keyed upserts make any crash-window redelivery
+idempotent — the same effectively-exactly-once story as the
+checkpointed file stream itself.
+
+Scale: the bridge is a single lightweight collector per stream
+connection (Twitter allows one filtered connection per token — the
+bottleneck is the API, not this process). Fan-out happens downstream:
+N bridges can spool into one directory and the file source absorbs
+them all.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import socket
+import threading
+import time
+from collections.abc import Callable
+
+_CHUNK_RE = re.compile(r"^chunk-(\d{8})\.jsonl$")
+
+
+class SocketLineBridge:
+    """Line-JSON TCP reader with the reference's reconnect loop,
+    spooling durable chunk files for the Structured Streaming source.
+
+    Parameters
+    ----------
+    chunk_records: flush a chunk file every N records (the reference
+        batches 100 tweets per progress tick, cli.py:312-320).
+    max_reconnects: give up after this many consecutive failed
+        connections (None = retry forever, the reference's behavior).
+    stop_after: stop cleanly once this many records have been spooled
+        (None = run until ``stop()``); a bounded-capture convenience
+        mirroring the reference's Ctrl-C story, and the deterministic
+        handle tests use.
+    backoff / backoff_step / max_backoff: linear backoff schedule for
+        TCP-level errors (0.25s, +0.25s per failure, capped).
+    sleep_fn: injectable for tests.
+    on_event: ``callable(kind: str, detail)`` observability hook —
+        kinds: connect, error, reconnect, giveup, flush.
+    """
+
+    def __init__(self, host: str, port: int, spool_dir: str, *,
+                 chunk_records: int = 100,
+                 max_reconnects: int | None = None,
+                 stop_after: int | None = None,
+                 backoff: float = 0.25, backoff_step: float = 0.25,
+                 max_backoff: float = 16.0,
+                 connect_timeout: float = 10.0,
+                 read_timeout: float | None = 90.0,
+                 sleep_fn: Callable[[float], None] = time.sleep,
+                 on_event: Callable[[str, object], None] | None = None):
+        self.host, self.port = host, int(port)
+        self.spool_dir = spool_dir
+        self.chunk_records = int(chunk_records)
+        self.max_reconnects = max_reconnects
+        self.stop_after = stop_after
+        self.backoff, self.backoff_step = backoff, backoff_step
+        self.max_backoff = max_backoff
+        self.connect_timeout = connect_timeout
+        self.read_timeout = read_timeout
+        self.sleep_fn = sleep_fn
+        self.on_event = on_event
+        self.records = 0
+        self.reconnects = 0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        os.makedirs(spool_dir, exist_ok=True)
+        # Resume numbering after the last durable chunk — a restarted
+        # bridge never clobbers what the stream already consumed.
+        existing = [
+            int(m.group(1)) for f in os.listdir(spool_dir)
+            if (m := _CHUNK_RE.match(f))
+        ]
+        self._seq = max(existing) + 1 if existing else 0
+
+    @classmethod
+    def from_url(cls, url: str, spool_dir: str, **kwargs) -> "SocketLineBridge":
+        """``tcp://host:port`` / ``socket://host:port`` → bridge."""
+        m = re.match(r"^(?:tcp|socket)://([^:/]+):(\d+)$", url)
+        if not m:
+            raise ValueError(f"not a socket url: {url!r}")
+        return cls(m.group(1), int(m.group(2)), spool_dir, **kwargs)
+
+    # ------------------------------------------------------------- io
+
+    def _emit(self, kind: str, detail=None) -> None:
+        if self.on_event is not None:
+            self.on_event(kind, detail)
+
+    def _flush(self, lines: list[str]) -> None:
+        """Durable chunk write: dot-prefixed tmp (invisible to Spark's
+        file source), fsync, atomic rename into place."""
+        if not lines:
+            return
+        name = f"chunk-{self._seq:08d}.jsonl"
+        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.spool_dir, name))
+        self._seq += 1
+        self._emit("flush", len(lines))
+
+    # ------------------------------------------------------------ run
+
+    def run(self, stop_after: int | None = None) -> int:
+        """Blocking read loop; returns total records spooled.
+
+        One iteration = one connection lifetime. EOF (server closed)
+        and OSError both fall through to the reconnect path; partial
+        chunks are flushed first so no received record is ever lost.
+        """
+        if stop_after is None:
+            stop_after = self.stop_after
+        delay = self.backoff
+        while not self._stop.is_set():
+            buf: list[str] = []
+            try:
+                with socket.create_connection(
+                    (self.host, self.port), timeout=self.connect_timeout
+                ) as sock:
+                    if self.read_timeout is not None:
+                        sock.settimeout(self.read_timeout)
+                    self._emit("connect", (self.host, self.port))
+                    delay = self.backoff  # healthy connection resets backoff
+                    with sock.makefile("rb") as f:
+                        for raw in f:
+                            if self._stop.is_set():
+                                break
+                            line = raw.decode("utf-8", "replace").strip()
+                            if not line:
+                                continue  # stream keep-alive newline
+                            buf.append(line)
+                            self.records += 1
+                            if len(buf) >= self.chunk_records:
+                                self._flush(buf)
+                                buf = []
+                            if stop_after is not None and self.records >= stop_after:
+                                self._stop.set()
+            except OSError as exc:
+                self._emit("error", exc)
+            finally:
+                self._flush(buf)
+            if self._stop.is_set():
+                break
+            # EOF or socket error → reconnect with linear backoff.
+            self.reconnects += 1
+            if self.max_reconnects is not None and self.reconnects > self.max_reconnects:
+                self._emit("giveup", self.reconnects)
+                break
+            self._emit("reconnect", self.reconnects)
+            self.sleep_fn(delay)
+            delay = min(delay + self.backoff_step, self.max_backoff)
+        return self.records
+
+    def start(self, stop_after: int | None = None) -> threading.Thread:
+        """Run the bridge on a daemon thread (the collector sidecar)."""
+        self._thread = threading.Thread(
+            target=self.run, kwargs={"stop_after": stop_after}, daemon=True
+        )
+        self._thread.start()
+        return self._thread
+
+    def stop(self, timeout: float = 10.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)

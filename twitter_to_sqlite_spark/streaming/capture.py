@@ -31,14 +31,41 @@ from twitter_to_sqlite_spark import schemas
 from twitter_to_sqlite_spark.operators import relational as R
 from twitter_to_sqlite_spark.transforms import tweets as TT
 
+# Live socket bridges started by read_tweet_stream, keyed by spool dir.
+_BRIDGES: dict = {}
+
+
+def active_bridge(spool_dir: str):
+    """The SocketLineBridge read_tweet_stream started for this spool
+    dir (None if the source was a plain directory)."""
+    return _BRIDGES.get(spool_dir)
+
 
 def read_tweet_stream(spark: SparkSession, path: str,
-                      max_files_per_trigger: int | None = None) -> DataFrame:
-    """S9 source: line-JSON tweet stream from a directory glob.
+                      max_files_per_trigger: int | None = None,
+                      spool_dir: str | None = None,
+                      bridge_kwargs: dict | None = None) -> DataFrame:
+    """S9 source: line-JSON tweet stream from a directory glob, or a
+    live ``tcp://host:port`` socket bridged through a spool directory
+    (reference stream_filter's long-lived connection + reconnect loop,
+    utils.py:603-633 — see streaming/bridge.py).
 
     Keeps only records with id + created_at — the reference drops
     maintenance messages the same way (F3, utils.py:624-632).
+
+    For socket urls pass ``spool_dir``; the started bridge is exposed
+    at ``active_bridge(spool_dir)`` so callers can stop it.
     """
+    if path.startswith(("tcp://", "socket://")):
+        from twitter_to_sqlite_spark.streaming.bridge import SocketLineBridge
+
+        if spool_dir is None:
+            raise ValueError("socket sources need spool_dir=")
+        bridge = SocketLineBridge.from_url(path, spool_dir,
+                                           **(bridge_kwargs or {}))
+        bridge.start()
+        _BRIDGES[spool_dir] = bridge
+        path = spool_dir
     reader = spark.readStream.schema(schemas.streaming_tweet_schema())
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -109,10 +136,14 @@ def upsert_tables_batch(tables_root: str) -> Callable[[DataFrame, int], None]:
 def start_capture(spark: SparkSession, source_path: str, tables_root: str,
                   checkpoint_dir: str, phrases: list[str] | None = None,
                   follow_ids: list[int] | None = None,
-                  available_now: bool = False):
+                  available_now: bool = False,
+                  spool_dir: str | None = None,
+                  bridge_kwargs: dict | None = None):
     """Wire source → filters → foreachBatch upsert sink. Returns the
-    StreamingQuery (caller awaits/stops)."""
-    stream = read_tweet_stream(spark, source_path)
+    StreamingQuery (caller awaits/stops). ``tcp://`` sources need
+    ``spool_dir`` (see read_tweet_stream)."""
+    stream = read_tweet_stream(spark, source_path, spool_dir=spool_dir,
+                               bridge_kwargs=bridge_kwargs)
     if phrases:
         stream = track_filter(stream, phrases)
     if follow_ids:
