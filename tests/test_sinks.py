@@ -179,6 +179,37 @@ def test_write_upsert_partitioned_never_materializes_on_driver(spark, tmp_path, 
     assert days == {"d1", "d2", "d3"}
 
 
+def test_write_swap_failed_swap_restores_original(spark, tmp_path, monkeypatch):
+    """If the tmp→path rename fails mid-swap, the displaced original
+    must be renamed back and the fresh tmp left on disk — no code path
+    may delete the only surviving copy (ADVICE r2: the old finally
+    block rmtree'd both, losing the table)."""
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).write.parquet(path)
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        if src.startswith(f"{path}.__tmp"):
+            raise OSError("simulated cross-device failure")
+        return real_rename(src, dst)
+
+    doubled = spark.read.parquet(path).withColumn("id", F.col("id") * 2)
+    monkeypatch.setattr(S.os, "rename", failing_rename)
+    import pytest as _pytest
+    with _pytest.raises(OSError, match="simulated"):
+        S.write_swap(doubled, path)
+    monkeypatch.undo()
+    # Original restored intact; fresh data preserved in a __tmp dir.
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(10))
+    import os
+    leftovers = [d for d in os.listdir(str(tmp_path)) if "__tmp" in d]
+    assert leftovers, "fresh tmp data must be kept for recovery"
+    assert not [d for d in os.listdir(str(tmp_path)) if "__old" in d]
+
+
 def test_write_swap_overwrites_plan_reading_own_path(spark, tmp_path):
     """write_swap lets a plan that reads from the target path rewrite
     that same path (the case that forced the old driver materialize)."""

@@ -116,7 +116,11 @@ def write_swap(df: DataFrame, path: str,
     and HDFS; on S3-style object stores, substitute a Delta/Iceberg
     commit — same plan, transactional metadata swap instead of rename).
     Crash-safety: a crash between the two renames leaves the old table
-    at ``<path>.__old-*`` — recoverable, never half-written.
+    at ``<path>.__old-*`` — recoverable, never half-written. Cleanup of
+    ``old``/``tmp`` happens ONLY after the swap has fully succeeded; if
+    the second rename fails the displaced original is renamed back into
+    place and ``tmp`` is left on disk for inspection, so no code path
+    deletes the only surviving copy of the data.
     """
     tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
     old = f"{path}.__old-{uuid.uuid4().hex[:8]}"
@@ -124,14 +128,21 @@ def write_swap(df: DataFrame, path: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
+    displaced = False
+    if os.path.exists(path):
+        os.rename(path, old)
+        displaced = True
     try:
-        if os.path.exists(path):
-            os.rename(path, old)
         os.rename(tmp, path)
-    finally:
-        for leftover in (old, tmp):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover, ignore_errors=True)
+    except BaseException:
+        # Roll back: restore the displaced original so the table is
+        # never lost; keep tmp (the freshly written data) for recovery.
+        if displaced and not os.path.exists(path):
+            os.rename(old, path)
+        raise
+    # Swap succeeded — now (and only now) drop the displaced copy.
+    if displaced:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def swap_partitions(tmp: str, path: str, partition_col: str) -> None:
