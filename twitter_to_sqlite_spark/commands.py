@@ -75,32 +75,48 @@ def save_tweet_batch(db: TweetDatabase, raw: DataFrame,
     db.record_user_counts(out["users"])
 
 
+# How many fetched tweets to buffer on the driver before flushing to
+# the distributed save pipeline. The reference saves every 100 tweets
+# (cli.py:312-320); here each flush is a distributed multi-table merge,
+# so a larger chunk amortizes the merge cost while still bounding
+# driver memory to O(chunk) regardless of scan length — an offline
+# --input-json replay of millions of rows never accumulates them all.
+SCAN_CHUNK_ROWS = 2000
+
+
 def _scan_and_save(spark, fetch, db, url, args, since_type, since_key,
                    since, since_id, stop_after, key=None, sleep=0.0,
                    bridge: tuple[str, object] | None = None,
-                   extra_tweet_rows_cb=None, progress=None) -> int:
+                   extra_tweet_rows_cb=None, progress=None,
+                   chunk_rows: int | None = None) -> int:
     """Shared timeline ingest (S1/S2/S3/S4 → save pipeline → C1),
     the reference's _shared_timeline/fetch_timeline shape. ``progress``
     is an O4 ProgressReporter updated once per fetched page
     (reference cli.py:298-320 advances its bar per tweet; per-page is
-    the same signal at the granularity the scan actually has)."""
+    the same signal at the granularity the scan actually has).
+
+    Pages are flushed to the save pipeline every ``chunk_rows`` tweets
+    (reference: 100-tweet buffers, cli.py:312-320) — the driver holds
+    at most one chunk, so replaying an arbitrarily large offline input
+    streams through instead of materializing in a driver list. Bridge
+    and provenance rows are saved per-chunk through the same keyed
+    upserts, which makes the chunked path idempotent and
+    order-independent."""
     if since and since_id is None:
         since_id = db.watermarks.get(since_type, since_key)
     scan = api.TimelineScan(
         fetch, url, args=dict(args), since_id=since_id,
         stop_after=stop_after, key=key, sleep=sleep, sleep_fn=lambda s: None,
     )
+    limit = chunk_rows or SCAN_CHUNK_ROWS
     total = 0
     max_seen = None
     rows: list = []
-    for page in scan.pages():
-        rows.extend(page.rows)
-        total += len(page.rows)
-        if progress is not None:
-            progress.update(len(page.rows))
-        if page.max_id is not None:
-            max_seen = max(max_seen or 0, page.max_id)
-    if rows:
+
+    def flush():
+        nonlocal rows
+        if not rows:
+            return
         raw = tweets_dataframe(spark, rows)
         save_tweet_batch(db, raw)
         if bridge:
@@ -111,6 +127,18 @@ def _scan_and_save(spark, fetch, db, url, args, since_type, since_key,
             db.upsert(table, bdf, ["user", "tweet"])
         if extra_tweet_rows_cb:
             extra_tweet_rows_cb(rows)
+        rows = []
+
+    for page in scan.pages():
+        rows.extend(page.rows)
+        total += len(page.rows)
+        if progress is not None:
+            progress.update(len(page.rows))
+        if page.max_id is not None:
+            max_seen = max(max_seen or 0, page.max_id)
+        if len(rows) >= limit:
+            flush()
+    flush()
     if max_seen is not None:
         db.watermarks.set(since_type, since_key, max_seen)
     if progress is not None:
@@ -212,17 +240,23 @@ def favorites(spark, fetch, db: TweetDatabase, user_id: int,
         args={"user_id": user_id, "tweet_mode": "extended"},
         stop_after=stop_after, sleep_fn=lambda s: None,
     )
+    total = 0
     rows = []
     for p in scan.pages():
         rows.extend(p.rows)
+        total += len(p.rows)
         if prog is not None:
             prog.update(len(p.rows))
+        if len(rows) >= SCAN_CHUNK_ROWS:
+            save_tweet_batch(db, tweets_dataframe(spark, rows))
+            bridge_cb(rows)
+            rows = []
     if prog is not None:
         prog.finish()
     if rows:
         save_tweet_batch(db, tweets_dataframe(spark, rows))
         bridge_cb(rows)
-    return len(rows)
+    return total
 
 
 def search(spark, fetch, db: TweetDatabase, q: str, since=False,
