@@ -3,6 +3,7 @@ INSERT OR REPLACE / OR IGNORE behaviors the reference relies on."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark.operators import checkpoint as C
@@ -177,6 +178,74 @@ def test_write_upsert_partitioned_never_materializes_on_driver(spark, tmp_path, 
     # untouched partition d1 still present, merged d2 replaced in place
     days = {r["day"] for r in spark.read.parquet(path).select("day").distinct().collect()}
     assert days == {"d1", "d2", "d3"}
+
+
+def test_concurrent_upserts_serialize_on_table_lock(spark, tmp_path):
+    """Two writers upserting the same table concurrently must serialize
+    on the table lock — the final table reflects BOTH batches (VERDICT
+    r2 #2: interleaved rename swaps could drop one writer's rows)."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(0, "seed", 0)], "id long, v string, ver long")
+    S.write_upsert(spark, b0, path, ["id"], "ver")
+
+    errs = []
+
+    def writer(lo, tag):
+        try:
+            b = spark.createDataFrame(
+                [(i, tag, 1) for i in range(lo, lo + 50)], "id long, v string, ver long"
+            )
+            S.write_upsert(spark, b, path, ["id"], "ver")
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(100, "a")),
+          threading.Thread(target=writer, args=(200, "b"))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    out = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert len(out) == 101
+    assert out[0] == "seed" and out[100] == "a" and out[249] == "b"
+    import os
+    assert not [d for d in os.listdir(str(tmp_path)) if "__lock" in d]
+
+
+def test_table_lock_breaks_stale_lock_and_times_out_on_live(tmp_path):
+    import os
+
+    path = str(tmp_path / "tbl")
+    # Stale: pid that cannot exist — lock is broken and acquired.
+    with open(f"{path}.__lock", "w") as f:
+        f.write('{"pid": 99999999}')
+    with S.table_lock(path, timeout=5):
+        assert os.path.exists(f"{path}.__lock")
+    assert not os.path.exists(f"{path}.__lock")
+    # Live holder (our own pid): second acquire times out cleanly.
+    with open(f"{path}.__lock", "w") as f:
+        f.write(f'{{"pid": {os.getpid()}}}')
+    import pytest as _pytest
+    with _pytest.raises(S.ConcurrentWriteError, match="table left untouched"):
+        with S.table_lock(path, timeout=0.3):
+            pass
+    os.unlink(f"{path}.__lock")
+
+
+@pytest.mark.skipif(not S.HAS_DELTA, reason="delta-spark not installed")
+def test_delta_merge_fast_path(spark, tmp_path):
+    """When delta-spark is installed and the table is Delta, upserts go
+    through a transactional MERGE (no rename swap, object-store safe)."""
+    path = str(tmp_path / "dtbl")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id long, v string, ver long")
+    b1.write.format("delta").save(path)
+    b2 = spark.createDataFrame([(2, "b2", 2), (3, "c", 2)], "id long, v string, ver long")
+    assert S._delta_merge(spark, b2, path, ["id"], "ver")
+    out = {r["id"]: r["v"] for r in spark.read.format("delta").load(path).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
 
 
 def test_write_swap_failed_swap_restores_original(spark, tmp_path, monkeypatch):

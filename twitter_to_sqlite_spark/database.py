@@ -78,13 +78,15 @@ class TweetDatabase:
         )
 
     def insert_if_absent(self, name: str, df: DataFrame, keys: list[str]) -> None:
-        """K2 INSERT OR IGNORE by pk."""
-        existing = self.read(name)
-        if existing is None:
-            out = df.dropDuplicates(keys)
-        else:
-            out = sinks.insert_if_absent_plan(existing, df, keys)
-        sinks.write_swap(out, self.path(name))
+        """K2 INSERT OR IGNORE by pk. Read + swap run under the table
+        lock — same single-writer guarantee as the K1 upserts."""
+        with sinks.table_lock(self.path(name)):
+            existing = self.read(name)
+            if existing is None:
+                out = df.dropDuplicates(keys)
+            else:
+                out = sinks.insert_if_absent_plan(existing, df, keys)
+            sinks.write_swap(out, self.path(name))
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """K3 drop & recreate."""

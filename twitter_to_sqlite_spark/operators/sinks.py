@@ -16,12 +16,21 @@ touched partitions (see ``write_upsert``'s partition pruning).
 
 from __future__ import annotations
 
+import importlib.util
+import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Delta Lake fast-path availability. When delta-spark is installed and
+#: the target is a Delta table, keyed upserts run as a transactional
+#: MERGE (object-store-safe commit) instead of the parquet rename swap.
+HAS_DELTA = importlib.util.find_spec("delta") is not None
 
 
 def upsert_plan(existing: DataFrame, incoming: DataFrame, keys: list[str],
@@ -103,6 +112,114 @@ def m2m_bridge_plan(df: DataFrame, left_id: str, right_id: str,
 
 
 # --------------------------------------------------------------- I/O
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the table lock; the upsert was NOT applied.
+
+    Raised instead of corrupting the table: the parquet swap writers
+    are single-writer by construction (two interleaved rename swaps can
+    drop each other's rows), so concurrent upserts must serialize on
+    the lock or fail cleanly with this error.
+    """
+
+
+@contextmanager
+def table_lock(path: str, timeout: float = 120.0, poll: float = 0.05):
+    """Advisory exclusive lock for read-merge-swap writers.
+
+    ``O_CREAT|O_EXCL`` on ``<path>.__lock`` is atomic on POSIX and NFS;
+    the lock file records the holder's pid so a lock left by a dead
+    process (crash between write and unlink) is detected and broken —
+    liveness without a daemon. On repeated contention the writer polls
+    until ``timeout`` then raises :class:`ConcurrentWriteError` rather
+    than proceeding unlocked.
+
+    Scope: the lock must cover the READ of the existing table as well
+    as the swap — locking only the swap still loses updates (two
+    writers both read the pre-merge table). On Delta tables this is
+    unnecessary: optimistic concurrency is handled by the commit
+    protocol (see ``_delta_merge``).
+    """
+    lock = f"{path}.__lock"
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+            break
+        except FileExistsError:
+            # Break locks whose holder is gone (same-host check; on a
+            # shared filesystem a TTL policy would replace os.kill).
+            try:
+                with open(lock) as f:
+                    holder = json.load(f).get("pid")
+                if holder is not None:
+                    os.kill(int(holder), 0)
+            except (OSError, ValueError, json.JSONDecodeError):
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() >= deadline:
+                raise ConcurrentWriteError(
+                    f"timed out after {timeout}s waiting for {lock} "
+                    f"(held by pid {holder}); table left untouched"
+                ) from None
+            time.sleep(poll)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _delta_merge(spark, incoming: DataFrame, path: str, keys: list[str],
+                 version_col: str) -> bool:
+    """Transactional keyed upsert via Delta MERGE when available.
+
+    Returns True iff the fast-path applied: delta-spark importable AND
+    ``path`` is a Delta table. The MERGE condition reproduces
+    ``upsert_plan``'s K1 ordering — per-key latest incoming row wins,
+    and it beats the stored row on version ties (WHEN MATCHED guarded
+    by ``s.ver >= t.ver`` for persisted version columns; dunder
+    bookkeeping versions aren't stored, so matched rows always update).
+    Delta's optimistic concurrency makes this safe on object stores
+    with no rename and no advisory lock — concurrent writers conflict
+    at commit time and retry, which is exactly the guarantee the
+    parquet path approximates with :func:`table_lock`.
+    """
+    if not HAS_DELTA:
+        return False
+    from delta.tables import DeltaTable  # deferred: optional dep
+
+    if not DeltaTable.isDeltaTable(spark, path):
+        return False
+    # MERGE requires unique source keys: keep the latest per pk.
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    src = (
+        incoming.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    persisted_version = not version_col.startswith("__")
+    if not persisted_version:
+        src = src.drop(version_col)
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    m = DeltaTable.forPath(spark, path).alias("t").merge(src.alias("s"), cond)
+    if persisted_version:
+        m = m.whenMatchedUpdateAll(condition=f"s.{version_col} >= t.{version_col}")
+    else:
+        m = m.whenMatchedUpdateAll()
+    m.whenNotMatchedInsertAll().execute()
+    return True
+
 
 def write_swap(df: DataFrame, path: str,
                partition_by: list[str] | None = None) -> None:
@@ -195,11 +312,25 @@ def write_upsert_partitioned(spark, incoming: DataFrame, path: str,
 
     This is exactly what Delta MERGE does under partition predicates;
     expressed here on plain parquet so the engine needs no extra
-    dependency.
+    dependency. When delta-spark is installed and the table is Delta,
+    the MERGE fast-path runs instead (Delta prunes partitions from the
+    join keys itself). Parquet writers serialize on
+    :func:`table_lock` — the read of the live partitions and the
+    directory swap happen under one exclusive section, so concurrent
+    upserts can't lose each other's rows.
     """
+    if _delta_merge(spark, incoming, path, keys, version_col):
+        return
     touched = [r[0] for r in incoming.select(partition_col).distinct().collect()]
     if not touched:
         return
+    with table_lock(path):
+        _upsert_partitioned_locked(spark, incoming, path, keys,
+                                   version_col, partition_col, touched)
+
+
+def _upsert_partitioned_locked(spark, incoming, path, keys, version_col,
+                               partition_col, touched) -> None:
     if os.path.exists(path):
         # Legacy layout (table written before partitioning was enabled):
         # fall back to a plain full upsert without the partition column.
@@ -241,19 +372,29 @@ def write_upsert(spark, incoming: DataFrame, path: str, keys: list[str],
     (or date) and rewrite only partitions present in `incoming` —
     dynamic partition overwrite keeps the rewrite proportional to the
     batch, not the table (write_upsert_partitioned).
+
+    Concurrency: the Delta fast-path (when installed + table is Delta)
+    commits transactionally; the parquet path takes
+    :func:`table_lock` around read-merge-swap so two concurrent
+    upserts serialize (or the late one fails with
+    :class:`ConcurrentWriteError` after the lock timeout) — never an
+    interleaved rename that drops rows.
     """
-    if os.path.exists(path):
-        existing = spark.read.parquet(path)
-        out = upsert_plan(existing, incoming, keys, version_col)
-    else:
-        out = upsert_plan(incoming.limit(0), incoming, keys, version_col)
-    # A dunder version column is engine bookkeeping — don't persist it.
-    # Stored rows then carry no version; on the next merge they union
-    # as null, which sorts after any real incoming version under
-    # desc ordering, so incoming still beats stored (K1 semantics).
-    if version_col.startswith("__"):
-        out = out.drop(version_col)
-    # Executor-side rewrite + atomic swap: the merged table never
-    # crosses the driver (the old collect()/createDataFrame pattern
-    # capped tables at spark.driver.maxResultSize).
-    write_swap(out, path)
+    if _delta_merge(spark, incoming, path, keys, version_col):
+        return
+    with table_lock(path):
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            out = upsert_plan(existing, incoming, keys, version_col)
+        else:
+            out = upsert_plan(incoming.limit(0), incoming, keys, version_col)
+        # A dunder version column is engine bookkeeping — don't persist
+        # it. Stored rows then carry no version; on the next merge they
+        # union as null, which sorts after any real incoming version
+        # under desc ordering, so incoming still beats stored (K1).
+        if version_col.startswith("__"):
+            out = out.drop(version_col)
+        # Executor-side rewrite + atomic swap: the merged table never
+        # crosses the driver (the old collect()/createDataFrame pattern
+        # capped tables at spark.driver.maxResultSize).
+        write_swap(out, path)
