@@ -47,6 +47,36 @@ def test_fts_any_mode(spark, db):
     assert any_hits >= all_hits > 0
 
 
+def test_fts_bm25_ranking_semantics(spark, db):
+    """bm25 scores: every ranked doc matches all terms; a doc that
+    mentions a term more often (same length) scores higher; a rare
+    term outweighs a common one (idf)."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark join filler words here"),
+            (2, "spark join filler filler filler words here"),
+            (3, "spark only words filler filler filler here"),
+            (4, "unrelated text entirely about gardens roses"),
+            (5, "spark join spark join spark join spark join"),
+        ],
+        "id long, text string",
+    )
+    idx = R.build_inverted_index(docs, "id", "text")
+    out = {r["id"]: r["score"] for r in
+           R.fts_bm25(idx, "id", ["spark", "join"]).collect()}
+    # AND semantics: only docs containing both terms are ranked.
+    assert set(out) == {1, 2, 5}
+    # more occurrences of the query terms → higher score
+    assert out[5] > out[1] > out[2]
+    # any-mode includes the one-term doc, scored lower than full matches
+    any_out = {r["id"]: r["score"] for r in
+               R.fts_bm25(idx, "id", ["spark", "join"], mode="any").collect()}
+    assert set(any_out) == {1, 2, 3, 5}
+    assert any_out[3] < any_out[2]
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """Sign-LSH ANN must keep reasonable top-3 recall on the synthetic
     embeddings while probing only its bucket (16 buckets → ~6% of

@@ -315,6 +315,53 @@ def fts_search(index: DataFrame, id_col: str, terms: list[str],
     return agg.select(id_col)
 
 
+def fts_bm25(index: DataFrame, id_col: str, terms: list[str],
+             k1: float = 1.2, b: float = 0.75,
+             mode: str = "all") -> DataFrame:
+    """Okapi BM25-ranked text search over the inverted index — the
+    Spark analogue of FTS5's ``bm25()`` rank function (the reference
+    exposes FTS5 search via ``--fts``; FTS5's default rank is bm25 with
+    the same k1=1.2, b=0.75 defaults used here).
+
+    ``index`` is a ``build_inverted_index`` output (term, id, tf) —
+    pass a persisted/bucketed index at scale so the tokenize fan-out
+    runs once, not per query. All corpus statistics (N, avgdl, df) are
+    integer-valued and therefore exact in double arithmetic, so the
+    score is reproducible across engines up to last-ulp ``ln``
+    differences; callers compare on ``round(score, 4)``.
+
+    Scale: df and the (n, avgdl) singleton broadcast; the only wide
+    shuffles are the per-doc aggregations, partial-agg'd map-side. No
+    UDFs — the score is one codegen'd column expression.
+    """
+    terms_l = sorted({t.lower() for t in terms})
+    dl = index.groupBy(id_col).agg(F.sum("tf").cast("double").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    hits = index.filter(F.col("term").isin(terms_l))
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("__df")
+    )
+    tf = F.col("tf").cast("double")
+    idf = F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1)
+    score = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl")))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", score)
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("__s").alias("__score"),
+        F.countDistinct("term").alias("__nterms"),
+    )
+    if mode == "all":
+        agg = agg.filter(F.col("__nterms") == len(terms_l))
+    return agg.select(id_col, F.round("__score", 4).alias("score"))
+
+
 def keyword_track_filter(df: DataFrame, text_col: str, phrases: list[str]) -> DataFrame:
     """Streaming `track` semantics: a row matches if, for at least one
     phrase, every term of that phrase appears in the lowercased text.

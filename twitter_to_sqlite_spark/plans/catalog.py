@@ -626,6 +626,48 @@ WHERE list_contains(string_split_regex(lower(text), '\W+'), 'spark')
 """
 
 
+def q_fts_bm25(spark, sf_dir):
+    """T1 ranked FTS: Okapi BM25 (k1=1.2, b=0.75 — FTS5's rank
+    defaults) over the inverted index for docs containing both 'spark'
+    and 'join'. Integer-valued corpus stats keep the score exact across
+    engines; compared on round(score, 4)."""
+    d = _t(spark, sf_dir, "documents")
+    idx = R.build_inverted_index(d, "doc_id", "text")
+    return R.fts_bm25(idx, "doc_id", ["spark", "join"], mode="all")
+
+
+SQL_FTS_BM25 = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2 GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tf WHERE term IN ('spark', 'join') GROUP BY term
+), hits AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, round(sum(s), 4) AS score
+FROM hits
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 2
+"""
+
+
 def q_keyword_track(spark, sf_dir):
     """T3 streaming `track` phrase filter (cli.py:644-668): match if all
     terms of any phrase appear."""
@@ -1139,6 +1181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text search (§2.9)
     "text_terms": q_text_terms,
     "fts_search": q_fts_search,
+    "fts_bm25": q_fts_bm25,
     "keyword_track": q_keyword_track,
     # LLM-data-pipeline: dedup
     "dedup_exact": q_dedup_exact,
@@ -1188,6 +1231,7 @@ ORACLE_SQL: dict[str, str] = {
     "pivot_status": SQL_PIVOT_STATUS,
     "text_terms": SQL_TEXT_TERMS,
     "fts_search": SQL_FTS_SEARCH,
+    "fts_bm25": SQL_FTS_BM25,
     "keyword_track": SQL_KEYWORD_TRACK,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
