@@ -15,6 +15,9 @@ each side of the join — never per pair.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -240,6 +243,148 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
         1, n_probe,
     )
     q = q.withColumn("cell", F.explode(F.transform(probe_cells, lambda p: p["cell"]).cast("array<long>")))
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _score_and_rank(pairs, k, decimals)
+
+
+# -------------------------------------------------- materialized index
+
+def _write_meta(path: str, meta: dict) -> None:
+    # Underscore-prefixed files are invisible to Spark's partition
+    # discovery, so the sidecar can live inside the dataset directory.
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_meta(path: str) -> dict:
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        return json.load(f)
+
+
+def build_lsh_index(corpus: DataFrame, path: str,
+                    dims: list[int] | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the sign-LSH ANN index: the corpus with its double
+    vector and norm precomputed, PARTITIONED BY bucket on disk.
+
+    This is the persisted form of ``lsh_bucketed_topk``'s corpus side —
+    built once, probed many times. A probe reads only the probed
+    bucket directories (partition pruning; see ``probe_lsh_index``), so
+    a single-probe query touches ~1/2^bits of a 100 TB corpus and the
+    per-row vector/norm compute is amortized into the build. The index
+    parameters travel in a ``_ann_meta.json`` sidecar so probes can't
+    drift from the build's hyperplanes.
+    """
+    from twitter_to_sqlite_spark.operators import sinks
+
+    dims = dims or [0, 8, 16, 24]
+    c = _side(corpus, id_col, vec_col, "neighbor_id", "vec", "norm").withColumn(
+        "bucket", sign_bucket("vec", dims)
+    )
+    sinks.write_swap(c, path, partition_by=["bucket"])
+    _write_meta(path, {"kind": "lsh", "dims": dims})
+
+
+def _pruned_scan(spark, path: str, key_col: str, keys: list[int]) -> DataFrame:
+    """Partition-pruned index scan: a literal IN-filter on the
+    partition column, so only the probed directories are listed and
+    read (the scan's PartitionFilters — asserted in test_plans.py)."""
+    return spark.read.parquet(path).filter(F.col(key_col).isin(keys))
+
+
+def probe_lsh_index(spark, path: str, queries: DataFrame, k: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    multiprobe: int = 0, decimals: int = 4) -> DataFrame:
+    """ANN top-k against a ``build_lsh_index`` dataset, reading only
+    the probed bucket partitions.
+
+    The query side computes its (multi)probe bucket set with the same
+    expressions as the on-the-fly path; only that small distinct bucket
+    list crosses the driver (ints — needed to form the literal
+    partition filter). Results are bit-identical to
+    ``lsh_bucketed_topk`` on the same corpus: stored doubles round-trip
+    parquet exactly.
+    """
+    dims = read_meta(path)["dims"]
+    q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn").withColumn(
+        "bucket", sign_bucket("__qv", dims)
+    )
+    if multiprobe:
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.array_distinct(
+                _probe_buckets(F.col("bucket"), len(dims), multiprobe)
+            )),
+        )
+    buckets = sorted(r[0] for r in q.select("bucket").distinct().collect())
+    c = _pruned_scan(spark, path, "bucket", buckets).select(
+        "bucket", "neighbor_id",
+        F.col("vec").alias("__cv"), F.col("norm").alias("__cn"),
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _score_and_rank(pairs, k, decimals)
+
+
+def build_ivf_index(corpus: DataFrame, path: str,
+                    centroids: list[list[float]],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: corpus PARTITIONED BY coarse cell
+    (max-dot-product centroid), centroids in the sidecar.
+
+    The persisted form of ``ivf_topk``'s corpus side: an n_probe query
+    is a partition-pruned scan of n_probe directories. Rebuild cadence
+    at scale: centroids drift slowly, so re-cluster on a sample and
+    rewrite only when assignment churn matters — probes stay correct
+    regardless because assignment and probe share the sidecar
+    centroids.
+    """
+    from twitter_to_sqlite_spark.operators import sinks
+
+    c = _side(corpus, id_col, vec_col, "neighbor_id", "vec", "norm").withColumn(
+        "cell", ivf_assign(F.col("vec"), centroids)
+    )
+    sinks.write_swap(c, path, partition_by=["cell"])
+    _write_meta(path, {"kind": "ivf", "centroids": centroids})
+
+
+def probe_ivf_index(spark, path: str, queries: DataFrame, k: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_probe: int = 1, decimals: int = 4) -> DataFrame:
+    """ANN top-k against a ``build_ivf_index`` dataset: rank the
+    sidecar centroids per query, read only the n_probe best cell
+    partitions. Results identical to ``ivf_topk`` with the same
+    centroids."""
+    centroids = read_meta(path)["centroids"]
+    n_cells = len(centroids)
+    n_probe = min(n_probe, n_cells)
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn")
+    scores = F.transform(cents, lambda cc: _dot(F.col("__qv"), cc))
+    probe_cells = F.slice(
+        F.reverse(F.array_sort(F.zip_with(
+            scores,
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+        ))),
+        1, n_probe,
+    )
+    q = q.withColumn(
+        "cell",
+        F.explode(F.transform(probe_cells, lambda p: p["cell"]).cast("array<long>")),
+    )
+    cells = sorted(r[0] for r in q.select("cell").distinct().collect())
+    c = _pruned_scan(spark, path, "cell", cells).select(
+        "cell", "neighbor_id",
+        F.col("vec").alias("__cv"), F.col("norm").alias("__cn"),
+    )
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

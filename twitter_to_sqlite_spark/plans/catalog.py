@@ -936,6 +936,23 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_lsh_indexed(spark, sf_dir):
+    """Sign-LSH ANN through the MATERIALIZED index: corpus persisted
+    partitioned by bucket, probe reads only the probed partitions
+    (similarity.build_lsh_index/probe_lsh_index). Same oracle as
+    ann_lsh — the index changes the physical plan, not the answer."""
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="annlsh-") + "/idx"
+    similarity.build_lsh_index(e, path, dims=_LSH_DIMS)
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.probe_lsh_index(spark, path, queries, k=3)
+
+
+SQL_ANN_LSH_INDEXED = SQL_ANN_LSH
+
+
 _IVF_CELLS = 8
 
 
@@ -1001,6 +1018,24 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 """
+
+
+def q_ann_ivf_indexed(spark, sf_dir):
+    """IVF ANN through the MATERIALIZED index: corpus persisted
+    partitioned by coarse cell with k-means centroids in the sidecar,
+    probe reads only the best cell's partition (similarity.
+    build_ivf_index/probe_ivf_index). Same oracle as ann_ivf."""
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.kmeans_centroids(e, _IVF_CELLS, iters=1)
+    path = tempfile.mkdtemp(prefix="annivf-") + "/idx"
+    similarity.build_ivf_index(e, path, centroids)
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.probe_ivf_index(spark, path, queries, k=3, n_probe=1)
+
+
+SQL_ANN_IVF_INDEXED = SQL_ANN_IVF
 
 
 def q_embed_near_dup(spark, sf_dir):
@@ -1192,6 +1227,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh_indexed": q_ann_lsh_indexed,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "embed_near_dup": q_embed_near_dup,
     # LLM-data-pipeline: text analysis + multimodal
     "token_count": q_token_count,
@@ -1240,6 +1277,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_brute_force": SQL_ANN_BRUTE_FORCE,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
+    "ann_lsh_indexed": SQL_ANN_LSH_INDEXED,
+    "ann_ivf_indexed": SQL_ANN_IVF_INDEXED,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "token_count": SQL_TOKEN_COUNT,
     "quality_score": SQL_QUALITY_SCORE,
