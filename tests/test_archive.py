@@ -13,8 +13,9 @@ import pytest
 from twitter_to_sqlite_spark.sources import archive as A
 
 
-def make_zip(tmp_path, files: dict[str, object]) -> str:
-    p = tmp_path / "archive.zip"
+def make_zip(tmp_path, files: dict[str, object],
+             name: str = "archive.zip") -> str:
+    p = tmp_path / name
     with zipfile.ZipFile(p, "w") as z:
         for name, payload in files.items():
             z.writestr(
@@ -239,3 +240,50 @@ def test_simple_registry_coverage_and_manifest_ignored(spark, tmp_path):
     out = A.import_archive(spark, make_zip(tmp_path, files))
     assert sorted(out) == ["archive_block", "archive_ip_audit", "archive_like"]
     assert out["archive_like"].collect()[0]["tweetId"] == "555"
+
+
+def canon(df, drop=()):
+    cols = sorted(c for c in df.columns if c not in drop)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    ), {c: t for c, t in df.dtypes if c not in drop}
+
+
+def test_fleet_import_single_archive_matches_driver_loop(spark, tmp_path):
+    """VERDICT r2 #5: the distributed binaryFile+mapInPandas path must
+    produce tables identical (rows, types, hash pks) to the driver
+    loop for the same archive."""
+    zip_path = make_zip(tmp_path, FILES)
+    driver = A.import_archive(spark, zip_path)
+    fleet = A.import_archives_fleet(spark, str(tmp_path))
+    assert sorted(fleet) == sorted(driver)
+    for t in driver:
+        drows, dtypes = canon(driver[t])
+        frows, ftypes = canon(fleet[t])
+        assert frows == drows, t
+        assert ftypes == dtypes, t
+
+
+def test_fleet_import_many_archives_unions_with_provenance(spark, tmp_path):
+    make_zip(tmp_path, {"follower": [{"follower": {"accountId": "1"}},
+                                     {"follower": {"accountId": "2"}}],
+                        "like": [{"like": {"tweetId": "10", "fullText": "a"}}]},
+             name="a1.zip")
+    make_zip(tmp_path, {"follower": [{"follower": {"accountId": "3"}}],
+                        "app": [{"app": {"appId": "77"}}]},
+             name="a2.zip")
+    # duplicate content across archives for a hash-pk'd (pk-less) table
+    make_zip(tmp_path, {"ip-audit": [{"ipAudit": {"loginIp": "1.1.1.1"}}]},
+             name="a3.zip")
+    make_zip(tmp_path, {"ip-audit": [{"ipAudit": {"loginIp": "1.1.1.1"}}]},
+             name="a4.zip")
+    out = A.import_archives_fleet(spark, str(tmp_path), provenance=True)
+    assert sorted(out) == ["archive_app", "archive_follower",
+                           "archive_ip_audit", "archive_like"]
+    followers = out["archive_follower"].collect()
+    assert sorted(r["accountId"] for r in followers) == ["1", "2", "3"]
+    # provenance column tracks the source archive
+    assert {r["archive"].rsplit("/", 1)[-1] for r in followers} == \
+        {"a1.zip", "a2.zip"}
+    # identical pk-less rows from different archives dedup fleet-wide
+    assert out["archive_ip_audit"].count() == 1
