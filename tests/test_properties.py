@@ -150,3 +150,43 @@ def test_hot_bucket_guard_drops_only_hot_buckets(spark):
     # vs ~300²/2 per band uncapped
     assert uncapped.count() > 40_000
     assert capped.count() == 3
+
+
+def test_spread_respects_single_large_file(spark, tmp_path):
+    """ADVICE r2: one big file that Spark already splits into many scan
+    partitions must NOT be repartitioned down; a genuinely tiny file
+    must still be spread up."""
+    from twitter_to_sqlite_spark.functions.dedup import spread
+
+    path = str(tmp_path / "one_file")
+    spark.range(50_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) == 1
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:
+        # Pretend the file is "large": tiny split size → many estimated
+        # scan partitions → spread leaves the scan alone.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        assert spread(df, min_partitions=8) is df
+        # Default split size → the file really is one split → spread up.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        assert spread(df, min_partitions=8) is not df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_kmeans_centroids_corpus_smaller_than_k(spark):
+    """ADVICE r2: fewer vectors than k must clamp, not IndexError."""
+    from twitter_to_sqlite_spark.functions import similarity
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.kmeans_centroids(tiny, k=8, iters=1)
+    assert 1 <= len(cents) <= 3
+    empty = tiny.filter("vec_id < 0")
+    assert similarity.kmeans_centroids(empty, k=4) == []

@@ -237,3 +237,37 @@ def test_capture_from_socket_end_to_end(spark, dirs):
     q.stop()
     ids = sorted(r["id"] for r in spark.read.parquet(f"{tables}/tweets").collect())
     assert ids == [1, 2, 3]
+
+
+def test_bridge_survives_flush_failure(tmp_path, monkeypatch):
+    """ADVICE r2: an OSError from the finally-block flush (disk full,
+    spool removed) must not kill the bridge thread — it reports an
+    error event and the reconnect loop keeps running."""
+    recs = [json.dumps({"id": i}) for i in range(4)]
+    server = FlakyLineServer([recs[:2], recs[2:]])
+    server.start()
+    spool = tmp_path / "spool"
+    events = []
+    bridge = SocketLineBridge(
+        "127.0.0.1", server.port, str(spool), chunk_records=10,
+        sleep_fn=lambda d: None, on_event=lambda k, d: events.append(k),
+        stop_after=4, max_reconnects=5,
+    )
+    real_flush = bridge._flush
+    fails = {"n": 0}
+
+    def flaky_flush(lines):
+        if lines and fails["n"] == 0:
+            fails["n"] += 1
+            raise OSError("disk full")
+        return real_flush(lines)
+
+    monkeypatch.setattr(bridge, "_flush", flaky_flush)
+    total = bridge.run()
+    # first connection's partial flush failed (2 records lost to the
+    # simulated disk error) but the loop reconnected and spooled the rest
+    assert fails["n"] == 1
+    assert "error" in events and "reconnect" in events
+    assert total == 4
+    files = [f for f in os.listdir(spool) if f.endswith(".jsonl")]
+    assert files, "post-failure chunks still land"

@@ -433,7 +433,7 @@ def lists_command(spark, fetch, db: TweetDatabase, user_id: int,
             r.pop("id_str", None)
             rows.append(r)
         rdd = spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1)
-        df = spark.read.json(rdd)
+        df = spark.read.schema(schemas.list_schema()).json(rdd)
         db.upsert("lists", df, ["id"])
         total += len(page)
         if members:

@@ -21,6 +21,8 @@ document-frequency filter, the standard trick in web-scale dedup.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,15 +49,51 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     is a driver-side catalog lookup (no job, no RDD conversion, Spark
     Connect-safe; the old ``df.rdd.getNumPartitions()`` probe forced a
     full RDD conversion of the analyzed plan per call). A plan reading
-    fewer files than the target parallelism is the tiny-table case this
-    exists for; a 100 TB table has thousands of files and is left
-    untouched. Non-file plans (in-memory batches) are small by
+    fewer files than the target parallelism MAY still be wide — Spark
+    splits one large file into ~size/maxPartitionBytes scan partitions
+    — so when the paths are stat-able their byte size refines the
+    estimate and a big single-file scan is left untouched rather than
+    repartitioned DOWN (ADVICE r2). Unreadable/remote paths are
+    treated as large (no repartition: at worst we keep the scan's own
+    parallelism). Non-file plans (in-memory batches) are small by
     construction and always spread.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
+    files = df.inputFiles()
+    if not files:
         return df.repartition(target)
-    return df
+    if len(files) >= target:
+        return df
+    try:
+        sizes = [
+            os.path.getsize(f[5:] if f.startswith("file:") else f)
+            for f in files
+        ]
+    except OSError:
+        return df  # object-store paths: trust the scan's own splitting
+    max_bytes = _max_partition_bytes(df.sparkSession)
+    est_splits = sum(max(1, -(-s // max_bytes)) for s in sizes)
+    if est_splits >= target:
+        return df
+    return df.repartition(target)
+
+
+_SIZE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+               "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _max_partition_bytes(spark) -> int:
+    """spark.sql.files.maxPartitionBytes, parsed ('128MB' or bytes)."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                             "134217728")).strip().lower()
+    i = len(raw)
+    while i > 0 and not raw[i - 1].isdigit():
+        i -= 1
+    num, unit = raw[:i], raw[i:]
+    try:
+        return int(num) * _SIZE_UNITS.get(unit, 1)
+    except ValueError:
+        return 128 << 20
 
 
 def shingle_array(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

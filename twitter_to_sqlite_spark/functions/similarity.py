@@ -183,7 +183,12 @@ def kmeans_centroids(corpus: DataFrame, k: int, iters: int = 1,
         [float(x) for x in r[vec_col]]
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     ]
+    # A corpus smaller than k yields fewer init vectors — clamp so the
+    # rebuild loop never indexes past them (ADVICE r2).
+    k = min(k, len(init))
     cents = init
+    if not cents:
+        return []
     for _ in range(iters):
         assigned = corpus.select(
             _as_double(F.col(vec_col)).alias("v")

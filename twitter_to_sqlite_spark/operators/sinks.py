@@ -84,10 +84,17 @@ def hash_id_plan(df: DataFrame, cols: list[str] | None = None,
     (utils.py:668-673) and pk-less archive tables (archive.py:248) —
     pk = hash of row content, so identical rows dedup to one.
 
-    Uses sha1 over the canonical JSON of the selected columns (sorted
-    field order), matching the reference's canonical-JSON sha1
-    (cli.py:817-819). Scale: dropDuplicates on the hash is a partial-agg
-    shuffle on a high-entropy key — no skew by construction.
+    Uses sha1 over ``to_json`` of the selected columns in sorted field
+    order — the same *construction* as the reference's canonical-JSON
+    sha1 (utils.py's hash_record via archive.py:248), but NOT
+    byte-identical to it: ``to_json`` drops null fields, doesn't
+    \\uXXXX-escape non-ASCII, and doesn't sort nested keys, so archive
+    pk values differ from a reference-built DB. The hash is stable and
+    collision-safe for dedup, which is all K4 requires; where byte
+    parity with sqlite_utils matters (the sources dim), the exact-hash
+    pandas UDF in transforms/tweets.py is used instead. Scale:
+    dropDuplicates on the hash is a partial-agg shuffle on a
+    high-entropy key — no skew by construction.
     """
     cols = cols or df.columns
     ordered = sorted(cols)

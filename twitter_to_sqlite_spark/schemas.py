@@ -197,3 +197,24 @@ def streaming_tweet_schema() -> T.StructType:
         ])),
         T.StructField("timestamp_ms", T.StringType()),
     ])
+
+
+def list_schema() -> T.StructType:
+    """A lists/ownerships row after lists_command's prep (user struct
+    already replaced by the owner's id; id_str dropped) — the v1.1
+    list object's documented fields. Declared so the lists path does
+    no schema inference, same rule as tweets/users."""
+    return T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("subscriber_count", T.IntegerType()),
+        T.StructField("member_count", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("slug", T.StringType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("created_at", T.StringType()),
+        T.StructField("following", T.BooleanType()),
+        T.StructField("user", T.LongType()),
+    ])

@@ -163,7 +163,14 @@ class SocketLineBridge:
             except OSError as exc:
                 self._emit("error", exc)
             finally:
-                self._flush(buf)
+                # The flush itself can fail (disk full, spool dir
+                # removed); an exception escaping here would kill the
+                # daemon thread silently, breaking the retry-forever
+                # contract — report it and let backoff retry.
+                try:
+                    self._flush(buf)
+                except OSError as exc:
+                    self._emit("error", exc)
             if self._stop.is_set():
                 break
             # EOF or socket error → reconnect with linear backoff.
