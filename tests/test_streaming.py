@@ -271,3 +271,85 @@ def test_bridge_survives_flush_failure(tmp_path, monkeypatch):
     assert total == 4
     files = [f for f in os.listdir(spool) if f.endswith(".jsonl")]
     assert files, "post-failure chunks still land"
+
+
+# ----------------------------------------------------- S9 http bridge
+
+
+def _flaky_http_server(payloads):
+    """Local chunked-HTTP stand-in for the filtered-stream endpoint:
+    each request streams one payload of line-JSON chunks; if more
+    payloads remain the connection is severed WITHOUT the terminating
+    chunk (the client sees IncompleteRead), else it ends cleanly."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {"payloads": [list(p) for p in payloads], "posts": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def _serve(self):
+            if self.command == "POST":
+                n = int(self.headers.get("Content-Length", 0))
+                state["posts"].append(self.rfile.read(n).decode())
+            lines = state["payloads"].pop(0) if state["payloads"] else []
+            self.send_response(200)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for line in lines:
+                data = (line + "\n").encode()
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+            if state["payloads"]:
+                self.connection.close()  # sever mid-stream: IncompleteRead
+            else:
+                self.wfile.write(b"0\r\n\r\n")
+
+        do_GET = do_POST = _serve
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1], state
+
+
+def test_http_bridge_resumes_after_dropped_connection(tmp_path):
+    """VERDICT r2 #6: the reference's transport is a long-lived HTTPS
+    POST (utils.py:603-633) — the http bridge must spool through a
+    dropped chunked connection and resume, losing nothing."""
+    from twitter_to_sqlite_spark.streaming.bridge import bridge_from_url
+
+    recs = [json.dumps({"id": i, "txt": f"t{i}"}) for i in range(5)]
+    srv, port, state = _flaky_http_server([recs[:3], recs[3:]])
+    spool = tmp_path / "spool"
+    events = []
+    bridge = bridge_from_url(
+        f"http://127.0.0.1:{port}/stream", str(spool),
+        data={"track": "kakapo"}, headers={"X-Test": "1"},
+        chunk_records=2, stop_after=5, max_reconnects=5,
+        sleep_fn=lambda d: None, on_event=lambda k, d: events.append(k),
+    )
+    total = bridge.run()
+    srv.shutdown()
+    assert total == 5 and bridge.reconnects >= 1
+    # a severed chunked body surfaces as either an error event or a
+    # clean EOF — both fall through to the reconnect path
+    assert "reconnect" in events
+    got = []
+    for f in sorted(os.listdir(spool)):
+        if f.endswith(".jsonl"):
+            got += open(os.path.join(spool, f)).read().splitlines()
+    assert got == recs  # nothing lost, order preserved
+    # the filtered-stream POST body reached the server on every connect
+    assert state["posts"] and all("track=kakapo" in p for p in state["posts"])
+
+
+def test_bridge_from_url_dispatch(tmp_path):
+    from twitter_to_sqlite_spark.streaming import bridge as B
+
+    s = B.bridge_from_url("tcp://h:9", str(tmp_path / "a"))
+    assert type(s) is B.SocketLineBridge
+    h = B.bridge_from_url("https://example.test/stream", str(tmp_path / "b"))
+    assert isinstance(h, B.HttpLineBridge) and h.port == 443
+    with pytest.raises(ValueError):
+        B.bridge_from_url("ftp://nope", str(tmp_path / "c"))

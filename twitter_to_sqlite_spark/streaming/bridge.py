@@ -30,12 +30,16 @@ them all.
 
 from __future__ import annotations
 
+import http.client
 import os
 import re
 import socket
 import threading
 import time
+import urllib.parse
+import urllib.request
 from collections.abc import Callable
+from contextlib import contextmanager
 
 _CHUNK_RE = re.compile(r"^chunk-(\d{8})\.jsonl$")
 
@@ -103,6 +107,28 @@ class SocketLineBridge:
             raise ValueError(f"not a socket url: {url!r}")
         return cls(m.group(1), int(m.group(2)), spool_dir, **kwargs)
 
+    # ------------------------------------------------------- transport
+
+    #: Exceptions one connection lifetime may raise; anything in this
+    #: tuple falls through to flush-partial + backoff + reconnect.
+    _ERRORS: tuple = (OSError,)
+
+    def _endpoint(self):
+        return (self.host, self.port)
+
+    @contextmanager
+    def _open(self):
+        """One connection lifetime: yields an iterator of raw byte
+        lines. Subclasses swap the transport (HttpLineBridge) — the
+        spool/backoff/reconnect machinery is transport-agnostic."""
+        with socket.create_connection(
+            (self.host, self.port), timeout=self.connect_timeout
+        ) as sock:
+            if self.read_timeout is not None:
+                sock.settimeout(self.read_timeout)
+            with sock.makefile("rb") as f:
+                yield f
+
     # ------------------------------------------------------------- io
 
     def _emit(self, kind: str, detail=None) -> None:
@@ -139,28 +165,23 @@ class SocketLineBridge:
         while not self._stop.is_set():
             buf: list[str] = []
             try:
-                with socket.create_connection(
-                    (self.host, self.port), timeout=self.connect_timeout
-                ) as sock:
-                    if self.read_timeout is not None:
-                        sock.settimeout(self.read_timeout)
-                    self._emit("connect", (self.host, self.port))
+                with self._open() as f:
+                    self._emit("connect", self._endpoint())
                     delay = self.backoff  # healthy connection resets backoff
-                    with sock.makefile("rb") as f:
-                        for raw in f:
-                            if self._stop.is_set():
-                                break
-                            line = raw.decode("utf-8", "replace").strip()
-                            if not line:
-                                continue  # stream keep-alive newline
-                            buf.append(line)
-                            self.records += 1
-                            if len(buf) >= self.chunk_records:
-                                self._flush(buf)
-                                buf = []
-                            if stop_after is not None and self.records >= stop_after:
-                                self._stop.set()
-            except OSError as exc:
+                    for raw in f:
+                        if self._stop.is_set():
+                            break
+                        line = raw.decode("utf-8", "replace").strip()
+                        if not line:
+                            continue  # stream keep-alive newline
+                        buf.append(line)
+                        self.records += 1
+                        if len(buf) >= self.chunk_records:
+                            self._flush(buf)
+                            buf = []
+                        if stop_after is not None and self.records >= stop_after:
+                            self._stop.set()
+            except self._ERRORS as exc:
                 self._emit("error", exc)
             finally:
                 # The flush itself can fail (disk full, spool dir
@@ -195,3 +216,64 @@ class SocketLineBridge:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
+
+
+class HttpLineBridge(SocketLineBridge):
+    """The reference's actual transport (utils.py:603-633): one
+    long-lived HTTP(S) POST whose chunked response body is an endless
+    line-JSON stream, wrapped in the same flush/backoff/reconnect
+    machinery as the socket bridge.
+
+    ``data`` (dict → form-encoded, or raw bytes) makes the request a
+    POST like the filtered-stream endpoint (track/follow/locations in
+    the body); headers carry auth. ``opener`` is injectable — tests
+    pass a plain ``urllib.request.urlopen`` against a local server; a
+    production deployment passes an OAuth-signing opener. Mid-body
+    drops surface as ``http.client.IncompleteRead`` (chunked transfer
+    severed) or OSError — both reconnect.
+    """
+
+    _ERRORS = (OSError, http.client.HTTPException)
+
+    def __init__(self, url: str, spool_dir: str, *,
+                 data: dict | bytes | None = None,
+                 headers: dict | None = None,
+                 opener: Callable | None = None,
+                 **kwargs):
+        u = urllib.parse.urlsplit(url)
+        port = u.port or (443 if u.scheme == "https" else 80)
+        super().__init__(u.hostname or "", port, spool_dir, **kwargs)
+        self.url = url
+        if isinstance(data, dict):
+            data = urllib.parse.urlencode(data).encode()
+        self.data = data
+        self.headers = dict(headers or {})
+        self._opener = opener or urllib.request.urlopen
+
+    def _endpoint(self):
+        return self.url
+
+    @contextmanager
+    def _open(self):
+        req = urllib.request.Request(
+            self.url, data=self.data, headers=self.headers,
+            method="POST" if self.data is not None else "GET",
+        )
+        resp = self._opener(req, timeout=self.connect_timeout)
+        try:
+            status = getattr(resp, "status", 200)
+            if status and status >= 400:
+                raise OSError(f"HTTP {status} from {self.url}")
+            yield resp  # http responses iterate by line, chunk-decoded
+        finally:
+            resp.close()
+
+
+def bridge_from_url(url: str, spool_dir: str, **kwargs):
+    """Transport dispatch: tcp://, socket:// → SocketLineBridge;
+    http://, https:// → HttpLineBridge."""
+    if url.startswith(("tcp://", "socket://")):
+        return SocketLineBridge.from_url(url, spool_dir, **kwargs)
+    if url.startswith(("http://", "https://")):
+        return HttpLineBridge(url, spool_dir, **kwargs)
+    raise ValueError(f"no bridge transport for {url!r}")

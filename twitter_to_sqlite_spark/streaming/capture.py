@@ -45,24 +45,24 @@ def read_tweet_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = None,
                       spool_dir: str | None = None,
                       bridge_kwargs: dict | None = None) -> DataFrame:
-    """S9 source: line-JSON tweet stream from a directory glob, or a
-    live ``tcp://host:port`` socket bridged through a spool directory
-    (reference stream_filter's long-lived connection + reconnect loop,
-    utils.py:603-633 — see streaming/bridge.py).
+    """S9 source: line-JSON tweet stream from a directory glob, a live
+    ``tcp://host:port`` socket, or a long-poll ``http(s)://`` stream
+    (the reference's actual transport), bridged through a spool
+    directory (reference stream_filter's long-lived connection +
+    reconnect loop, utils.py:603-633 — see streaming/bridge.py).
 
     Keeps only records with id + created_at — the reference drops
     maintenance messages the same way (F3, utils.py:624-632).
 
-    For socket urls pass ``spool_dir``; the started bridge is exposed
-    at ``active_bridge(spool_dir)`` so callers can stop it.
+    For socket/http urls pass ``spool_dir``; the started bridge is
+    exposed at ``active_bridge(spool_dir)`` so callers can stop it.
     """
-    if path.startswith(("tcp://", "socket://")):
-        from twitter_to_sqlite_spark.streaming.bridge import SocketLineBridge
+    if path.startswith(("tcp://", "socket://", "http://", "https://")):
+        from twitter_to_sqlite_spark.streaming.bridge import bridge_from_url
 
         if spool_dir is None:
-            raise ValueError("socket sources need spool_dir=")
-        bridge = SocketLineBridge.from_url(path, spool_dir,
-                                           **(bridge_kwargs or {}))
+            raise ValueError("socket/http sources need spool_dir=")
+        bridge = bridge_from_url(path, spool_dir, **(bridge_kwargs or {}))
         bridge.start()
         _BRIDGES[spool_dir] = bridge
         path = spool_dir
