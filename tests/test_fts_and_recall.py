@@ -151,3 +151,39 @@ def test_ivf_kmeans_centroids_beat_standin(spark):
     # empty-cell handling: k larger than natural clusters still returns
     # exactly k centroid vectors
     assert len(similarity.kmeans_centroids(emb.limit(20), 8, iters=2)) == 8
+
+
+def test_ivf_multi_iter_beats_single_iteration(spark):
+    """VERDICT r2 #8: the catalog's 3-iteration Lloyd's must match or
+    beat the old single iteration at equal n_probe (measured 0.5/0.711
+    vs 0.489/0.622 at n_probe=1/2)."""
+    emb = tables.load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb, queries, 3).collect()}
+
+    def recall(cents, n_probe):
+        a = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.ivf_topk(emb, queries, cents, 3, n_probe=n_probe).collect()}
+        return len(exact & a) / len(exact)
+
+    one = similarity.kmeans_centroids(emb, 8, iters=1)
+    three = similarity.kmeans_centroids(emb, 8, iters=3)
+    for n_probe in (1, 2):
+        assert recall(three, n_probe) >= recall(one, n_probe)
+
+
+def test_kmeans_hash_sample_matches_manual_filter(spark):
+    """sample_mod uses the portable md5-hash subset — identical to
+    clustering a manually filtered corpus, and engine-reproducible
+    (the same predicate is expressible in the DuckDB oracle)."""
+    emb = tables.load_table(spark, SF, "embeddings")
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    manual = emb.filter(h % 2 == 0)
+    assert (similarity.kmeans_centroids(emb, 8, iters=2, sample_mod=2)
+            == similarity.kmeans_centroids(manual, 8, iters=2))
+    # the sample is a strict, non-trivial subset
+    n, ns = emb.count(), manual.count()
+    assert 0 < ns < n

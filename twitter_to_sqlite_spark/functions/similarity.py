@@ -162,7 +162,8 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
 
 def kmeans_centroids(corpus: DataFrame, k: int, iters: int = 1,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     decimals: int | None = 4) -> list[list[float]]:
+                     decimals: int | None = 4,
+                     sample_mod: int | None = None) -> list[list[float]]:
     """Spherical-k-means centroids for IVF coarse quantization
     (VERDICT r1 #4 — replaces the 'first k vectors' stand-in).
 
@@ -174,11 +175,21 @@ def kmeans_centroids(corpus: DataFrame, k: int, iters: int = 1,
     centroid literals are reproducible across engines (FP summation
     order differs between Spark's partial aggs and any oracle).
 
+    ``sample_mod=m`` runs the Lloyd iterations on the deterministic
+    1/m subset whose md5(id) ≡ 0 (mod m) — a hash sample both engines
+    can reproduce exactly, unlike Bernoulli sampling (VERDICT r2 #8:
+    centroids converge on samples, so a 100 TB corpus clusters on a
+    fraction while assignment still covers every vector).
+
     Scale: assignment + mean are one distributed pass per iteration
     (posexplode → (cell, dim) partial-agg mean); only k×dim doubles
-    ever reach the driver. For 100 TB corpora run the iterations on a
-    sampled fraction — centroids converge on samples.
+    ever reach the driver.
     """
+    if sample_mod:
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        corpus = corpus.filter(h % sample_mod == 0)
     init = [
         [float(x) for x in r[vec_col]]
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
