@@ -116,3 +116,20 @@ def test_batch_chunks_dist_no_global_window(spark):
     global_plan = plan_of(spark, "batch_chunks")
     gspecs = re.findall(r"windowspecdefinition\(([^)]*)\)", global_plan)
     assert any(" ASC" in s.split(",")[0] for s in gspecs)
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows (lag + running sum) must share one Exchange on
+    user_id — sessionize costs a single shuffle."""
+    plan = plan_of(spark, "sessionize")
+    assert count_nodes(plan, "Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_asof_join_has_no_join(spark):
+    """The as-of join must compile to union + running window — zero
+    join operators, one Exchange on the key (the merge-union shape;
+    a range join would explode pairs)."""
+    plan = plan_of(spark, "asof_join")
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin nodes
+    assert "Window" in plan

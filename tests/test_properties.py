@@ -190,3 +190,50 @@ def test_kmeans_centroids_corpus_smaller_than_k(spark):
     assert 1 <= len(cents) <= 3
     empty = tiny.filter("vec_id < 0")
     assert similarity.kmeans_centroids(empty, k=4) == []
+
+
+def test_sessionize_semantics(spark):
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (1, "2024-01-01 00:10:00", 2),   # < 30 min: same session
+        (1, "2024-01-01 01:10:00", 3),   # > 30 min: new session
+        (2, "2024-01-01 00:00:00", 4),   # other user: own sessions
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, event_id long") \
+        .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id")
+    out = {r["event_id"]: r["session_seq"]
+           for r in R.sessionize(df, "user_id", "ts", "event_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_asof_join_semantics(spark):
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 11), (2, 50, 12)],
+        "k long, t long, id long",
+    ).selectExpr("k", "timestamp_micros(t*1000000) AS ts", "id")
+    right = spark.createDataFrame(
+        [(1, 100, 20, "a"), (1, 150, 21, "b"), (1, 150, 22, "c"), (2, 60, 23, "d")],
+        "k long, t long, id long, v string",
+    ).selectExpr("k", "timestamp_micros(t*1000000) AS ts", "id", "v")
+    out = {r["id"]: (r["p_id"], r["p_v"]) for r in
+           R.asof_join(left, right, "k", "ts", "id", ["id", "v"], prefix="p_")
+           .collect()}
+    assert out[10] == (20, "a")        # equal ts counts (<=)
+    assert out[11] == (22, "c")        # tie at 150 → max id wins
+    assert out[12] == (None, None)     # no prior right row
+
+
+def test_near_dup_components_transitive(spark):
+    from twitter_to_sqlite_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 5), (5, 6), (3, 4)],
+        "id_a long, id_b long",
+    )  # chain 1-2-3-4-5-6 plus pair 7-9
+    out = {r["id"]: r["component"]
+           for r in dedup.near_dup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7, 9: 7}

@@ -392,3 +392,58 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
+                        id_b: str = "id_b",
+                        max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    in a component gets the component's minimum id as its label —
+    turning pairwise dedup output into keep-one-per-cluster groups
+    (the step after MinHash/SimHash candidate pairs in a training-data
+    pipeline; transitive closure, since near-dup is not transitive
+    pairwise).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (stars/cliques),
+    so a handful. Each round is one join + one partial-agg shuffle;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't replay rounds 1..N-1. The convergence probe compares
+    labels (an aggregate count, not a collect). Only nodes that appear
+    in a pair are labeled — singletons are their own trivial cluster.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "component")
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("component", "__new")
+            .join(labels, "id")
+            .filter(F.col("__new") != F.col("component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -269,6 +269,79 @@ def watermark_filter(df: DataFrame, id_col: str, since_id: int | None) -> DataFr
     return df.filter(F.col(id_col) > F.lit(since_id))
 
 
+# ---------------------------------------------- event-time operators
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str, order_col: str,
+               gap_seconds: float = 1800.0) -> DataFrame:
+    """Gaps-and-islands sessionization: rows of one user separated by
+    more than ``gap_seconds`` start a new session; adds a per-user
+    ``session_seq`` (1-based).
+
+    The batch shape of Structured Streaming's ``session_window`` —
+    offline replays and backfills sessionize with plain windows so both
+    paths agree. The gap compares epoch seconds as doubles (timestamp
+    cast), so sub-second precision survives and any SQL engine
+    reproduces it exactly.
+
+    Scale: one shuffle on ``user_col``; both windows share that
+    partitioning (Catalyst plans a single Exchange). Skewed users are
+    real sessions — they must sort together by definition.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_seconds),
+        1,
+    ).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("__new", new_session)
+        .withColumn("session_seq", F.sum("__new").over(running))
+        .drop("__new")
+    )
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
+              order_col: str, payload_cols: list[str],
+              prefix: str = "asof_") -> DataFrame:
+    """As-of join: each left row gains the payload of the LATEST right
+    row of the same key with ``right.ts <= left.ts`` (ties on ts broken
+    by ``order_col``, nulls when no prior right row exists).
+
+    Spark has no built-in as-of join; the pair-explosion formulation
+    (range join + top-1) is O(|L|·|R|) per key. This is the
+    merge-union shape instead: tag both sides, union, and take a
+    running ``last(payload, ignorenulls=True)`` over (ts, side, order)
+    within each key — right rows sort before left rows at equal ts, so
+    "<=" semantics fall out of the sort order. One shuffle on the key,
+    zero joins, linear in |L|+|R| — the same plan pandas.merge_asof
+    parallelizes to, and safe at 100 TB where a range join is not.
+    """
+    rsel = [
+        F.col(key),
+        F.col(ts_col).alias("__ats"),
+        F.col(order_col).alias("__aord"),
+    ] + [F.col(c).alias(prefix + c) for c in payload_cols]
+    r = right.select(*rsel).withColumn("__side", F.lit(0))
+    l = (
+        left.withColumn("__ats", F.col(ts_col))
+        .withColumn("__aord", F.col(order_col))
+        .withColumn("__side", F.lit(1))
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ats", "__side", "__aord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload_cols:
+        merged = merged.withColumn(
+            prefix + c, F.last(prefix + c, ignorenulls=True).over(w)
+        )
+    return merged.filter(F.col("__side") == 1).drop("__ats", "__aord", "__side")
+
+
 # ------------------------------------------------------- text search
 
 def tokenize(df: DataFrame, text_col: str, out_col: str = "term") -> DataFrame:

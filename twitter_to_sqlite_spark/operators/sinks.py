@@ -340,11 +340,12 @@ def _upsert_partitioned_locked(spark, incoming, path, keys, version_col,
                                partition_col, touched) -> None:
     if os.path.exists(path):
         # Legacy layout (table written before partitioning was enabled):
-        # fall back to a plain full upsert without the partition column.
+        # fall back to a plain full upsert without the partition column
+        # — the UNLOCKED body, since this caller already holds the lock.
         probe = spark.read.parquet(path)
         if partition_col not in probe.columns:
-            write_upsert(spark, incoming.drop(partition_col), path, keys,
-                         version_col)
+            _upsert_locked(spark, incoming.drop(partition_col), path, keys,
+                           version_col)
             return
         # Partition pruning: the IN-filter on the partition column means
         # only touched directories are scanned. Partition-column type
@@ -390,18 +391,23 @@ def write_upsert(spark, incoming: DataFrame, path: str, keys: list[str],
     if _delta_merge(spark, incoming, path, keys, version_col):
         return
     with table_lock(path):
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-            out = upsert_plan(existing, incoming, keys, version_col)
-        else:
-            out = upsert_plan(incoming.limit(0), incoming, keys, version_col)
-        # A dunder version column is engine bookkeeping — don't persist
-        # it. Stored rows then carry no version; on the next merge they
-        # union as null, which sorts after any real incoming version
-        # under desc ordering, so incoming still beats stored (K1).
-        if version_col.startswith("__"):
-            out = out.drop(version_col)
-        # Executor-side rewrite + atomic swap: the merged table never
-        # crosses the driver (the old collect()/createDataFrame pattern
-        # capped tables at spark.driver.maxResultSize).
-        write_swap(out, path)
+        _upsert_locked(spark, incoming, path, keys, version_col)
+
+
+def _upsert_locked(spark, incoming, path, keys, version_col) -> None:
+    """The read-merge-swap body; caller must hold :func:`table_lock`."""
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        out = upsert_plan(existing, incoming, keys, version_col)
+    else:
+        out = upsert_plan(incoming.limit(0), incoming, keys, version_col)
+    # A dunder version column is engine bookkeeping — don't persist
+    # it. Stored rows then carry no version; on the next merge they
+    # union as null, which sorts after any real incoming version
+    # under desc ordering, so incoming still beats stored (K1).
+    if version_col.startswith("__"):
+        out = out.drop(version_col)
+    # Executor-side rewrite + atomic swap: the merged table never
+    # crosses the driver (the old collect()/createDataFrame pattern
+    # capped tables at spark.driver.maxResultSize).
+    write_swap(out, path)

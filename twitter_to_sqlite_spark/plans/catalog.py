@@ -686,6 +686,81 @@ WHERE (list_contains(string_split_regex(lower(text), '\W+'), 'spark')
 
 
 # =====================================================================
+# Event-time operators (sessionization, as-of join)
+# =====================================================================
+
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization of the events stream: 30-minute
+    inactivity gap per user (the batch twin of Structured Streaming's
+    session_window), rolled up per session."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    s = R.sessionize(e, "user_id", "ts", "event_id", gap_seconds=1800.0)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH lagd AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flag AS (
+  SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM lagd
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flag
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase event picks up the latest click of the
+    same user at-or-before it (ties by event_id), via the merge-union
+    running-last plan — no range join, no pair explosion."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = R.asof_join(purchases, clicks, "user_id", "ts", "event_id",
+                      ["event_id", "value"], prefix="click_")
+    return out.select("event_id", "user_id", "click_event_id", "click_value")
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+pick AS (
+  SELECT p.event_id, p.user_id,
+         (SELECT c.event_id FROM c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id
+  FROM p
+)
+SELECT pick.event_id, pick.user_id, pick.click_event_id,
+       c.value AS click_value
+FROM pick LEFT JOIN c ON c.event_id = pick.click_event_id
+"""
+
+
+# =====================================================================
 # LLM-data-pipeline operators: dedup
 # =====================================================================
 
@@ -787,8 +862,10 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 _R = _MINHASH_N // _MINHASH_BANDS
-SQL_DEDUP_MINHASH = f"""
-WITH docs AS ({_SQL_DOCS_PLANTED}),
+
+# CTE body shared by the pairs query and the connected-components
+# query (which wraps the same pairs in a recursive closure).
+_SQL_MINHASH_CTES = f"""docs AS ({_SQL_DOCS_PLANTED}),
 sh AS ({_SQL_SHINGLES}),
 mh AS (
   SELECT id, seed,
@@ -800,9 +877,44 @@ bands AS (
   SELECT id, seed // {_R} AS band,
          md5(string_agg(v::VARCHAR, ',' ORDER BY seed)) AS bh
   FROM mh GROUP BY id, seed // {_R}
+),
+mh_pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+)"""
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SQL_MINHASH_CTES}
+SELECT id_a, id_b FROM mh_pairs
+"""
+
+
+def q_dedup_components(spark, sf_dir):
+    """Connected components over the MinHash near-dup pairs: transitive
+    closure into keep-one-per-cluster groups (min doc id = component
+    label), by iterative min-label propagation. The oracle closes the
+    same pairs with a recursive CTE."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    return dedup.near_dup_components(pairs).withColumnRenamed("id", "doc_id")
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, component) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.component FROM walk w JOIN edges e ON e.src = w.id
 )
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+SELECT id AS doc_id, min(component) AS component FROM walk GROUP BY id
 """
 
 # 48 bits (not 32): documents drawn from a shared small vocabulary
@@ -1251,10 +1363,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_search": q_fts_search,
     "fts_bm25": q_fts_bm25,
     "keyword_track": q_keyword_track,
+    # event-time operators
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     # LLM-data-pipeline: dedup
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     # LLM-data-pipeline: similarity
     "ann_brute_force": q_ann_brute_force,
@@ -1303,9 +1419,12 @@ ORACLE_SQL: dict[str, str] = {
     "fts_search": SQL_FTS_SEARCH,
     "fts_bm25": SQL_FTS_BM25,
     "keyword_track": SQL_KEYWORD_TRACK,
+    "sessionize": SQL_SESSIONIZE,
+    "asof_join": SQL_ASOF_JOIN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_brute_force": SQL_ANN_BRUTE_FORCE,
     "ann_lsh": SQL_ANN_LSH,
