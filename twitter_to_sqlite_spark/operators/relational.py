@@ -372,6 +372,19 @@ def build_inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __dl): token count per document WITHOUT exploding — a
+    codegen'd size(filter(split(...))) per row, exactly sum(tf) of the
+    inverted index built from the same tokenizer."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"),
+        lambda t: F.length(t) > 0,
+    )
+    return df.select(
+        F.col(id_col), F.size(toks).cast("double").alias("__dl")
+    ).filter(F.col("__dl") > 0)  # token-less docs have no index rows
+
+
 def fts_search(index: DataFrame, id_col: str, terms: list[str],
                mode: str = "all") -> DataFrame:
     """Doc ids matching the query terms via the inverted index.
@@ -390,7 +403,8 @@ def fts_search(index: DataFrame, id_col: str, terms: list[str],
 
 def fts_bm25(index: DataFrame, id_col: str, terms: list[str],
              k1: float = 1.2, b: float = 0.75,
-             mode: str = "all") -> DataFrame:
+             mode: str = "all",
+             doc_lens: DataFrame | None = None) -> DataFrame:
     """Okapi BM25-ranked text search over the inverted index — the
     Spark analogue of FTS5's ``bm25()`` rank function (the reference
     exposes FTS5 search via ``--fts``; FTS5's default rank is bm25 with
@@ -406,9 +420,16 @@ def fts_bm25(index: DataFrame, id_col: str, terms: list[str],
     Scale: df and the (n, avgdl) singleton broadcast; the only wide
     shuffles are the per-doc aggregations, partial-agg'd map-side. No
     UDFs — the score is one codegen'd column expression.
+
+    ``doc_lens`` (optional: (id, __dl)) supplies document lengths from
+    a cheaper source than re-aggregating the index — e.g.
+    ``doc_lengths`` counts tokens per row with NO explode, saving one
+    full index scan when the index isn't persisted. Must equal
+    sum(tf) per doc (it does for any tokenizer-consistent source).
     """
     terms_l = sorted({t.lower() for t in terms})
-    dl = index.groupBy(id_col).agg(F.sum("tf").cast("double").alias("__dl"))
+    dl = (doc_lens if doc_lens is not None else
+          index.groupBy(id_col).agg(F.sum("tf").cast("double").alias("__dl")))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("__dl").alias("__avgdl"),

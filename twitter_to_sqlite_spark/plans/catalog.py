@@ -633,7 +633,9 @@ def q_fts_bm25(spark, sf_dir):
     engines; compared on round(score, 4)."""
     d = _t(spark, sf_dir, "documents")
     idx = R.build_inverted_index(d, "doc_id", "text")
-    return R.fts_bm25(idx, "doc_id", ["spark", "join"], mode="all")
+    dl = R.doc_lengths(d, "doc_id", "text")
+    return R.fts_bm25(idx, "doc_id", ["spark", "join"], mode="all",
+                      doc_lens=dl)
 
 
 SQL_FTS_BM25 = r"""
