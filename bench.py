@@ -50,15 +50,20 @@ def main() -> None:
 
     # min of 2 runs per query: the first run pays plan compilation and
     # whatever the noisy-neighbor environment charges; the min is the
-    # reproducible steady-state number.
+    # reproducible steady-state number. Heavy queries (min still >1s)
+    # get a third run — on a shared host a noisy-neighbor burst can
+    # span both runs, and the absolute error concentrates exactly in
+    # the long-running queries.
     timings: dict[str, float] = {}
     for name, q in catalog.QUERIES.items():
         best = None
-        for _ in range(2):
+        for attempt in range(3):
             t0 = time.perf_counter()
             force(q(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            if attempt >= 1 and best <= 1.0:
+                break
         timings[name] = round(best, 4)
 
     # Ingest throughput: the reference's flagship path (save_tweets) on
@@ -122,11 +127,14 @@ def _ingest_benchmark(spark, n_tweets: int) -> float:
     rows = [_json.dumps(_synthetic_tweet(i)) for i in range(n_tweets)]
     rdd = spark.sparkContext.parallelize(rows, 32)
     raw = spark.read.schema(schemas.tweet_schema()).json(rdd)
-    t0 = time.perf_counter()
-    for df in save_tweets(raw).values():
-        force(df)
-    dt = time.perf_counter() - t0
-    return round(n_tweets / dt, 1)
+    best = None
+    for _ in range(2):  # best-of-2, same noisy-host rationale as above
+        t0 = time.perf_counter()
+        for df in save_tweets(raw).values():
+            force(df)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(n_tweets / best, 1)
 
 
 if __name__ == "__main__":

@@ -409,9 +409,14 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
     diameter) rounds — near-dup clusters are shallow (stars/cliques),
     so a handful. Each round is one join + one partial-agg shuffle;
     ``localCheckpoint`` truncates the growing lineage so round N's plan
-    doesn't replay rounds 1..N-1. The convergence probe compares
-    labels (an aggregate count, not a collect). Only nodes that appear
-    in a pair are labeled — singletons are their own trivial cluster.
+    doesn't replay rounds 1..N-1. Convergence probe: labels only ever
+    DECREASE (new = min(old, neighbors)), so the label sum is strictly
+    monotone until the fixpoint — comparing sums between rounds costs
+    one shuffle-free scan-agg over the just-checkpointed partitions,
+    replacing a join+count job per round (decimal(38) sum: no overflow
+    for any realistic id domain, no float rounding). Only nodes that
+    appear in a pair are labeled — singletons are their own trivial
+    cluster.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -427,23 +432,24 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "component")
-        new = (
+        labels = (
             labels.union(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("component", "__new")
-            .join(labels, "id")
-            .filter(F.col("__new") != F.col("component"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
