@@ -1,0 +1,130 @@
+"""Unit tests for the cleaning/curation operators (pii_scrub,
+repetition_stats, lm_bigram_score, hash/stratified sampling) on
+crafted rows where the right answer is known by hand. The sf0.001
+oracle parity for the catalog versions lives in test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_to_sqlite_spark.functions import sampling, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestPiiScrub:
+    def test_redacts_all_three_kinds(self, spark):
+        d = _docs(spark, [
+            (1, "mail bob.smith+x@sub.example.co.uk now"),
+            (2, "server at 10.0.255.3 down"),
+            (3, "call +44 20 7946-0958 today"),
+            (4, "clean text, nothing here"),
+        ])
+        got = {r["doc_id"]: r for r in text.pii_scrub(d).collect()}
+        assert got[1]["text_clean"] == "mail [EMAIL] now"
+        assert got[2]["text_clean"] == "server at [IP] down"
+        assert got[3]["text_clean"] == "call [PHONE] today"
+        assert got[4]["text_clean"] == "clean text, nothing here"
+        assert [got[i]["n_pii"] for i in (1, 2, 3, 4)] == [1, 1, 1, 0]
+
+    def test_multiple_hits_counted(self, spark):
+        d = _docs(spark, [(1, "a@b.io c@d.io and 1.2.3.4 5.6.7.8")])
+        row = text.pii_scrub(d).collect()[0]
+        assert row["n_pii"] == 4
+        assert row["text_clean"] == "[EMAIL] [EMAIL] and [IP] [IP]"
+
+    def test_ip_not_double_redacted_as_phone(self, spark):
+        # Phone pattern requires a leading +; bare dotted quads must
+        # come out as [IP] exactly once.
+        d = _docs(spark, [(1, "ping 192.168.0.12")])
+        row = text.pii_scrub(d).collect()[0]
+        assert row["text_clean"] == "ping [IP]"
+        assert row["n_pii"] == 1
+
+
+class TestRepetitionStats:
+    def test_no_repetition(self, spark):
+        d = _docs(spark, [(1, "alpha beta gamma delta")])
+        row = text.repetition_stats(d).collect()[0]
+        assert row["n_words"] == 4
+        assert row["dup_word_frac"] == 0.0
+        # 3 distinct bigrams, each once → top fraction 1/3
+        assert row["top_bigram_frac"] == pytest.approx(0.3333, abs=1e-4)
+
+    def test_fully_looped_text(self, spark):
+        d = _docs(spark, [(1, "spam spam spam spam")])
+        row = text.repetition_stats(d).collect()[0]
+        assert row["dup_word_frac"] == 0.75     # 1 distinct of 4
+        assert row["top_bigram_frac"] == 1.0    # 'spam spam' is all of them
+
+    def test_short_doc_has_zero_bigram_frac(self, spark):
+        d = _docs(spark, [(1, "word")])
+        row = text.repetition_stats(d).collect()[0]
+        assert row["n_words"] == 1
+        assert row["top_bigram_frac"] == 0.0
+
+
+class TestLmBigramScore:
+    def test_common_transitions_score_higher(self, spark):
+        # 'a b' appears 3×; prefix 'a' always continues to 'b'
+        # → logP(a→b)=0. 'x y' and 'x z' split prefix 'x' → logP=-1.
+        d = _docs(spark, [
+            (1, "a b"), (2, "a b"), (3, "a b"),
+            (4, "x y"), (5, "x z"),
+        ])
+        got = {r["doc_id"]: r["avg_logp"] for r in text.lm_bigram_score(d).collect()}
+        assert got[1] == 0.0
+        assert got[4] == -1.0 and got[5] == -1.0
+
+    def test_mean_over_doc_bigrams(self, spark):
+        # doc 1: bigrams 'a b' (logp 0) and 'b c' vs 'b d' (-1) → mean -0.5
+        d = _docs(spark, [(1, "a b c"), (2, "b d")])
+        got = {r["doc_id"]: r for r in text.lm_bigram_score(d).collect()}
+        assert got[1]["n_bigrams"] == 2
+        assert got[1]["avg_logp"] == pytest.approx(-0.5, abs=1e-4)
+
+
+class TestSampling:
+    def test_hash_sample_is_deterministic_and_proportional(self, spark):
+        d = spark.range(0, 2000).withColumnRenamed("id", "k")
+        a = sorted(r["k"] for r in sampling.hash_sample(d, 4, "k").collect())
+        b = sorted(r["k"] for r in sampling.hash_sample(d, 4, "k").collect())
+        assert a == b                      # reproducible
+        assert 350 < len(a) < 650          # ~1/4 of 2000
+        salted = sorted(
+            r["k"] for r in sampling.hash_sample(d, 4, "k", salt="s2").collect()
+        )
+        assert salted != a                 # salt decorrelates
+
+    def test_stratified_rates(self, spark):
+        d = spark.createDataFrame(
+            [(i, "keep" if i % 2 == 0 else "thin") for i in range(2000)],
+            "k long, s string",
+        )
+        out = sampling.stratified_sample(
+            d, "s", {"keep": 1, "thin": 10}, key_col="k").collect()
+        kept = [r for r in out if r["s"] == "keep"]
+        thinned = [r for r in out if r["s"] == "thin"]
+        assert len(kept) == 1000           # denominator 1 keeps all
+        assert 40 < len(thinned) < 220     # ~1/10 of 1000
+
+    def test_unlisted_stratum_uses_default(self, spark):
+        d = spark.createDataFrame(
+            [(i, "other") for i in range(1000)], "k long, s string")
+        out = sampling.stratified_sample(
+            d, "s", {"listed": 5}, key_col="k", default_denom=2).collect()
+        assert 350 < len(out) < 650        # ~1/2
+
+    def test_sample_filter_reaches_scan(self, spark, sf_dir):
+        # The sample predicate must be a pushed filter over the scan —
+        # no shuffle, no job structure beyond the read.
+        from twitter_to_sqlite_spark import tables
+
+        d = tables.load_table(spark, sf_dir, "documents")
+        plan = sampling.hash_sample(d, 3, "doc_id")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

@@ -96,6 +96,130 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns applied in order (email first: an address contains dots
+# that the IP pattern must not see). Dialect-portable regex subset —
+# identical semantics under Java regex (Spark) and RE2 (DuckDB oracle):
+# char classes, bounded repeats, \b, no backrefs/lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\+\d[\d .-]{6,14}\d", "[PHONE]"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII redaction: replace emails, IPv4 addresses, and international
+    phone numbers with typed placeholders, counting redactions.
+
+    Standard pre-training hygiene pass (the C4/RefinedWeb recipes all
+    carry one). Pure sequential ``regexp_replace`` column expressions —
+    whole-stage codegen, one scan, no UDF; each pattern's match count
+    is taken on the text state *before* its own replacement, so the
+    counts compose exactly like the sequential SQL twin.
+    """
+    t = F.col(text_col)
+    total = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        t = F.regexp_replace(t, pat, repl)
+    return df.select(
+        F.col(id_col),
+        t.alias("text_clean"),
+        total.cast("int").alias("n_pii"),
+    )
+
+
+def _bigram_explode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, bigram) — one row per adjacent token pair. Tokens are
+    materialized as a column FIRST (inlining the tokenizer into the
+    slice lambda re-evaluates it per element — the O(n²) trap)."""
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    return toks.filter(F.size("__t") >= 2).select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "zip_with(slice(__t, 1, size(__t) - 1),"
+            " slice(__t, 2, size(__t) - 1),"
+            " (x, y) -> struct(x AS w1, concat(x, ' ', y) AS bg))"
+        )).alias("__p"),
+    ).select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.bg").alias("__bg"))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and
+    top-bigram fraction per document (Rae et al. 2021's repetition
+    filters, the standard cut for loopy/boilerplate text).
+
+    dup_word_frac = 1 - distinct/total words (pure column expression);
+    top_bigram_frac = count of the most frequent bigram / total
+    bigrams, via explode + two partial-agg'd groupBys — both shuffles
+    key on doc_id (high-entropy, skew-free), so the plan is two
+    map-side-combined exchanges at any scale.
+    """
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    base = toks.select(
+        F.col(id_col),
+        F.size("__t").alias("n_words"),
+        F.size(F.array_distinct("__t")).alias("__nd"),
+    )
+    bg_top = (
+        _bigram_explode(df, id_col, text_col)
+        .groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col).agg(
+            F.max("__c").alias("__top"),
+            F.sum("__c").alias("__tot"),
+        )
+    )
+    return base.join(bg_top, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(
+            F.when(F.col("n_words") > 0,
+                   F.lit(1.0) - F.col("__nd").cast("double")
+                   / F.col("n_words").cast("double"))
+            .otherwise(F.lit(0.0)), 4,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(F.col("__top").cast("double")
+                       / F.col("__tot").cast("double"), F.lit(0.0)), 4,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def lm_bigram_score(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram language-model score per document: the
+    mean log2 P(w2 | w1) of the document's word bigrams, with
+    P(w2 | w1) = corpus_count(w1 w2) / corpus_count(w1 as prefix).
+
+    The distributed form of a perplexity filter (CCNet/Gopher-style
+    'does this doc look like the corpus' signal) with the corpus as
+    its own LM — no external model, fully relational, so the oracle is
+    exact. Docs full of common constructions score near 0; docs of
+    rare transitions score very negative. Plan: one explode + two
+    count aggs (map-side combined) + one join keyed on the bigram —
+    all high-entropy keys; the model table is corpus-sized, never
+    driver-side.
+    """
+    bg = _bigram_explode(df, id_col, text_col)
+    c_bg = bg.groupBy("__w1", "__bg").agg(F.count(F.lit(1)).alias("__cbg"))
+    c_w1 = c_bg.groupBy("__w1").agg(F.sum("__cbg").alias("__cw1"))
+    model = c_bg.join(c_w1, "__w1").select(
+        "__bg",
+        F.log2(F.col("__cbg").cast("double") / F.col("__cw1").cast("double"))
+        .alias("__logp"),
+    )
+    return (
+        bg.join(model, "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__logp"), 4).alias("avg_logp"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 shingle_k: int = 3) -> DataFrame:
     """Document fingerprint: min-hash-of-shingles (one 64-bit value).

@@ -1344,6 +1344,147 @@ FROM documents
 """
 
 
+# Docs with PII planted into the first 10 (the synthetic corpus has
+# none): same literal appended both sides, so the scrubber has
+# guaranteed positives and untouched rows prove no false redaction.
+_PII_OFFSET = 2_000_000
+_PII_SUFFIX = " reach me at alice@example.org or 192.168.0.12 or +1 555-123-4567 today"
+
+
+def _docs_with_planted_pii(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + _PII_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PII_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(planted)
+
+
+_SQL_DOCS_PII = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PII_OFFSET} AS doc_id, text || '{_PII_SUFFIX}' AS text
+  FROM documents WHERE doc_id < 10
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone numbers → typed
+    placeholders) with per-doc redaction counts, over documents with
+    planted PII rows."""
+    return text.pii_scrub(_docs_with_planted_pii(spark, sf_dir))
+
+
+def _pii_sql() -> str:
+    ctes, prev, ncols = [], "docs", []
+    for i, (pat, repl) in enumerate(text.PII_PATTERNS):
+        ncols.append(f"n{i}")
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {', '.join(ncols[:-1] + [''])}"
+            f" len(regexp_extract_all(t, '{pat}')) AS n{i},"
+            f" regexp_replace(t, '{pat}', '{repl}', 'g') AS t"
+            f" FROM {prev})"
+        )
+        prev = f"s{i}"
+    joined = ",\n".join(ctes)
+    total = " + ".join(ncols)
+    return f"""
+WITH docs AS (SELECT doc_id, text AS t FROM ({_SQL_DOCS_PII})),
+{joined}
+SELECT doc_id, t AS text_clean, ({total})::INT AS n_pii FROM {prev}
+"""
+
+
+SQL_PII_SCRUB = _pii_sql()
+
+_SQL_BIGRAMS = f"""
+  SELECT doc_id, u.w1 AS w1, u.bg AS bg
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(t) - 1),
+      i -> {{'w1': t[i], 'bg': t[i] || ' ' || t[i + 1]}})) AS u
+    FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+    WHERE len(t) >= 2
+  )
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-word fraction +
+    top-bigram fraction per document."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.repetition_stats(d)
+
+
+SQL_REPETITION_STATS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS nd FROM t
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM ({_SQL_BIGRAMS}) GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM bc GROUP BY 1)
+SELECT b.doc_id,
+       b.n_words,
+       round(CASE WHEN b.n_words > 0
+                  THEN 1.0 - b.nd::DOUBLE / b.n_words::DOUBLE
+                  ELSE 0.0 END, 4) AS dup_word_frac,
+       round(coalesce(a.top::DOUBLE / a.tot::DOUBLE, 0.0), 4) AS top_bigram_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_lm_bigram_score(spark, sf_dir):
+    """Corpus-as-its-own-LM perplexity signal: mean log2 P(w2|w1) of
+    each document's bigrams under corpus bigram statistics."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.lm_bigram_score(d)
+
+
+SQL_LM_BIGRAM_SCORE = f"""
+WITH bg AS ({_SQL_BIGRAMS}),
+cbg AS (SELECT w1, bg, count(*) AS cbg FROM bg GROUP BY 1, 2),
+cw1 AS (SELECT w1, sum(cbg) AS cw1 FROM cbg GROUP BY 1),
+model AS (
+  SELECT bg, log2(cbg::DOUBLE / cw1::DOUBLE) AS logp
+  FROM cbg JOIN cw1 USING (w1)
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
+FROM bg JOIN model USING (bg)
+GROUP BY doc_id
+"""
+
+# Stratum denominators for the sampling query: keep all of src0,
+# halve src1, fifth src2; unlisted sources fall to 1/3.
+_SAMPLE_RATES = {"src0": 1, "src1": 2, "src2": 5}
+_SAMPLE_DEFAULT = 3
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified corpus subsampling by source —
+    reproducible across runs/engines (md5 keys, not rand())."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.stratified_sample(
+        d, "source", _SAMPLE_RATES, key_col="doc_id",
+        default_denom=_SAMPLE_DEFAULT)
+
+
+def _stratified_sql() -> str:
+    whens = "\n         ".join(
+        f"WHEN source = '{v}' THEN {d}"
+        for v, d in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+      % (CASE {whens} ELSE {_SAMPLE_DEFAULT} END) = 0
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _stratified_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1404,6 +1545,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
+    # LLM-data-pipeline: cleaning + curation
+    "pii_scrub": q_pii_scrub,
+    "repetition_stats": q_repetition_stats,
+    "lm_bigram_score": q_lm_bigram_score,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1456,6 +1602,10 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "pii_scrub": SQL_PII_SCRUB,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "lm_bigram_score": SQL_LM_BIGRAM_SCORE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
 
 
