@@ -133,3 +133,14 @@ def test_asof_join_has_no_join(spark):
     plan = plan_of(spark, "asof_join")
     assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin nodes
     assert "Window" in plan
+
+
+def test_pipeline_clean_one_exchange(spark):
+    """The composed cleaning pipeline must stay plan-shaped: per-row
+    stages (scrub/lang/repetition signals) fuse into the scan side,
+    dedup's window is the ONLY exchange, and no join re-computes the
+    scrub (3 scans = the 3 union branches, nothing more)."""
+    plan = plan_of(spark, "pipeline_clean")
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Scan parquet") == 3
+    assert "Join" not in plan

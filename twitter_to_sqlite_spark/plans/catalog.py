@@ -1375,8 +1375,11 @@ def q_pii_scrub(spark, sf_dir):
     return text.pii_scrub(_docs_with_planted_pii(spark, sf_dir))
 
 
-def _pii_sql() -> str:
-    ctes, prev, ncols = [], "docs", []
+def _pii_ctes(base: str) -> tuple[str, str, str]:
+    """Sequential scrub CTEs over `base(doc_id, t)`: returns (CTE text,
+    final CTE name, n_pii sum expression) — shared by the standalone
+    scrub oracle and the composite pipeline oracle."""
+    ctes, prev, ncols = [], base, []
     for i, (pat, repl) in enumerate(text.PII_PATTERNS):
         ncols.append(f"n{i}")
         ctes.append(
@@ -1386,12 +1389,15 @@ def _pii_sql() -> str:
             f" FROM {prev})"
         )
         prev = f"s{i}"
-    joined = ",\n".join(ctes)
-    total = " + ".join(ncols)
+    return ",\n".join(ctes), prev, " + ".join(ncols)
+
+
+def _pii_sql() -> str:
+    ctes, final, total = _pii_ctes("docs")
     return f"""
 WITH docs AS (SELECT doc_id, text AS t FROM ({_SQL_DOCS_PII})),
-{joined}
-SELECT doc_id, t AS text_clean, ({total})::INT AS n_pii FROM {prev}
+{ctes}
+SELECT doc_id, t AS text_clean, ({total})::INT AS n_pii FROM {final}
 """
 
 
@@ -1484,6 +1490,99 @@ WHERE ('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
 
 SQL_STRATIFIED_SAMPLE = _stratified_sql()
 
+# Exact copies of docs 10..19 planted for the pipeline's dedup stage.
+_COPY_OFFSET = 3_000_000
+
+
+def q_pipeline_clean(spark, sf_dir):
+    """End-to-end cleaning pipeline — the operators composed the way a
+    training-data run chains them: PII scrub → language filter →
+    repetition filter → exact dedup (keep min doc id) → per-doc stats.
+
+    Composition is plan-shaped, not job-shaped: pii_scrub and
+    language_id are per-row column operators, so chaining them stays
+    one scan; the repetition signals this filter needs (n_words,
+    dup_word_frac) are likewise per-row — repetition_stats' bigram
+    AGGREGATION isn't required, so no join re-computing the scrub.
+    Keep-min-per-content-hash is a window over md5(text) (high-entropy
+    partition key). Net physical plan: one scan per union branch
+    (each with its own pushed filter), ONE exchange total — verified
+    by test_plans.py.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pii = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + _PII_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PII_SUFFIX)).alias("text"),
+    )
+    copies = d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text",
+    )
+    base = d.unionByName(pii).unionByName(copies)
+    scrubbed = text.pii_scrub(base).select(
+        "doc_id", F.col("text_clean").alias("text"), "n_pii")
+    lang = text.language_id(scrubbed).filter(F.col("lang_guess") == "en")
+    toks = text._tokens(F.col("text"))
+    n_words = F.size(toks)
+    dup_frac = F.round(
+        F.when(n_words > 0,
+               F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+               / n_words.cast("double"))
+        .otherwise(F.lit(0.0)), 4)
+    kept = lang.select(
+        "doc_id", "text", "n_pii", "en_score",
+        n_words.alias("n_words"), dup_frac.alias("dup_word_frac"),
+    ).filter(F.col("dup_word_frac") <= 0.8)
+    w = Window.partitionBy(F.md5("text"))
+    return (
+        kept.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "n_pii", "en_score", "n_words", "dup_word_frac")
+    )
+
+
+def _pipeline_sql() -> str:
+    pii_ctes, pii_final, pii_total = _pii_ctes("d")
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PII_OFFSET} AS doc_id, text || '{_PII_SUFFIX}' AS text
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id >= 10 AND doc_id < 20
+),
+d AS (SELECT doc_id, text AS t FROM docs0),
+{pii_ctes},
+sc AS (SELECT doc_id, t AS text, ({pii_total})::INT AS n_pii FROM {pii_final}),
+toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM sc),
+lang AS (
+  SELECT doc_id,
+    len(list_filter(tk, x -> list_contains({_SQL_STOPLIST}, x)))::DOUBLE
+      / greatest(len(tk)::DOUBLE, 1.0) AS ratio
+  FROM toks
+),
+rep AS (
+  SELECT doc_id, len(tk) AS n_words,
+         round(CASE WHEN len(tk) > 0
+                    THEN 1.0 - len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE
+                    ELSE 0.0 END, 4) AS dup_word_frac
+  FROM toks
+),
+kept AS (
+  SELECT sc.doc_id, sc.text, sc.n_pii, round(l.ratio, 4) AS en_score,
+         r.n_words, r.dup_word_frac
+  FROM sc JOIN lang l USING (doc_id) JOIN rep r USING (doc_id)
+  WHERE l.ratio >= 0.08 AND r.dup_word_frac <= 0.8
+)
+SELECT doc_id, n_pii, en_score, n_words, dup_word_frac
+FROM kept
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+"""
+
+
+SQL_PIPELINE_CLEAN = _pipeline_sql()
+
 
 # =====================================================================
 # Registry
@@ -1550,6 +1649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "lm_bigram_score": q_lm_bigram_score,
     "stratified_sample": q_stratified_sample,
+    "pipeline_clean": q_pipeline_clean,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1606,6 +1706,7 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "lm_bigram_score": SQL_LM_BIGRAM_SCORE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pipeline_clean": SQL_PIPELINE_CLEAN,
 }
 
 
