@@ -237,3 +237,62 @@ def test_near_dup_components_transitive(spark):
     out = {r["id"]: r["component"]
            for r in dedup.near_dup_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7, 9: 7}
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),
+              st.integers(min_value=0, max_value=12)),
+    min_size=1, max_size=15,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(edges=EDGES)
+@SETTINGS
+def test_near_dup_components_match_union_find(spark, edges):
+    """Executable spec: min-label propagation must agree with a plain
+    union-find on every random edge list (self-loops allowed)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for n in (a, b):
+            expected[n] = find(n)
+    # canonical label = min node of the component
+    comp_min: dict = {}
+    for n, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[r] for n, r in expected.items()}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.near_dup_components(pairs).collect()}
+    assert got == expected
+
+
+def test_pii_scrub_is_idempotent(spark):
+    """Scrubbing already-scrubbed text changes nothing and counts 0 —
+    the placeholders must not re-match any pattern."""
+    from twitter_to_sqlite_spark.functions import text as T
+
+    d = spark.createDataFrame(
+        [(1, "a@b.io on 10.0.0.1 call +1 555-123-4567"),
+         (2, "nothing sensitive")],
+        "doc_id long, text string",
+    )
+    once = T.pii_scrub(d).withColumnRenamed("text_clean", "text")
+    twice = T.pii_scrub(once.select("doc_id", "text")).collect()
+    got = {r["doc_id"]: r for r in twice}
+    assert got[1]["n_pii"] == 0
+    assert got[1]["text_clean"] == "[EMAIL] on [IP] call [PHONE]"
+    assert got[2]["n_pii"] == 0
