@@ -296,3 +296,19 @@ def test_pii_scrub_is_idempotent(spark):
     assert got[1]["n_pii"] == 0
     assert got[1]["text_clean"] == "[EMAIL] on [IP] call [PHONE]"
     assert got[2]["n_pii"] == 0
+
+
+def test_jaccard_prefix_filter_is_exact(spark):
+    """PPJoin-style prefix filtering must return EXACTLY the baseline
+    pair set (the prefix lemma guarantees no false negatives; the
+    array_intersect verification kills false positives)."""
+    from twitter_to_sqlite_spark.plans import catalog
+
+    d = catalog._docs_with_planted_dups(spark, "/root/testdata/sf0.001")
+    kw = dict(k=3, threshold=0.5, max_df=20)
+    base = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", **kw).collect()))
+    pref = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", prefix_filter=True, **kw).collect()))
+    assert base == pref
+    assert len(base) > 0  # planted dups guarantee positives
