@@ -99,3 +99,33 @@ def test_running_user_counts_stateful(spark, dirs):
     run_once(rows2)
     got2 = {r["user_id"]: (r["n_tweets"], r["last_id"]) for r in rows2}
     assert got2[7] == (3, 10)  # 2 + 1 new, state carried over
+
+
+def test_user_sessions_gap_and_close(spark, dirs):
+    src, out, ckpt = dirs
+    # user 101: bursts at 10:00-10:02 (one session) then 10:40 (a new
+    # session after the 30-min gap); user 202: one lone tweet. A late
+    # 11:59 sentinel advances the watermark far enough to close and
+    # emit every earlier session under append mode.
+    write_chunk(src, "c1.json", [
+        _tw(1, 0, 101), _tw(2, 1, 101), _tw(3, 2, 101),
+        _tw(4, 40, 101),
+        _tw(5, 1, 202),
+        _tw(6, 59, 303),  # sentinel — 10:59; watermark 1h short? use later file
+    ])
+    # second chunk far in the future so the watermark passes all
+    # sessions above (watermark = max event time - 1h)
+    late = minimal_tweet(99, "late", user_id=909)
+    late["created_at"] = "Mon Feb 03 13:00:00 +0000 2020"
+    write_chunk(src, "c2.json", [late])
+    res = run_stream(
+        spark, src, out, ckpt,
+        lambda s: analytics.user_sessions(s, gap="30 minutes", watermark="1 hour"),
+    )
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_tweets"])
+        for r in res.collect()
+    }
+    assert (101, "2020-02-03 10:00:30", 3) in got   # burst merged into one session
+    assert (101, "2020-02-03 10:40:30", 1) in got   # reopened after the gap
+    assert (202, "2020-02-03 10:01:30", 1) in got

@@ -5,6 +5,8 @@ no windowed aggregation — these are the Spark-native extensions a
   tweets_per_window        tumbling-window counts with a watermark for
                            late data (the canonical tweets-per-minute)
   stream_dedup             watermarked within-stream dedup by pk
+  user_sessions            gap-based session_window sessionization
+                           (streaming twin of the batch sessionize)
   running_user_counts      custom stateful operator via
                            applyInPandasWithState: per-user running
                            tweet count + last-seen id, state kept by
@@ -61,6 +63,38 @@ def stream_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
         with_event_time(stream)
         .withWatermark("event_ts", watermark)
         .dropDuplicatesWithinWatermark(["id"])
+    )
+
+
+def user_sessions(stream: DataFrame, gap: str = "30 minutes",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization: per-user gap-based sessions via
+    ``session_window`` — the streaming twin of the batch ``sessionize``
+    operator (operators/relational.py), with the session boundary
+    maintained by the state store instead of a lag window.
+
+    A session closes when no event arrives for `gap`; the watermark
+    bounds state (a session older than watermark+gap can never extend,
+    so Spark emits and purges it). Output: one row per closed session
+    with its span and tweet count.
+
+    Scale: state is hash-partitioned by user_id; per-key state is one
+    open session (start, end, count) — O(active users), not O(events).
+    """
+    return (
+        with_event_time(stream)
+        .withWatermark("event_ts", watermark)
+        .groupBy(
+            F.session_window("event_ts", gap).alias("s"),
+            F.col("user.id").alias("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tweets"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_tweets",
+        )
     )
 
 
