@@ -290,3 +290,35 @@ def test_write_swap_overwrites_plan_reading_own_path(spark, tmp_path):
     assert got == [i * 2 for i in range(100)]
     import os
     assert not [d for d in os.listdir(str(tmp_path)) if "__tmp" in d or "__old" in d]
+
+
+def test_fresh_empty_lock_is_respected_not_broken(tmp_path):
+    """A just-created empty lock file is a writer mid-create, NOT a
+    stale lock: contenders must poll (and time out), never delete it —
+    the race that once let two same-process writers both proceed."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    lock = f"{path}.__lock"
+    os.makedirs(str(tmp_path), exist_ok=True)
+    open(lock, "w").close()  # empty: as if between O_EXCL and json write
+    with pytest.raises(S.ConcurrentWriteError):
+        with S.table_lock(path, timeout=0.5, poll=0.05):
+            pass
+    assert os.path.exists(lock)  # still there, untouched
+
+
+def test_old_empty_lock_is_broken_after_grace(tmp_path):
+    """An empty lock OLDER than the grace window is a crash artifact
+    (holder died between create and write) — it must be broken so the
+    table stays writable."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    lock = f"{path}.__lock"
+    open(lock, "w").close()
+    old = __import__("time").time() - 60
+    os.utime(lock, (old, old))
+    with S.table_lock(path, timeout=5.0, poll=0.05):
+        pass  # acquired: the stale artifact was claimed and removed
+    assert not os.path.exists(lock)

@@ -120,6 +120,12 @@ def m2m_bridge_plan(df: DataFrame, left_id: str, right_id: str,
 
 # --------------------------------------------------------------- I/O
 
+# A healthy writer fills its lock file microseconds after creating it;
+# an unparseable lock OLDER than this is a crash artifact, not a
+# writer mid-create.
+_LOCK_GRACE = 5.0
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer holds the table lock; the upsert was NOT applied.
 
@@ -141,6 +147,17 @@ def table_lock(path: str, timeout: float = 120.0, poll: float = 0.05):
     until ``timeout`` then raises :class:`ConcurrentWriteError` rather
     than proceeding unlocked.
 
+    Two races the break path must NOT lose to:
+      * a contender can read the lock in the instant between the
+        holder's O_EXCL create and its json write — an EMPTY file.
+        Unparseable content is therefore stale only after
+        ``_LOCK_GRACE`` seconds (a healthy writer fills it in
+        microseconds), never immediately;
+      * two contenders may both deem the lock stale — breaking is an
+        atomic ``rename`` claim, so exactly one of them removes it and
+        the loser goes back to polling instead of unlinking a fresh
+        lock that a third writer just created.
+
     Scope: the lock must cover the READ of the existing table as well
     as the swap — locking only the swap still loses updates (two
     writers both read the pre-merge table). On Delta tables this is
@@ -159,18 +176,32 @@ def table_lock(path: str, timeout: float = 120.0, poll: float = 0.05):
                 json.dump({"pid": os.getpid(), "ts": time.time()}, f)
             break
         except FileExistsError:
-            # Break locks whose holder is gone (same-host check; on a
-            # shared filesystem a TTL policy would replace os.kill).
+            holder, stale = None, False
             try:
                 with open(lock) as f:
                     holder = json.load(f).get("pid")
-                if holder is not None:
-                    os.kill(int(holder), 0)
+            except FileNotFoundError:
+                continue  # released between create-attempt and read
             except (OSError, ValueError, json.JSONDecodeError):
+                # Unreadable content: mid-create (fresh) or a crash
+                # between create and write (old). Age decides.
                 try:
-                    os.unlink(lock)
+                    stale = time.time() - os.stat(lock).st_mtime > _LOCK_GRACE
                 except OSError:
-                    pass
+                    continue
+            if holder is not None:
+                try:
+                    os.kill(int(holder), 0)
+                except (OSError, ValueError):
+                    stale = True  # holder gone (same-host check; a
+                    # shared filesystem would use a TTL policy here)
+            if stale:
+                claim = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                try:
+                    os.rename(lock, claim)  # atomic: one breaker wins
+                    os.unlink(claim)
+                except OSError:
+                    pass  # lost the claim race — someone else broke it
                 continue
             if time.monotonic() >= deadline:
                 raise ConcurrentWriteError(
