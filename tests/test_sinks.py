@@ -322,3 +322,23 @@ def test_old_empty_lock_is_broken_after_grace(tmp_path):
     with S.table_lock(path, timeout=5.0, poll=0.05):
         pass  # acquired: the stale artifact was claimed and removed
     assert not os.path.exists(lock)
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(path)
+
+    def parquet_files():
+        return [f for r, _d, fs in os.walk(path) for f in fs
+                if f.endswith(".parquet")]
+
+    assert len(parquet_files()) == 40
+    assert S.compact_table(spark, path, target_bytes=1 << 20) is True
+    assert len(parquet_files()) == 1          # 40 tiny files → 1
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(1000))           # rows byte-identical
+    # second run is a no-op: already compact
+    assert S.compact_table(spark, path, target_bytes=1 << 20) is False

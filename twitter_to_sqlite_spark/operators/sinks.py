@@ -442,3 +442,36 @@ def _upsert_locked(spark, incoming, path, keys, version_col) -> None:
     # crosses the driver (the old collect()/createDataFrame pattern
     # capped tables at spark.driver.maxResultSize).
     write_swap(out, path)
+
+
+def compact_table(spark, path: str, target_bytes: int = 128 << 20,
+                  min_files: int = 2) -> bool:
+    """Small-file compaction for an upsert-maintained parquet table.
+
+    Every incremental upsert rewrites the table through ``write_swap``,
+    but streaming ``foreachBatch`` sinks and partitioned upserts can
+    still accumulate many small files — the classic long-running-table
+    pathology (each scan pays per-file open/footer costs; at 100 TB a
+    million 1 MB files is a listing storm). Compaction rewrites the
+    table into ``ceil(total_bytes / target_bytes)`` files via the same
+    crash-safe swap, under the same :func:`table_lock` as the writers
+    so it can run as online maintenance.
+
+    No-ops (returns False) when the table already averages at least
+    ``target_bytes / 2`` per file or has fewer than ``min_files`` —
+    compaction must be idempotent and cheap to schedule.
+    """
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        sizes += [os.path.getsize(os.path.join(root, f))
+                  for f in files if f.endswith(".parquet")]
+    if len(sizes) < min_files:
+        return False
+    total = sum(sizes)
+    if total / len(sizes) >= target_bytes / 2:
+        return False
+    n_out = max(1, -(-total // target_bytes))
+    with table_lock(path):
+        df = spark.read.parquet(path)
+        write_swap(df.repartition(n_out), path)
+    return True
