@@ -144,3 +144,29 @@ def test_pipeline_clean_one_exchange(spark):
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Scan parquet") == 3
     assert "Join" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key into the same bucket count
+    must join with ZERO Exchange nodes — the write-time shuffle is the
+    whole point of bucketing."""
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    left = spark.range(0, 5000).selectExpr("id", "id * 2 AS a")
+    right = spark.range(0, 5000).selectExpr("id", "id * 3 AS b")
+    bucketing.write_bucketed(left, "bkt_left", ["id"], 8,
+                             path=str(tmp_path / "l"))
+    bucketing.write_bucketed(right, "bkt_right", ["id"], 8,
+                             path=str(tmp_path / "r"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_join(spark, "bkt_left", "bkt_right", ["id"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
