@@ -1584,6 +1584,40 @@ QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
 SQL_PIPELINE_CLEAN = _pipeline_sql()
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Corpus profiling: per-language doc counts and exact word-count
+    percentiles (p50/p90/p99) — the dataset card every training-data
+    drop ships with. Exact `percentile` (not approx) so the oracle
+    matches bit-for-bit; at 100 TB swap in percentile_approx and drop
+    the oracle's exactness, same plan shape (one partial-agg shuffle
+    on the 5-value lang key)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    nw = F.size(text._tokens(F.col("text"))).alias("n_words")
+    return (
+        d.select("lang", nw)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_words"), 4).alias("mean_words"),
+            F.round(F.percentile("n_words", F.lit(0.5)), 4).alias("p50_words"),
+            F.round(F.percentile("n_words", F.lit(0.9)), 4).alias("p90_words"),
+            F.round(F.percentile("n_words", F.lit(0.99)), 4).alias("p99_words"),
+        )
+    )
+
+
+SQL_CORPUS_STATS = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(nw), 4) AS mean_words,
+       round(quantile_cont(nw, 0.5), 4) AS p50_words,
+       round(quantile_cont(nw, 0.9), 4) AS p90_words,
+       round(quantile_cont(nw, 0.99), 4) AS p99_words
+FROM (SELECT lang, len({_SQL_TOKS}) AS nw FROM documents)
+GROUP BY lang
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1650,6 +1684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_bigram_score": q_lm_bigram_score,
     "stratified_sample": q_stratified_sample,
     "pipeline_clean": q_pipeline_clean,
+    "corpus_stats": q_corpus_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1707,6 +1742,7 @@ ORACLE_SQL: dict[str, str] = {
     "lm_bigram_score": SQL_LM_BIGRAM_SCORE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pipeline_clean": SQL_PIPELINE_CLEAN,
+    "corpus_stats": SQL_CORPUS_STATS,
 }
 
 
