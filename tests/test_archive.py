@@ -287,3 +287,21 @@ def test_fleet_import_many_archives_unions_with_provenance(spark, tmp_path):
         {"a1.zip", "a2.zip"}
     # identical pk-less rows from different archives dedup fleet-wide
     assert out["archive_ip_audit"].count() == 1
+
+
+def test_cli_import_distributed(spark, tmp_path, capsys):
+    """`import --distributed <root>` routes through the fleet path and
+    lands the same archive_* tables, with lineage kept."""
+    from twitter_to_sqlite_spark.cli import main
+
+    root = tmp_path / "archives"
+    root.mkdir()
+    make_zip(root, FILES)
+    db_path = str(tmp_path / "db")
+    rc = main(["import", db_path, "--distributed", str(root)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "archive_" in out
+    saved = spark.read.parquet(f"{db_path}/archive_follower")
+    assert "archive" in saved.columns  # provenance column kept
+    assert saved.count() > 0

@@ -192,6 +192,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("import")
     sp.add_argument("paths", nargs="+")
+    sp.add_argument("--distributed", action="store_true",
+                    help="treat each path as a ROOT of many archive "
+                         "zips and import them through the executor-"
+                         "side binaryFile fleet path (lineage kept in "
+                         "an 'archive' column)")
 
     sp = add("track")
     sp.add_argument("phrases", nargs="+")
@@ -314,9 +319,19 @@ def main(argv=None) -> int:
         for lid in args.list_ids:
             print(C.list_members(spark, fetch, db, lid))
     elif args.command == "import":
-        for path in args.paths:
-            tables = C.import_archive_command(spark, db, path)
-            print(f"{path}: {', '.join(tables)}")
+        if args.distributed:
+            from twitter_to_sqlite_spark.sources.archive import (
+                import_archives_fleet,
+            )
+            for root in args.paths:
+                tables = import_archives_fleet(spark, root, provenance=True)
+                for name, df in sorted(tables.items()):
+                    db.overwrite(name, df)
+                print(f"{root}: {', '.join(sorted(tables))}")
+        else:
+            for path in args.paths:
+                tables = C.import_archive_command(spark, db, path)
+                print(f"{path}: {', '.join(tables)}")
     elif args.command in ("track", "follow"):
         from twitter_to_sqlite_spark.streaming import capture
         if args.progress:
