@@ -496,3 +496,50 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
             break
         prev_sum = new_sum
     return labels
+
+
+def cross_minhash_pairs(new: DataFrame, stored: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, num_hashes: int = 16, bands: int = 4,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Incremental near-dup check: MinHash-LSH candidate pairs BETWEEN
+    a new batch and an already-ingested corpus — never within a side.
+
+    The steady-state dedup a crawling pipeline actually runs: each
+    incoming shard is checked against everything stored, and
+    within-shard / within-store pairs are someone else's job (the
+    store was deduped when it was ingested). Pair generation builds
+    the per-bucket cross product |new_b| × |stored_b| directly — the
+    within-side (|new_b|² + |stored_b|²)/2 work of running the full
+    pairs operator on the union and filtering is never done, which at
+    steady state (stored ≫ new) is nearly all of it.
+
+    At scale the stored side's signatures should be a MATERIALIZED
+    table keyed by (band, bh) — this plan then joins the new shard's
+    bands against it without re-sketching the store (same idea as the
+    persisted ANN indexes). Returns (id_a=stored, id_b=new).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def _bands(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+        bh = F.array(*[
+            F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
+                                     for j in range(r)]))
+            for b in range(bands)
+        ])
+        return sigs.select("id", F.posexplode(bh).alias("band", "bh"))
+
+    stored_b = _bands(stored).groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list("id")).alias("__stored"))
+    if max_bucket is not None:
+        stored_b = stored_b.filter(F.size("__stored") <= max_bucket)
+    return (
+        _bands(new)
+        .join(stored_b, ["band", "bh"])   # new bands probe stored buckets
+        .select(F.col("id").alias("id_b"),
+                F.explode("__stored").alias("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

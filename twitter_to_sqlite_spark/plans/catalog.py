@@ -1618,6 +1618,169 @@ GROUP BY lang
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (cross-corpus) near-dup candidates: a 'new' shard
+    (odd doc ids + planted near-copies of stored docs) checked against
+    the 'stored' corpus (even doc ids) — pairs BETWEEN sides only, the
+    steady-state shape of a crawl pipeline's dedup."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = d.filter(F.col("doc_id") % 2 == 0)
+    planted = d.filter((F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    return dedup.cross_minhash_pairs(
+        new, stored, k=3, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+
+
+def _mh_side_ctes(src: str, suffix: str) -> str:
+    """Shingle → minhash → band CTEs for one side of the cross check
+    (same maths as _SQL_MINHASH_CTES, parameterized by source CTE)."""
+    return f"""sh{suffix} AS (
+  SELECT DISTINCT id, unnest(
+    list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id AS id, {_SQL_TOKS} AS t FROM {src})
+),
+mh{suffix} AS (
+  SELECT id, seed,
+         min(('0x' || substring(md5(seed::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS v
+  FROM sh{suffix}, range({_MINHASH_N}) s(seed)
+  GROUP BY id, seed
+),
+bands{suffix} AS (
+  SELECT id, seed // {_R} AS band,
+         md5(string_agg(v::VARCHAR, ',' ORDER BY seed)) AS bh
+  FROM mh{suffix} GROUP BY id, seed // {_R}
+)"""
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text || ' zzz' AS text
+  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+),
+stored AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+{_mh_side_ctes("stored", "_s")},
+{_mh_side_ctes("newdocs", "_n")}
+SELECT DISTINCT s.id AS id_a, n.id AS id_b
+FROM bands_s s JOIN bands_n n ON s.band = n.band AND s.bh = n.bh
+"""
+
+# Decontamination: k-gram size. Longer than the dedup shingles — a
+# contamination hit should mean a verbatim benchmark phrase, not
+# shared trigram soup.
+_DECON_K = 5
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any
+    5-gram with the held-out eval set (docs 0..19), with the
+    shared-shingle count as evidence. Plan: distinct shingles per
+    side, inner join on shingle (eval side tiny → broadcast), groupBy
+    doc. The canonical pre-training leakage check."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") < 20)
+    train = d.filter(F.col("doc_id") >= 20).unionByName(
+        ev.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    )
+    # the train side carries the shingle work — spread the narrow
+    # single-file scan across cores before the md5-heavy explode
+    tr_sh = dedup.shingles(dedup.spread(train), "doc_id", "text", k=_DECON_K)
+    ev_sh = dedup.shingles(ev, "doc_id", "text", k=_DECON_K) \
+        .select("shingle").distinct()
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def _decon_shingles(src: str, suffix: str, k: int = _DECON_K) -> str:
+    return f"""sh{suffix} AS (
+  SELECT DISTINCT id, unnest(
+    list_transform(generate_series(1, greatest(len(t) - {k - 1}, 1)),
+                   i -> array_to_string(t[i:i+{k - 1}], ' '))) AS shingle
+  FROM (SELECT doc_id AS id, {_SQL_TOKS} AS t FROM {src})
+)"""
+
+
+SQL_DECONTAMINATE = f"""
+WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text FROM ev
+),
+{_decon_shingles("train", "_t")},
+{_decon_shingles("ev", "_e")},
+evs AS (SELECT DISTINCT shingle FROM sh_e)
+SELECT t.id AS doc_id, count(*) AS n_shared
+FROM sh_t t JOIN evs USING (shingle)
+GROUP BY t.id
+"""
+
+# Per-language token budget for the selection query (documents are a
+# few dozen to a few hundred words; 2000 tokens ≈ a few dozen docs).
+_TOKEN_BUDGET = 2000
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Quality-ranked data mixing under a token budget: per language,
+    take documents in descending quality order until the cumulative
+    token estimate reaches the budget — the selection step that turns
+    scored documents into a training mix. One window (partitioned by
+    lang, explicit ROWS frame) — no global sort, no driver loop."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = text.quality_score(text.token_count(d))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens_est").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens_est", "quality", "cum_tokens")
+    )
+
+
+SQL_TOKEN_BUDGET_SELECT = f"""
+WITH f AS (
+  SELECT doc_id, lang, text, {_SQL_TOKS} AS t FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+    greatest(len(t)::BIGINT, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_tokens_est,
+    len(t)::DOUBLE AS n_words,
+    len(list_filter(t, x -> list_contains({_SQL_STOPLIST}, x)))::DOUBLE AS n_stop,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS n_punct,
+    len(list_distinct(t))::DOUBLE AS n_distinct,
+    length(text)::DOUBLE AS n_chars
+  FROM f
+),
+q AS (
+  SELECT doc_id, lang, n_tokens_est,
+    round(least((n_stop / greatest(n_words, 1.0)) * 2, 1.0) * 0.4
+          + (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5, 1.0)) * 0.2
+          + (1.0 - (1.0 - n_distinct / greatest(n_words, 1.0))) * 0.4, 4) AS quality
+  FROM m
+),
+c AS (
+  SELECT doc_id, lang, n_tokens_est, quality,
+         sum(n_tokens_est) OVER (
+           PARTITION BY lang ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, lang, n_tokens_est, quality, cum_tokens
+FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1685,6 +1848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "pipeline_clean": q_pipeline_clean,
     "corpus_stats": q_corpus_stats,
+    "dedup_incremental": q_dedup_incremental,
+    "decontaminate": q_decontaminate,
+    "token_budget_select": q_token_budget_select,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1743,6 +1909,9 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pipeline_clean": SQL_PIPELINE_CLEAN,
     "corpus_stats": SQL_CORPUS_STATS,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "decontaminate": SQL_DECONTAMINATE,
+    "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
 }
 
 
