@@ -170,3 +170,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast (it is tiny); the train-side
+    explode must never shuffle into a SortMergeJoin."""
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_select_window_is_partitioned(spark):
+    """The budget cut must be a lang-partitioned window — a global
+    cumulative sort would serialize the corpus on one task."""
+    import re
+
+    plan = plan_of(spark, "token_budget_select")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            f"global window: {spec}"
+        )
+
+
+def test_dedup_incremental_no_within_side_pairs(spark):
+    """Cross-corpus dedup must not contain the within-bucket pair
+    generator (flatten of per-bucket self-products) — only the
+    new-bands ⋈ stored-buckets join."""
+    plan = plan_of(spark, "dedup_incremental")
+    assert "flatten" not in plan.lower()
