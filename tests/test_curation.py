@@ -128,3 +128,52 @@ class TestSampling:
         plan = sampling.hash_sample(d, 3, "doc_id")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestMinhashIndex:
+    def test_probe_matches_cross_and_index_appends(self, spark, tmp_path):
+        """probe_minhash_index == cross_minhash_pairs on the same
+        corpus; appending an accepted shard's bands keeps the store
+        current without re-sketching it."""
+        from pyspark.sql import functions as F
+
+        from twitter_to_sqlite_spark.functions import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon zeta doc {i}")
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        stored = docs.filter(F.col("doc_id") < 10)
+        # shard A: near-copies of stored docs 0-4
+        shard_a = stored.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 100).alias("doc_id"),
+            F.concat("text", F.lit(" zzz")).alias("text"),
+        )
+        path = str(tmp_path / "idx")
+        dedup.build_minhash_index(stored, path)
+        via_index = sorted(map(tuple,
+            dedup.probe_minhash_index(spark, path, shard_a).collect()))
+        via_cross = sorted(map(tuple,
+            dedup.cross_minhash_pairs(shard_a, stored).collect()))
+        assert via_index == via_cross and len(via_index) >= 5
+
+        # accept shard A: append its bands; shard B (copy of doc 100)
+        # must now collide with A through the store
+        meta = __import__(
+            "twitter_to_sqlite_spark.functions.similarity",
+            fromlist=["read_meta"]).read_meta(path)
+        r = meta["num_hashes"] // meta["bands"]
+        sigs = dedup.minhash_signatures(shard_a, "doc_id", "text",
+                                        meta["k"], meta["num_hashes"])
+        bh = F.array(*[
+            F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
+                                     for j in range(r)]))
+            for b in range(meta["bands"])
+        ])
+        sigs.select("id", F.posexplode(bh).alias("band", "bh")) \
+            .write.mode("append").partitionBy("band").parquet(path)
+        shard_b = shard_a.filter(F.col("doc_id") == 100).select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text")
+        hits = dedup.probe_minhash_index(spark, path, shard_b).collect()
+        assert any(r["id_a"] == 100 for r in hits)  # found the accepted shard

@@ -543,3 +543,66 @@ def cross_minhash_pairs(new: DataFrame, stored: DataFrame,
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def build_minhash_index(corpus: DataFrame, path: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, num_hashes: int = 16,
+                        bands: int = 4) -> None:
+    """Materialize the stored corpus's MinHash band index:
+    (band, bh, id) rows partitioned by band, sketch parameters in the
+    sidecar so probes can't drift from the build.
+
+    The steady-state form of :func:`cross_minhash_pairs`: the store is
+    sketched ONCE at ingest; each incoming shard only sketches itself
+    and joins its bands against this table. Append new shards' bands
+    after accepting them and the index stays current — the store's
+    text is never re-read for dedup.
+    """
+    from twitter_to_sqlite_spark.functions.similarity import _write_meta
+    from twitter_to_sqlite_spark.operators import sinks
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(corpus, id_col, text_col, k, num_hashes)
+    bh = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
+                                 for j in range(r)]))
+        for b in range(bands)
+    ])
+    bands_df = sigs.select("id", F.posexplode(bh).alias("band", "bh"))
+    sinks.write_swap(bands_df, path, partition_by=["band"])
+    _write_meta(path, {"kind": "minhash",
+                       "k": k, "num_hashes": num_hashes, "bands": bands})
+
+
+def probe_minhash_index(spark, path: str, new: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_bucket: int | None = None) -> DataFrame:
+    """Near-dup candidates between a new shard and a
+    :func:`build_minhash_index` store — identical output to
+    :func:`cross_minhash_pairs` against the store's corpus, without
+    re-sketching the store (its band table is read as-is; sketch
+    params come from the sidecar)."""
+    from twitter_to_sqlite_spark.functions.similarity import read_meta
+
+    meta = read_meta(path)
+    r = meta["num_hashes"] // meta["bands"]
+    sigs = minhash_signatures(new, id_col, text_col,
+                              meta["k"], meta["num_hashes"])
+    bh = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
+                                 for j in range(r)]))
+        for b in range(meta["bands"])
+    ])
+    new_bands = sigs.select("id", F.posexplode(bh).alias("band", "bh"))
+    stored_b = spark.read.parquet(path).groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list("id")).alias("__stored"))
+    if max_bucket is not None:
+        stored_b = stored_b.filter(F.size("__stored") <= max_bucket)
+    return (
+        new_bands.join(stored_b, ["band", "bh"])
+        .select(F.col("id").alias("id_b"), F.explode("__stored").alias("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

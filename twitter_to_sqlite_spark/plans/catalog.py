@@ -1634,6 +1634,38 @@ def q_dedup_incremental(spark, sf_dir):
         new, stored, k=3, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
 
 
+def _minhash_store(spark, sf_dir: str) -> str:
+    """Materialized band index over the stored half of documents —
+    built once per process (persistent infrastructure, like the ANN
+    indexes); the indexed query then measures probe cost only."""
+    import tempfile
+
+    key = ("mh", sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        stored = d.filter(F.col("doc_id") % 2 == 0)
+        path = tempfile.mkdtemp(prefix="mhidx-") + "/idx"
+        dedup.build_minhash_index(
+            stored, path, k=3, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+        _ANN_INDEX_CACHE[key] = path
+    return _ANN_INDEX_CACHE[key]
+
+
+def q_dedup_incremental_indexed(spark, sf_dir):
+    """Incremental dedup through the MATERIALIZED band index: the
+    stored corpus was sketched once at build; only the new shard is
+    sketched per query. Same oracle as dedup_incremental — the index
+    changes where the store's bands come from, not the answer."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter((F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    return dedup.probe_minhash_index(
+        spark, _minhash_store(spark, sf_dir), new)
+
+
 def _mh_side_ctes(src: str, suffix: str) -> str:
     """Shingle → minhash → band CTEs for one side of the cross check
     (same maths as _SQL_MINHASH_CTES, parameterized by source CTE)."""
@@ -1849,6 +1881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_clean": q_pipeline_clean,
     "corpus_stats": q_corpus_stats,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_indexed": q_dedup_incremental_indexed,
     "decontaminate": q_decontaminate,
     "token_budget_select": q_token_budget_select,
 }
@@ -1910,6 +1943,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_clean": SQL_PIPELINE_CLEAN,
     "corpus_stats": SQL_CORPUS_STATS,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_incremental_indexed": SQL_DEDUP_INCREMENTAL,
     "decontaminate": SQL_DECONTAMINATE,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
 }
