@@ -87,9 +87,12 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
     return narrow.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def documents_as_media(docs: DataFrame) -> DataFrame:
+def documents_as_media(docs: DataFrame,
+                       duration_ms=None) -> DataFrame:
     """Adapter: treat document text bytes as opaque payloads so the
-    multimodal plumbing is exercisable on the driver's testdata."""
+    multimodal plumbing is exercisable on the driver's testdata.
+    ``duration_ms`` (an optional Column) fills the metadata duration —
+    the field ``frame_sample_plan`` samples against."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -98,7 +101,8 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.struct(
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            (duration_ms if duration_ms is not None
+             else F.lit(None)).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
 

@@ -1618,6 +1618,25 @@ GROUP BY lang
 """
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan over synthetic media: documents as
+    opaque payloads with duration_ms = n_chars × 10, one row per
+    sampled frame timestamp (1 fps). The explode-by-timestamp shape a
+    real frame sampler feeds into the codec UDF — bytes never leave
+    the payload column."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(
+        d, duration_ms=F.col("n_chars") * 10)
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 1000)) AS frame_ts_ms
+FROM documents
+"""
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental (cross-corpus) near-dup candidates: a 'new' shard
     (odd doc ids + planted near-copies of stored docs) checked against
@@ -1873,6 +1892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     # LLM-data-pipeline: cleaning + curation
     "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
@@ -1936,6 +1956,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_stats": SQL_REPETITION_STATS,
     "lm_bigram_score": SQL_LM_BIGRAM_SCORE,
