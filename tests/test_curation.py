@@ -177,3 +177,32 @@ class TestMinhashIndex:
             (F.col("doc_id") + 100).alias("doc_id"), "text")
         hits = dedup.probe_minhash_index(spark, path, shard_b).collect()
         assert any(r["id_a"] == 100 for r in hits)  # found the accepted shard
+
+
+class TestTrainingShards:
+    def test_shard_membership_is_deterministic(self, spark, tmp_path):
+        from twitter_to_sqlite_spark.functions.sampling import (
+            write_training_shards,
+        )
+
+        d = spark.createDataFrame(
+            [(i, f"doc {i}", i % 7) for i in range(500)],
+            "doc_id long, text string, quality long",
+        )
+        p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        write_training_shards(d, p1, 8, "doc_id", order_col="quality")
+        write_training_shards(d, p2, 8, "doc_id", order_col="quality")
+
+        def membership(p):
+            rows = spark.read.parquet(p).select("shard", "doc_id").collect()
+            m: dict = {}
+            for r in rows:
+                m.setdefault(r["shard"], set()).add(r["doc_id"])
+            return m
+
+        m1, m2 = membership(p1), membership(p2)
+        assert m1 == m2                          # reproducible split
+        assert len(m1) == 8                      # every shard non-empty
+        assert sum(len(v) for v in m1.values()) == 500  # partition, no loss
+        sizes = sorted(len(v) for v in m1.values())
+        assert sizes[0] > 20                     # roughly balanced

@@ -57,3 +57,24 @@ def stratified_sample(df: DataFrame, strata_col: str,
     denom = F.lit(int(default_denom)) if denom is None \
         else denom.otherwise(F.lit(int(default_denom)))
     return df.filter(_key_hash(F.col(key_col), salt) % denom == 0)
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          key_col: str, order_col: str | None = None,
+                          salt: str = "") -> None:
+    """Write the curated corpus as `n_shards` deterministic shards:
+    shard = hash(key) % n_shards (the same portable md5 hash as the
+    samplers — NOT a random split), optionally sorted within each
+    shard by `order_col` (curriculum / length-bucketing order).
+
+    Determinism is the contract a training run needs: re-running the
+    pipeline reproduces byte-wise the same shard membership, so a
+    resumed / re-sharded job never changes what example lands where.
+    One shuffle (repartition on the shard id), then a within-partition
+    sort — no global sort, no driver involvement.
+    """
+    shard = (_key_hash(F.col(key_col), salt) % n_shards).cast("int")
+    out = df.withColumn("shard", shard).repartition(n_shards, "shard")
+    if order_col is not None:
+        out = out.sortWithinPartitions("shard", order_col)
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
