@@ -201,3 +201,11 @@ def test_dedup_incremental_no_within_side_pairs(spark):
     new-bands ⋈ stored-buckets join."""
     plan = plan_of(spark, "dedup_incremental")
     assert "flatten" not in plan.lower()
+
+
+def test_salted_facet_count_two_phase(spark):
+    """The salted variant must show BOTH exchanges (key+salt partial,
+    then key final) — that second, tiny shuffle is the price that buys
+    hot-key spreading."""
+    plan = plan_of(spark, "facet_count_salted")
+    assert count_nodes(plan, "Exchange") == 2

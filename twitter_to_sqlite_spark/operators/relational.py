@@ -477,3 +477,30 @@ def keyword_track_filter(df: DataFrame, text_col: str, phrases: list[str]) -> Da
     for p in phrase_preds[1:]:
         combined = combined | p
     return df.filter(combined)
+
+
+def salted_facet_count(df: DataFrame, col: str, count_alias: str = "n",
+                       n_salt: int = 16) -> DataFrame:
+    """Two-phase salted facet count for ADVERSARIALLY skewed keys.
+
+    A plain groupBy on a key where one value holds most rows sends
+    that value's every record to one reducer. Salting splits each key
+    into `n_salt` sub-groups (salt = deterministic row hash, so results
+    are reproducible), aggregates partially per (key, salt), then sums
+    the ≤ n_salt partials per key — the hot key's work spreads across
+    n_salt tasks and the second shuffle carries only
+    |distinct keys| × n_salt rows.
+
+    Same answer as :func:`facet_count` for any input (count is
+    salt-decomposable; asserted against the same oracle). Prefer AQE's
+    runtime skew handling by default; reach for explicit salting when
+    the skew is in a GROUP BY (AQE splits skewed JOIN partitions, not
+    aggregations) or the engine runs without AQE.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(col, "__salt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return partial.groupBy(col).agg(F.sum("__c").alias(count_alias))

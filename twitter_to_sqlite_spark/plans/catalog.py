@@ -42,6 +42,13 @@ SELECT event_type, count(*) AS n FROM events GROUP BY event_type
 """
 
 
+def q_facet_count_salted(spark, sf_dir):
+    """A6 under adversarial skew: the two-phase salted aggregation —
+    identical answer to facet_count (same oracle), hot keys spread
+    over 16 salt sub-groups before the final combine."""
+    return R.salted_facet_count(_t(spark, sf_dir, "events"), "event_type", "n")
+
+
 def q_latest_per_key(spark, sf_dir):
     """A2 latest-per-key: most recent event per user (order = event_id,
     the reference's chronological-integer-id convention, README.md:374)."""
@@ -1839,6 +1846,7 @@ FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # core relational (SURVEY §2)
     "facet_count": q_facet_count,
+    "facet_count_salted": q_facet_count_salted,
     "latest_per_key": q_latest_per_key,
     "change_detection": q_change_detection,
     "top_k": q_top_k,
@@ -1908,6 +1916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "facet_count": SQL_FACET_COUNT,
+    "facet_count_salted": SQL_FACET_COUNT,
     "latest_per_key": SQL_LATEST_PER_KEY,
     "change_detection": SQL_CHANGE_DETECTION,
     "top_k": SQL_TOP_K,
