@@ -305,3 +305,24 @@ def test_cli_import_distributed(spark, tmp_path, capsys):
     saved = spark.read.parquet(f"{db_path}/archive_follower")
     assert "archive" in saved.columns  # provenance column kept
     assert saved.count() > 0
+
+
+def test_cli_import_distributed_multiple_roots_union(spark, tmp_path, capsys):
+    """Two roots must MERGE into the tables (single scan), not clobber
+    each other (the old per-root overwrite kept only the last root)."""
+    from twitter_to_sqlite_spark.cli import main
+
+    r1, r2 = tmp_path / "a", tmp_path / "b"
+    r1.mkdir(); r2.mkdir()
+    make_zip(r1, FILES)
+    # second root: same archive content under a different path — rows
+    # merge and hash-pk dedup collapses identical ones, but lineage
+    # must show BOTH roots
+    make_zip(r2, FILES)
+    db_path = str(tmp_path / "db")
+    rc = main(["import", db_path, "--distributed", str(r1), str(r2)])
+    assert rc == 0
+    saved = spark.read.parquet(f"{db_path}/archive_follower")
+    archives = {r["archive"] for r in saved.select("archive").distinct().collect()}
+    assert any("/a/" in a for a in archives)
+    assert any("/b/" in a for a in archives)

@@ -160,19 +160,7 @@ class TestMinhashIndex:
 
         # accept shard A: append its bands; shard B (copy of doc 100)
         # must now collide with A through the store
-        meta = __import__(
-            "twitter_to_sqlite_spark.functions.similarity",
-            fromlist=["read_meta"]).read_meta(path)
-        r = meta["num_hashes"] // meta["bands"]
-        sigs = dedup.minhash_signatures(shard_a, "doc_id", "text",
-                                        meta["k"], meta["num_hashes"])
-        bh = F.array(*[
-            F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
-                                     for j in range(r)]))
-            for b in range(meta["bands"])
-        ])
-        sigs.select("id", F.posexplode(bh).alias("band", "bh")) \
-            .write.mode("append").partitionBy("band").parquet(path)
+        dedup.append_minhash_index(shard_a, path)
         shard_b = shard_a.filter(F.col("doc_id") == 100).select(
             (F.col("doc_id") + 100).alias("doc_id"), "text")
         hits = dedup.probe_minhash_index(spark, path, shard_b).collect()

@@ -323,11 +323,13 @@ def main(argv=None) -> int:
             from twitter_to_sqlite_spark.sources.archive import (
                 import_archives_fleet,
             )
-            for root in args.paths:
-                tables = import_archives_fleet(spark, root, provenance=True)
-                for name, df in sorted(tables.items()):
-                    db.overwrite(name, df)
-                print(f"{root}: {', '.join(sorted(tables))}")
+            # All roots in ONE scan: per-root overwrites would clobber
+            # each other's tables (last root wins); a single plan
+            # merges and dedups across roots with lineage kept.
+            tables = import_archives_fleet(spark, args.paths, provenance=True)
+            for name, df in sorted(tables.items()):
+                db.overwrite(name, df)
+            print(f"{', '.join(args.paths)}: {', '.join(sorted(tables))}")
         else:
             for path in args.paths:
                 tables = C.import_archive_command(spark, db, path)

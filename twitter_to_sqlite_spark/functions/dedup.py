@@ -337,19 +337,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     distinct on (id_a, id_b).
     Returns (id_a, id_b).
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    # posexplode over the per-band hash array: one pass over the
-    # signatures (a union of per-band selects would recompute them).
-    band_hashes = F.array(*[
-        F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
-                                 for j in range(r)]))
-        for b in range(bands)
-    ])
-    all_bands = sigs.select(
-        "id", F.posexplode(band_hashes).alias("band", "bh")
-    )
+    # _band_rows posexplodes over the per-band hash array: one pass
+    # over the signatures (a union of per-band selects would recompute
+    # them), and the one shared banding definition (see _band_rows).
+    all_bands = _band_rows(df, id_col, text_col, k, num_hashes, bands)
     rows = all_bands.select("band", "bh", F.struct("id").alias("item"))
     pairs = _pairs_within_buckets(rows, ["band", "bh"],
                                   max_bucket=max_bucket, on_oversize=on_oversize)
@@ -498,6 +489,49 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
     return labels
 
 
+def _band_rows(df: DataFrame, id_col: str, text_col: str,
+               k: int, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh): one row per (doc, LSH band) with the band's
+    hash. THE single definition of the banding — pair generation,
+    index build, index probe, and index append all share it, so a
+    drift in separator/cast can never make probes silently miss."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    bh = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
+                                 for j in range(r)]))
+        for b in range(bands)
+    ])
+    return sigs.select("id", F.posexplode(bh).alias("band", "bh"))
+
+
+def _cross_band_pairs(new_bands: DataFrame, stored_bands: DataFrame,
+                      max_bucket: int | None = None) -> DataFrame:
+    """Distinct (id_a=stored, id_b=new) pairs sharing a band bucket —
+    a plain equi-join on (band, bh): the per-bucket cross product is
+    executed BY the join operator, with no per-bucket array
+    materialization (an unbounded collect_list on a hot bucket can OOM
+    one task) and no shuffle-side state beyond normal join spill.
+    `max_bucket` filters hot stored buckets via a count aggregate
+    (narrow partial agg) before the join."""
+    if max_bucket is not None:
+        ok = (
+            stored_bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bh")
+        )
+        stored_bands = stored_bands.join(ok, ["band", "bh"], "left_semi")
+    return (
+        new_bands.select("band", "bh", F.col("id").alias("id_b"))
+        .join(stored_bands.select("band", "bh", F.col("id").alias("id_a")),
+              ["band", "bh"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def cross_minhash_pairs(new: DataFrame, stored: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, num_hashes: int = 16, bands: int = 4,
@@ -508,40 +542,20 @@ def cross_minhash_pairs(new: DataFrame, stored: DataFrame,
     The steady-state dedup a crawling pipeline actually runs: each
     incoming shard is checked against everything stored, and
     within-shard / within-store pairs are someone else's job (the
-    store was deduped when it was ingested). Pair generation builds
-    the per-bucket cross product |new_b| × |stored_b| directly — the
+    store was deduped when it was ingested). Pair generation is an
+    equi-join of the new shard's bands against the store's — the
     within-side (|new_b|² + |stored_b|²)/2 work of running the full
     pairs operator on the union and filtering is never done, which at
     steady state (stored ≫ new) is nearly all of it.
 
-    At scale the stored side's signatures should be a MATERIALIZED
-    table keyed by (band, bh) — this plan then joins the new shard's
-    bands against it without re-sketching the store (same idea as the
-    persisted ANN indexes). Returns (id_a=stored, id_b=new).
+    At scale the stored side's bands should be MATERIALIZED
+    (build_minhash_index / probe_minhash_index) so the store is never
+    re-sketched. Returns (id_a=stored, id_b=new).
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-
-    def _bands(df: DataFrame) -> DataFrame:
-        sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
-        bh = F.array(*[
-            F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
-                                     for j in range(r)]))
-            for b in range(bands)
-        ])
-        return sigs.select("id", F.posexplode(bh).alias("band", "bh"))
-
-    stored_b = _bands(stored).groupBy("band", "bh").agg(
-        F.array_sort(F.collect_list("id")).alias("__stored"))
-    if max_bucket is not None:
-        stored_b = stored_b.filter(F.size("__stored") <= max_bucket)
-    return (
-        _bands(new)
-        .join(stored_b, ["band", "bh"])   # new bands probe stored buckets
-        .select(F.col("id").alias("id_b"),
-                F.explode("__stored").alias("id_a"))
-        .select("id_a", "id_b")
-        .distinct()
+    return _cross_band_pairs(
+        _band_rows(new, id_col, text_col, k, num_hashes, bands),
+        _band_rows(stored, id_col, text_col, k, num_hashes, bands),
+        max_bucket,
     )
 
 
@@ -555,25 +569,31 @@ def build_minhash_index(corpus: DataFrame, path: str,
 
     The steady-state form of :func:`cross_minhash_pairs`: the store is
     sketched ONCE at ingest; each incoming shard only sketches itself
-    and joins its bands against this table. Append new shards' bands
-    after accepting them and the index stays current — the store's
-    text is never re-read for dedup.
+    and joins its bands against this table. Keep it current with
+    :func:`append_minhash_index` after accepting a shard — the
+    store's text is never re-read for dedup.
     """
     from twitter_to_sqlite_spark.functions.similarity import _write_meta
     from twitter_to_sqlite_spark.operators import sinks
 
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sigs = minhash_signatures(corpus, id_col, text_col, k, num_hashes)
-    bh = F.array(*[
-        F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
-                                 for j in range(r)]))
-        for b in range(bands)
-    ])
-    bands_df = sigs.select("id", F.posexplode(bh).alias("band", "bh"))
+    bands_df = _band_rows(corpus, id_col, text_col, k, num_hashes, bands)
     sinks.write_swap(bands_df, path, partition_by=["band"])
     _write_meta(path, {"kind": "minhash",
                        "k": k, "num_hashes": num_hashes, "bands": bands})
+
+
+def append_minhash_index(shard: DataFrame, path: str,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> None:
+    """Append an ACCEPTED shard's bands to a
+    :func:`build_minhash_index` store (sketch params from the sidecar
+    — the one banding definition, so future probes collide with it)."""
+    from twitter_to_sqlite_spark.functions.similarity import read_meta
+
+    meta = read_meta(path)
+    bands_df = _band_rows(shard, id_col, text_col,
+                          meta["k"], meta["num_hashes"], meta["bands"])
+    bands_df.write.mode("append").partitionBy("band").parquet(path)
 
 
 def probe_minhash_index(spark, path: str, new: DataFrame,
@@ -582,27 +602,13 @@ def probe_minhash_index(spark, path: str, new: DataFrame,
     """Near-dup candidates between a new shard and a
     :func:`build_minhash_index` store — identical output to
     :func:`cross_minhash_pairs` against the store's corpus, without
-    re-sketching the store (its band table is read as-is; sketch
-    params come from the sidecar)."""
+    re-sketching the store: the shard's bands (small) equi-join the
+    band table as-is; Spark broadcasts the shard side, so the store
+    is read once and never shuffled."""
     from twitter_to_sqlite_spark.functions.similarity import read_meta
 
     meta = read_meta(path)
-    r = meta["num_hashes"] // meta["bands"]
-    sigs = minhash_signatures(new, id_col, text_col,
-                              meta["k"], meta["num_hashes"])
-    bh = F.array(*[
-        F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string")
-                                 for j in range(r)]))
-        for b in range(meta["bands"])
-    ])
-    new_bands = sigs.select("id", F.posexplode(bh).alias("band", "bh"))
-    stored_b = spark.read.parquet(path).groupBy("band", "bh").agg(
-        F.array_sort(F.collect_list("id")).alias("__stored"))
-    if max_bucket is not None:
-        stored_b = stored_b.filter(F.size("__stored") <= max_bucket)
-    return (
-        new_bands.join(stored_b, ["band", "bh"])
-        .select(F.col("id").alias("id_b"), F.explode("__stored").alias("id_a"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    new_bands = _band_rows(new, id_col, text_col,
+                           meta["k"], meta["num_hashes"], meta["bands"])
+    stored_bands = spark.read.parquet(path).select("id", "band", "bh")
+    return _cross_band_pairs(new_bands, stored_bands, max_bucket)

@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -91,8 +91,10 @@ def documents_as_media(docs: DataFrame,
                        duration_ms=None) -> DataFrame:
     """Adapter: treat document text bytes as opaque payloads so the
     multimodal plumbing is exercisable on the driver's testdata.
-    ``duration_ms`` (an optional Column) fills the metadata duration —
-    the field ``frame_sample_plan`` samples against."""
+    ``duration_ms`` (an optional Column or int) fills the metadata
+    duration — the field ``frame_sample_plan`` samples against."""
+    if duration_ms is not None and not isinstance(duration_ms, Column):
+        duration_ms = F.lit(duration_ms)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),

@@ -70,11 +70,14 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     Determinism is the contract a training run needs: re-running the
     pipeline reproduces byte-wise the same shard membership, so a
     resumed / re-sharded job never changes what example lands where.
-    One shuffle (repartition on the shard id), then a within-partition
-    sort — no global sort, no driver involvement.
+    One shuffle (range repartition on the shard id — hash-of-shard-id
+    would collide several of the n_shards values into one task and
+    leave others idle), then a within-partition sort — no global sort,
+    no driver involvement.
     """
     shard = (_key_hash(F.col(key_col), salt) % n_shards).cast("int")
-    out = df.withColumn("shard", shard).repartition(n_shards, "shard")
+    out = df.withColumn("shard", shard) \
+        .repartitionByRange(n_shards, F.col("shard"))
     if order_col is not None:
         out = out.sortWithinPartitions("shard", order_col)
     out.write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -496,8 +496,15 @@ def salted_facet_count(df: DataFrame, col: str, count_alias: str = "n",
     runtime skew handling by default; reach for explicit salting when
     the skew is in a GROUP BY (AQE splits skewed JOIN partitions, not
     aggregations) or the engine runs without AQE.
+
+    The salt must NOT depend on row content — a flood of bytewise-
+    identical rows (the adversarial case) would hash to ONE salt and
+    re-concentrate on a single reducer. monotonically_increasing_id is
+    position-based (partition id in the high bits), so identical rows
+    spread; the aggregate's value is independent of the assignment, so
+    retries/layout changes cannot change the result.
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(col, "__salt")

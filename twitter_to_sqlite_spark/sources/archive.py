@@ -415,9 +415,13 @@ def _text_value(v) -> str:
     return v if isinstance(v, str) else json.dumps(v)
 
 
-def import_archives_fleet(spark: SparkSession, root: str,
+def import_archives_fleet(spark: SparkSession, root: str | list[str],
                           provenance: bool = False) -> dict[str, DataFrame]:
     """Fleet-scale archive import: millions of archives, no driver loop.
+
+    ``root`` may be one path or a list — multiple roots scan as ONE
+    plan (binaryFile takes several paths), so their archives merge and
+    dedup together instead of one root's tables clobbering another's.
 
     The scale path the module docstring promises: a ``binaryFile`` scan
     distributes whole-archive bytes across executors; ``mapInPandas``
@@ -437,10 +441,11 @@ def import_archives_fleet(spark: SparkSession, root: str,
     """
     from twitter_to_sqlite_spark.operators.sinks import hash_id_plan
 
+    roots = [root] if isinstance(root, str) else list(root)
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.zip")
-        .load(root)
+        .load(roots)
         .select("path", "content")
     )
 
