@@ -312,3 +312,21 @@ def test_jaccard_prefix_filter_is_exact(spark):
         d, "doc_id", "text", prefix_filter=True, **kw).collect()))
     assert base == pref
     assert len(base) > 0  # planted dups guarantee positives
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """A right row whose LATEST value for a payload column is null must
+    yield that null — per-column ignorenulls would stitch a row that
+    never existed from older right rows."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    right = spark.createDataFrame(
+        [(1, 100, 1, "a", "x"), (1, 150, 2, None, "y")],
+        "k long, ts long, ord long, v string, w string",
+    )
+    left = spark.createDataFrame([(1, 200, 9)], "k long, ts long, ord long")
+    out = R.asof_join(left, right, "k", "ts", "ord", ["v", "w"]).collect()
+    assert len(out) == 1
+    # latest right row is (ts=150): v=None, w='y' — atomically
+    assert out[0]["asof_v"] is None
+    assert out[0]["asof_w"] == "y"

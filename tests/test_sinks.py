@@ -342,3 +342,79 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     assert got == list(range(1000))           # rows byte-identical
     # second run is a no-op: already compact
     assert S.compact_table(spark, path, target_bytes=1 << 20) is False
+
+
+def test_compact_table_preserves_partition_layout(spark, tmp_path):
+    """Compacting a partitioned table must keep the key=value layout
+    (a flat rewrite strands rows outside the directories partitioned
+    upserts swap)."""
+    import os
+
+    path = str(tmp_path / "ptbl")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(300)], "id long, day string")
+    df.repartition(30).write.partitionBy("day").parquet(path)
+    assert S.compact_table(spark, path, target_bytes=1 << 20) is True
+    subdirs = {d for d in os.listdir(path) if d.startswith("day=")}
+    assert subdirs == {"day=d0", "day=d1", "day=d2"}
+    got = spark.read.parquet(path)
+    assert got.count() == 300
+    assert sorted(got.columns) == ["day", "id"]
+    # and a partitioned upsert still works on the compacted table
+    inc = spark.createDataFrame([(0, "d0")], "id long, day string") \
+        .withColumn("v", F.lit(1))
+    back = spark.read.parquet(path).withColumn("v", F.lit(0))
+    S.write_swap(back, path, partition_by=["day"])
+    assert spark.read.parquet(path).count() == 300
+
+
+def test_lock_not_broken_on_eperm(tmp_path, monkeypatch):
+    """EPERM from kill(pid, 0) means the holder EXISTS under another
+    uid — the lock must be respected, not broken."""
+    import json as _json
+    import os
+
+    path = str(tmp_path / "tbl")
+    lock = f"{path}.__lock"
+    with open(lock, "w") as f:
+        _json.dump({"pid": 12345, "ts": 0}, f)
+
+    def fake_kill(pid, sig):
+        raise PermissionError("operation not permitted")
+
+    monkeypatch.setattr(os, "kill", fake_kill)
+    with pytest.raises(S.ConcurrentWriteError):
+        with S.table_lock(path, timeout=0.5, poll=0.05):
+            pass
+    assert os.path.exists(lock)
+
+
+def test_swap_partitions_restores_on_failed_rename(spark, tmp_path, monkeypatch):
+    """A rename failure mid-swap must restore the displaced live
+    partition and leave tmp on disk — never delete the only fresh
+    copy."""
+    import os
+
+    path = str(tmp_path / "ptbl")
+    spark.createDataFrame([(1, "d0"), (2, "d1")], "id long, day string") \
+        .write.partitionBy("day").parquet(path)
+    tmp = str(tmp_path / "fresh")
+    spark.createDataFrame([(10, "d0")], "id long, day string") \
+        .write.partitionBy("day").parquet(tmp)
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if src.endswith("day=d0") and dst.endswith("day=d0") \
+                and "fresh" in src:
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError):
+        S.swap_partitions(tmp, path, "day")
+    monkeypatch.undo()
+    # live table intact (original rows), fresh data still on disk
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == [1, 2]
+    assert os.path.exists(os.path.join(tmp, "day=d0"))

@@ -53,10 +53,13 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     splits one large file into ~size/maxPartitionBytes scan partitions
     — so when the paths are stat-able their byte size refines the
     estimate and a big single-file scan is left untouched rather than
-    repartitioned DOWN (ADVICE r2). Unreadable/remote paths are
-    treated as large (no repartition: at worst we keep the scan's own
-    parallelism). Non-file plans (in-memory batches) are small by
-    construction and always spread.
+    repartitioned DOWN (ADVICE r2). Unreadable (object-store) paths
+    can't be sized, so few-files remote scans are spread like local
+    ones — the function exists for small tables, and skipping them
+    re-serializes the HOF-heavy callers on one core (a huge remote
+    single file loses its scan splits here; tune maxPartitionBytes or
+    pass min_partitions for that shape). Non-file plans (in-memory
+    batches) are small by construction and always spread.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
@@ -70,7 +73,7 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
             for f in files
         ]
     except OSError:
-        return df  # object-store paths: trust the scan's own splitting
+        return df.repartition(target)  # un-stat-able few-file scan
     max_bytes = _max_partition_bytes(df.sparkSession)
     est_splits = sum(max(1, -(-s // max_bytes)) for s in sizes)
     if est_splits >= target:
@@ -430,7 +433,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
                         id_b: str = "id_b",
-                        max_iters: int = 20) -> DataFrame:
+                        max_iters: int | None = None) -> DataFrame:
     """Connected components over near-duplicate pairs: every document
     in a component gets the component's minimum id as its label —
     turning pairwise dedup output into keep-one-per-cluster groups
@@ -471,8 +474,15 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
 
+    # Unbounded by default: the label sum strictly decreases every
+    # non-converged round and is bounded below, so termination is
+    # guaranteed (≤ component diameter rounds). `max_iters` is a
+    # safety valve for callers who want a cap — exceeding it RAISES
+    # rather than silently returning half-propagated labels (one real
+    # component reported as several).
     prev_sum = _label_sum(labels)
-    for _ in range(max_iters):
+    rounds = 0
+    while True:
         nbr = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "component")
@@ -484,9 +494,15 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
         )
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
-            break
+            return labels
         prev_sum = new_sum
-    return labels
+        rounds += 1
+        if max_iters is not None and rounds >= max_iters:
+            raise RuntimeError(
+                f"near_dup_components: not converged after {max_iters} "
+                f"rounds (component diameter exceeds the cap); raise "
+                f"max_iters or pass None for run-to-fixpoint"
+            )
 
 
 def _band_rows(df: DataFrame, id_col: str, text_col: str,

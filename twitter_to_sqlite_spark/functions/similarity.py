@@ -189,10 +189,12 @@ def kmeans_centroids(corpus: DataFrame, k: int, iters: int = 1,
     ever reach the driver.
     """
     if sample_mod:
-        h = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        corpus = corpus.filter(h % sample_mod == 0)
+        # the one shared portable-hash sampler (sampling._key_hash) —
+        # the DuckDB-parity '0x'||substr(md5) construction must never
+        # fork into divergeable copies
+        from twitter_to_sqlite_spark.functions.sampling import hash_sample
+
+        corpus = hash_sample(corpus, sample_mod, id_col)
     # Materialize the double-cast vectors ONCE: every iteration reuses
     # the checkpointed columnar batch instead of re-scanning parquet
     # and re-running the per-element cast (HOF, interpreted).
@@ -245,19 +247,30 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
     pruned scan. n_probe > 1 fans out only the (broadcast) query side,
     like LSH multiprobe.
     """
+    c = _side(corpus, id_col, vec_col, "neighbor_id", "__cv", "__cn").withColumn(
+        "cell", ivf_assign(F.col("__cv"), centroids)
+    )
+    q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn")
+    q = q.withColumn("cell", _probe_cells(F.col("__qv"), centroids, n_probe))
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _score_and_rank(pairs, k, decimals)
+
+
+def _probe_cells(qv, centroids: list[list[float]], n_probe: int):
+    """Explode into the query's top-n_probe cells by centroid dot
+    product — THE one definition of probe-cell ranking, shared by the
+    on-the-fly path (ivf_topk) and the materialized index
+    (probe_ivf_index) so their 'identical results' contract can't
+    drift through a tweak to one copy's tie-breaking."""
     n_cells = len(centroids)
     n_probe = min(n_probe, n_cells)
     cents = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])
-
-    c = _side(corpus, id_col, vec_col, "neighbor_id", "__cv", "__cn").withColumn(
-        "cell", ivf_assign(F.col("__cv"), centroids)
-    )
-    q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn")
-    # top-n_probe cells per query: rank centroid dot products
-    scores = F.transform(cents, lambda cc: _dot(F.col("__qv"), cc))
-    probe_cells = F.slice(
+    scores = F.transform(cents, lambda cc: _dot(qv, cc))
+    ranked = F.slice(
         F.reverse(F.array_sort(F.zip_with(
             scores,
             F.sequence(F.lit(0), F.lit(n_cells - 1)),
@@ -265,11 +278,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
         ))),
         1, n_probe,
     )
-    q = q.withColumn("cell", F.explode(F.transform(probe_cells, lambda p: p["cell"]).cast("array<long>")))
-    pairs = c.join(F.broadcast(q), "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    return _score_and_rank(pairs, k, decimals)
+    return F.explode(F.transform(ranked, lambda p: p["cell"]).cast("array<long>"))
 
 
 # -------------------------------------------------- materialized index
@@ -384,25 +393,8 @@ def probe_ivf_index(spark, path: str, queries: DataFrame, k: int,
     partitions. Results identical to ``ivf_topk`` with the same
     centroids."""
     centroids = read_meta(path)["centroids"]
-    n_cells = len(centroids)
-    n_probe = min(n_probe, n_cells)
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
     q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn")
-    scores = F.transform(cents, lambda cc: _dot(F.col("__qv"), cc))
-    probe_cells = F.slice(
-        F.reverse(F.array_sort(F.zip_with(
-            scores,
-            F.sequence(F.lit(0), F.lit(n_cells - 1)),
-            lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
-        ))),
-        1, n_probe,
-    )
-    q = q.withColumn(
-        "cell",
-        F.explode(F.transform(probe_cells, lambda p: p["cell"]).cast("array<long>")),
-    )
+    q = q.withColumn("cell", _probe_cells(F.col("__qv"), centroids, n_probe))
     cells = sorted(r[0] for r in q.select("cell").distinct().collect())
     c = _pruned_scan(spark, path, "cell", cells).select(
         "cell", "neighbor_id",

@@ -312,18 +312,26 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
     Spark has no built-in as-of join; the pair-explosion formulation
     (range join + top-1) is O(|L|·|R|) per key. This is the
     merge-union shape instead: tag both sides, union, and take a
-    running ``last(payload, ignorenulls=True)`` over (ts, side, order)
-    within each key — right rows sort before left rows at equal ts, so
-    "<=" semantics fall out of the sort order. One shuffle on the key,
-    zero joins, linear in |L|+|R| — the same plan pandas.merge_asof
-    parallelizes to, and safe at 100 TB where a range join is not.
+    running ``last(payload_struct, ignorenulls=True)`` over (ts, side,
+    order) within each key — right rows sort before left rows at equal
+    ts, so "<=" semantics fall out of the sort order. One shuffle on
+    the key, zero joins, linear in |L|+|R| — the same plan
+    pandas.merge_asof parallelizes to, and safe at 100 TB where a
+    range join is not.
+
+    The payload travels as ONE struct, not per-column ``last`` calls:
+    a right row whose latest value for some column is null must yield
+    that null (per-column ignorenulls would back-fill it from an OLDER
+    right row, stitching together a row that never existed — the
+    struct is non-null per right row, so ignorenulls only skips the
+    left-side rows it is meant to skip).
     """
-    rsel = [
+    r = right.select(
         F.col(key),
         F.col(ts_col).alias("__ats"),
         F.col(order_col).alias("__aord"),
-    ] + [F.col(c).alias(prefix + c) for c in payload_cols]
-    r = right.select(*rsel).withColumn("__side", F.lit(0))
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__apay"),
+    ).withColumn("__side", F.lit(0))
     l = (
         left.withColumn("__ats", F.col(ts_col))
         .withColumn("__aord", F.col(order_col))
@@ -335,11 +343,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
         .orderBy("__ats", "__side", "__aord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    merged = merged.withColumn(
+        "__apay", F.last("__apay", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__side") == 1)
     for c in payload_cols:
-        merged = merged.withColumn(
-            prefix + c, F.last(prefix + c, ignorenulls=True).over(w)
-        )
-    return merged.filter(F.col("__side") == 1).drop("__ats", "__aord", "__side")
+        out = out.withColumn(prefix + c, F.col("__apay")[c])
+    return out.drop("__ats", "__aord", "__side", "__apay")
 
 
 # ------------------------------------------------------- text search

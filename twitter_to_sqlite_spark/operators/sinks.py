@@ -192,9 +192,16 @@ def table_lock(path: str, timeout: float = 120.0, poll: float = 0.05):
             if holder is not None:
                 try:
                     os.kill(int(holder), 0)
-                except (OSError, ValueError):
+                except ProcessLookupError:
                     stale = True  # holder gone (same-host check; a
                     # shared filesystem would use a TTL policy here)
+                except PermissionError:
+                    pass  # EPERM: the process EXISTS under another
+                    # uid — very much alive; keep polling
+                except (OSError, ValueError):
+                    pass  # undeterminable (bad pid content, exotic
+                    # errno): be conservative — poll to the timeout
+                    # rather than break a possibly-live lock
             if stale:
                 claim = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
                 try:
@@ -310,24 +317,36 @@ def swap_partitions(tmp: str, path: str, partition_col: str) -> None:
     Displaced partition dirs are renamed to a dot-prefixed name first
     (hidden from Spark's partition discovery) so a concurrent reader
     never sees ``day=X.__old`` parsed as a partition value.
+
+    Crash-safety mirrors ``write_swap``: if a swap fails mid-way, the
+    partition being swapped is renamed back into place and ``tmp`` is
+    LEFT ON DISK for recovery — no code path deletes the only copy of
+    freshly merged data. ``tmp`` is removed only after every partition
+    has swapped successfully.
     """
     os.makedirs(path, exist_ok=True)
     prefix = f"{partition_col}="
-    try:
-        for d in os.listdir(tmp):
-            if not d.startswith(prefix):
-                continue
-            src, dst = os.path.join(tmp, d), os.path.join(path, d)
-            displaced = os.path.join(path, f".{d}.__old")
-            if os.path.exists(displaced):
-                shutil.rmtree(displaced, ignore_errors=True)
-            if os.path.exists(dst):
-                os.rename(dst, displaced)
+    for d in os.listdir(tmp):
+        if not d.startswith(prefix):
+            continue
+        src, dst = os.path.join(tmp, d), os.path.join(path, d)
+        displaced = os.path.join(path, f".{d}.__old")
+        if os.path.exists(displaced):
+            shutil.rmtree(displaced, ignore_errors=True)
+        moved = False
+        if os.path.exists(dst):
+            os.rename(dst, displaced)
+            moved = True
+        try:
             os.rename(src, dst)
-            if os.path.exists(displaced):
-                shutil.rmtree(displaced, ignore_errors=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            # Restore the displaced live partition; keep tmp intact.
+            if moved and not os.path.exists(dst):
+                os.rename(displaced, dst)
+            raise
+        if moved:
+            shutil.rmtree(displaced, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -460,6 +479,11 @@ def compact_table(spark, path: str, target_bytes: int = 128 << 20,
     No-ops (returns False) when the table already averages at least
     ``target_bytes / 2`` per file or has fewer than ``min_files`` —
     compaction must be idempotent and cheap to schedule.
+
+    Partitioned tables keep their layout: partition columns are read
+    off the ``key=value`` directory structure and the rewrite goes
+    through the same ``partitionBy`` — flattening them would strand
+    rows outside the directories ``write_upsert_partitioned`` swaps.
     """
     sizes = []
     for root, _dirs, files in os.walk(path):
@@ -471,7 +495,31 @@ def compact_table(spark, path: str, target_bytes: int = 128 << 20,
     if total / len(sizes) >= target_bytes / 2:
         return False
     n_out = max(1, -(-total // target_bytes))
+    part_cols = _partition_cols(path)
     with table_lock(path):
         df = spark.read.parquet(path)
-        write_swap(df.repartition(n_out), path)
+        if part_cols:
+            # one task per partition value: each writes one file
+            out = df.repartition(max(n_out, 1), *part_cols)
+        else:
+            out = df.repartition(n_out)
+        write_swap(out, path, partition_by=part_cols or None)
     return True
+
+
+def _partition_cols(path: str) -> list[str]:
+    """Partition columns of a parquet dataset, read off the nested
+    ``key=value`` directory names (outermost first)."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        try:
+            subs = [d for d in os.listdir(cur)
+                    if "=" in d and not d.startswith(".")
+                    and os.path.isdir(os.path.join(cur, d))]
+        except OSError:
+            return cols
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])

@@ -460,7 +460,15 @@ def import_archives_fleet(spark: SparkSession, root: str | list[str],
                 out, columns=["archive", "tbl", "row", "tags"]
             )
 
-    wire = bf.mapInPandas(extract, schema=_WIRE_SCHEMA).cache()
+    # DISK_ONLY, not cache(): the wire rows are the whole fleet's
+    # extracted content — memory-pinning them evicts everything else
+    # at 'millions of archives' scale. The blocks free when the caller
+    # drops the returned tables (ContextCleaner GC); callers keeping a
+    # session long-term should materialize and drop them promptly.
+    from pyspark import StorageLevel
+
+    wire = bf.mapInPandas(extract, schema=_WIRE_SCHEMA).persist(
+        StorageLevel.DISK_ONLY)
     tag_summary = (
         wire.select("tbl", F.explode(F.from_json("tags", "map<string,string>")))
         .groupBy("tbl", "key")

@@ -264,6 +264,18 @@ class HttpLineBridge(SocketLineBridge):
             status = getattr(resp, "status", 200)
             if status and status >= 400:
                 raise OSError(f"HTTP {status} from {self.url}")
+            # urlopen's timeout covers the whole socket, not just the
+            # connect — left at connect_timeout it would sever a
+            # HEALTHY long-poll that is merely quiet for >10 s
+            # (keep-alives arrive every ~30 s) and storm the endpoint
+            # with reconnects. Re-arm the underlying socket
+            # (HTTPResponse.fp.raw._sock) with the read timeout before
+            # streaming the body; injected test openers may return
+            # plain file-likes with no socket — skip quietly.
+            sock = getattr(getattr(getattr(resp, "fp", None), "raw", None),
+                           "_sock", None)
+            if hasattr(sock, "settimeout") and self.read_timeout is not None:
+                sock.settimeout(self.read_timeout)
             yield resp  # http responses iterate by line, chunk-decoded
         finally:
             resp.close()
