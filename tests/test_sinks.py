@@ -346,26 +346,32 @@ def test_compact_table_merges_small_files(spark, tmp_path):
 
 def test_compact_table_preserves_partition_layout(spark, tmp_path):
     """Compacting a partitioned table must keep the key=value layout
-    (a flat rewrite strands rows outside the directories partitioned
-    upserts swap)."""
+    AND the literal directory names — numeric-looking string values
+    like day='01' must not round-trip through partition-type inference
+    to day=1, or subsequent partitioned upserts install duplicates
+    beside the renamed directory."""
     import os
 
     path = str(tmp_path / "ptbl")
     df = spark.createDataFrame(
-        [(i, f"d{i % 3}") for i in range(300)], "id long, day string")
+        [(i, f"0{i % 3}", i) for i in range(300)],
+        "id long, day string, ver long")
     df.repartition(30).write.partitionBy("day").parquet(path)
     assert S.compact_table(spark, path, target_bytes=1 << 20) is True
     subdirs = {d for d in os.listdir(path) if d.startswith("day=")}
-    assert subdirs == {"day=d0", "day=d1", "day=d2"}
+    assert subdirs == {"day=00", "day=01", "day=02"}  # names intact
     got = spark.read.parquet(path)
     assert got.count() == 300
-    assert sorted(got.columns) == ["day", "id"]
-    # and a partitioned upsert still works on the compacted table
-    inc = spark.createDataFrame([(0, "d0")], "id long, day string") \
-        .withColumn("v", F.lit(1))
-    back = spark.read.parquet(path).withColumn("v", F.lit(0))
-    S.write_swap(back, path, partition_by=["day"])
-    assert spark.read.parquet(path).count() == 300
+    assert sorted(got.columns) == ["day", "id", "ver"]
+    # a REAL partitioned upsert on the compacted table: replace id=0
+    # in day=00 and confirm replace semantics (no duplicate rows)
+    inc = spark.createDataFrame([(0, "00", 999)],
+                                "id long, day string, ver long")
+    S.write_upsert_partitioned(spark, inc, path, ["id"], "ver", "day")
+    after = spark.read.parquet(path)
+    assert after.count() == 300
+    assert after.filter("id = 0").count() == 1
+    assert after.filter("id = 0").collect()[0]["ver"] == 999
 
 
 def test_lock_not_broken_on_eperm(tmp_path, monkeypatch):

@@ -53,13 +53,13 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     splits one large file into ~size/maxPartitionBytes scan partitions
     — so when the paths are stat-able their byte size refines the
     estimate and a big single-file scan is left untouched rather than
-    repartitioned DOWN (ADVICE r2). Unreadable (object-store) paths
-    can't be sized, so few-files remote scans are spread like local
-    ones — the function exists for small tables, and skipping them
-    re-serializes the HOF-heavy callers on one core (a huge remote
-    single file loses its scan splits here; tune maxPartitionBytes or
-    pass min_partitions for that shape). Non-file plans (in-memory
-    batches) are small by construction and always spread.
+    repartitioned DOWN (ADVICE r2). Remote (object-store) paths are
+    sized through the Hadoop FileSystem API, so an s3:// scan gets the
+    same large-file protection as a local one; only when no filesystem
+    can size the paths at all does the few-files heuristic fall back
+    to spreading (the small-table case this function exists for).
+    Non-file plans (in-memory batches) are small by construction and
+    always spread.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
@@ -67,18 +67,38 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df.repartition(target)
     if len(files) >= target:
         return df
-    try:
-        sizes = [
-            os.path.getsize(f[5:] if f.startswith("file:") else f)
-            for f in files
-        ]
-    except OSError:
-        return df.repartition(target)  # un-stat-able few-file scan
+    sizes = _file_sizes(df.sparkSession, files)
+    if sizes is None:
+        return df.repartition(target)  # unsizable few-file scan
     max_bytes = _max_partition_bytes(df.sparkSession)
     est_splits = sum(max(1, -(-s // max_bytes)) for s in sizes)
     if est_splits >= target:
         return df
     return df.repartition(target)
+
+
+def _file_sizes(spark, files: list[str]) -> list[int] | None:
+    """Byte sizes for scan paths: local stat first, then the Hadoop
+    FileSystem API (covers s3a/hdfs/abfs in classic mode), else None
+    (Spark Connect with remote paths — no JVM gateway)."""
+    try:
+        return [
+            os.path.getsize(f[5:] if f.startswith("file:") else f)
+            for f in files
+        ]
+    except OSError:
+        pass
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        out = []
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            out.append(p.getFileSystem(hconf).getFileStatus(p).getLen())
+        return out
+    except Exception:  # noqa: BLE001 — any gateway/FS failure
+        return None
 
 
 _SIZE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
@@ -469,10 +489,33 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # Convergence probe. Numeric ids: labels only DECREASE, so a
+    # decimal sum is strictly monotone until the fixpoint — one
+    # shuffle-free scan-agg per round. Non-numeric ids (the API
+    # accepts any orderable type): a decimal cast would be NULL/throw,
+    # so fall back to counting rows whose label changed vs the
+    # previous round (join of two checkpointed frames — costlier, but
+    # exact for any type).
+    import pyspark.sql.types as _T
+
+    id_numeric = isinstance(
+        labels.schema["component"].dataType,
+        (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
+         _T.DecimalType),
+    )
+
     def _label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
+
+    def _changed(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.withColumnRenamed("component", "__new")
+            .join(old, "id")
+            .filter(F.col("__new") != F.col("component"))
+            .count()
+        )
 
     # Unbounded by default: the label sum strictly decreases every
     # non-converged round and is bounded below, so termination is
@@ -480,9 +523,10 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
     # safety valve for callers who want a cap — exceeding it RAISES
     # rather than silently returning half-propagated labels (one real
     # component reported as several).
-    prev_sum = _label_sum(labels)
+    prev_sum = _label_sum(labels) if id_numeric else None
     rounds = 0
     while True:
+        prev_labels = labels
         nbr = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "component")
@@ -492,10 +536,14 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
+        if id_numeric:
+            new_sum = _label_sum(labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = _changed(labels, prev_labels) == 0
+        if converged:
             return labels
-        prev_sum = new_sum
         rounds += 1
         if max_iters is not None and rounds >= max_iters:
             raise RuntimeError(

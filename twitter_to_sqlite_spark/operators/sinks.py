@@ -199,9 +199,16 @@ def table_lock(path: str, timeout: float = 120.0, poll: float = 0.05):
                     pass  # EPERM: the process EXISTS under another
                     # uid — very much alive; keep polling
                 except (OSError, ValueError):
-                    pass  # undeterminable (bad pid content, exotic
-                    # errno): be conservative — poll to the timeout
-                    # rather than break a possibly-live lock
+                    # Undeterminable (garbage pid content, exotic
+                    # errno). OUR writers always record int(getpid()),
+                    # so this is a foreign/corrupt lock — apply the
+                    # same age policy as unparseable content instead
+                    # of wedging every writer until a human deletes it.
+                    try:
+                        stale = (time.time() - os.stat(lock).st_mtime
+                                 > _LOCK_GRACE)
+                    except OSError:
+                        continue
             if stale:
                 claim = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
                 try:
@@ -386,24 +393,41 @@ def write_upsert_partitioned(spark, incoming: DataFrame, path: str,
                                    version_col, partition_col, touched)
 
 
+def _read_no_infer(spark, path: str) -> DataFrame:
+    """Read a parquet dataset with partition-column TYPE INFERENCE
+    off: directory names round-trip verbatim as strings. Inference
+    turns ``day=00`` into int 0, which casts back to the string "0" —
+    an IN-filter on '00' then silently matches NOTHING, and the
+    partition swap replaces a full directory with only the incoming
+    rows (observed data loss; pinned by
+    test_compact_table_preserves_partition_layout)."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _upsert_partitioned_locked(spark, incoming, path, keys, version_col,
                                partition_col, touched) -> None:
     if os.path.exists(path):
         # Legacy layout (table written before partitioning was enabled):
         # fall back to a plain full upsert without the partition column
         # — the UNLOCKED body, since this caller already holds the lock.
-        probe = spark.read.parquet(path)
+        probe = _read_no_infer(spark, path)
         if partition_col not in probe.columns:
             _upsert_locked(spark, incoming.drop(partition_col), path, keys,
                            version_col)
             return
         # Partition pruning: the IN-filter on the partition column means
-        # only touched directories are scanned. Partition-column type
-        # inference may read the column back as date/int — cast to the
-        # incoming dtype so repeated merges don't drift the schema.
+        # only touched directories are scanned. Inference is off (see
+        # _read_no_infer), so the cast to the incoming dtype is exact —
+        # repeated merges can't drift the schema or miss directories.
         in_type = dict(incoming.dtypes)[partition_col]
         existing = (
-            spark.read.parquet(path)
+            probe
             .withColumn(partition_col, F.col(partition_col).cast(in_type))
             .filter(F.col(partition_col).isin(touched))
         )
@@ -484,11 +508,22 @@ def compact_table(spark, path: str, target_bytes: int = 128 << 20,
     off the ``key=value`` directory structure and the rewrite goes
     through the same ``partitionBy`` — flattening them would strand
     rows outside the directories ``write_upsert_partitioned`` swaps.
+    Two desync traps are closed explicitly: partition-column TYPE
+    INFERENCE is disabled for the read (``month=01`` must not round-
+    trip to ``month=1`` — the upserters match directories by name),
+    and a hot partition is salted into ``ceil(bytes/target)`` output
+    files instead of collapsing into one task writing one giant file.
     """
     sizes = []
+    per_dir: dict[str, int] = {}
     for root, _dirs, files in os.walk(path):
-        sizes += [os.path.getsize(os.path.join(root, f))
-                  for f in files if f.endswith(".parquet")]
+        rel = os.path.relpath(root, path)
+        top = rel.split(os.sep)[0] if rel != "." else "."
+        for f in files:
+            if f.endswith(".parquet"):
+                n = os.path.getsize(os.path.join(root, f))
+                sizes.append(n)
+                per_dir[top] = per_dir.get(top, 0) + n
     if len(sizes) < min_files:
         return False
     total = sum(sizes)
@@ -497,10 +532,27 @@ def compact_table(spark, path: str, target_bytes: int = 128 << 20,
     n_out = max(1, -(-total // target_bytes))
     part_cols = _partition_cols(path)
     with table_lock(path):
-        df = spark.read.parquet(path)
+        df = _read_no_infer(spark, path)
         if part_cols:
-            # one task per partition value: each writes one file
-            out = df.repartition(max(n_out, 1), *part_cols)
+            # Salt count per first-level partition value: a 50 GB hot
+            # day still compacts to ~bytes/target files, while a tiny
+            # day stays one file. The when-chain is small (one branch
+            # per live partition value).
+            buckets = {
+                d.split("=", 1)[1]: max(1, -(-b // target_bytes))
+                for d, b in per_dir.items() if "=" in d
+            }
+            nb = None
+            for v, n in sorted(buckets.items()):
+                cond = F.col(part_cols[0]).cast("string") == F.lit(v)
+                nb = F.when(cond, F.lit(n)) if nb is None \
+                    else nb.when(cond, F.lit(n))
+            nb = F.lit(1) if nb is None else nb.otherwise(F.lit(1))
+            salt = F.pmod(F.hash(F.monotonically_increasing_id()), nb)
+            n_tasks = max(1, sum(buckets.values())) if buckets else n_out
+            out = df.withColumn("__csalt", salt) \
+                .repartition(n_tasks, *part_cols, "__csalt") \
+                .drop("__csalt")
         else:
             out = df.repartition(n_out)
         write_swap(out, path, partition_by=part_cols or None)
