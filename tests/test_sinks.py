@@ -424,3 +424,24 @@ def test_swap_partitions_restores_on_failed_rename(spark, tmp_path, monkeypatch)
     got = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert got == [1, 2]
     assert os.path.exists(os.path.join(tmp, "day=d0"))
+
+
+def test_compact_table_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark URI-escapes on disk (':' → %3A) must
+    still match the per-partition bucket map — and the rewrite must
+    preserve the escaped directory names."""
+    import os
+
+    path = str(tmp_path / "etbl")
+    df = spark.createDataFrame(
+        [(i, f"h:{i % 2}") for i in range(200)], "id long, ts string")
+    df.repartition(20).write.partitionBy("ts").parquet(path)
+    dirs_before = {d for d in os.listdir(path) if d.startswith("ts=")}
+    assert dirs_before == {"ts=h%3A0", "ts=h%3A1"}  # escaped on disk
+    assert S.compact_table(spark, path, target_bytes=1 << 20) is True
+    dirs_after = {d for d in os.listdir(path) if d.startswith("ts=")}
+    assert dirs_after == dirs_before
+    got = spark.read.parquet(path)
+    assert got.count() == 200
+    assert {r["ts"] for r in got.select("ts").distinct().collect()} \
+        == {"h:0", "h:1"}

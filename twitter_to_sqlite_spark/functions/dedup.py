@@ -498,11 +498,13 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
     # exact for any type).
     import pyspark.sql.types as _T
 
+    _dt = labels.schema["component"].dataType
+    # Integral types only: a decimal(38,0) cast of a scaled decimal or
+    # float ROUNDS, so distinct labels can collide and a round that
+    # changed labels can leave the sum unchanged — false convergence.
     id_numeric = isinstance(
-        labels.schema["component"].dataType,
-        (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
-         _T.DecimalType),
-    )
+        _dt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType),
+    ) or (isinstance(_dt, _T.DecimalType) and _dt.scale == 0)
 
     def _label_sum(df: DataFrame):
         return df.agg(

@@ -125,6 +125,11 @@ def m2m_bridge_plan(df: DataFrame, left_id: str, right_id: str,
 # writer mid-create.
 _LOCK_GRACE = 5.0
 
+# A lock whose pid CAN'T be probed (foreign tooling, corrupt content)
+# may belong to a holder alive mid-merge — only break it after a TTL
+# sized to the longest plausible held merge, not the create grace.
+_LOCK_STALE_TTL = 600.0
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer holds the table lock; the upsert was NOT applied.
@@ -201,12 +206,14 @@ def table_lock(path: str, timeout: float = 120.0, poll: float = 0.05):
                 except (OSError, ValueError):
                     # Undeterminable (garbage pid content, exotic
                     # errno). OUR writers always record int(getpid()),
-                    # so this is a foreign/corrupt lock — apply the
-                    # same age policy as unparseable content instead
-                    # of wedging every writer until a human deletes it.
+                    # so this is a foreign/corrupt lock — break it
+                    # after the HELD-lock TTL (not the microseconds-
+                    # scale create grace: the foreign holder could be
+                    # alive mid-merge) instead of wedging every writer
+                    # until a human deletes it.
                     try:
                         stale = (time.time() - os.stat(lock).st_mtime
-                                 > _LOCK_GRACE)
+                                 > _LOCK_STALE_TTL)
                     except OSError:
                         continue
             if stale:
@@ -405,7 +412,14 @@ def _read_no_infer(spark, path: str) -> DataFrame:
     prev = spark.conf.get(key)
     spark.conf.set(key, "false")
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        df.schema  # force analysis while inference is off (classic
+        # mode analyzes reads eagerly anyway; this pins it — under
+        # Spark Connect, deferred analysis could otherwise run after
+        # the conf is restored). The toggle is session-global, so
+        # concurrent same-session readers briefly see it off — these
+        # are maintenance paths serialized by table_lock.
+        return df
     finally:
         spark.conf.set(key, prev)
 
@@ -514,7 +528,70 @@ def compact_table(spark, path: str, target_bytes: int = 128 << 20,
     and a hot partition is salted into ``ceil(bytes/target)`` output
     files instead of collapsing into one task writing one giant file.
     """
-    sizes = []
+    sizes, _ = _walk_sizes(path)
+    if len(sizes) < min_files:
+        return False
+    total = sum(sizes)
+    if total / len(sizes) >= target_bytes / 2:
+        return False
+    part_cols = _partition_cols(path)
+    with table_lock(path):
+        # Re-size UNDER the lock: the pre-lock walk only decided the
+        # cheap no-op; the write plan's bucket counts must match the
+        # data actually read (a concurrent upsert may have landed a
+        # new hot partition between the two).
+        sizes, per_dir = _walk_sizes(path)
+        total = sum(sizes)
+        n_out = max(1, -(-total // target_bytes))
+        df = _read_no_infer(spark, path)
+        if len(part_cols) == 1:
+            # Salt count per partition value via a depth-1 literal map
+            # (a when-chain would nest one level per live partition —
+            # StackOverflow territory on a years-of-days table): a
+            # 50 GB hot day compacts to ~bytes/target files, a tiny
+            # day stays one file. Deterministic salt (row-content
+            # hash): a retried task re-salts identically, the
+            # SPARK-23207 nondeterministic-repartition hazard.
+            # Directory names are URI-escaped on disk — unquote before
+            # comparing with column VALUES.
+            import urllib.parse
+
+            buckets = {
+                urllib.parse.unquote(d.split("=", 1)[1]):
+                    max(1, -(-b // target_bytes))
+                for d, b in per_dir.items() if "=" in d
+            }
+            entries: list = []
+            for v, n in sorted(buckets.items()):
+                entries += [F.lit(v), F.lit(n)]
+            nb = F.coalesce(
+                F.element_at(F.create_map(*entries),
+                             F.col(part_cols[0]).cast("string")),
+                F.lit(1),
+            ) if entries else F.lit(1)
+            salt = F.pmod(
+                F.hash(*[F.col(c) for c in df.columns]), nb)
+            n_tasks = max(1, sum(buckets.values())) if buckets else n_out
+            out = df.withColumn("__csalt", salt) \
+                .repartition(n_tasks, *part_cols, "__csalt") \
+                .drop("__csalt")
+        elif part_cols:
+            # Multi-level layouts: salting the top level would scatter
+            # leaf directories across tasks and multiply output files;
+            # plain repartition on the full partition key keeps one
+            # task per leaf (hot single LEAF files stay unsplit — rare
+            # for multi-level schemes, whose leaves are fine-grained).
+            out = df.repartition(max(1, n_out), *part_cols)
+        else:
+            out = df.repartition(n_out)
+        write_swap(out, path, partition_by=part_cols or None)
+    return True
+
+
+def _walk_sizes(path: str) -> tuple[list[int], dict[str, int]]:
+    """Parquet file sizes under ``path`` plus bytes per first-level
+    entry (partition dir or '.')."""
+    sizes: list[int] = []
     per_dir: dict[str, int] = {}
     for root, _dirs, files in os.walk(path):
         rel = os.path.relpath(root, path)
@@ -524,39 +601,7 @@ def compact_table(spark, path: str, target_bytes: int = 128 << 20,
                 n = os.path.getsize(os.path.join(root, f))
                 sizes.append(n)
                 per_dir[top] = per_dir.get(top, 0) + n
-    if len(sizes) < min_files:
-        return False
-    total = sum(sizes)
-    if total / len(sizes) >= target_bytes / 2:
-        return False
-    n_out = max(1, -(-total // target_bytes))
-    part_cols = _partition_cols(path)
-    with table_lock(path):
-        df = _read_no_infer(spark, path)
-        if part_cols:
-            # Salt count per first-level partition value: a 50 GB hot
-            # day still compacts to ~bytes/target files, while a tiny
-            # day stays one file. The when-chain is small (one branch
-            # per live partition value).
-            buckets = {
-                d.split("=", 1)[1]: max(1, -(-b // target_bytes))
-                for d, b in per_dir.items() if "=" in d
-            }
-            nb = None
-            for v, n in sorted(buckets.items()):
-                cond = F.col(part_cols[0]).cast("string") == F.lit(v)
-                nb = F.when(cond, F.lit(n)) if nb is None \
-                    else nb.when(cond, F.lit(n))
-            nb = F.lit(1) if nb is None else nb.otherwise(F.lit(1))
-            salt = F.pmod(F.hash(F.monotonically_increasing_id()), nb)
-            n_tasks = max(1, sum(buckets.values())) if buckets else n_out
-            out = df.withColumn("__csalt", salt) \
-                .repartition(n_tasks, *part_cols, "__csalt") \
-                .drop("__csalt")
-        else:
-            out = df.repartition(n_out)
-        write_swap(out, path, partition_by=part_cols or None)
-    return True
+    return sizes, per_dir
 
 
 def _partition_cols(path: str) -> list[str]:
