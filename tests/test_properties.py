@@ -330,3 +330,25 @@ def test_asof_join_null_payload_not_backfilled(spark):
     # latest right row is (ts=150): v=None, w='y' — atomically
     assert out[0]["asof_v"] is None
     assert out[0]["asof_w"] == "y"
+
+
+def test_shingles_lead_form_matches_array_form(spark):
+    """The window-lead shingle builder must emit EXACTLY the exploded
+    shingle_array set — including the single short shingle a doc with
+    fewer than k tokens produces (the oracles emit it too)."""
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "two words"),          # shorter than k=3 → one short shingle
+         (3, "one"),
+         (4, "rep rep rep rep")],   # duplicate shingles collapse
+        "doc_id long, text string",
+    )
+    lead_form = sorted(map(tuple, dedup.shingles(d, k=3).collect()))
+    arr_form = sorted(map(tuple, (
+        dedup.shingle_array(d, "doc_id", "text", 3)
+        .select("id", __import__("pyspark.sql.functions", fromlist=["explode"])
+                .explode("__sh").alias("shingle"))
+    ).collect()))
+    assert lead_form == arr_form
+    assert (2, "two words") in lead_form
+    assert (3, "one") in lead_form

@@ -203,9 +203,40 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle)."""
-    return shingle_array(df, id_col, text_col, k).select(
-        "id", F.explode("__sh").alias("shingle")
+    """Distinct k-word shingles per document: (id, shingle).
+
+    Built by posexplode + a window of ``lead(tok, i)`` concats — fully
+    codegen'd — rather than exploding :func:`shingle_array`: the array
+    form's per-position ``concat_ws(slice(...))`` lambda is interpreted
+    per element (measured 3.2× slower end-to-end at sf0.1). The window
+    shuffles on the doc id once; consumers that need per-doc ARRAYS
+    (MinHash signatures, fingerprints) keep using ``shingle_array``.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("id"),
+                     _tokens(F.col(text_col)).alias("__t"))
+    toks = base.select(
+        "id", F.size("__t").alias("__n"),
+        F.posexplode("__t").alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy("id").orderBy("__pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", i).over(w) for i in range(1, k)
+    ]
+    # Position bound mirrors shingle_array's sequence(1, greatest(n-k+1,
+    # 1)): a doc SHORTER than k tokens still emits its single short
+    # shingle (concat_ws skips the null leads), matching the oracles.
+    return (
+        toks.select(
+            "id", F.concat_ws(" ", *parts).alias("shingle"),
+            (F.col("__pos")
+             <= F.greatest(F.col("__n") - (k - 1), F.lit(1)) - 1)
+            .alias("__keep"),
+        )
+        .filter(F.col("__keep"))
+        .select("id", "shingle")
+        .distinct()
     )
 
 
@@ -242,9 +273,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     is a flag, not the default.
     """
     df = spread(df)
-    sh = shingle_array(df, id_col, text_col, k).select(
-        "id", F.explode("__sh").alias("shingle")
-    )
+    # codegen'd window-lead shingles (3.2× the exploded-array form —
+    # see shingles()); same distinct (id, shingle) contract.
+    sh = shingles(df, id_col, text_col, k)
     from pyspark.sql import Window
 
     # document frequency window over the shingle key; stop-shingles
