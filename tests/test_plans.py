@@ -67,8 +67,12 @@ def test_projection_prunes_scan(spark):
 
 def test_watermark_filter_prunes_columns(spark):
     plan = plan_of(spark, "watermark_filter")
-    # the watermark-side scan reads only (event_id, ts)
-    assert "struct<event_id:bigint,ts:bigint>" in plan
+    # the watermark-side scan reads only (event_id, ts); the physical
+    # type of ts follows the testdata (bigint ns in r2, timestamp_ntz
+    # µs from r3 on), so assert the pruned column *set*, not the type.
+    import re
+
+    assert re.search(r"struct<event_id:bigint,ts:[a-z_]+>", plan)
 
 
 def test_filter_pushdown_reaches_scan(spark):

@@ -289,9 +289,14 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str, order_col: str,
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     prev = F.lag(F.col(ts_col)).over(w)
+    # NTZ-safe epoch seconds: TIMESTAMP_NTZ can't cast straight to
+    # double; routing through "timestamp" is a no-op for LTZ inputs and
+    # a deterministic (UTC session tz) conversion for NTZ parquet.
+    def _epoch(c):
+        return c.cast("timestamp").cast("double")
+
     new_session = F.when(
-        prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_seconds),
+        prev.isNull() | (_epoch(F.col(ts_col)) - _epoch(prev) > gap_seconds),
         1,
     ).otherwise(0)
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
