@@ -514,10 +514,18 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
         .localCheckpoint()
     )
+    # Seed labels with round 1 already applied: against identity
+    # labels, one propagation round yields exactly least(id, min
+    # neighbor) — computable as a single partial-agg shuffle over the
+    # (symmetric) edge list, replacing the identity-label distinct
+    # PLUS the first join+union+groupBy round and its probe.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__md"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__md")).alias("component"),
+        )
         .localCheckpoint()
     )
     # Convergence probe. Numeric ids: labels only DECREASE, so a

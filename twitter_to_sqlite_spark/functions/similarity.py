@@ -211,25 +211,28 @@ def kmeans_centroids(corpus: DataFrame, k: int, iters: int = 1,
     cents = init
     if not cents:
         return []
+    dim = len(init[0])
     for _ in range(iters):
         assigned = vecs.withColumn("cell", ivf_assign(F.col("v"), cents))
         mean_expr = (
             F.round(F.avg("x"), decimals) if decimals is not None else F.avg("x")
         )
+        # One partial-agg shuffle per iteration: the k×dim per-(cell,
+        # dim) means come back as plain rows and the centroid arrays
+        # are assembled driver-side — k×dim doubles, not data-sized.
+        # (A second groupBy(cell)+collect_list assembled them JVM-side
+        # before: one more exchange per iteration for no benefit. A
+        # dim-wide `sum(v[i])` single-agg variant is worse still — 64
+        # aggregate buffers explode whole-stage codegen compile time.)
         mean_rows = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
             .agg(mean_expr.alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
             .collect()
         )
-        by_cell = {r["cell"]: list(r["cv"]) for r in mean_rows}
+        by_cell: dict[int, list[float]] = {}
+        for r in mean_rows:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["i"]] = float(r["m"])
         cents = [by_cell.get(j, cents[j]) for j in range(k)]
     return cents
 

@@ -153,25 +153,50 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
 
     dup_word_frac = 1 - distinct/total words (pure column expression);
     top_bigram_frac = count of the most frequent bigram / total
-    bigrams, via explode + two partial-agg'd groupBys — both shuffles
-    key on doc_id (high-entropy, skew-free), so the plan is two
-    map-side-combined exchanges at any scale.
+    bigrams. Both are PER-DOCUMENT stats, so no shuffle is warranted:
+    the top-bigram count is the longest run of equal elements in the
+    document's SORTED bigram array (array_sort + one linear aggregate
+    fold, O(B log B) per row) — the whole query is a narrow map over
+    the scan. The earlier explode → groupBy(doc_id, bg) →
+    groupBy(doc_id) → join form spent two exchanges plus a join
+    re-keying on doc_id for a quantity each row can compute alone.
     """
     toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
-    base = toks.select(
+    bg = F.when(
+        F.size("__t") >= 2,
+        F.expr(
+            "zip_with(slice(__t, 1, size(__t) - 1),"
+            " slice(__t, 2, size(__t) - 1),"
+            " (x, y) -> concat(x, ' ', y))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    staged = toks.select(
         F.col(id_col),
         F.size("__t").alias("n_words"),
         F.size(F.array_distinct("__t")).alias("__nd"),
+        F.array_sort(bg).alias("__bg"),
     )
-    bg_top = (
-        _bigram_explode(df, id_col, text_col)
-        .groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy(id_col).agg(
-            F.max("__c").alias("__top"),
-            F.sum("__c").alias("__tot"),
-        )
+
+    def _run(acc, x):
+        return F.when(
+            acc["p"].isNotNull() & (x == acc["p"]), acc["r"] + F.lit(1)
+        ).otherwise(F.lit(1))
+
+    top = F.aggregate(
+        F.col("__bg"),
+        F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).alias("r"),
+            F.lit(0).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("p"),
+            _run(acc, x).alias("r"),
+            F.greatest(acc["b"], _run(acc, x)).alias("b"),
+        ),
+        lambda acc: acc["b"],
     )
-    return base.join(bg_top, id_col, "left").select(
+    return staged.select(
         F.col(id_col),
         F.col("n_words"),
         F.round(
@@ -181,8 +206,9 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
             .otherwise(F.lit(0.0)), 4,
         ).alias("dup_word_frac"),
         F.round(
-            F.coalesce(F.col("__top").cast("double")
-                       / F.col("__tot").cast("double"), F.lit(0.0)), 4,
+            F.when(F.size("__bg") > 0,
+                   top.cast("double") / F.size("__bg").cast("double"))
+            .otherwise(F.lit(0.0)), 4,
         ).alias("top_bigram_frac"),
     )
 
