@@ -213,3 +213,17 @@ def test_salted_facet_count_two_phase(spark):
     hot-key spreading."""
     plan = plan_of(spark, "facet_count_salted")
     assert count_nodes(plan, "Exchange") == 2
+
+
+def test_chunk_documents_is_narrow(spark):
+    """Per-document chunking must stay a narrow map over the scan —
+    no shuffle for a row-local windowing step."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_repetition_stats_is_narrow(spark):
+    """Per-document repetition stats (sorted-run top-bigram) must not
+    shuffle: the whole query is one projection over the scan."""
+    plan = plan_of(spark, "repetition_stats")
+    assert "Exchange" not in plan

@@ -246,6 +246,45 @@ def lm_bigram_score(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    size: int = 32, stride: int = 24) -> DataFrame:
+    """Fixed-size token windows with overlap — the pre-tokenization
+    chunking step of an LLM training/eval pipeline (stride < size
+    leaves size-stride tokens of overlap between consecutive chunks
+    so no span is split across a boundary unseen).
+
+    Chunk i covers tokens [i*stride, i*stride+size); a document gets
+    1 + ceil(max(n-size, 0)/stride) chunks, so every token is in at
+    least one chunk and a short document yields exactly one.
+
+    Scale: one narrow pass — tokens materialized once per row,
+    sequence+explode multiplies rows by ~n/stride, slices are per-row
+    array ops. No shuffle, no UDF; parallelism is the scan's.
+    """
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(size), F.lit(0)).cast("double")
+            / F.lit(float(stride))
+        ).cast("int")
+    )
+    chunks = toks.filter(n > 0).select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__t"), F.col("chunk_id") * stride + 1, size)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 shingle_k: int = 3) -> DataFrame:
     """Document fingerprint: min-hash-of-shingles (one 64-bit value).

@@ -1491,6 +1491,43 @@ _SQL_BIGRAMS = f"""
 """
 
 
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size token windows with overlap (size 32, stride 24) —
+    the pre-tokenization chunking step for LLM training; zero-shuffle
+    narrow plan (text.chunk_documents)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.chunk_documents(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+d AS (
+  SELECT doc_id, t, len(t) AS n,
+         1 + CAST(ceil(greatest(len(t) - {_CHUNK_SIZE}, 0)::DOUBLE
+                       / {_CHUNK_STRIDE}) AS INT) AS n_chunks
+  FROM t WHERE len(t) > 0
+),
+c AS (
+  SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM d
+)
+SELECT doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       len(list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                      chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}))::BIGINT
+         AS n_tokens,
+       array_to_string(
+         list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                    chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')
+         AS chunk_text
+FROM c
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters: duplicate-word fraction +
     top-bigram fraction per document."""
@@ -1973,6 +2010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     # LLM-data-pipeline: cleaning + curation
     "pii_scrub": q_pii_scrub,
+    "chunk_documents": q_chunk_documents,
     "repetition_stats": q_repetition_stats,
     "lm_bigram_score": q_lm_bigram_score,
     "stratified_sample": q_stratified_sample,
@@ -2038,6 +2076,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "pii_scrub": SQL_PII_SCRUB,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "repetition_stats": SQL_REPETITION_STATS,
     "lm_bigram_score": SQL_LM_BIGRAM_SCORE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
