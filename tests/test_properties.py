@@ -352,3 +352,51 @@ def test_shingles_lead_form_matches_array_form(spark):
     assert lead_form == arr_form
     assert (2, "two words") in lead_form
     assert (3, "one") in lead_form
+
+
+# --- chunk_documents spec ------------------------------------------------
+
+TEXTS = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=120),
+    min_size=1, max_size=6,
+)
+
+
+def _python_chunks(text, size, stride):
+    """Executable spec of chunk_documents for one document."""
+    import re
+
+    toks = [t for t in re.split(r"\W+", text.lower()) if t]
+    if not toks:
+        return []
+    n = len(toks)
+    n_chunks = 1 + max(0, -(-(n - size) // stride)) if n > size else 1
+    out = []
+    for i in range(n_chunks):
+        piece = toks[i * stride: i * stride + size]
+        out.append((i, len(piece), " ".join(piece)))
+    return out
+
+
+@given(texts=TEXTS)
+@SETTINGS
+def test_chunk_documents_matches_spec(spark, texts):
+    from twitter_to_sqlite_spark.functions.text import chunk_documents
+
+    size, stride = 5, 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, size=size, stride=stride).collect()
+    }
+    want = {
+        (i, cid, n, txt)
+        for i, t in enumerate(texts)
+        for cid, n, txt in _python_chunks(t, size, stride)
+    }
+    assert got == want
+    # every token appears in some chunk: total coverage (first chunk of
+    # each position), and overlap is exactly size-stride for interior
+    # consecutive chunks of long docs — both implied by got == want.

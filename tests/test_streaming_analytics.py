@@ -129,3 +129,28 @@ def test_user_sessions_gap_and_close(spark, dirs):
     assert (101, "2020-02-03 10:00:30", 3) in got   # burst merged into one session
     assert (101, "2020-02-03 10:40:30", 1) in got   # reopened after the gap
     assert (202, "2020-02-03 10:01:30", 1) in got
+
+
+def test_trending_terms_topk(spark, dirs):
+    """trending_terms emits finalized per-window term counts;
+    topk_per_window ranks them deterministically."""
+    src, out, ckpt = dirs
+    write_chunk(src, "c1.json", [
+        _tw(1, 0), _tw(2, 0), _tw(3, 1),
+        _tw(4, 30),  # late-window tweet advances the watermark so the
+                     # 10:00 window finalizes under availableNow
+    ])
+    res = run_stream(
+        spark, src, out, ckpt,
+        lambda s: analytics.trending_terms(s, "5 minutes", watermark="1 minute"),
+    )
+    rows = {(str(r["window_start"]), r["term"], r["n"]) for r in res.collect()}
+    # tweets 1-3 all share the word "tweet" in minute 0/1 → one 10:00
+    # window with n=3
+    assert ("2020-02-03 10:00:00", "tweet", 3) in rows
+    ranked = analytics.topk_per_window(
+        spark.sql(f"select * from {os.path.basename(out)}"), k=1
+    ).collect()
+    by_window = {str(r["window_start"]): r for r in ranked}
+    top = by_window.get("2020-02-03 10:00:00")
+    assert top is not None and top["n"] == 3 and top["rank"] == 1

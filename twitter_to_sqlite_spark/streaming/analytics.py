@@ -11,6 +11,12 @@ no windowed aggregation — these are the Spark-native extensions a
                            applyInPandasWithState: per-user running
                            tweet count + last-seen id, state kept by
                            Spark's state store across micro-batches
+  trending_terms           sliding-window term frequencies (the
+                           trending-topics primitive); append-mode
+                           safe, bounded state
+  topk_per_window          batch finisher ranking each CLOSED window's
+                           terms (rank needs the window complete —
+                           exactly what append-after-watermark emits)
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -144,4 +150,69 @@ def running_user_counts(stream: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def trending_terms(stream: DataFrame, window: str = "5 minutes",
+                   slide: str | None = None,
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Windowed term frequencies over the tweet text — the
+    trending-topics primitive. Emits (window, term, n) rows as windows
+    close (append mode): watermark-bounded state, no unbounded top-k
+    kept in flight.
+
+    Ranking deliberately does NOT happen here: a per-window rank is
+    only meaningful once the window is COMPLETE, which is exactly what
+    append-after-watermark emits — run ``topk_per_window`` over the
+    sink table (or inside foreachBatch on the finalized rows).
+
+    Scale: explode fans each tweet out to its terms before the
+    windowed count, so the shuffle key is (window, term) — high
+    entropy, skew-bounded by term frequency; partial aggregation
+    combines map-side. A hot term costs one reducer key per window,
+    never a hot partition of tweets.
+    """
+    terms = (
+        with_event_time(stream)
+        .withWatermark("event_ts", watermark)
+        .select(
+            "event_ts",
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.lower(F.coalesce(F.col("full_text"), F.col("text"))),
+                        r"\W+",
+                    ),
+                    lambda t: t != "",
+                )
+            ).alias("term"),
+        )
+    )
+    win = (
+        F.window("event_ts", window, slide)
+        if slide
+        else F.window("event_ts", window)
+    )
+    return (
+        terms.groupBy(win.alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )
+
+
+def topk_per_window(windowed_counts: DataFrame, k: int = 10) -> DataFrame:
+    """Rank each closed window's terms: one window-partitioned
+    exchange (never a global sort), ties broken by term for
+    determinism. Runs as a batch over the trending_terms sink."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        windowed_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
