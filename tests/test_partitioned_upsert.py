@@ -66,3 +66,34 @@ def test_partitioned_upsert_prunes_read(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in plan and "d2" in plan
+
+
+def test_partitioned_upsert_null_partition_preserved(spark, tmp_path):
+    """A NULL partition value in the batch must MERGE with, not
+    replace, the stored null partition (__HIVE_DEFAULT_PARTITION__):
+    a plain isin() filter silently drops NULL rows from the existing
+    side and the swap then deletes them."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "2020-01-02")],
+        "id long, v string, day string",
+    ).withColumn("__batch", F.lit(1).cast("long"))
+    S.write_upsert_partitioned(spark, seed, path, ["id"], "__batch", "day")
+
+    batch = spark.createDataFrame(
+        [(9, "n", None)], "id long, v string, day string"
+    ).withColumn("__batch", F.lit(2).cast("long"))
+    S.write_upsert_partitioned(spark, batch, path, ["id"], "__batch", "day")
+
+    # partition-type inference reads `day` back as DATE; normalize
+    out = {
+        r["id"]: (r["v"], str(r["day"]) if r["day"] is not None else None)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert out == {
+        1: ("a", None),          # pre-existing null-partition row survives
+        2: ("b", "2020-01-02"),
+        9: ("n", None),
+    }

@@ -400,3 +400,22 @@ def test_chunk_documents_matches_spec(spark, texts):
     # every token appears in some chunk: total coverage (first chunk of
     # each position), and overlap is exactly size-stride for interior
     # consecutive chunks of long docs — both implied by got == want.
+
+
+def test_jaccard_empty_docs_pair(spark):
+    """Zero-token documents (punctuation-only text) must pair as exact
+    near-dups — both emit the single '' shingle, matching
+    shingle_array's greatest(n-k+1, 1) bound and the DuckDB oracles.
+    The window-lead shingle rewrite silently dropped these rows."""
+    df = spark.createDataFrame(
+        [(1, "!!!"), (2, "???"), (3, "real words here three")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2, 1.0) in pairs
+    assert all(p[0] != 3 and p[1] != 3 for p in pairs)

@@ -116,8 +116,13 @@ def _scan_and_save(spark, fetch, db, url, args, since_type, since_key,
     streams through instead of materializing in a driver list. Bridge
     and provenance rows are saved per-chunk through the same keyed
     upserts, which makes the chunked path idempotent and
-    order-independent."""
-    if since and since_id is None:
+    order-independent.
+
+    ``since_type=None`` runs the scan without C1 watermark bookkeeping
+    — the reference registers since-id types only for user/home/
+    mentions/search (utils.py:19-24); favorites deliberately has none.
+    """
+    if since and since_id is None and since_type is not None:
         since_id = db.watermarks.get(since_type, since_key)
     scan = api.TimelineScan(
         fetch, url, args=dict(args), since_id=since_id,
@@ -154,7 +159,7 @@ def _scan_and_save(spark, fetch, db, url, args, since_type, since_key,
         if len(rows) >= limit:
             flush()
     flush()
-    if max_seen is not None:
+    if max_seen is not None and since_type is not None:
         db.watermarks.set(since_type, since_key, max_seen)
     if progress is not None:
         progress.finish()
@@ -239,39 +244,19 @@ def favorites(spark, fetch, db: TweetDatabase, user_id: int,
               stop_after=None, on_progress=None,
               render_progress=False) -> int:
     """favorites (cli.py:185-212): saves tweets + favorited_by bridge
-    (utils.py:435-441)."""
-    def bridge_cb(rows):
-        bdf = spark.createDataFrame(
-            [(int(user_id), int(r["id"])) for r in rows], "user long, tweet long"
-        )
-        db.upsert("favorited_by", bdf, ["user", "tweet"])
-
+    (utils.py:435-441), through the shared chunked scan path —
+    since_type=None because the reference registers no favorites
+    since-id type (utils.py:19-24)."""
     prog = None
     if on_progress is not None or render_progress:
         prog = ProgressReporter("Importing favorites", None,
                                 on_event=on_progress, render=render_progress)
-    scan = api.TimelineScan(
-        fetch, URLS["favorites"],
-        args={"user_id": user_id, "tweet_mode": "extended"},
-        stop_after=stop_after, sleep_fn=lambda s: None,
+    return _scan_and_save(
+        spark, fetch, db, URLS["favorites"],
+        {"user_id": user_id, "tweet_mode": "extended"},
+        None, None, False, None, stop_after,
+        bridge=("favorited_by", user_id), progress=prog,
     )
-    total = 0
-    rows = []
-    for p in scan.pages():
-        rows.extend(p.rows)
-        total += len(p.rows)
-        if prog is not None:
-            prog.update(len(p.rows))
-        if len(rows) >= SCAN_CHUNK_ROWS:
-            save_tweet_batch(db, tweets_dataframe(spark, rows))
-            bridge_cb(rows)
-            rows = []
-    if prog is not None:
-        prog.finish()
-    if rows:
-        save_tweet_batch(db, tweets_dataframe(spark, rows))
-        bridge_cb(rows)
-    return total
 
 
 def search(spark, fetch, db: TweetDatabase, q: str, since=False,

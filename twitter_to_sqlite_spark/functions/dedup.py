@@ -216,6 +216,17 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     base = df.select(F.col(id_col).alias("id"),
                      _tokens(F.col(text_col)).alias("__t"))
+    # A zero-token document must still emit its single '' shingle —
+    # that is what shingle_array's greatest(n-k+1, 1) bound and the
+    # DuckDB oracles produce (two punctuation-only docs are an exact
+    # Jaccard pair). posexplode of an empty array emits NO row, so
+    # substitute a one-empty-token array; the window-lead concat then
+    # yields '' exactly like the array path.
+    base = base.withColumn(
+        "__t",
+        F.when(F.size("__t") > 0, F.col("__t"))
+        .otherwise(F.array(F.lit(""))),
+    )
     toks = base.select(
         "id", F.size("__t").alias("__n"),
         F.posexplode("__t").alias("__pos", "__tok"),
@@ -292,6 +303,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # separate sizes aggregate would re-run it.
     sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     if prefix_filter:
+        # The prefix path consumes `sh` THREE times (prefix candidates
+        # + both sides of the sets join); materialize once so the
+        # md5/window shingle subtree isn't recomputed per branch.
+        sh = sh.localCheckpoint()
         plen = (
             F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + F.lit(1)
         )

@@ -279,31 +279,32 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str, order_col: str,
 
     The batch shape of Structured Streaming's ``session_window`` —
     offline replays and backfills sessionize with plain windows so both
-    paths agree. The gap compares epoch seconds as doubles (timestamp
-    cast), so sub-second precision survives and any SQL engine
-    reproduces it exactly.
+    paths agree. The gap is ``timestampdiff(MICROSECOND, prev, ts)``:
+    for TIMESTAMP_NTZ inputs that is the NAIVE wall-clock difference —
+    independent of the session time zone (a cast through "timestamp"
+    would route NTZ values through the session zone and shift gaps
+    across a DST fold by up to an hour) and exactly DuckDB's
+    ``epoch(ts) - epoch(prev)`` arithmetic; for LTZ inputs it is the
+    instant difference, also correct. Microsecond precision is the
+    timestamp type's native resolution, so nothing is truncated.
 
     Scale: one shuffle on ``user_col``; both windows share that
     partitioning (Catalyst plans a single Exchange). Skewed users are
     real sessions — they must sort together by definition.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
-    prev = F.lag(F.col(ts_col)).over(w)
-    # NTZ-safe epoch seconds: TIMESTAMP_NTZ can't cast straight to
-    # double; routing through "timestamp" is a no-op for LTZ inputs and
-    # a deterministic (UTC session tz) conversion for NTZ parquet.
-    def _epoch(c):
-        return c.cast("timestamp").cast("double")
-
+    with_prev = df.withColumn("__prev", F.lag(F.col(ts_col)).over(w))
+    gap = F.expr(f"timestampdiff(MICROSECOND, __prev, `{ts_col}`)")
     new_session = F.when(
-        prev.isNull() | (_epoch(F.col(ts_col)) - _epoch(prev) > gap_seconds),
+        F.col("__prev").isNull()
+        | (gap > F.lit(gap_seconds * 1_000_000.0)),
         1,
     ).otherwise(0)
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        df.withColumn("__new", new_session)
+        with_prev.withColumn("__new", new_session)
         .withColumn("session_seq", F.sum("__new").over(running))
-        .drop("__new")
+        .drop("__new", "__prev")
     )
 
 

@@ -20,6 +20,7 @@ import importlib.util
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -258,7 +259,16 @@ def _delta_merge(spark, incoming: DataFrame, path: str, keys: list[str],
         return False
     from delta.tables import DeltaTable  # deferred: optional dep
 
-    if not DeltaTable.isDeltaTable(spark, path):
+    try:
+        is_delta = DeltaTable.isDeltaTable(spark, path)
+    except Exception:
+        # delta-spark the PYTHON package being importable does not mean
+        # the SESSION has the Delta jars/extension: on a vanilla
+        # SparkSession the JVM class resolves to a py4j JavaPackage and
+        # this call raises (TypeError). Fall back to the parquet path
+        # instead of failing every upsert in such environments.
+        return False
+    if not is_delta:
         return False
     # MERGE requires unique source keys: keep the latest per pk.
     w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
@@ -400,6 +410,11 @@ def write_upsert_partitioned(spark, incoming: DataFrame, path: str,
                                    version_col, partition_col, touched)
 
 
+#: serializes the session-global partition-inference toggle across
+#: threads (see _read_no_infer).
+_NO_INFER_LOCK = threading.Lock()
+
+
 def _read_no_infer(spark, path: str) -> DataFrame:
     """Read a parquet dataset with partition-column TYPE INFERENCE
     off: directory names round-trip verbatim as strings. Inference
@@ -409,19 +424,27 @@ def _read_no_infer(spark, path: str) -> DataFrame:
     rows (observed data loss; pinned by
     test_compact_table_preserves_partition_layout)."""
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force analysis while inference is off (classic
-        # mode analyzes reads eagerly anyway; this pins it — under
-        # Spark Connect, deferred analysis could otherwise run after
-        # the conf is restored). The toggle is session-global, so
-        # concurrent same-session readers briefly see it off — these
-        # are maintenance paths serialized by table_lock.
-        return df
-    finally:
-        spark.conf.set(key, prev)
+    # Process-wide mutex: table_lock only serializes writers of the
+    # SAME table, so two maintenance paths on different tables could
+    # interleave their read-save-restore of this session-global conf
+    # and leave inference permanently off (every later read in the
+    # session then returns partition columns as strings). The lock
+    # makes the toggle atomic; concurrent plain readers still briefly
+    # see it off, as the comment below concedes.
+    with _NO_INFER_LOCK:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis while inference is off (classic
+            # mode analyzes reads eagerly anyway; this pins it — under
+            # Spark Connect, deferred analysis could otherwise run
+            # after the conf is restored). The toggle is
+            # session-global, so concurrent same-session readers
+            # briefly see it off — these are maintenance paths.
+            return df
+        finally:
+            spark.conf.set(key, prev)
 
 
 def _upsert_partitioned_locked(spark, incoming, path, keys, version_col,
@@ -440,10 +463,23 @@ def _upsert_partitioned_locked(spark, incoming, path, keys, version_col,
         # _read_no_infer), so the cast to the incoming dtype is exact —
         # repeated merges can't drift the schema or miss directories.
         in_type = dict(incoming.dtypes)[partition_col]
+        # Null-safe membership: a NULL partition value in the batch
+        # lands in __HIVE_DEFAULT_PARTITION__, whose existing rows an
+        # isin() filter would silently DROP (NULL isin anything is
+        # NULL) — the swap would then replace the live null-partition
+        # directory with only the incoming rows. Data loss, not a
+        # corner case: any caller without tweets' coalesce-to-
+        # 'unknown' guard could hit it.
+        non_null = [t for t in touched if t is not None]
+        pred = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if len(non_null) != len(touched):
+            pred = pred | F.col(partition_col).isNull()
         existing = (
             probe
             .withColumn(partition_col, F.col(partition_col).cast(in_type))
-            .filter(F.col(partition_col).isin(touched))
+            .filter(pred)
         )
         merged = upsert_plan(existing, incoming, keys, version_col)
     else:

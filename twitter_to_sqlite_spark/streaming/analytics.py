@@ -180,7 +180,15 @@ def trending_terms(stream: DataFrame, window: str = "5 minutes",
             F.explode(
                 F.filter(
                     F.split(
-                        F.lower(F.coalesce(F.col("full_text"), F.col("text"))),
+                        # P7 convention (capture.track_filter): the
+                        # streaming API truncates `text` and ships the
+                        # full body in extended_tweet.full_text — term
+                        # counts must see the whole tweet.
+                        F.lower(F.coalesce(
+                            F.col("extended_tweet.full_text"),
+                            F.col("full_text"),
+                            F.col("text"),
+                        )),
                         r"\W+",
                     ),
                     lambda t: t != "",
