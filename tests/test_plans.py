@@ -227,3 +227,18 @@ def test_repetition_stats_is_narrow(spark):
     shuffle: the whole query is one projection over the scan."""
     plan = plan_of(spark, "repetition_stats")
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Sequence packing must be a lang-partitioned window — a global
+    cumulative sort would serialize the corpus on one task."""
+    import re
+
+    plan = plan_of(spark, "pack_sequences")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            f"global window: {spec}"
+        )

@@ -1945,6 +1945,65 @@ FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
 """
 
 
+#: tokens per packed training bin (small so the bench corpus yields
+#: multi-doc bins; production uses the model's context length).
+_PACK_BUDGET = 256
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: lay documents head-to-tail in a deterministic
+    (portable-hash) order per language and cut the token stream into
+    fixed-budget training bins — each document gets (bin_id,
+    bin_offset). The layout step between chunking and shard writing: a
+    trainer concatenates each bin and pads only its tail, so padding
+    waste is bounded by one doc tail per bin.
+
+    Scale: one lang-partitioned window with an explicit ROWS frame —
+    no global sort, no driver loop; the order key is the shared md5
+    hash (sampling._key_hash), so bins are bit-identical across
+    engines and runs."""
+    from twitter_to_sqlite_spark.functions.sampling import _key_hash
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    staged = d.select(
+        "doc_id", "lang",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                     lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+        _key_hash(F.col("doc_id")).alias("__hk"),
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("__hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor(start / F.lit(_PACK_BUDGET)).cast("long").alias("bin_id"),
+        (start % _PACK_BUDGET).alias("bin_offset"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_SQL_TOKS})::BIGINT AS n_tokens,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       (start // {_PACK_BUDGET})::BIGINT AS bin_id,
+       (start % {_PACK_BUDGET})::BIGINT AS bin_offset
+FROM c
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2020,6 +2079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_indexed": q_dedup_incremental_indexed,
     "decontaminate": q_decontaminate,
     "token_budget_select": q_token_budget_select,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2086,6 +2146,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_incremental_indexed": SQL_DEDUP_INCREMENTAL,
     "decontaminate": SQL_DECONTAMINATE,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }
 
 
