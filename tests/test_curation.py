@@ -194,3 +194,125 @@ class TestTrainingShards:
         assert sum(len(v) for v in m1.values()) == 500  # partition, no loss
         sizes = sorted(len(v) for v in m1.values())
         assert sizes[0] > 20                     # roughly balanced
+
+
+class TestDuplicateSpans:
+    def test_cross_doc_shared_run_becomes_one_span_each(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [
+            (1, "one two three four five six seven eight"),
+            (2, "zz one two three four five qq rr ss tt"),
+        ])
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_tokens"])
+            for r in dedup.duplicate_spans(d, window=4).collect()
+        )
+        # shared run "one two three four five" (5 tokens): dup 4-gram
+        # windows at doc1 pos {0,1} and doc2 pos {1,2}, merged.
+        assert got == [(1, 0, 5, 5), (2, 1, 6, 5)]
+
+    def test_within_doc_repetition_merges_to_one_span(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [(1, "p q r s p q r s p q r s")])
+        got = [(r["span_start"], r["span_end"])
+               for r in dedup.duplicate_spans(d, window=4).collect()]
+        assert got == [(0, 12)]
+
+    def test_far_apart_regions_stay_separate_spans(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        shared_a = "a b c d"
+        shared_b = "w x y z"
+        d = _docs(spark, [
+            (1, f"{shared_a} g1 g2 g3 g4 g5 g6 g7 g8 g9 {shared_b}"),
+            (2, f"{shared_a} h1 h2 h3 h4 h5 h6 h7 h8 h9 {shared_b}"),
+        ])
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.duplicate_spans(d, window=4).collect()
+        )
+        assert got == [(1, 0, 4), (1, 13, 17), (2, 0, 4), (2, 13, 17)]
+
+    def test_no_duplicates_yields_empty(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+        ])
+        assert dedup.duplicate_spans(d, window=4).count() == 0
+
+
+class TestMixCorpora:
+    def _mix_input(self, spark):
+        rows = [
+            # source A: three 10-token docs (T=30)
+            (1, "A", 10), (2, "A", 10), (3, "A", 10),
+            # source B: two 10-token docs (T=20)
+            (4, "B", 10), (5, "B", 10),
+            # source C: excluded (no weight)
+            (6, "C", 10),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long")
+
+    def test_budgets_follow_weights_exactly(self, spark):
+        d = self._mix_input(spark)
+        got = sampling.mix_corpora(
+            d, "source", {"A": 0.6, "B": 0.2},
+            key_col="doc_id", token_col="n_tokens").collect()
+        # scale = min(30/0.6, 20/0.2) = 50 → budget A=30 (keeps all 3),
+        # B=10 (keeps exactly its hash-first doc); C excluded.
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["source"], []).append(r)
+        assert len(by_src["A"]) == 3
+        assert len(by_src["B"]) == 1
+        assert "C" not in by_src
+        assert by_src["A"][0]["budget"] == pytest.approx(30.0)
+        assert by_src["B"][0]["budget"] == pytest.approx(10.0)
+
+    def test_deterministic_across_runs(self, spark):
+        d = self._mix_input(spark)
+        kw = dict(key_col="doc_id", token_col="n_tokens")
+        a = {r["doc_id"] for r in sampling.mix_corpora(
+            d, "source", {"A": 0.6, "B": 0.2}, **kw).collect()}
+        b = {r["doc_id"] for r in sampling.mix_corpora(
+            d.repartition(7), "source", {"A": 0.6, "B": 0.2}, **kw).collect()}
+        assert a == b
+
+
+class TestGopherFilter:
+    def test_good_doc_keeps(self, spark):
+        d = _docs(spark, [(1, "the quick brown fox jumps over a lazy dog "
+                              "and then runs far into the quiet green woods")])
+        row = text.gopher_filter(d).collect()[0]
+        assert row["keep"] is True
+        assert row["n_words"] >= 15 and row["n_stop_hits"] >= 2
+
+    def test_short_doc_fails_word_count(self, spark):
+        d = _docs(spark, [(1, "the cat sat on a mat")])
+        row = text.gopher_filter(d).collect()[0]
+        assert row["pass_words"] is False and row["keep"] is False
+        assert row["pass_stopwords"] is True
+
+    def test_numeric_doc_fails_alpha(self, spark):
+        words = " ".join(str(n) * 3 for n in range(20))
+        d = _docs(spark, [(1, words)])
+        row = text.gopher_filter(d).collect()[0]
+        assert row["alpha_frac"] == 0.0 and row["pass_alpha"] is False
+
+    def test_long_words_fail_mean_length(self, spark):
+        d = _docs(spark, [(1, " ".join("supercalifragilistic" + str(i)
+                                       for i in range(20)))])
+        row = text.gopher_filter(d).collect()[0]
+        assert row["pass_word_len"] is False and row["keep"] is False
+
+    def test_symbol_heavy_doc_fails(self, spark):
+        base = ("the and for with that this from have more some "
+                "when each which their about")
+        d = _docs(spark, [(1, base + " ###### ######")])
+        row = text.gopher_filter(d).collect()[0]
+        assert row["symbol_ratio"] > 0.1 and row["pass_symbols"] is False

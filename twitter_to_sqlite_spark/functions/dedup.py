@@ -732,3 +732,84 @@ def probe_minhash_index(spark, path: str, new: DataFrame,
                            meta["k"], meta["num_hashes"], meta["bands"])
     stored_bands = spark.read.parquet(path).select("id", "band", "bh")
     return _cross_band_pairs(new_bands, stored_bands, max_bucket)
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 8) -> DataFrame:
+    """Exact substring-duplication spans: maximal token ranges whose
+    every ``window``-gram occurs more than once in the corpus.
+
+    The distributed form of exact substring deduplication (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    the suffix-array formulation is replaced by rolling window hashes —
+    a ``window``-token sliding window is hashed at every position, a
+    window is *duplicated* if its hash occurs ≥2 times corpus-wide
+    (cross- or within-document), and per document the overlapping /
+    touching duplicated windows merge into maximal spans
+    (gaps-and-islands over positions). A span row ``(doc_id,
+    span_start, span_end)`` covers tokens ``[span_start, span_end)``
+    (0-based); downstream cleaning cuts those ranges out of the text.
+
+    Scale: two linear shuffles, no pair join ever — occurrence counts
+    come from a count window over the 128-bit hash (high entropy, no
+    skew), islands from a per-document position window. Unlike the
+    near-dup pair generators there is no Σ bucket² term: a hash
+    repeated a million times still costs one partition-local count.
+
+    Reference parity: the reference engine has no substring dedup;
+    this extends its exact-dedup tier (SURVEY §2 dedup family).
+    """
+    from pyspark.sql import Window
+
+    toks = spread(df).select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__t")
+    )
+    # Materialize tokens BEFORE the transform lambda (the per-element
+    # re-evaluation trap shingle_array documents).
+    n = F.size("__t")
+    wins = toks.filter(n >= window).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (window - 1)),
+                lambda i: F.struct(
+                    (i - 1).cast("long").alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i, window)))
+                    .alias("h"),
+                ),
+            )
+        ).alias("__w"),
+    ).select("id", F.col("__w.pos").alias("pos"), F.col("__w.h").alias("h"))
+
+    dup = (
+        wins.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("__c") > 1)
+        .select("id", "pos")
+    )
+
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w_doc)
+    flagged = dup.withColumn(
+        "__new",
+        F.when(gap.isNull() | (gap > window), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sid = F.sum("__new").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("__s", sid)
+        .groupBy("id", "__s")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start")).cast("long")
+            .alias("n_dup_tokens"),
+        )
+    )

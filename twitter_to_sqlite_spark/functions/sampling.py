@@ -81,3 +81,61 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     if order_col is not None:
         out = out.sortWithinPartitions("shard", order_col)
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def mix_corpora(df: DataFrame, strata_col: str, weights: dict[str, float],
+                key_col: str, token_col: str, salt: str = "") -> DataFrame:
+    """Weighted corpus-mixture planning: select the maximal training
+    mix whose per-stratum token counts follow ``weights`` exactly.
+
+    The Pile/Dolma-style mixing step: given target proportions per
+    source (weights need not sum to 1 — only ratios matter), find the
+    largest total budget B such that every stratum s can contribute
+    w_s·B tokens, i.e. B = min_s(T_s / w_s), then cut each stratum at
+    its budget in deterministic hash order (same md5 key as
+    :func:`hash_sample`, so the mix is bit-identical across runs,
+    engines, and task retries). Strata not in ``weights`` are excluded
+    (weight 0).
+
+    Plan: one map-side-combined agg for the per-stratum totals (rows =
+    #strata), a scalar min, a broadcast join of the tiny budget table
+    back onto the corpus, and one per-stratum cumulative-sum window —
+    the only full shuffle is the window's hash partition by stratum.
+    With few huge strata that window skews; at 100 TB, range-partition
+    each stratum by the hash key and use the per-partition prefix-sum
+    pattern of ``batch_chunks_dist`` (operators/relational.py) — the
+    bench-scale form here keeps the plan exactly oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    w_expr = None
+    for value, wt in sorted(weights.items()):
+        cond = F.col(strata_col) == F.lit(value)
+        lit = F.lit(float(wt))
+        w_expr = F.when(cond, lit) if w_expr is None else w_expr.when(cond, lit)
+    d = df.withColumn("__w", w_expr.otherwise(F.lit(None).cast("double"))) \
+          .filter(F.col("__w").isNotNull())
+    totals = d.groupBy(strata_col, "__w").agg(
+        F.sum(F.col(token_col)).alias("__tot"))
+    scale = totals.select(
+        F.min(F.col("__tot").cast("double") / F.col("__w")).alias("__scale"))
+    budgets = totals.crossJoin(F.broadcast(scale)).select(
+        strata_col, (F.col("__w") * F.col("__scale")).alias("__budget"))
+    wnd = (
+        Window.partitionBy(strata_col)
+        .orderBy("__hk", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        d.withColumn("__hk", _key_hash(F.col(key_col), salt))
+        .withColumn("cum_tokens", F.sum(F.col(token_col)).over(wnd))
+    )
+    return (
+        ranked.join(F.broadcast(budgets), strata_col)
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .select(
+            key_col, strata_col, token_col,
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.round(F.col("__budget"), 4).alias("budget"),
+        )
+    )

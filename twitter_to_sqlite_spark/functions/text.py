@@ -310,3 +310,79 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col("id").alias(id_col),
         F.array_min(hashes).alias("fingerprint"),
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1 — public recipe),
+# loosened word-count bound for short-document corpora.
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 2.0
+GOPHER_MAX_MEAN_WL = 12.0
+GOPHER_MIN_ALPHA_FRAC = 0.6
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_filter(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The composite Gopher quality gate as one boolean plan: every
+    rule's signal AND its pass/fail verdict per document, plus the
+    conjunction ``keep``.
+
+    Rules (Rae et al. 2021's quality filters, the standard pre-training
+    cut): word count in [min,max]; mean word length in [2,12]; ≥60% of
+    words contain an alphabetic character; at least 2 distinct required
+    stopwords present (the Gopher "contains 2 of 8 common English
+    words" rule, over EN_STOPWORDS); hash/ellipsis symbol-to-word
+    ratio ≤ 0.1.
+
+    Pure column expressions — one narrow pass over the scan, no
+    shuffle, whole-stage codegen; at 100 TB this filter runs at
+    parquet-read speed and composes with q_pipeline_clean's
+    single-exchange pipeline.
+    """
+    toks = _tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col), F.col(text_col).alias("__txt"), toks.alias("__t")
+    )
+    n_words = F.size("__t")
+    mean_wl = (
+        F.aggregate(F.col("__t"), F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t).cast("long"))
+        .cast("double") / F.greatest(n_words.cast("double"), F.lit(1.0))
+    )
+    alpha_frac = (
+        F.size(F.filter(F.col("__t"), lambda t: t.rlike("[a-z]")))
+        .cast("double") / F.greatest(n_words.cast("double"), F.lit(1.0))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop_hits = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(F.col("__t"), s))
+    )
+    n_symbols = (
+        F.length("__txt")
+        - F.length(F.regexp_replace(F.col("__txt"), r"[#…]", ""))
+    )
+    symbol_ratio = (
+        n_symbols.cast("double") / F.greatest(n_words.cast("double"), F.lit(1.0))
+    )
+    out = staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop_hits.cast("long").alias("n_stop_hits"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS))
+        .alias("pass_words"),
+        ((mean_wl >= GOPHER_MIN_MEAN_WL) & (mean_wl <= GOPHER_MAX_MEAN_WL))
+        .alias("pass_word_len"),
+        (alpha_frac >= GOPHER_MIN_ALPHA_FRAC).alias("pass_alpha"),
+        (n_stop_hits >= GOPHER_MIN_STOP_HITS).alias("pass_stopwords"),
+        (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO).alias("pass_symbols"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("pass_words") & F.col("pass_word_len") & F.col("pass_alpha")
+        & F.col("pass_stopwords") & F.col("pass_symbols"),
+    )

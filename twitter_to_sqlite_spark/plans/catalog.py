@@ -2004,6 +2004,187 @@ FROM c
 """
 
 
+#: rolling-window width (tokens) for exact substring-duplication spans.
+_SPAN_WINDOW = 8
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring-duplication spans (Lee et al. 2022 re-expressed
+    as rolling window hashes): maximal token ranges whose every 8-gram
+    occurs ≥2 times corpus-wide. Two linear shuffles, no pair join."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.duplicate_spans(d, window=_SPAN_WINDOW)
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(t, i, i + {_SPAN_WINDOW} - 1), ' ')) AS h
+  FROM t, unnest(generate_series(1, len(t) - {_SPAN_WINDOW} + 1)) AS u(i)
+  WHERE len(t) >= {_SPAN_WINDOW}
+),
+d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM w
+  ) WHERE c > 1
+),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SPAN_WINDOW}
+              THEN 0 ELSE 1 END AS new_span
+  FROM d
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + {_SPAN_WINDOW})::BIGINT AS span_end,
+       (max(pos) + {_SPAN_WINDOW} - min(pos))::BIGINT AS n_dup_tokens
+FROM s GROUP BY doc_id, sid
+"""
+
+# Target mixture proportions per source for q_mix_corpora (ratios,
+# need not sum to 1); sources outside the map are excluded.
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_mix_corpora(spark, sf_dir):
+    """Weighted corpus-mixture planning: the largest training mix whose
+    per-source token counts follow the target weights exactly — budget
+    B = min_s(T_s/w_s), stratum s cut at w_s·B in deterministic hash
+    order. Broadcast budget join + one per-stratum cumsum window."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    staged = d.select(
+        "doc_id", "source",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                     lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    return sampling.mix_corpora(
+        staged, "source", _MIX_WEIGHTS, key_col="doc_id",
+        token_col="n_tokens")
+
+
+def _mix_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN {w}" for v, w in sorted(_MIX_WEIGHTS.items())
+    )
+    srcs = ", ".join(f"'{v}'" for v in sorted(_MIX_WEIGHTS))
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len({_SQL_TOKS})::BIGINT AS n_tokens,
+         ('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT AS hk,
+         (CASE source {whens} END)::DOUBLE AS w
+  FROM documents WHERE source IN ({srcs})
+),
+tot AS (SELECT source, w, sum(n_tokens) AS tot FROM d GROUP BY 1, 2),
+sc AS (SELECT min(tot::DOUBLE / w) AS scale FROM tot),
+b AS (SELECT source, w * scale AS budget FROM tot, sc),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens::BIGINT AS cum_tokens,
+       round(b.budget, 4) AS budget
+FROM c JOIN b USING (source)
+WHERE c.cum_tokens <= b.budget
+"""
+
+
+SQL_MIX_CORPORA = _mix_sql()
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Composite Gopher quality gate (Rae et al. 2021 rules) — every
+    rule's signal + verdict + the conjunction, one narrow no-shuffle
+    pass (text.gopher_filter)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.gopher_filter(d)
+
+
+SQL_GOPHER_FILTER = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+    len(t)::BIGINT AS n_words,
+    list_sum(list_transform(t, x -> length(x)))::DOUBLE
+      / greatest(len(t)::DOUBLE, 1.0) AS mean_wl,
+    len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+      / greatest(len(t)::DOUBLE, 1.0) AS alpha_frac,
+    len(list_filter({_SQL_STOPLIST}, s -> list_contains(t, s)))::BIGINT
+      AS n_stop_hits,
+    (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::DOUBLE
+      / greatest(len(t)::DOUBLE, 1.0) AS symbol_ratio
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(mean_wl, 4) AS mean_word_len,
+       round(alpha_frac, 4) AS alpha_frac,
+       n_stop_hits,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       (n_words >= {text.GOPHER_MIN_WORDS}
+        AND n_words <= {text.GOPHER_MAX_WORDS}) AS pass_words,
+       (mean_wl >= {text.GOPHER_MIN_MEAN_WL}
+        AND mean_wl <= {text.GOPHER_MAX_MEAN_WL}) AS pass_word_len,
+       (alpha_frac >= {text.GOPHER_MIN_ALPHA_FRAC}) AS pass_alpha,
+       (n_stop_hits >= {text.GOPHER_MIN_STOP_HITS}) AS pass_stopwords,
+       (symbol_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO}) AS pass_symbols,
+       (n_words >= {text.GOPHER_MIN_WORDS}
+        AND n_words <= {text.GOPHER_MAX_WORDS}
+        AND mean_wl >= {text.GOPHER_MIN_MEAN_WL}
+        AND mean_wl <= {text.GOPHER_MAX_MEAN_WL}
+        AND alpha_frac >= {text.GOPHER_MIN_ALPHA_FRAC}
+        AND n_stop_hits >= {text.GOPHER_MIN_STOP_HITS}
+        AND symbol_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO}) AS keep
+FROM m
+"""
+
+#: vocabulary size cap for q_vocab_stats (tie-broken deterministically).
+_VOCAB_TOPK = 100
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics — the tokenizer-training /
+    stopword-mining prep step: top-k unigrams by occurrence count with
+    document frequency; explode → one partial-agg shuffle → top-k
+    (deterministic tie-break on the word)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                     lambda x: x != "")
+        ).alias("word"),
+    )
+    agg = toks.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(F.col("n_occurrences").desc(), "word") \
+              .limit(_VOCAB_TOPK)
+
+
+SQL_VOCAB_STATS = f"""
+SELECT word, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents)
+GROUP BY word
+ORDER BY n_occurrences DESC, word
+LIMIT {_VOCAB_TOPK}
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2080,6 +2261,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "token_budget_select": q_token_budget_select,
     "pack_sequences": q_pack_sequences,
+    "substring_dedup": q_substring_dedup,
+    "mix_corpora": q_mix_corpora,
+    "gopher_filter": q_gopher_filter,
+    "vocab_stats": q_vocab_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2147,6 +2332,10 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "mix_corpora": SQL_MIX_CORPORA,
+    "gopher_filter": SQL_GOPHER_FILTER,
+    "vocab_stats": SQL_VOCAB_STATS,
 }
 
 
