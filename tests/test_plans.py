@@ -242,3 +242,67 @@ def test_pack_sequences_window_is_partitioned(spark):
         assert " ASC" not in first and " DESC" not in first, (
             f"global window: {spec}"
         )
+
+
+def test_substring_dedup_has_no_pair_join(spark):
+    """Exact substring-span dedup must stay linear: occurrence counts
+    come from a count window over the hash, never a self-join — no
+    join node of any kind, and every window is partitioned."""
+    import re
+
+    plan = plan_of(spark, "substring_dedup")
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert count_nodes(plan, node) == 0, node
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            f"global window: {spec}"
+        )
+
+
+def test_mix_corpora_budget_join_is_broadcast(spark):
+    """The per-stratum budget table (rows = #strata) must broadcast
+    onto the corpus — a shuffle join would re-key the whole corpus for
+    a table of a handful of rows."""
+    plan = plan_of(spark, "mix_corpora")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "ShuffledHashJoin") == 0
+
+
+def test_mix_corpora_window_is_partitioned(spark):
+    """The cumulative-token cut must be a per-stratum window, not a
+    global sort."""
+    import re
+
+    plan = plan_of(spark, "mix_corpora")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            f"global window: {spec}"
+        )
+
+
+def test_gopher_filter_is_narrow(spark):
+    """The composite Gopher gate is per-row arithmetic — one narrow
+    pass over the scan, no shuffle."""
+    plan = plan_of(spark, "gopher_filter")
+    assert "Exchange" not in plan
+
+
+def test_vocab_stats_prunes_scan(spark):
+    """Vocabulary stats read only (doc_id, text) from the documents
+    scan."""
+    plan = plan_of(spark, "vocab_stats")
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}
