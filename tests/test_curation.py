@@ -316,3 +316,35 @@ class TestGopherFilter:
         d = _docs(spark, [(1, base + " ###### ######")])
         row = text.gopher_filter(d).collect()[0]
         assert row["symbol_ratio"] > 0.1 and row["pass_symbols"] is False
+
+
+class TestAssignSplits:
+    def test_partition_of_corpus_and_stability(self, spark):
+        d = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        got = sampling.assign_splits(
+            d, {"train": 8, "val": 1, "test": 1}, key_col="doc_id")
+        rows = got.collect()
+        by_split = {}
+        for r in rows:
+            by_split.setdefault(r["split"], set()).add(r["doc_id"])
+        # every row assigned exactly one split; rough proportions hold
+        assert sum(len(v) for v in by_split.values()) == 1000
+        assert set(by_split) == {"train", "val", "test"}
+        assert len(by_split["train"]) > 700
+        # growing the corpus never moves an existing row's split
+        bigger = sampling.assign_splits(
+            spark.range(0, 2000).withColumnRenamed("id", "doc_id"),
+            {"train": 8, "val": 1, "test": 1}, key_col="doc_id")
+        sub = {r["doc_id"]: r["split"] for r in bigger.collect()
+               if r["doc_id"] < 1000}
+        assert sub == {r["doc_id"]: r["split"] for r in rows}
+
+    def test_salt_decorrelates(self, spark):
+        d = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in sampling.assign_splits(
+            d, {"train": 1, "test": 1}, key_col="doc_id").collect()}
+        b = {r["doc_id"]: r["split"] for r in sampling.assign_splits(
+            d, {"train": 1, "test": 1}, key_col="doc_id",
+            salt="v2").collect()}
+        moved = sum(1 for k in a if a[k] != b[k])
+        assert 300 < moved < 700  # ~half move under an independent salt

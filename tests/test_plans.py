@@ -306,3 +306,17 @@ def test_vocab_stats_prunes_scan(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "text"}
+
+
+def test_dataset_split_is_narrow(spark):
+    """Split assignment is a pure function of the key — no shuffle."""
+    plan = plan_of(spark, "dataset_split")
+    assert "Exchange" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """Per-group top-k must prune to k rows per group BEFORE the
+    shuffle (partial WindowGroupLimit) — at 100 TB the exchange then
+    carries k·|groups| rows, not the corpus."""
+    plan = plan_of(spark, "topk_per_group")
+    assert count_nodes(plan, "WindowGroupLimit") == 2

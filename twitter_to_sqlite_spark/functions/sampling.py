@@ -139,3 +139,27 @@ def mix_corpora(df: DataFrame, strata_col: str, weights: dict[str, float],
             F.round(F.col("__budget"), 4).alias("budget"),
         )
     )
+
+
+def assign_splits(df: DataFrame, splits: dict[str, int], key_col: str,
+                  salt: str = "") -> DataFrame:
+    """Deterministic dataset-split assignment (train/val/test): bucket
+    = hash(key) mod Σweights, contiguous bucket ranges per split in
+    the dict's insertion order.
+
+    Hash-based so membership is a pure function of the row key —
+    stable under reruns, engine changes, task retries, and corpus
+    growth (a new row never moves an old row's split), which is the
+    property eval-set hygiene depends on. One CASE expression over the
+    shared md5 key: no shuffle, composes with any scan.
+    """
+    total = sum(splits.values())
+    bucket = _key_hash(F.col(key_col), salt) % total
+    expr = None
+    lo = 0
+    for name, wt in splits.items():
+        cond = (bucket >= lo) & (bucket < lo + wt)
+        lit = F.lit(name)
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+        lo += wt
+    return df.withColumn("split", expr)

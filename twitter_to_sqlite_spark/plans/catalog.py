@@ -2184,6 +2184,91 @@ ORDER BY n_occurrences DESC, word
 LIMIT {_VOCAB_TOPK}
 """
 
+# Split weights in bucket units (mod = Σ); insertion order fixes the
+# contiguous bucket ranges, mirrored in the oracle CASE.
+_SPLITS = {"train": 8, "val": 1, "test": 1}
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: hash-bucketed split
+    membership that is a pure function of the row key — stable under
+    reruns and corpus growth (sampling.assign_splits). No shuffle."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.assign_splits(d, _SPLITS, key_col="doc_id")
+
+
+def _split_sql() -> str:
+    total = sum(_SPLITS.values())
+    cases, lo = [], 0
+    for name, wt in _SPLITS.items():
+        cases.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    return f"""
+SELECT doc_id, source, CASE {' '.join(cases)} END AS split
+FROM (
+  SELECT doc_id, source,
+         ('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+           % {total} AS b
+  FROM documents
+)
+"""
+
+
+SQL_DATASET_SPLIT = _split_sql()
+
+#: per-group rank cutoff for q_topk_per_group.
+_GROUP_TOPK = 3
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Per-group top-k: the k highest-quality documents per language
+    (rank window, deterministic tie-break) — the per-stratum 'best
+    examples' selection; Spark prunes the rank filter into the sort
+    via WindowGroupLimit, so each group materializes only k rows."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = text.quality_score(text.token_count(d))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _GROUP_TOPK)
+        .select("doc_id", "lang", "quality",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_TOPK_PER_GROUP = f"""
+WITH f AS (
+  SELECT doc_id, lang, text, {_SQL_TOKS} AS t FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+    len(t)::DOUBLE AS n_words,
+    len(list_filter(t, x -> list_contains({_SQL_STOPLIST}, x)))::DOUBLE AS n_stop,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS n_punct,
+    len(list_distinct(t))::DOUBLE AS n_distinct,
+    length(text)::DOUBLE AS n_chars
+  FROM f
+),
+q AS (
+  SELECT doc_id, lang,
+    round(least((n_stop / greatest(n_words, 1.0)) * 2, 1.0) * 0.4
+          + (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5, 1.0)) * 0.2
+          + (1.0 - (1.0 - n_distinct / greatest(n_words, 1.0))) * 0.4, 4) AS quality
+  FROM m
+),
+r AS (
+  SELECT doc_id, lang, quality,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality DESC, doc_id) AS rank
+  FROM q
+)
+SELECT doc_id, lang, quality, rank::INT AS rank
+FROM r WHERE rank <= {_GROUP_TOPK}
+"""
+
 
 # =====================================================================
 # Registry
@@ -2265,6 +2350,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_corpora": q_mix_corpora,
     "gopher_filter": q_gopher_filter,
     "vocab_stats": q_vocab_stats,
+    "dataset_split": q_dataset_split,
+    "topk_per_group": q_topk_per_group,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2336,6 +2423,8 @@ ORACLE_SQL: dict[str, str] = {
     "mix_corpora": SQL_MIX_CORPORA,
     "gopher_filter": SQL_GOPHER_FILTER,
     "vocab_stats": SQL_VOCAB_STATS,
+    "dataset_split": SQL_DATASET_SPLIT,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
 }
 
 
