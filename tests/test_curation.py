@@ -348,3 +348,56 @@ class TestAssignSplits:
             salt="v2").collect()}
         moved = sum(1 for k in a if a[k] != b[k])
         assert 300 < moved < 700  # ~half move under an independent salt
+
+
+class TestRemoveSpans:
+    def _spans(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, span_start long, span_end long")
+
+    def test_cuts_covered_tokens(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [(1, "a b c d e f g h")])
+        sp = self._spans(spark, [(1, 2, 5)])
+        row = dedup.remove_spans(d, sp).collect()[0]
+        assert row["text_clean"] == "a b f g h"
+        assert row["n_removed_tokens"] == 3
+
+    def test_no_spans_passthrough(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [(1, "alpha beta gamma")])
+        sp = self._spans(spark, [])
+        row = dedup.remove_spans(d, sp).collect()[0]
+        assert row["text_clean"] == "alpha beta gamma"
+        assert row["n_removed_tokens"] == 0
+
+    def test_full_coverage_yields_empty_text(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [(1, "x y z")])
+        sp = self._spans(spark, [(1, 0, 3)])
+        row = dedup.remove_spans(d, sp).collect()[0]
+        assert row["text_clean"] == "" and row["n_removed_tokens"] == 3
+
+    def test_overlapping_spans_count_once(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [(1, "a b c d e f")])
+        sp = self._spans(spark, [(1, 0, 3), (1, 2, 4)])
+        row = dedup.remove_spans(d, sp).collect()[0]
+        assert row["text_clean"] == "e f"
+        assert row["n_removed_tokens"] == 4
+
+    def test_detect_then_remove_composition(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [
+            (1, "one two three four five six seven eight"),
+            (2, "zz one two three four five qq rr ss tt"),
+        ])
+        spans = dedup.duplicate_spans(d, window=4)
+        got = {r["doc_id"]: r for r in dedup.remove_spans(d, spans).collect()}
+        assert got[1]["text_clean"] == "six seven eight"
+        assert got[2]["text_clean"] == "zz qq rr ss tt"

@@ -813,3 +813,55 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
             .alias("n_dup_tokens"),
         )
     )
+
+
+def remove_spans(docs: DataFrame, spans: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cut token ranges out of documents: given span rows ``(id,
+    span_start, span_end)`` (0-based, end-exclusive — the output of
+    :func:`duplicate_spans`), rebuild each document's text without the
+    covered tokens.
+
+    The apply step of exact substring dedup. One shuffle join on the
+    document id (spans aggregate to one array row per document first,
+    so the join fan-out is 1:1), then per-row array arithmetic — keep
+    token i iff no span covers it. Documents with no spans pass
+    through unchanged via the left join's null → empty-array fallback.
+    """
+    per_doc = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+    toks = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__t")
+    )
+    joined = toks.join(
+        per_doc, toks[id_col] == per_doc["__sid"], "left"
+    ).select(
+        id_col, "__t",
+        F.coalesce(
+            "__spans",
+            F.expr("cast(array() as array<struct<s:long,e:long>>)"),
+        ).alias("__spans"),
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0).cast("long"),
+                   F.size("__t").cast("long") - 1),
+        lambda i: ~F.exists(
+            F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    staged = joined.filter(F.size("__t") > 0).select(
+        id_col, "__t", kept_idx.alias("__keep")
+    )
+    kept_toks = F.transform(
+        F.col("__keep"), lambda i: F.element_at(F.col("__t"), (i + 1).cast("int"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(kept_toks, " ").alias("text_clean"),
+        (F.size("__t") - F.size("__keep")).cast("long")
+        .alias("n_removed_tokens"),
+    )

@@ -2049,6 +2049,71 @@ SELECT doc_id,
 FROM s GROUP BY doc_id, sid
 """
 
+def q_substring_clean(spark, sf_dir):
+    """Exact substring dedup, applied: detect duplicated spans
+    (q_substring_dedup) and cut them out of the text — the
+    'remove every duplicated range' policy of Lee et al. 2022's
+    aggressive variant. Detection plus one 1:1 join and per-row
+    array surgery."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = dedup.duplicate_spans(d, window=_SPAN_WINDOW)
+    return dedup.remove_spans(d, spans)
+
+
+SQL_SUBSTRING_CLEAN = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(t, i, i + {_SPAN_WINDOW} - 1), ' ')) AS h
+  FROM t, unnest(generate_series(1, len(t) - {_SPAN_WINDOW} + 1)) AS u(i)
+  WHERE len(t) >= {_SPAN_WINDOW}
+),
+d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM w
+  ) WHERE c > 1
+),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SPAN_WINDOW}
+              THEN 0 ELSE 1 END AS new_span
+  FROM d
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_WINDOW} AS e
+  FROM s GROUP BY doc_id, sid
+),
+per_doc AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+  FROM spans GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.t,
+         coalesce(p.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
+  FROM t LEFT JOIN per_doc p USING (doc_id)
+  WHERE len(t.t) > 0
+),
+kept AS (
+  SELECT doc_id, t,
+         list_filter(generate_series(0, len(t) - 1),
+                     i -> len(list_filter(sp,
+                              x -> i >= x.s AND i < x.e)) = 0) AS keep
+  FROM joined
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(keep, i -> t[i + 1]), ' '), '')
+         AS text_clean,
+       (len(t) - len(keep))::BIGINT AS n_removed_tokens
+FROM kept
+"""
+
 # Target mixture proportions per source for q_mix_corpora (ratios,
 # need not sum to 1); sources outside the map are excluded.
 _MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
@@ -2347,6 +2412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_select": q_token_budget_select,
     "pack_sequences": q_pack_sequences,
     "substring_dedup": q_substring_dedup,
+    "substring_clean": q_substring_clean,
     "mix_corpora": q_mix_corpora,
     "gopher_filter": q_gopher_filter,
     "vocab_stats": q_vocab_stats,
@@ -2420,6 +2486,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "substring_clean": SQL_SUBSTRING_CLEAN,
     "mix_corpora": SQL_MIX_CORPORA,
     "gopher_filter": SQL_GOPHER_FILTER,
     "vocab_stats": SQL_VOCAB_STATS,
