@@ -401,3 +401,73 @@ class TestRemoveSpans:
         got = {r["doc_id"]: r for r in dedup.remove_spans(d, spans).collect()}
         assert got[1]["text_clean"] == "six seven eight"
         assert got[2]["text_clean"] == "zz qq rr ss tt"
+
+
+class TestTfidfTopTerms:
+    def test_rare_term_outscores_common(self, spark):
+        # 'zebra' appears once in one doc; 'the' in every doc — idf of
+        # a universal term is ln(1)=0, so it can never rank.
+        d = spark.createDataFrame(
+            [(1, "en", "the zebra"), (2, "en", "the cat"),
+             (3, "fr", "the chat")],
+            "doc_id long, lang string, text string")
+        got = text.tfidf_top_terms(d, group_col="lang", k=2).collect()
+        en = [r["term"] for r in got if r["lang"] == "en"]
+        assert set(en) <= {"zebra", "cat"}  # 'the' scored 0, excluded by k
+        the = [r for r in got if r["term"] == "the"]
+        assert all(r["score"] == 0.0 for r in the)
+
+    def test_rank_bounded_and_dense(self, spark):
+        d = spark.createDataFrame(
+            [(i, "en", f"w{i} w{i} shared") for i in range(6)],
+            "doc_id long, lang string, text string")
+        got = text.tfidf_top_terms(d, group_col="lang", k=3).collect()
+        assert sorted(r["rank"] for r in got) == [1, 2, 3]
+
+
+class TestPerplexityBuckets:
+    def test_buckets_balanced_within_one(self, spark):
+        rows = [(i, "en", f"a b c d{i % 4} e") for i in range(12)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = text.perplexity_buckets(d, group_col="lang", n_buckets=3).collect()
+        from collections import Counter
+        c = Counter(r["bucket"] for r in got)
+        assert set(c) == {1, 2, 3}
+        assert max(c.values()) - min(c.values()) <= 1
+        names = {r["bucket"]: r["bucket_name"] for r in got}
+        assert names == {1: "head", 2: "middle", 3: "tail"}
+
+    def test_head_scores_at_least_tail(self, spark):
+        rows = [(i, "en", "x y " * 5 + f"rare{i}" * (i % 3)) for i in range(9)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = text.perplexity_buckets(d, group_col="lang", n_buckets=3).collect()
+        head = min(r["avg_logp"] for r in got if r["bucket"] == 1)
+        tail = max(r["avg_logp"] for r in got if r["bucket"] == 3)
+        assert head >= tail
+
+
+class TestTemperatureMixture:
+    def _mk(self, spark):
+        return spark.createDataFrame(
+            [(1, "en", 900), (2, "fr", 90), (3, "de", 10)],
+            "doc_id long, lang string, n_tokens long")
+
+    def test_shares_sum_to_one_and_alpha_lifts_small(self, spark):
+        out = {r["lang"]: r for r in sampling.temperature_mixture(
+            self._mk(spark), "lang", "n_tokens", alpha=0.3).collect()}
+        assert abs(sum(r["p_raw"] for r in out.values()) - 1.0) < 1e-4
+        assert abs(sum(r["p_smoothed"] for r in out.values()) - 1.0) < 1e-4
+        assert out["de"]["upsample"] > 1.0 > out["en"]["upsample"]
+
+    def test_alpha_one_is_proportional(self, spark):
+        out = sampling.temperature_mixture(
+            self._mk(spark), "lang", "n_tokens", alpha=1.0).collect()
+        for r in out:
+            assert r["p_raw"] == r["p_smoothed"]
+            assert r["upsample"] == 1.0
+
+    def test_alpha_zero_is_uniform(self, spark):
+        out = sampling.temperature_mixture(
+            self._mk(spark), "lang", "n_tokens", alpha=0.0).collect()
+        for r in out:
+            assert abs(r["p_smoothed"] - 1.0 / 3.0) < 1e-4

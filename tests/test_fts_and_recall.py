@@ -187,3 +187,28 @@ def test_kmeans_hash_sample_matches_manual_filter(spark):
     # the sample is a strict, non-trivial subset
     n, ns = emb.count(), manual.count()
     assert 0 < ns < n
+
+
+def test_semdedup_planted_pairs_and_cell_guard(spark):
+    """SemDeDup finds planted scaled copies (same cell: scaling never
+    moves the argmax-dot assignment) and the max_cell guard drops a
+    degenerate cell without touching pairs elsewhere."""
+    emb = tables.load_table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = similarity.kmeans_centroids(emb, 8, iters=1)
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    pairs = similarity.semdedup_pairs(corpus, cents, threshold=0.99)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 10_000) for i in range(5)} <= found
+    # guard: excluding every cell kills all pairs; a huge cap changes nothing
+    none = similarity.semdedup_pairs(corpus, cents, threshold=0.99, max_cell=0)
+    assert none.count() == 0
+    same = similarity.semdedup_pairs(
+        corpus, cents, threshold=0.99, max_cell=10**9)
+    assert {(r["id_a"], r["id_b"]) for r in same.collect()} == found

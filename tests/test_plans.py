@@ -320,3 +320,37 @@ def test_topk_per_group_uses_window_group_limit(spark):
     carries k·|groups| rows, not the corpus."""
     plan = plan_of(spark, "topk_per_group")
     assert count_nodes(plan, "WindowGroupLimit") == 2
+
+
+def test_cube_revenue_single_expand_single_scan(spark):
+    """CUBE must compile to one Expand + one aggregation over one scan
+    — not one re-scan per grouping set."""
+    plan = plan_of(spark, "cube_revenue")
+    assert count_nodes(plan, "Expand") == 1
+    assert count_nodes(plan, "Scan parquet") == 1
+
+
+def test_running_total_window_is_partitioned(spark):
+    """The cumulative-sum window must stay partitioned by user_id —
+    a global (empty-partition-spec) window would serialize 100 TB
+    through one task."""
+    plan = plan_of(spark, "running_total")
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("user_id" in s for s in specs)
+
+
+def test_tfidf_vocabulary_joins_broadcast(spark):
+    """df table and the N scalar join back by broadcast — the corpus
+    side never reshuffles for vocabulary-sized build sides."""
+    plan = plan_of(spark, "tfidf_terms")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1  # the N scalar
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_no_cartesian(spark):
+    """Pair generation must go through the cell-equality join — a
+    CartesianProduct node means the guard rail failed."""
+    plan = plan_of(spark, "semdedup")
+    assert "CartesianProduct" not in plan

@@ -163,3 +163,38 @@ def assign_splits(df: DataFrame, splits: dict[str, int], key_col: str,
         expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
         lo += wt
     return df.withColumn("split", expr)
+
+
+def temperature_mixture(df: DataFrame, strata_col: str,
+                        token_col: str, alpha: float = 0.3) -> DataFrame:
+    """Temperature-smoothed corpus mixture weights (the multilingual
+    sampling rule of mBERT/XLM-R/mT5: q_s ∝ p_s^α): per stratum the
+    raw token share p_s, the smoothed share q_s = p_s^α / Σ p_t^α, and
+    the implied up/down-sampling factor q_s/p_s. α<1 lifts small
+    strata (low-resource languages) and shrinks dominant ones; α=1 is
+    proportional sampling, α=0 uniform.
+
+    Everything after the one groupBy shuffle is arithmetic over
+    |strata| rows — the totals and the partition function Z join back
+    as broadcast scalars, so the plan is one partial-agg pass over the
+    corpus regardless of scale.
+    """
+    per = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__tot"))
+    withp = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__p", F.col("n_tokens").cast("double") / F.col("__tot").cast("double")
+    )
+    z = withp.agg(F.sum(F.pow(F.col("__p"), F.lit(alpha))).alias("__z"))
+    q = F.pow(F.col("__p"), F.lit(alpha)) / F.col("__z")
+    return (
+        withp.crossJoin(F.broadcast(z))
+        .select(
+            strata_col, "n_docs", "n_tokens",
+            F.round(F.col("__p"), 6).alias("p_raw"),
+            F.round(q, 6).alias("p_smoothed"),
+            F.round(q / F.col("__p"), 4).alias("upsample"),
+        )
+    )

@@ -446,3 +446,45 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup_pairs(corpus: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding", decimals: int = 4,
+                   max_cell: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023, arXiv:2303.09540): cluster the corpus around k-means
+    centroids (kmeans_centroids), then emit cosine-≥-threshold pairs
+    only WITHIN each cluster cell.
+
+    The data-adaptive complement to the data-oblivious sign-LSH
+    buckets of embedding_near_dup_pairs: cells follow the embedding
+    distribution, so semantically-equivalent documents land together
+    even when they straddle a fixed hyperplane sign. Pair generation
+    costs Σ cell² (k chosen so cells ≈ n/k), never n²; `max_cell`
+    is the same skew guard — a degenerate cell (mode collapse in the
+    embedding model) is excluded instead of exploding size².
+    """
+    withc = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cell", ivf_assign(F.col("v"), centroids)) \
+     .withColumn("n", _norm(F.col("v")))
+    if max_cell is not None:
+        ok = (
+            withc.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
+            .filter(F.col("__cn") <= max_cell)
+            .select("cell")
+        )
+        withc = withc.join(F.broadcast(ok), "cell", "left_semi")
+    a = withc.select("cell", F.col("id").alias("id_a"),
+                     F.col("v").alias("__qv"), F.col("n").alias("__qn"))
+    b = withc.select("cell", F.col("id").alias("id_b"),
+                     F.col("v").alias("__cv"), F.col("n").alias("__cn"))
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, decimals))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.col("cell").cast("long").alias("cell"),
+                "cosine")
+    )

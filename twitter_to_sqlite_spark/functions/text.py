@@ -386,3 +386,90 @@ def gopher_filter(df: DataFrame, id_col: str = "doc_id",
         F.col("pass_words") & F.col("pass_word_len") & F.col("pass_alpha")
         & F.col("pass_stopwords") & F.col("pass_symbols"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, group_col: str = "lang",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per corpus slice by TF-IDF.
+
+    tf is the term's total occurrence count within the slice; idf is
+    the classic ln(N / df) over documents (N = docs with ≥1 token,
+    df = docs containing the term). Because idf is constant per term,
+    Σ_docs tf·idf = idf · Σ tf — the sum stays INTEGER until one final
+    float multiply, so the score is bit-reproducible in any engine
+    regardless of aggregation order (the usual float-sum-order trap
+    in distributed TF-IDF).
+
+    Scale: one explode + two partial-agg shuffles on high-entropy keys
+    ((doc,term) then term/(group,term)); N and the df table are joined
+    back by broadcast (vocabulary ≪ corpus); top-k per group is one
+    window over (group,term) aggregates, already tiny.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("__id", "__g", "term").agg(
+        F.count(F.lit(1)).alias("__tf"))
+    n_docs = tf.select("__id").distinct().agg(
+        F.count(F.lit(1)).alias("__N"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    grp = tf.groupBy("__g", "term").agg(F.sum("__tf").alias("tf_sum"))
+    scored = (
+        grp.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("__g").alias(group_col),
+            "term",
+            F.col("tf_sum").cast("long").alias("tf_sum"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.log(F.col("__N").cast("double") / F.col("df").cast("double"))
+                * F.col("tf_sum").cast("double"),
+                4,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", group_col: str = "lang",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under the corpus bigram LM (lm_bigram_score), then
+    split each language into equal-size head/middle/tail buckets by
+    score — head = most corpus-like, the slices CCNet keeps/weights
+    differently when building training mixes.
+
+    ntile runs over the ROUNDED score with the doc id as tiebreak, so
+    the bucket boundary is a deterministic total order in any engine.
+    Per-language window over (doc, score) rows — state is one pass of
+    the already-aggregated scores, no data-sized window.
+    """
+    scored = lm_bigram_score(df.select(id_col, text_col), id_col, text_col)
+    langs = df.select(id_col, group_col)
+    j = scored.join(langs, id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("avg_logp").desc(), F.col(id_col).asc())
+    b = F.ntile(n_buckets).over(w)
+    label = (
+        F.when(b == 1, F.lit("head"))
+        .when(b == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return j.select(
+        id_col, group_col, "n_bigrams", "avg_logp",
+        b.cast("long").alias("bucket"), label.alias("bucket_name"),
+    )

@@ -1195,13 +1195,12 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(e, queries, centroids, k=3, n_probe=1)
 
 
-def _ivf_sql(iters: int = _IVF_ITERS,
-             sample_mod: int | None = _IVF_SAMPLE_MOD) -> str:
-    """Generate the DuckDB twin of sampled multi-iteration Lloyd's:
-    cents0 = first-k init over the hash sample; each iteration assigns
-    the sample to the previous centroids and re-means per cell
-    (empty cell keeps its centroid); the FULL corpus and the queries
-    assign to the final centroids."""
+def _kmeans_ctes(iters: int, sample_mod: int | None) -> tuple[str, str]:
+    """DuckDB CTE chain reproducing similarity.kmeans_centroids exactly
+    (first-k init, assign→round(mean,4) per iteration, empty cell keeps
+    its centroid). Returns (joined CTE SQL, final-centroid CTE name);
+    shared by the IVF ANN and SemDeDup oracles so the k-means twin can
+    never fork into divergeable copies."""
     samp_where = (
         f"WHERE ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT"
         f" % {sample_mod} = 0" if sample_mod else ""
@@ -1230,8 +1229,17 @@ def _ivf_sql(iters: int = _IVF_ITERS,
             f"cents{i} AS (SELECT c.cell, coalesce(u.cv, c.cv) AS cv"
             f" FROM {prev} c LEFT JOIN upd{i} u USING (cell))",
         ]
-    final = f"cents{iters}"
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes), f"cents{iters}"
+
+
+def _ivf_sql(iters: int = _IVF_ITERS,
+             sample_mod: int | None = _IVF_SAMPLE_MOD) -> str:
+    """Generate the DuckDB twin of sampled multi-iteration Lloyd's:
+    cents0 = first-k init over the hash sample; each iteration assigns
+    the sample to the previous centroids and re-means per cell
+    (empty cell keeps its centroid); the FULL corpus and the queries
+    assign to the final centroids."""
+    joined, final = _kmeans_ctes(iters, sample_mod)
     return f"""
 WITH {joined},
 c AS (
@@ -1310,6 +1318,59 @@ pairs AS (
 SELECT id_a, id_b, {_SQL_COS} AS cosine
 FROM pairs WHERE {_SQL_COS} >= 0.95
 """
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    corpus, then near-dup pairs only within each cluster cell — the
+    data-adaptive counterpart of embed_near_dup's fixed sign-LSH
+    buckets (similarity.semdedup_pairs). Centroids come from the same
+    deterministic Lloyd's run as ann_ivf; the planted v*1.01 copies
+    guarantee positives and assign to the same cell as their original
+    (scaling doesn't move the max-dot-product argmax)."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.kmeans_centroids(
+        e, _IVF_CELLS, iters=_IVF_ITERS, sample_mod=_IVF_SAMPLE_MOD)
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    return similarity.semdedup_pairs(
+        base.unionByName(planted), centroids, threshold=0.95)
+
+
+def _semdedup_sql() -> str:
+    ctes, final = _kmeans_ctes(_IVF_ITERS, _IVF_SAMPLE_MOD)
+    return f"""
+WITH {ctes},
+base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.01) AS v
+  FROM embeddings WHERE vec_id < 10
+),
+wc AS (
+  SELECT vec_id, v,
+         (SELECT cell FROM {final}
+          ORDER BY list_dot_product(b.v, cv) DESC, cell LIMIT 1) AS cell
+  FROM base b
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cell AS cell,
+         x.v AS a, y.v AS b
+  FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, cell, {_SQL_COS} AS cosine
+FROM pairs WHERE {_SQL_COS} >= 0.95
+"""
+
+
+SQL_SEMDEDUP = _semdedup_sql()
 
 
 # =====================================================================
@@ -2335,6 +2396,156 @@ FROM r WHERE rank <= {_GROUP_TOPK}
 """
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-language characteristic vocabulary: top-5 terms by TF-IDF
+    (text.tfidf_top_terms). idf·Σtf keeps the sum integer until one
+    final multiply, so the score is aggregation-order-independent —
+    the float-sum-order trap of distributed TF-IDF never arises."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return text.tfidf_top_terms(d, group_col="lang", k=5)
+
+
+SQL_TFIDF_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+grp AS (SELECT lang, term, sum(tf) AS tf_sum FROM tf GROUP BY 1, 2),
+scored AS (
+  SELECT g.lang, g.term, g.tf_sum::BIGINT AS tf_sum, d.df::BIGINT AS df,
+         round(ln(nd.n::DOUBLE / d.df::DOUBLE) * g.tf_sum::DOUBLE, 4) AS score
+  FROM grp g JOIN dfreq d USING (term), nd
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT lang, term, tf_sum, df, score, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    (Wenzek et al. 2020): corpus-bigram-LM score (lm_bigram_score) +
+    per-language ntile(3) over the rounded score
+    (text.perplexity_buckets)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return text.perplexity_buckets(d, group_col="lang", n_buckets=3)
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH s AS (SELECT * FROM ({SQL_LM_BIGRAM_SCORE})),
+j AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logp
+      FROM s JOIN documents d USING (doc_id)),
+b AS (
+  SELECT *, ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logp DESC, doc_id ASC) AS bucket
+  FROM j
+)
+SELECT doc_id, lang, n_bigrams, avg_logp, bucket::BIGINT AS bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+            ELSE 'middle' END AS bucket_name
+FROM b
+"""
+
+
+_MIX_ALPHA = 0.3
+
+
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-smoothed mixture weights per language (the
+    mBERT/XLM-R q_s ∝ p_s^α sampling rule, α=0.3): raw vs smoothed
+    token shares + implied upsample factor
+    (sampling.temperature_mixture)."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                        lambda x: x != "")).cast("long").alias("n_tokens"),
+    )
+    return sampling.temperature_mixture(
+        d, "lang", "n_tokens", alpha=_MIX_ALPHA)
+
+
+SQL_MIX_TEMPERATURE = f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len({_SQL_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_tokens) AS tot FROM per),
+wp AS (SELECT per.*, n_tokens::DOUBLE / tot::DOUBLE AS p FROM per, tot),
+z AS (SELECT sum(pow(p, {_MIX_ALPHA})) AS z FROM wp)
+SELECT lang, n_docs, n_tokens,
+       round(p, 6) AS p_raw,
+       round(pow(p, {_MIX_ALPHA}) / z, 6) AS p_smoothed,
+       round((pow(p, {_MIX_ALPHA}) / z) / p, 4) AS upsample
+FROM wp, z
+"""
+
+
+def q_cube_revenue(spark, sf_dir):
+    """Full CUBE over (order priority × status): every grouping-set
+    subtotal in one pass — the all-facets generalization of
+    rollup_revenue; Catalyst expands it to a single Expand+agg, no
+    per-grouping re-scan. Exact DECIMAL sums cast to double."""
+    o = _t(spark, sf_dir, "orders")
+    out = o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return out.select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+        "revenue",
+        "n_orders",
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """Per-user running total of event values ordered by event id —
+    the cumulative-metrics window every activity dashboard needs on
+    the reference's count_history-style data. DECIMAL accumulation
+    makes every prefix sum exact, so the result is independent of how
+    either engine internally associates the window aggregation
+    (running fold vs segment tree)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+        .cast("double").alias("cum_value"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(28,6)))
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+FROM events
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2391,6 +2602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "embed_near_dup": q_embed_near_dup,
+    "semdedup": q_semdedup,
     # LLM-data-pipeline: text analysis + multimodal
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -2418,6 +2630,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_stats": q_vocab_stats,
     "dataset_split": q_dataset_split,
     "topk_per_group": q_topk_per_group,
+    "tfidf_terms": q_tfidf_terms,
+    "perplexity_buckets": q_perplexity_buckets,
+    "mix_temperature": q_mix_temperature,
+    "cube_revenue": q_cube_revenue,
+    "running_total": q_running_total,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2467,6 +2684,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_indexed": SQL_ANN_LSH_INDEXED,
     "ann_ivf_indexed": SQL_ANN_IVF_INDEXED,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "semdedup": SQL_SEMDEDUP,
     "token_count": SQL_TOKEN_COUNT,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
@@ -2492,6 +2710,11 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_stats": SQL_VOCAB_STATS,
     "dataset_split": SQL_DATASET_SPLIT,
     "topk_per_group": SQL_TOPK_PER_GROUP,
+    "tfidf_terms": SQL_TFIDF_TERMS,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "mix_temperature": SQL_MIX_TEMPERATURE,
+    "cube_revenue": SQL_CUBE_REVENUE,
+    "running_total": SQL_RUNNING_TOTAL,
 }
 
 
