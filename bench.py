@@ -48,23 +48,29 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     spark.range(par * 4).repartition(par).mapInPandas(_noop_udf, "id long").count()
 
-    # min of 2 runs per query: the first run pays plan compilation and
-    # whatever the noisy-neighbor environment charges; the min is the
-    # reproducible steady-state number. Heavy queries (min still >1s)
-    # get a third run — on a shared host a noisy-neighbor burst can
-    # span both runs, and the absolute error concentrates exactly in
-    # the long-running queries.
+    # min over INTERLEAVED full-catalog passes: the host serves
+    # multi-second noisy-neighbor waves that last minutes, so
+    # back-to-back repeats of one query can all land inside the same
+    # wave and min-of-N learns nothing. Running the whole catalog as
+    # pass 1, then pass 2, separates a query's attempts by minutes —
+    # the min across passes is the steady-state number even when any
+    # single pass is hit. Pass 1 additionally absorbs plan compilation
+    # and JIT warmup. A final third pass re-times only the heavy
+    # queries (min still >1.5s), where absolute noise concentrates.
     timings: dict[str, float] = {}
-    for name, q in catalog.QUERIES.items():
-        best = None
-        for attempt in range(3):
+    for _pass in range(2):
+        for name, q in catalog.QUERIES.items():
             t0 = time.perf_counter()
             force(q(spark, sf_dir))
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            if attempt >= 1 and best <= 1.0:
-                break
-        timings[name] = round(best, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    for name, q in catalog.QUERIES.items():
+        if timings[name] > 1.5:
+            t0 = time.perf_counter()
+            force(q(spark, sf_dir))
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     # Ingest throughput: the reference's flagship path (save_tweets) on
     # a synthetic 20k-tweet batch. The reference is API-rate-bound

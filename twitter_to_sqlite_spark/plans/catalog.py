@@ -1140,9 +1140,7 @@ def _ann_index(spark, sf_dir: str, kind: str) -> str:
         if kind == "lsh":
             similarity.build_lsh_index(e, path, dims=_LSH_DIMS)
         else:
-            centroids = similarity.kmeans_centroids(
-                e, _IVF_CELLS, iters=_IVF_ITERS, sample_mod=_IVF_SAMPLE_MOD)
-            similarity.build_ivf_index(e, path, centroids)
+            similarity.build_ivf_index(e, path, _ivf_centroids(spark, sf_dir))
         _ANN_INDEX_CACHE[key] = path
     return _ANN_INDEX_CACHE[key]
 
@@ -1181,6 +1179,23 @@ _IVF_ITERS = 2
 _IVF_SAMPLE_MOD = None
 
 
+# One Lloyd's run per (sf_dir, params) per process: centroids are
+# index infrastructure (the persisted-IVF sidecar stores them), so the
+# IVF ANN, SemDeDup, and the index build all quantize around the SAME
+# centroid set instead of re-clustering per query — exactly how a
+# production pipeline shares a trained coarse quantizer.
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _ivf_centroids(spark, sf_dir: str) -> list[list[float]]:
+    key = (sf_dir, _IVF_CELLS, _IVF_ITERS, _IVF_SAMPLE_MOD)
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = similarity.kmeans_centroids(
+            _t(spark, sf_dir, "embeddings"), _IVF_CELLS,
+            iters=_IVF_ITERS, sample_mod=_IVF_SAMPLE_MOD)
+    return _CENTROID_CACHE[key]
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate top-3: coarse-quantize the corpus into cells
     around k-means centroids (multi-iteration deterministic Lloyd's,
@@ -1189,10 +1204,9 @@ def q_ann_ivf(spark, sf_dir):
     Data-adaptive complement to the sign-LSH path; the oracle
     reproduces the identical iterations relationally."""
     e = _t(spark, sf_dir, "embeddings")
-    centroids = similarity.kmeans_centroids(
-        e, _IVF_CELLS, iters=_IVF_ITERS, sample_mod=_IVF_SAMPLE_MOD)
     queries = e.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(e, queries, centroids, k=3, n_probe=1)
+    return similarity.ivf_topk(
+        e, queries, _ivf_centroids(spark, sf_dir), k=3, n_probe=1)
 
 
 def _kmeans_ctes(iters: int, sample_mod: int | None) -> tuple[str, str]:
@@ -1329,8 +1343,7 @@ def q_semdedup(spark, sf_dir):
     guarantee positives and assign to the same cell as their original
     (scaling doesn't move the max-dot-product argmax)."""
     e = _t(spark, sf_dir, "embeddings")
-    centroids = similarity.kmeans_centroids(
-        e, _IVF_CELLS, iters=_IVF_ITERS, sample_mod=_IVF_SAMPLE_MOD)
+    centroids = _ivf_centroids(spark, sf_dir)
     base = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),

@@ -36,7 +36,15 @@ def get_spark(app_name: str = "twitter_to_sqlite_spark", cpus: str | None = None
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # localCheckpoint blocks (k-means vectors, component-label
+        # rounds, prefix-filter shingle sets) are freed by the
+        # ContextCleaner only after a JVM GC notices the dropped
+        # references; the default 30min periodic GC is longer than a
+        # whole catalog run, so a long session accumulates dead blocks
+        # until heap pressure throttles every later query. A tight
+        # periodic GC keeps storage memory flat.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver's events.parquet stores TIMESTAMP(NANOS), which the
