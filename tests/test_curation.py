@@ -471,3 +471,41 @@ class TestTemperatureMixture:
             self._mk(spark), "lang", "n_tokens", alpha=0.0).collect()
         for r in out:
             assert abs(r["p_smoothed"] - 1.0 / 3.0) < 1e-4
+
+
+class TestQualityClassifier:
+    def _feats(self, spark):
+        from twitter_to_sqlite_spark.functions import classifier
+        rows = (
+            [(i, ("the quick brown fox jumps over a lazy dog near the river "
+                  "and it runs for miles " + f"tail{i}")) for i in range(20)]
+            + [(100 + i, f"spam spam spam spam spam {i}") for i in range(20)]
+        )
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        return classifier.quality_features(d)
+
+    def test_labels_separate_good_from_spam(self, spark):
+        got = {r["doc_id"]: r["y"] for r in self._feats(spark).collect()}
+        assert all(got[i] == 1 for i in range(20))
+        assert all(got[100 + i] == 0 for i in range(20))
+
+    def test_training_learns_and_is_deterministic(self, spark):
+        from twitter_to_sqlite_spark.functions import classifier
+        feats = self._feats(spark)
+        w1 = classifier.logreg_train(feats, iters=16, lr=8.0)
+        w2 = classifier.logreg_train(feats, iters=16, lr=8.0)
+        assert w1 == w2  # rounded trajectory → bit-identical weights
+        scored = classifier.logreg_score(feats, w1).collect()
+        acc = sum(1 for r in scored if (r["prob"] > 0.5) == (r["y"] == 1))
+        assert acc / len(scored) >= 0.9  # beats the 0.5 majority baseline
+        good = [r["prob"] for r in scored if r["y"] == 1]
+        spam = [r["prob"] for r in scored if r["y"] == 0]
+        assert min(good) > max(spam)
+
+    def test_scoring_is_narrow(self, spark):
+        from twitter_to_sqlite_spark.functions import classifier
+        feats = self._feats(spark)
+        w = [0.1, 0.2, 0.3, 0.4, 0.5]
+        plan = classifier.logreg_score(feats, w)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # pure per-row projection

@@ -2559,6 +2559,98 @@ FROM events
 """
 
 
+# 16 full-batch iterations at lr=8 reach 86% train accuracy with a
+# clear probability separation (mean σ 0.73 for y=1 vs 0.36 for y=0
+# at sf0.01) — enough optimization to be a real classifier while
+# costing 16 one-aggregation jobs, trained once per corpus (cached).
+_LR_ITERS = 16
+_LR_LR = 8.0
+
+# One training run per (sf_dir, params) per process — the classifier
+# is infrastructure like the IVF centroids: trained once, applied to
+# every scoring query.
+_LR_CACHE: dict[tuple, list[float]] = {}
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Distilled quality classifier: full-batch logistic regression
+    trained DISTRIBUTEDLY on rational-arithmetic text features with a
+    heuristic-gate label (functions/classifier.py) — the fasttext-
+    style soft quality scorer of production corpus pipelines, as
+    |iters| one-aggregation Spark jobs. Per-iteration rounding makes
+    the trajectory engine-independent; the oracle replays the exact
+    training relationally."""
+    from twitter_to_sqlite_spark.functions import classifier
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = classifier.quality_features(d)
+    key = (sf_dir, _LR_ITERS, _LR_LR)
+    if key not in _LR_CACHE:
+        _LR_CACHE[key] = classifier.logreg_train(
+            feats, iters=_LR_ITERS, lr=_LR_LR)
+    return classifier.logreg_score(feats, _LR_CACHE[key])
+
+
+def _logreg_sql(iters: int = _LR_ITERS, lr: float = _LR_LR) -> str:
+    """DuckDB twin of classifier.logreg_train + logreg_score: the same
+    features, the same zero init, the same round(w + lr·avg(grad), 6)
+    per iteration, the same rounded-σ verdict."""
+    feats = ["x_words", "x_wordlen", "x_stop", "x_dup"]
+
+    def margin(w: str) -> str:
+        terms = " + ".join(f"{w}.w{j + 1}*{c}" for j, c in enumerate(feats))
+        return f"({w}.b + {terms})"
+
+    def sigma(w: str) -> str:
+        return f"(1.0/(1.0+exp(-{margin(w)})))"
+
+    ctes = [
+        f"m AS (SELECT doc_id, len(t)::DOUBLE AS n_words,"
+        f" len(list_filter(t, x -> list_contains({_SQL_STOPLIST}, x)))::DOUBLE AS ns,"
+        f" len(list_distinct(t))::DOUBLE AS nd,"
+        f" coalesce(list_sum(list_transform(t, x -> length(x)::BIGINT)), 0)::DOUBLE AS swl"
+        f" FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents))",
+        "mg AS (SELECT m.*, greatest(n_words, 1.0) AS g FROM m)",
+        "feat AS (SELECT doc_id, n_words / 100.0 AS x_words,"
+        " (swl / g) / 10.0 AS x_wordlen, ns / g AS x_stop,"
+        " 1.0 - nd / g AS x_dup,"
+        " CASE WHEN n_words >= 15 AND ns / g >= 0.02"
+        "      AND (1.0 - nd / g) <= 0.5 THEN 1 ELSE 0 END AS y"
+        " FROM mg)",
+        "wt0 AS (SELECT 0.0 AS b, "
+        + ", ".join(f"0.0 AS w{j + 1}" for j in range(len(feats))) + ")",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"wt{t - 1}"
+        resid = f"(y - {sigma(prev)})"
+        gsel = ", ".join(
+            [f"avg({resid}) AS g0"]
+            + [f"avg({resid}*{c}) AS g{j + 1}" for j, c in enumerate(feats)]
+        )
+        # MATERIALIZED: DuckDB inlines CTEs by default, and each
+        # iteration references the previous weights several times —
+        # inlining makes the expression tree EXPONENTIAL in iters.
+        ctes.append(f"gr{t} AS MATERIALIZED (SELECT {gsel} FROM feat, {prev})")
+        wsel = ", ".join(
+            [f"round({prev}.b + {lr}*g0, 6) AS b"]
+            + [f"round({prev}.w{j + 1} + {lr}*g{j + 1}, 6) AS w{j + 1}"
+               for j in range(len(feats))]
+        )
+        ctes.append(f"wt{t} AS MATERIALIZED (SELECT {wsel} FROM {prev}, gr{t})")
+    final = f"wt{iters}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT doc_id, y,
+       round({sigma(final)}, 4) AS prob,
+       round({sigma(final)}, 4) > 0.5 AS keep
+FROM feat, {final}
+"""
+
+
+SQL_QUALITY_CLASSIFIER = _logreg_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2648,6 +2740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_temperature": q_mix_temperature,
     "cube_revenue": q_cube_revenue,
     "running_total": q_running_total,
+    "quality_classifier": q_quality_classifier,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2728,6 +2821,7 @@ ORACLE_SQL: dict[str, str] = {
     "mix_temperature": SQL_MIX_TEMPERATURE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "running_total": SQL_RUNNING_TOTAL,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }
 
 
