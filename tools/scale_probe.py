@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Scale probe: replicate the bench corpus N× (distinct ids/texts per
+replica) and time the heavy operators at 1× and N×, printing one JSON
+line of {op: {t1, tN, ratio}}.
+
+The point is the SHAPE of the growth, not the absolute numbers: a
+bucketed near-dup path should grow ~linearly (Σ bucket² with bounded
+buckets), never quadratically; narrow text ops should stay flat per
+row. Run:  python tools/scale_probe.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from twitter_to_sqlite_spark import tables
+from twitter_to_sqlite_spark.functions import classifier, dedup, similarity, text
+from twitter_to_sqlite_spark.session import get_spark
+
+
+def replicate_docs(d, n, distinct: bool):
+    """n replicas. distinct=False appends one token per replica — each
+    original becomes a genuine n-way near-duplicate cluster, the
+    ADVERSARIAL case where the true pair count itself grows ~n²/2.
+    distinct=True salts EVERY token, so replicas share no shingles —
+    independent corpus growth, where near-linear scaling is the bar."""
+    out = None
+    for j in range(n):
+        if distinct:
+            txt = F.regexp_replace(F.col("text"), r"(\S+)", rf"$1x{j}")
+        else:
+            txt = F.concat(F.col("text"), F.lit(f" r{j}"))
+        r = d.select(
+            (F.col("doc_id") + j * 10_000_000).alias("doc_id"),
+            txt.alias("text"),
+            "lang",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def replicate_vecs(e, n, distinct: bool):
+    """distinct=False scales each replica (cosine 1 with the original:
+    n-way duplicate clusters); distinct=True shifts a different
+    coordinate per replica, moving the direction so replicas are no
+    longer near-dups of each other."""
+    out = None
+    for j in range(n):
+        if distinct:
+            emb = F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + F.when(i == j % 64, F.lit(2.0 + j)).otherwise(F.lit(0.0)),
+            )
+        else:
+            emb = F.transform(
+                "embedding", lambda x: x.cast("double") * (1.0 + j * 1e-3))
+        r = e.select(
+            (F.col("vec_id") + j * 10_000_000).alias("vec_id"),
+            emb.alias("embedding"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def force(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--distinct"]
+    distinct = "--distinct" in sys.argv[1:]
+    n = int(args[0]) if args else 10
+    sf_dir = args[1] if len(args) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-probe")
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    vecs = tables.load_table(spark, sf_dir, "embeddings")
+    # Materialize the replicated inputs to parquet so both scales read
+    # from a scan (not an in-memory union) — same physical shape as a
+    # real corpus, and replication cost is excluded from the timings.
+    import tempfile
+    base = tempfile.mkdtemp(prefix="scaleprobe-")
+    d1p, dnp = f"{base}/d1", f"{base}/dn"
+    v1p, vnp = f"{base}/v1", f"{base}/vn"
+    replicate_docs(docs, 1, distinct).write.parquet(d1p)
+    replicate_docs(docs, n, distinct).write.parquet(dnp)
+    replicate_vecs(vecs, 1, distinct).write.parquet(v1p)
+    replicate_vecs(vecs, n, distinct).write.parquet(vnp)
+
+    def load(p):
+        return spark.read.parquet(p)
+
+    OPS = {
+        "minhash_lsh": lambda d, v: dedup.minhash_lsh_pairs(
+            d, "doc_id", "text", k=3, num_hashes=16, bands=4),
+        "simhash": lambda d, v: dedup.simhash_pairs(d, "doc_id", "text"),
+        "jaccard_dfcap": lambda d, v: dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", k=3, threshold=0.5, max_df=20),
+        "substring_spans": lambda d, v: dedup.duplicate_spans(d),
+        "tfidf_terms": lambda d, v: text.tfidf_top_terms(d, group_col="lang"),
+        "gopher": lambda d, v: text.gopher_filter(d),
+        "classifier_score": lambda d, v: classifier.logreg_score(
+            classifier.quality_features(d), [0.1, 0.2, 0.3, 0.4, 0.5]),
+        "semdedup": lambda d, v: similarity.semdedup_pairs(
+            v, similarity.kmeans_centroids(v, 8, iters=1), threshold=0.95,
+            max_cell=5000),
+        "embed_near_dup": lambda d, v: similarity.embedding_near_dup_pairs(
+            v, threshold=0.95, dims=[0, 8, 16, 24], max_bucket=5000),
+    }
+    out = {}
+    for name, fn in OPS.items():
+        res = {}
+        for label, (dp, vp) in (("t1", (d1p, v1p)), (f"t{n}", (dnp, vnp))):
+            d, v = load(dp), load(vp)
+            fn(d, v)  # warm: plan + codegen
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(fn(d, v))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            res[label] = round(best, 2)
+        res["ratio"] = round(res[f"t{n}"] / max(res["t1"], 1e-9), 1)
+        out[name] = res
+        print(f"# {name}: {res}", file=sys.stderr, flush=True)
+    print(json.dumps(
+        {"n": n, "sf_dir": sf_dir, "distinct": distinct, "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
