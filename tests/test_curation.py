@@ -509,3 +509,62 @@ class TestQualityClassifier:
         plan = classifier.logreg_score(feats, w)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan  # pure per-row projection
+
+
+class TestCuratePipeline:
+    def _docs(self, spark):
+        good = ("the quick brown fox jumps over a lazy dog and then it "
+                "runs on for a while longer with many varied words here")
+        rows = (
+            [(i, good + f" uniq{i}", "en") for i in range(10)]
+            + [(100, good + " uniq3", "en")]       # exact dup of doc 3... no:
+            + [(101, "spam spam spam spam", "en")]  # fails gopher
+            + [(102, "mail me at a@b.io " + good, "en")]  # has PII
+        )
+        # make 100 a TRUE exact duplicate of 3 (after scrub, identical)
+        rows[10] = (100, good + " uniq3", "en")
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_flags_and_funnel(self, spark):
+        from twitter_to_sqlite_spark.functions import curate
+        flagged = curate.curate_flags(self._docs(spark))
+        got = {r["doc_id"]: r for r in flagged.collect()}
+        assert not got[101]["pass_gopher"]          # spam gated out
+        assert got[0]["pass_gopher"] and got[0]["keep"]
+        assert got[3]["pass_dedup"] and not got[100]["pass_dedup"]  # min id wins
+        assert "[EMAIL]" in got[102]["text_clean"]
+        assert all(r["split"] in ("train", "val", "test") for r in got.values())
+        stats = curate.curate_stats(flagged)
+        assert stats["n_in"] == 13
+        assert stats["n_keep"] == stats["n_in"] - 2  # spam + dup
+        assert stats["n_pii_redactions"] == 1
+
+    def test_funnel_is_one_aggregation(self, spark):
+        from twitter_to_sqlite_spark.functions import curate
+        flagged = curate.curate_flags(self._docs(spark))
+        agg = flagged.agg(F.count(F.lit(1)))
+        # one plan, no per-stage count jobs: stats collected via single agg
+        import unittest.mock as mock
+        calls = []
+        orig = type(agg).collect
+        with mock.patch.object(type(agg), "collect",
+                               autospec=True,
+                               side_effect=lambda self: calls.append(1) or orig(self)):
+            curate.curate_stats(flagged)
+        assert len(calls) == 1
+
+    def test_run_curate_cli_end_to_end(self, spark, tmp_path):
+        from twitter_to_sqlite_spark import cli
+        src = str(tmp_path / "docs")
+        self._docs(spark).write.parquet(src)
+        out = str(tmp_path / "out")
+        rc = cli.main(["curate", src, out, "--shards", "2"])
+        assert rc == 0
+        curated = spark.read.parquet(f"{out}/curated")
+        assert "split" in curated.columns
+        assert curated.count() == 11
+        assert curated.filter("doc_id = 101").count() == 0
+        shards = spark.read.parquet(f"{out}/train_shards")
+        n_train = curated.filter("split = 'train'").count()
+        assert shards.count() == n_train
+        assert shards.select("shard").distinct().count() <= 2

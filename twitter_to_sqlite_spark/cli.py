@@ -210,6 +210,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("fetch")
     sp.add_argument("url")
 
+    sp = sub.add_parser(
+        "curate",
+        help="training-data curation over parquet documents: PII scrub "
+             "→ Gopher gate → exact dedup → split → sharded write")
+    sp.add_argument("in_path", help="input parquet of documents")
+    sp.add_argument("out_dir")
+    sp.add_argument("--steps", default="pii,gopher,dedup,split",
+                    help="comma list from pii,gopher,dedup,split")
+    sp.add_argument("--splits", default="train=98,val=1,test=1",
+                    help="name=weight comma list")
+    sp.add_argument("--shards", type=int,
+                    help="also write N deterministic train shards")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+
     sp = sub.add_parser("auth")
     sp.add_argument("-a", "--auth", default="auth.json")
     return p
@@ -224,6 +239,21 @@ def main(argv=None) -> int:
                       "access_token_secret")
         }
         json.dump(creds, open(args.auth, "w"))
+        return 0
+
+    if args.command == "curate":
+        from twitter_to_sqlite_spark.functions.curate import run_curate
+
+        splits = {}
+        for part in args.splits.split(","):
+            name, _, wt = part.partition("=")
+            splits[name.strip()] = int(wt)
+        stats = run_curate(
+            get_spark("cli"), args.in_path, args.out_dir,
+            steps=tuple(s.strip() for s in args.steps.split(",") if s.strip()),
+            splits=splits, n_shards=args.shards,
+            id_col=args.id_col, text_col=args.text_col)
+        print(json.dumps(stats))
         return 0
 
     spark = get_spark("cli")

@@ -465,6 +465,12 @@ def semdedup_pairs(corpus: DataFrame, centroids: list[list[float]],
     is the same skew guard — a degenerate cell (mode collapse in the
     embedding model) is excluded instead of exploding size².
     """
+    if not centroids:
+        # empty corpus → kmeans_centroids returned [] → no cells, no
+        # pairs (ivf_assign over an empty literal array would NULL out)
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cell long, cosine double")
     withc = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("cell", ivf_assign(F.col("v"), centroids)) \
