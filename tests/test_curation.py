@@ -568,3 +568,28 @@ class TestCuratePipeline:
         n_train = curated.filter("split = 'train'").count()
         assert shards.count() == n_train
         assert shards.select("shard").distinct().count() <= 2
+
+
+class TestGroupedNtileDist:
+    def test_matches_window_ntile_exactly(self, spark):
+        """Distributed grouped ntile must reproduce the window ntile
+        bit-for-bit on adversarial inputs: skewed groups, heavy ties,
+        groups smaller than the bucket count."""
+        from pyspark.sql import Window
+        from twitter_to_sqlite_spark.operators import relational as R
+        rows = (
+            [(i, "big", float(i % 7)) for i in range(500)]      # ties
+            + [(1000 + i, "small", float(i)) for i in range(2)]  # n < b
+            + [(2000 + i, "mid", 1.0) for i in range(10)]        # all tied
+        )
+        d = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {
+            r["id"]: r["bucket"]
+            for r in R.grouped_ntile_dist(d, "g", "v", "id", 3).collect()
+        }
+        w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+        want = {
+            r["id"]: r["nt"]
+            for r in d.withColumn("nt", F.ntile(3).over(w)).collect()
+        }
+        assert got == want

@@ -354,3 +354,13 @@ def test_semdedup_no_cartesian(spark):
     CartesianProduct node means the guard rail failed."""
     plan = plan_of(spark, "semdedup")
     assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_dist_no_group_only_window(spark):
+    """The distributed ntile must never run a window partitioned by
+    the low-cardinality group alone — every window spec carries the
+    range id, so no single task sorts a whole language."""
+    import re
+    plan = plan_of(spark, "perplexity_buckets_dist")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__pid" in s for s in specs)

@@ -527,3 +527,79 @@ def salted_facet_count(df: DataFrame, col: str, count_alias: str = "n",
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     return partial.groupBy(col).agg(F.sum("__c").alias(count_alias))
+
+
+def grouped_ntile_dist(df: DataFrame, group_col: str, range_col: str,
+                       tie_col: str, n_buckets: int,
+                       num_ranges: int | None = None,
+                       bucket_col: str = "bucket") -> DataFrame:
+    """Per-group ntile with NO low-cardinality window — the scale form
+    of ``ntile(b) OVER (PARTITION BY group ORDER BY range_col, tie_col)``.
+
+    A per-group window puts EVERY row of a group through one task —
+    fine for high-cardinality keys, a single-task sort of billions of
+    rows when the group is something like `language`. This is the
+    ``batch_chunks_dist`` two-phase prefix-sum generalized to grouped
+    ranks:
+
+      1. split the ORDER domain into ~balanced ranges (approxQuantile
+         boundaries become literals; the range id is a pure function
+         of the order value, and a tie can never straddle a boundary
+         because assignment uses strict comparison),
+      2. local ranks via a window partitioned by (range, group) — at
+         1000 executors each is one bounded task,
+      3. per-(range, group) counts (|ranges|·|groups| rows — bounded)
+         → per-group prefix offsets and totals on the driver,
+      4. broadcast back; global rank = offset + local rank; the bucket
+         is standard front-loaded ntile arithmetic over (rank, n).
+
+    ``range_col`` must be numeric and ASCENDING in the desired order
+    (negate for DESC — exact for our rounded scores); ``tie_col``
+    makes the order total so ranks are engine-independent.
+    """
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.approxQuantile(range_col, probs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col(range_col).cast("double")))
+    else:
+        pid = F.lit(0)
+    local_w = Window.partitionBy("__pid", group_col).orderBy(
+        F.col(range_col).asc(), F.col(tie_col).asc())
+    local = df.withColumn("__pid", pid).withColumn(
+        "__lrn", F.row_number().over(local_w))
+    counts = sorted(
+        (r["__pid"], r[group_col], r["cnt"])
+        for r in local.groupBy("__pid", group_col)
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    acc: dict = {}
+    offsets = []
+    for p, g, cnt in counts:
+        offsets.append((p, g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + cnt
+    off_df = spark.createDataFrame(
+        [(p, g, o) for p, g, o in offsets] or [(0, None, 0)],
+        f"__pid int, {group_col} string, __off long")
+    tot_df = spark.createDataFrame(
+        list(acc.items()) or [(None, 0)], f"{group_col} string, __n long")
+    rank = F.col("__off") + F.col("__lrn")
+    b = F.lit(n_buckets)
+    size = F.floor(F.col("__n") / b)
+    rem = F.col("__n") % b
+    head = rem * (size + 1)
+    bucket = F.when(
+        rank <= head, F.floor((rank - 1) / (size + 1)) + 1
+    ).otherwise(
+        # size can only be 0 when n < b, and then every rank is in the
+        # head branch — the else division is never 0/0 on a real row.
+        rem + F.floor((rank - head - 1) / size) + 1
+    )
+    return (
+        local.join(F.broadcast(off_df), ["__pid", group_col])
+        .join(F.broadcast(tot_df), group_col)
+        .withColumn(bucket_col, bucket.cast("long"))
+        .drop("__pid", "__lrn", "__off", "__n")
+    )

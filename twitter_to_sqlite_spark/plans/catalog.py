@@ -2465,6 +2465,34 @@ FROM b
 """
 
 
+def q_perplexity_buckets_dist(spark, sf_dir):
+    """perplexity_buckets without the low-cardinality window: a
+    per-LANGUAGE ntile puts every document of a language through one
+    task, which is a single-task sort of billions of rows at corpus
+    scale. This variant computes the identical buckets through the
+    two-phase distributed grouped rank (relational.grouped_ntile_dist,
+    the batch_chunks_dist machinery generalized) — same oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = text.lm_bigram_score(d.select("doc_id", "text"))
+    j = (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        # DESC score order as an ASC numeric key; avg_logp is rounded
+        # to 4 decimals so negation is exact.
+        .withColumn("__ord", -F.col("avg_logp"))
+    )
+    out = R.grouped_ntile_dist(j, "lang", "__ord", "doc_id", 3)
+    b = F.col("bucket")
+    label = (
+        F.when(b == 1, F.lit("head"))
+        .when(b == 3, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return out.select(
+        "doc_id", "lang", "n_bigrams", "avg_logp", "bucket",
+        label.alias("bucket_name"),
+    )
+
+
 _MIX_ALPHA = 0.3
 
 
@@ -2737,6 +2765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "tfidf_terms": q_tfidf_terms,
     "perplexity_buckets": q_perplexity_buckets,
+    "perplexity_buckets_dist": q_perplexity_buckets_dist,
     "mix_temperature": q_mix_temperature,
     "cube_revenue": q_cube_revenue,
     "running_total": q_running_total,
@@ -2818,6 +2847,7 @@ ORACLE_SQL: dict[str, str] = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "perplexity_buckets_dist": SQL_PERPLEXITY_BUCKETS,
     "mix_temperature": SQL_MIX_TEMPERATURE,
     "cube_revenue": SQL_CUBE_REVENUE,
     "running_total": SQL_RUNNING_TOTAL,
