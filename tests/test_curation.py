@@ -593,3 +593,28 @@ class TestGroupedNtileDist:
             for r in d.withColumn("nt", F.ntile(3).over(w)).collect()
         }
         assert got == want
+
+
+class TestGroupedCumsumDist:
+    def test_matches_window_cumsum_exactly(self, spark):
+        from pyspark.sql import Window
+        from twitter_to_sqlite_spark.operators import relational as R
+        rows = (
+            [(i, "big", float(i % 5), (i * 7) % 13 + 1) for i in range(400)]
+            + [(1000, "one", 0.0, 5)]
+        )
+        d = spark.createDataFrame(rows, "id long, g string, v double, tok long")
+        got = {
+            r["id"]: r["cum"]
+            for r in R.grouped_cumsum_dist(d, "g", "v", "id", "tok").collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy(F.col("v").asc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r["id"]: r["cs"]
+            for r in d.withColumn("cs", F.sum("tok").over(w)).collect()
+        }
+        assert got == want

@@ -603,3 +603,54 @@ def grouped_ntile_dist(df: DataFrame, group_col: str, range_col: str,
         .withColumn(bucket_col, bucket.cast("long"))
         .drop("__pid", "__lrn", "__off", "__n")
     )
+
+
+def grouped_cumsum_dist(df: DataFrame, group_col: str, range_col: str,
+                        tie_col: str, val_col: str,
+                        num_ranges: int | None = None,
+                        out_col: str = "cum") -> DataFrame:
+    """Per-group running SUM with NO low-cardinality window — the
+    scale form of ``sum(val) OVER (PARTITION BY group ORDER BY
+    range_col, tie_col ROWS UNBOUNDED PRECEDING)``, the shape behind
+    budgeted selection and corpus-mixture cuts.
+
+    Same two-phase machinery as :func:`grouped_ntile_dist`, with the
+    per-(range, group) statistic being the SUM of ``val_col`` instead
+    of the row count: local running sums parallel across ranges, one
+    bounded |ranges|·|groups| aggregate, per-group prefix offsets
+    broadcast back. Exact when ``val_col`` is integral (offsets add
+    exactly); for float values prefer casting to DECIMAL first.
+    """
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.approxQuantile(range_col, probs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col(range_col).cast("double")))
+    else:
+        pid = F.lit(0)
+    local_w = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(F.col(range_col).asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("__pid", pid).withColumn(
+        "__lcs", F.sum(F.col(val_col)).over(local_w))
+    sums = sorted(
+        (r["__pid"], r[group_col], r["s"])
+        for r in local.groupBy("__pid", group_col)
+        .agg(F.sum(F.col(val_col)).alias("s")).collect()
+    )
+    acc: dict = {}
+    offsets = []
+    for p, g, s in sums:
+        offsets.append((p, g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + s
+    off_df = spark.createDataFrame(
+        offsets or [(0, None, 0)], f"__pid int, {group_col} string, __off long")
+    return (
+        local.join(F.broadcast(off_df), ["__pid", group_col])
+        .withColumn(out_col, F.col("__off") + F.col("__lcs"))
+        .drop("__pid", "__lcs", "__off")
+    )

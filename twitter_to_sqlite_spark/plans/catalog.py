@@ -1986,6 +1986,24 @@ def q_token_budget_select(spark, sf_dir):
     )
 
 
+def q_token_budget_select_dist(spark, sf_dir):
+    """token_budget_select without the per-language window: the same
+    budgeted cut through the two-phase distributed grouped cumsum
+    (relational.grouped_cumsum_dist) — no task ever sorts a whole
+    language; token counts are integral so range offsets add exactly.
+    Same oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = text.quality_score(text.token_count(d)).withColumn(
+        "__ord", -F.col("quality"))  # DESC quality as ASC key (exact:
+    # quality is rounded to 4 decimals)
+    out = R.grouped_cumsum_dist(
+        scored, "lang", "__ord", "doc_id", "n_tokens_est", out_col="cum_tokens")
+    return (
+        out.filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens_est", "quality", "cum_tokens")
+    )
+
+
 SQL_TOKEN_BUDGET_SELECT = f"""
 WITH f AS (
   SELECT doc_id, lang, text, {_SQL_TOKS} AS t FROM documents
@@ -2755,6 +2773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_indexed": q_dedup_incremental_indexed,
     "decontaminate": q_decontaminate,
     "token_budget_select": q_token_budget_select,
+    "token_budget_select_dist": q_token_budget_select_dist,
     "pack_sequences": q_pack_sequences,
     "substring_dedup": q_substring_dedup,
     "substring_clean": q_substring_clean,
@@ -2837,6 +2856,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_incremental_indexed": SQL_DEDUP_INCREMENTAL,
     "decontaminate": SQL_DECONTAMINATE,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
+    "token_budget_select_dist": SQL_TOKEN_BUDGET_SELECT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "substring_clean": SQL_SUBSTRING_CLEAN,
