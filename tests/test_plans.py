@@ -371,3 +371,10 @@ def test_token_budget_select_dist_no_group_only_window(spark):
     plan = plan_of(spark, "token_budget_select_dist")
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("__pid" in s for s in specs)
+
+
+def test_mix_corpora_dist_no_group_only_window(spark):
+    import re
+    plan = plan_of(spark, "mix_corpora_dist")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__pid" in s for s in specs)

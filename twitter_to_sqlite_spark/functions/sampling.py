@@ -84,7 +84,8 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
 
 
 def mix_corpora(df: DataFrame, strata_col: str, weights: dict[str, float],
-                key_col: str, token_col: str, salt: str = "") -> DataFrame:
+                key_col: str, token_col: str, salt: str = "",
+                distributed: bool = False) -> DataFrame:
     """Weighted corpus-mixture planning: select the maximal training
     mix whose per-stratum token counts follow ``weights`` exactly.
 
@@ -101,10 +102,12 @@ def mix_corpora(df: DataFrame, strata_col: str, weights: dict[str, float],
     #strata), a scalar min, a broadcast join of the tiny budget table
     back onto the corpus, and one per-stratum cumulative-sum window —
     the only full shuffle is the window's hash partition by stratum.
-    With few huge strata that window skews; at 100 TB, range-partition
-    each stratum by the hash key and use the per-partition prefix-sum
-    pattern of ``batch_chunks_dist`` (operators/relational.py) — the
-    bench-scale form here keeps the plan exactly oracle-checkable.
+    With few huge strata that window skews; ``distributed=True``
+    routes the cumsum through the two-phase grouped prefix sum
+    (operators/relational.py::grouped_cumsum_dist) so no task ever
+    sorts a whole stratum — same answer (token counts are integral,
+    offsets add exactly), window form kept as the default because it
+    is one job instead of three at bench scale.
     """
     from pyspark.sql import Window
 
@@ -126,10 +129,18 @@ def mix_corpora(df: DataFrame, strata_col: str, weights: dict[str, float],
         .orderBy("__hk", key_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = (
-        d.withColumn("__hk", _key_hash(F.col(key_col), salt))
-        .withColumn("cum_tokens", F.sum(F.col(token_col)).over(wnd))
-    )
+    hashed = d.withColumn("__hk", _key_hash(F.col(key_col), salt))
+    if distributed:
+        from twitter_to_sqlite_spark.operators.relational import (
+            grouped_cumsum_dist,
+        )
+
+        ranked = grouped_cumsum_dist(
+            hashed, strata_col, "__hk", key_col, token_col,
+            out_col="cum_tokens")
+    else:
+        ranked = hashed.withColumn(
+            "cum_tokens", F.sum(F.col(token_col)).over(wnd))
     return (
         ranked.join(F.broadcast(budgets), strata_col)
         .filter(F.col("cum_tokens") <= F.col("__budget"))

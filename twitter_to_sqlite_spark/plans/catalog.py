@@ -2231,6 +2231,24 @@ def q_mix_corpora(spark, sf_dir):
         token_col="n_tokens")
 
 
+def q_mix_corpora_dist(spark, sf_dir):
+    """mix_corpora through the distributed grouped cumsum (no
+    per-stratum window) — same budgets, same cut, same oracle."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    staged = d.select(
+        "doc_id", "source",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                     lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    return sampling.mix_corpora(
+        staged, "source", _MIX_WEIGHTS, key_col="doc_id",
+        token_col="n_tokens", distributed=True)
+
+
 def _mix_sql() -> str:
     whens = " ".join(
         f"WHEN '{v}' THEN {w}" for v, w in sorted(_MIX_WEIGHTS.items())
@@ -2778,6 +2796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "substring_clean": q_substring_clean,
     "mix_corpora": q_mix_corpora,
+    "mix_corpora_dist": q_mix_corpora_dist,
     "gopher_filter": q_gopher_filter,
     "vocab_stats": q_vocab_stats,
     "dataset_split": q_dataset_split,
@@ -2861,6 +2880,7 @@ ORACLE_SQL: dict[str, str] = {
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "substring_clean": SQL_SUBSTRING_CLEAN,
     "mix_corpora": SQL_MIX_CORPORA,
+    "mix_corpora_dist": SQL_MIX_CORPORA,
     "gopher_filter": SQL_GOPHER_FILTER,
     "vocab_stats": SQL_VOCAB_STATS,
     "dataset_split": SQL_DATASET_SPLIT,
