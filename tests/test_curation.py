@@ -618,3 +618,22 @@ class TestGroupedCumsumDist:
             for r in d.withColumn("cs", F.sum("tok").over(w)).collect()
         }
         assert got == want
+
+
+class TestImportanceSample:
+    def test_rate_tracks_probability_and_is_deterministic(self, spark):
+        d = spark.createDataFrame(
+            [(i, 0.9 if i < 500 else 0.1) for i in range(1000)],
+            "doc_id long, p double")
+        got1 = {r["doc_id"] for r in
+                sampling.importance_sample(d, "p", "doc_id").collect()}
+        got2 = {r["doc_id"] for r in
+                sampling.importance_sample(d, "p", "doc_id").collect()}
+        assert got1 == got2  # hash draw: reproducible
+        hi = sum(1 for i in got1 if i < 500) / 500
+        lo = sum(1 for i in got1 if i >= 500) / 500
+        assert 0.8 < hi <= 1.0 and 0.0 <= lo < 0.2
+        # independent draw under a different salt
+        got3 = {r["doc_id"] for r in
+                sampling.importance_sample(d, "p", "doc_id", salt="b").collect()}
+        assert got3 != got1

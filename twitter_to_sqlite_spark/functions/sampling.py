@@ -209,3 +209,22 @@ def temperature_mixture(df: DataFrame, strata_col: str,
             F.round(q / F.col("__p"), 4).alias("upsample"),
         )
     )
+
+
+def importance_sample(df: DataFrame, prob_col: str, key_col: str,
+                      salt: str = "", resolution: int = 1_000_000) -> DataFrame:
+    """Per-row weighted acceptance sampling: keep each row with its own
+    probability ``prob_col`` (0..1), deterministically.
+
+    The soft-selection step after a quality scorer: instead of a hard
+    quality gate, a document survives with probability equal to its
+    score, preserving diversity while tilting the corpus toward
+    quality. The accept draw is hash(key) scaled to [0, 1) at fixed
+    resolution — a pure function of the row key, so membership is
+    reproducible across runs, engines, and retries (rand() is none of
+    those), and two different salts give independent draws. One narrow
+    filter; composes with any scan.
+    """
+    u = (_key_hash(F.col(key_col), salt) % resolution).cast("double") \
+        / F.lit(float(resolution))
+    return df.filter(u < F.col(prob_col))

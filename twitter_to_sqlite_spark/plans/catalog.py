@@ -2565,6 +2565,26 @@ FROM wp, z
 """
 
 
+def q_importance_sample(spark, sf_dir):
+    """Quality-weighted acceptance sampling: each document survives
+    with probability = its composite quality score — soft selection
+    after scoring (sampling.importance_sample; hash draw, not rand(),
+    so the subset is engine- and retry-reproducible)."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = text.quality_score(d).select("doc_id", "quality")
+    return sampling.importance_sample(scored, "quality", "doc_id")
+
+
+SQL_IMPORTANCE_SAMPLE = f"""
+WITH q AS (SELECT doc_id, quality FROM ({SQL_QUALITY_SCORE}))
+SELECT doc_id, quality FROM q
+WHERE (('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+       % 1000000)::DOUBLE / 1000000.0 < quality
+"""
+
+
 def q_cube_revenue(spark, sf_dir):
     """Full CUBE over (order priority × status): every grouping-set
     subtotal in one pass — the all-facets generalization of
@@ -2808,6 +2828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_revenue": q_cube_revenue,
     "running_total": q_running_total,
     "quality_classifier": q_quality_classifier,
+    "importance_sample": q_importance_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2892,6 +2913,7 @@ ORACLE_SQL: dict[str, str] = {
     "cube_revenue": SQL_CUBE_REVENUE,
     "running_total": SQL_RUNNING_TOTAL,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "importance_sample": SQL_IMPORTANCE_SAMPLE,
 }
 
 
