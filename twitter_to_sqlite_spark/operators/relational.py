@@ -556,8 +556,15 @@ def grouped_ntile_dist(df: DataFrame, group_col: str, range_col: str,
     ``range_col`` must be numeric and ASCENDING in the desired order
     (negate for DESC — exact for our rounded scores); ``tie_col``
     makes the order total so ranks are engine-independent.
+
+    The input is materialized ONCE (localCheckpoint): the algorithm
+    makes three passes (quantile probe, counts, final ranks) and an
+    expensive upstream — a tokenizer, a scorer — must not re-execute
+    per pass. On a cluster the same role is played by persisting to
+    shuffle/disk.
     """
     spark = df.sparkSession
+    df = df.localCheckpoint()
     n = num_ranges or spark.sparkContext.defaultParallelism
     probs = [i / n for i in range(1, n)]
     bounds = sorted(set(df.approxQuantile(range_col, probs, 0.001)))
@@ -620,8 +627,11 @@ def grouped_cumsum_dist(df: DataFrame, group_col: str, range_col: str,
     bounded |ranges|·|groups| aggregate, per-group prefix offsets
     broadcast back. Exact when ``val_col`` is integral (offsets add
     exactly); for float values prefer casting to DECIMAL first.
+    Input materialized once for the three passes (see
+    :func:`grouped_ntile_dist`).
     """
     spark = df.sparkSession
+    df = df.localCheckpoint()
     n = num_ranges or spark.sparkContext.defaultParallelism
     probs = [i / n for i in range(1, n)]
     bounds = sorted(set(df.approxQuantile(range_col, probs, 0.001)))
