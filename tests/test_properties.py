@@ -419,3 +419,59 @@ def test_jaccard_empty_docs_pair(spark):
     }
     assert (1, 2, 1.0) in pairs
     assert all(p[0] != 3 and p[1] != 3 for p in pairs)
+
+
+GROUPED_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3_000),   # id (tie-break)
+        st.sampled_from(["a", "b", "c"]),            # group
+        st.integers(min_value=-5, max_value=5),      # order value (ties!)
+        st.integers(min_value=1, max_value=9),       # token weight
+    ),
+    min_size=0, max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=GROUPED_ROWS, b=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_grouped_ntile_dist_matches_window(spark, rows, b):
+    """Law: the two-phase distributed grouped ntile equals
+    ntile(b) OVER (PARTITION BY g ORDER BY v, id) for ANY input —
+    ties, empty groups, groups smaller than b."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    if not rows:
+        return
+    d = spark.createDataFrame(rows, "id long, g string, v long, tok long") \
+        .withColumn("v", F.col("v").cast("double"))
+    got = {r["id"]: r["bucket"]
+           for r in R.grouped_ntile_dist(d, "g", "v", "id", b,
+                                         num_ranges=3).collect()}
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {r["id"]: r["nt"]
+            for r in d.withColumn("nt", F.ntile(b).over(w)).collect()}
+    assert got == want
+
+
+@given(rows=GROUPED_ROWS)
+@SETTINGS
+def test_grouped_cumsum_dist_matches_window(spark, rows):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    if not rows:
+        return
+    d = spark.createDataFrame(rows, "id long, g string, v long, tok long") \
+        .withColumn("v", F.col("v").cast("double"))
+    got = {r["id"]: r["cum"]
+           for r in R.grouped_cumsum_dist(d, "g", "v", "id", "tok",
+                                          num_ranges=3).collect()}
+    w = (Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r["id"]: r["cs"]
+            for r in d.withColumn("cs", F.sum("tok").over(w)).collect()}
+    assert got == want

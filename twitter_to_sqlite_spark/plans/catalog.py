@@ -698,6 +698,32 @@ WHERE (list_contains(string_split_regex(lower(text), '\W+'), 'spark')
 # Event-time operators (sessionization, as-of join)
 # =====================================================================
 
+def q_tumbling_counts(spark, sf_dir):
+    """Event-time tumbling-window aggregation: events and exact value
+    sums per (hour, event_type) — the batch twin of the streaming
+    windowed counts (streaming/analytics.py), so replays/backfills
+    aggregate identically to the live path. date_trunc on the naive
+    timestamp is wall-clock bucketing in both engines; one partial-agg
+    shuffle on a (bucket, type) key — high cardinality, no skew."""
+    e = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+        .alias("value_sum"),
+    )
+
+
+SQL_TUMBLING_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
 def q_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization of the events stream: 30-minute
     inactivity gap per user (the batch twin of Structured Streaming's
@@ -2777,6 +2803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # event-time operators
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "tumbling_counts": q_tumbling_counts,
     # LLM-data-pipeline: dedup
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2866,6 +2893,7 @@ ORACLE_SQL: dict[str, str] = {
     "keyword_track": SQL_KEYWORD_TRACK,
     "sessionize": SQL_SESSIONIZE,
     "asof_join": SQL_ASOF_JOIN,
+    "tumbling_counts": SQL_TUMBLING_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
