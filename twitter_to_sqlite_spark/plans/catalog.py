@@ -2611,6 +2611,67 @@ WHERE (('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
 """
 
 
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per event type — the
+    profiling pass before choosing filter thresholds. Pure integer
+    bucket arithmetic (floor of value/width), one partial-agg shuffle;
+    empty buckets are absent by construction in both engines."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    bucket = F.floor(F.col("value") / F.lit(10.0)).cast("long")
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket_lo", (F.col("bucket") * 10.0).cast("double"))
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type, bucket, count(*) AS n,
+       CAST(bucket * 10.0 AS DOUBLE) AS bucket_lo
+FROM (SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket
+      FROM events)
+GROUP BY 1, 2
+"""
+
+
+_MANIFEST_SHARDS = 8
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Training-shard manifest: for the deterministic hash sharding of
+    sampling.write_training_shards (shard = md5(doc_id) % N), the
+    per-shard document count, token total, and byte total — the
+    manifest a dataloader consumes. Verifies the shard assignment
+    itself against the oracle: membership is a pure function of the
+    key, so both engines must produce identical shard populations."""
+    from twitter_to_sqlite_spark.functions.sampling import _key_hash
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = (_key_hash(F.col("doc_id")) % _MANIFEST_SHARDS).cast("int")
+    toks = F.size(F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                           lambda x: x != "")).cast("long")
+    return (
+        d.select(shard.alias("shard"), toks.alias("__t"),
+                 F.length("text").cast("long").alias("__b"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("n_tokens"),
+            F.sum("__b").alias("n_bytes"),
+        )
+    )
+
+
+SQL_SHARD_MANIFEST = f"""
+SELECT (('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+        % {_MANIFEST_SHARDS})::INT AS shard,
+       count(*) AS n_docs,
+       sum(len({_SQL_TOKS}))::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_bytes
+FROM documents GROUP BY 1
+"""
+
+
 def q_cube_revenue(spark, sf_dir):
     """Full CUBE over (order priority × status): every grouping-set
     subtotal in one pass — the all-facets generalization of
@@ -2856,6 +2917,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total": q_running_total,
     "quality_classifier": q_quality_classifier,
     "importance_sample": q_importance_sample,
+    "value_histogram": q_value_histogram,
+    "shard_manifest": q_shard_manifest,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2942,6 +3005,8 @@ ORACLE_SQL: dict[str, str] = {
     "running_total": SQL_RUNNING_TOTAL,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "importance_sample": SQL_IMPORTANCE_SAMPLE,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "shard_manifest": SQL_SHARD_MANIFEST,
 }
 
 
