@@ -154,3 +154,49 @@ def test_trending_terms_topk(spark, dirs):
     by_window = {str(r["window_start"]): r for r in ranked}
     top = by_window.get("2020-02-03 10:00:00")
     assert top is not None and top["n"] == 3 and top["rank"] == 1
+
+
+def test_streaming_curation_foreachbatch(spark, dirs, tmp_path):
+    """Batch/stream unification for the curation pipeline: the SAME
+    curate_flags plan runs inside foreachBatch on a document stream,
+    and the union of per-batch outputs equals the one-shot batch run
+    (dedup is per-batch here, as in any streaming dedup — the
+    cross-batch form goes through the MinHash index store)."""
+    import json as _json
+    from pyspark.sql import functions as F
+    from twitter_to_sqlite_spark.functions import curate
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    rows = [
+        {"doc_id": i,
+         "text": ("the quick brown fox jumps over the lazy dog and then "
+                  "keeps going for quite a while longer " + f"u{i}")}
+        for i in range(8)
+    ] + [{"doc_id": 100, "text": "spam spam spam"}]
+    (src / "chunk1.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows))
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    got = []
+
+    def on_batch(df, epoch_id):
+        flagged = curate.curate_flags(df, steps=("pii", "gopher", "dedup"))
+        got.extend(flagged.filter("keep").select("doc_id").collect())
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        r["doc_id"]
+        for r in curate.curate_flags(
+            spark.read.schema(schema).json(str(src)),
+            steps=("pii", "gopher", "dedup"),
+        ).filter("keep").select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in got} == want
+    assert 100 not in want and 0 in want
