@@ -26,7 +26,6 @@ hash_sample) when a pass over the full corpus is too dear.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
