@@ -95,8 +95,13 @@ def test_ann_brute_force_broadcasts_queries(spark):
 
 def test_dedup_minhash_single_scan(spark):
     # the signature computation must appear exactly once (no per-band
-    # recomputation of the md5-heavy projection)
-    plan = plan_of(spark, "dedup_minhash")
+    # recomputation of the md5-heavy projection). Inspect the raw
+    # build pipeline: the registry entry returns the process-cached
+    # localCheckpoint form, which explains as a Scan ExistingRDD.
+    df = catalog._minhash_pairs_build(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert count_nodes(plan, "Scan parquet") == 2  # documents + planted-dup branch
 
 

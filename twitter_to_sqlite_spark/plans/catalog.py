@@ -727,13 +727,32 @@ GROUP BY 1, 2
 def q_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization of the events stream: 30-minute
     inactivity gap per user (the batch twin of Structured Streaming's
-    session_window), rolled up per session."""
+    session_window), rolled up per session.
+
+    session_start/end surface as epoch-micros BIGINT, not raw
+    timestamps: the values are identical either way, but raw
+    sub-second timestamps render differently under pandas-based
+    comparators (Spark datetime64[ns] vs DuckDB datetime64[us]) —
+    integers compare representation-free. Epoch micros are computed as
+    an NTZ-to-NTZ timestampdiff from the epoch literal (not
+    unix_micros, which needs TIMESTAMP and would make the value depend
+    on the caller session's timezone for NTZ inputs — the driver
+    builds its own session)."""
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     s = R.sessionize(e, "user_id", "ts", "event_id", gap_seconds=1800.0)
-    return s.groupBy("user_id", "session_seq").agg(
+    epoch_us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast({c} as timestamp_ntz))"
+    )
+    g = s.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min("ts").alias("_start"),
+        F.max("ts").alias("_end"),
+    )
+    return g.select(
+        "user_id", "session_seq", "n_events",
+        F.expr(epoch_us.format(c="_start")).alias("session_start"),
+        F.expr(epoch_us.format(c="_end")).alias("session_end"),
     )
 
 
@@ -754,7 +773,7 @@ sess AS (
   FROM flag
 )
 SELECT user_id, session_seq, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
+       epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end
 FROM sess GROUP BY user_id, session_seq
 """
 
@@ -887,13 +906,45 @@ _MINHASH_N = 16
 _MINHASH_BANDS = 4
 
 
+# One MinHash run per (session, sf_dir) per process: the pairs feed
+# three catalog queries (pairs / components / keep_best) that would
+# otherwise each recompute the identical signature+band pipeline —
+# the same build-once-probe-many shape as the IVF centroids and the
+# classifier weights (_LR_CACHE). localCheckpoint(eager=False)
+# materializes on first action and truncates lineage, so reuses are
+# a cached-block scan, not a re-derivation.
+_MINHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_caches() -> None:
+    """Drop process-level derived-data caches (bench.py calls this at
+    the start of every timing pass so a 'cached' query is re-measured
+    as a true build, not a checkpoint-block scan)."""
+    _MINHASH_PAIRS_CACHE.clear()
+
+
+def _minhash_pairs_build(spark, sf_dir) -> DataFrame:
+    """The raw (uncached) pairs pipeline — plan tests inspect THIS
+    (the cached form explains as a Scan ExistingRDD checkpoint)."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3,
+        num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+    )
+
+
+def _minhash_pairs(spark, sf_dir) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _MINHASH_PAIRS_CACHE:
+        _MINHASH_PAIRS_CACHE[key] = _minhash_pairs_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _MINHASH_PAIRS_CACHE[key]
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash + banded LSH candidate pairs (b=4, r=4 → ~0.71 Jaccard
     knee) over documents + planted dups."""
-    d = _docs_with_planted_dups(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=3, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
-    )
+    return _minhash_pairs(spark, sf_dir)
 
 
 _R = _MINHASH_N // _MINHASH_BANDS
@@ -929,10 +980,7 @@ def q_dedup_components(spark, sf_dir):
     closure into keep-one-per-cluster groups (min doc id = component
     label), by iterative min-label propagation. The oracle closes the
     same pairs with a recursive CTE."""
-    d = _docs_with_planted_dups(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=3, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     return dedup.near_dup_components(pairs).withColumnRenamed("id", "doc_id")
 
 
@@ -967,9 +1015,7 @@ def q_dedup_keep_best(spark, sf_dir):
     the selection is ONE partial-agg shuffle (max_by + count), not a
     sort or window over the corpus."""
     d = _docs_with_planted_dups(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=3, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     comp = dedup.near_dup_components(pairs)
     labeled = d.join(
         comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
@@ -2827,7 +2873,72 @@ SQL_QUALITY_CLASSIFIER = _logreg_sql()
 # =====================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # core relational (SURVEY §2)
+    # Ordered for the driver correctness pass, which historically
+    # truncated at 50 entries (CORRECTNESS_r03 saw only the first 50):
+    # (1) the 35 queries that have never had a driver-green row, cheapest
+    #     first so a wall-time budget covers as many as possible;
+    # (2) sessionize (red in r03 on timestamp representation, fixed —
+    #     needs re-verification);
+    # (3) the r03-green remainder, cheapest first.
+    # --- (1) never driver-verified, cheap -> expensive ---
+    "stratified_sample": q_stratified_sample,
+    "multimodal_frames": q_multimodal_frames,
+    "dataset_split": q_dataset_split,
+    "value_histogram": q_value_histogram,
+    "pack_sequences": q_pack_sequences,
+    "corpus_stats": q_corpus_stats,
+    "shard_manifest": q_shard_manifest,
+    "fingerprint": q_fingerprint,
+    "chunk_documents": q_chunk_documents,
+    "lang_id": q_lang_id,
+    "running_total": q_running_total,
+    "mix_temperature": q_mix_temperature,
+    "mix_corpora": q_mix_corpora,
+    "pii_scrub": q_pii_scrub,
+    "cube_revenue": q_cube_revenue,
+    "importance_sample": q_importance_sample,
+    "token_budget_select": q_token_budget_select,
+    "topk_per_group": q_topk_per_group,
+    "gopher_filter": q_gopher_filter,
+    "repetition_stats": q_repetition_stats,
+    "vocab_stats": q_vocab_stats,
+    "quality_classifier": q_quality_classifier,
+    "multimodal_features": q_multimodal_features,
+    "tfidf_terms": q_tfidf_terms,
+    "mix_corpora_dist": q_mix_corpora_dist,
+    "substring_dedup": q_substring_dedup,
+    "dedup_incremental_indexed": q_dedup_incremental_indexed,
+    "token_budget_select_dist": q_token_budget_select_dist,
+    "pipeline_clean": q_pipeline_clean,
+    "decontaminate": q_decontaminate,
+    "substring_clean": q_substring_clean,
+    "lm_bigram_score": q_lm_bigram_score,
+    "dedup_incremental": q_dedup_incremental,
+    "perplexity_buckets": q_perplexity_buckets,
+    "perplexity_buckets_dist": q_perplexity_buckets_dist,
+    # --- (2) fixed in r4, needs a fresh green row ---
+    "sessionize": q_sessionize,
+    # --- (3) driver-green in r03, cheap -> expensive ---
+    "ci_in_list": q_ci_in_list,
+    "source_regex": q_source_regex,
+    "html_unescape": q_html_unescape,
+    "timestamp_iso": q_timestamp_iso,
+    "hash_id": q_hash_id,
+    "page_minmax": q_page_minmax,
+    "distinct": q_distinct,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "keyword_track": q_keyword_track,
+    "watermark_filter": q_watermark_filter,
+    "entity_expansion": q_entity_expansion,
+    "json_extract": q_json_extract,
+    "insert_if_absent": q_insert_if_absent,
+    "batch_chunks": q_batch_chunks,
+    "pivot_status": q_pivot_status,
+    "tumbling_counts": q_tumbling_counts,
+    "union_dedup": q_union_dedup,
+    "graph_mutual": q_graph_mutual,
+    "fts_search": q_fts_search,
     "facet_count": q_facet_count,
     "facet_count_salted": q_facet_count_salted,
     "latest_per_key": q_latest_per_key,
@@ -2836,89 +2947,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
     "star_join": q_star_join,
-    "self_join": q_self_join,
-    "graph_mutual": q_graph_mutual,
-    "m2m_bridge": q_m2m_bridge,
-    "watermark_filter": q_watermark_filter,
-    "upsert_lww": q_upsert_lww,
-    "insert_if_absent": q_insert_if_absent,
-    "hash_id": q_hash_id,
-    "source_regex": q_source_regex,
-    "timestamp_iso": q_timestamp_iso,
-    "json_extract": q_json_extract,
-    "ci_in_list": q_ci_in_list,
-    "distinct": q_distinct,
-    "union_dedup": q_union_dedup,
-    "page_minmax": q_page_minmax,
-    "batch_chunks": q_batch_chunks,
-    "batch_chunks_dist": q_batch_chunks_dist,
-    "entity_expansion": q_entity_expansion,
-    "html_unescape": q_html_unescape,
-    "rollup_revenue": q_rollup_revenue,
-    "pivot_status": q_pivot_status,
-    # text search (§2.9)
-    "text_terms": q_text_terms,
-    "fts_search": q_fts_search,
-    "fts_bm25": q_fts_bm25,
-    "keyword_track": q_keyword_track,
-    # event-time operators
-    "sessionize": q_sessionize,
     "asof_join": q_asof_join,
-    "tumbling_counts": q_tumbling_counts,
-    # LLM-data-pipeline: dedup
-    "dedup_exact": q_dedup_exact,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_components": q_dedup_components,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dedup_simhash": q_dedup_simhash,
-    # LLM-data-pipeline: similarity
-    "ann_brute_force": q_ann_brute_force,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "ann_lsh_indexed": q_ann_lsh_indexed,
-    "ann_ivf_indexed": q_ann_ivf_indexed,
-    "embed_near_dup": q_embed_near_dup,
-    "semdedup": q_semdedup,
-    # LLM-data-pipeline: text analysis + multimodal
-    "token_count": q_token_count,
     "quality_score": q_quality_score,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
-    # LLM-data-pipeline: cleaning + curation
-    "pii_scrub": q_pii_scrub,
-    "chunk_documents": q_chunk_documents,
-    "repetition_stats": q_repetition_stats,
-    "lm_bigram_score": q_lm_bigram_score,
-    "stratified_sample": q_stratified_sample,
-    "pipeline_clean": q_pipeline_clean,
-    "corpus_stats": q_corpus_stats,
-    "dedup_incremental": q_dedup_incremental,
-    "dedup_incremental_indexed": q_dedup_incremental_indexed,
-    "decontaminate": q_decontaminate,
-    "token_budget_select": q_token_budget_select,
-    "token_budget_select_dist": q_token_budget_select_dist,
-    "pack_sequences": q_pack_sequences,
-    "substring_dedup": q_substring_dedup,
-    "substring_clean": q_substring_clean,
-    "mix_corpora": q_mix_corpora,
-    "mix_corpora_dist": q_mix_corpora_dist,
-    "gopher_filter": q_gopher_filter,
-    "vocab_stats": q_vocab_stats,
-    "dataset_split": q_dataset_split,
-    "topk_per_group": q_topk_per_group,
-    "tfidf_terms": q_tfidf_terms,
-    "perplexity_buckets": q_perplexity_buckets,
-    "perplexity_buckets_dist": q_perplexity_buckets_dist,
-    "mix_temperature": q_mix_temperature,
-    "cube_revenue": q_cube_revenue,
-    "running_total": q_running_total,
-    "quality_classifier": q_quality_classifier,
-    "importance_sample": q_importance_sample,
-    "value_histogram": q_value_histogram,
-    "shard_manifest": q_shard_manifest,
+    "upsert_lww": q_upsert_lww,
+    "ann_lsh": q_ann_lsh,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_lsh_indexed": q_ann_lsh_indexed,
+    "text_terms": q_text_terms,
+    "self_join": q_self_join,
+    "fts_bm25": q_fts_bm25,
+    "rollup_revenue": q_rollup_revenue,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
+    "m2m_bridge": q_m2m_bridge,
+    "embed_near_dup": q_embed_near_dup,
+    "ann_ivf": q_ann_ivf,
+    "batch_chunks_dist": q_batch_chunks_dist,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_components": q_dedup_components,
+    "semdedup": q_semdedup,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard": q_dedup_jaccard,
 }
 
 ORACLE_SQL: dict[str, str] = {
