@@ -1,0 +1,83 @@
+"""Multimodal plumbing: the stdlib image-header codec (VERDICT r3 #5)
+and the Arrow-batched feature extraction that carries it.
+
+The payloads are synthesized byte-exact headers (no image libraries in
+this container — which is the point: header metadata needs none).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from twitter_to_sqlite_spark.functions import multimodal as M
+
+
+def png_bytes(w: int, h: int) -> bytes:
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + ihdr + b"\x00\x00\x00\x00")
+
+
+def gif_bytes(w: int, h: int) -> bytes:
+    return (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\xf7\x00\x00")
+
+
+def jpeg_bytes(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def bmp_bytes(w: int, h: int) -> bytes:
+    header = b"BM" + b"\x00" * 16
+    return (header + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True) + b"\x00" * 4)
+
+
+@pytest.mark.parametrize("maker,w,h", [
+    (png_bytes, 640, 480),
+    (gif_bytes, 320, 200),
+    (jpeg_bytes, 1920, 1080),
+    (bmp_bytes, 800, 600),
+])
+def test_probe_dimensions(maker, w, h):
+    assert M.probe_image_dimensions(maker(w, h)) == (w, h)
+
+
+def test_probe_rejects_garbage():
+    assert M.probe_image_dimensions(None) is None
+    assert M.probe_image_dimensions(b"") is None
+    assert M.probe_image_dimensions(b"plain text payload") is None
+    # truncated PNG signature without a full IHDR
+    assert M.probe_image_dimensions(b"\x89PNG\r\n\x1a\n") is None
+    # a negative BMP height (top-down rows) must surface as positive
+    assert M.probe_image_dimensions(
+        b"BM" + b"\x00" * 16
+        + (64).to_bytes(4, "little")
+        + (-48).to_bytes(4, "little", signed=True) + b"\x00" * 4
+    ) == (64, 48)
+
+
+def test_extract_features_real_codec(spark):
+    rows = [
+        (1, png_bytes(12, 34)),
+        (2, gif_bytes(56, 78)),
+        (3, jpeg_bytes(90, 12)),
+        (4, b"not an image at all"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           M.extract_features(media, use_real_codec=True).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (12, 34)
+    assert (out[2]["width"], out[2]["height"]) == (56, 78)
+    assert (out[3]["width"], out[3]["height"]) == (90, 12)
+    assert out[4]["width"] is None and out[4]["height"] is None
+    # the deterministic byte features still ride along
+    assert out[4]["n_bytes"] == len(b"not an image at all")
+    # and the default path keeps its original schema (oracle parity)
+    default_cols = M.extract_features(media).columns
+    assert default_cols == ["media_id", "n_bytes", "first_byte", "byte_checksum"]

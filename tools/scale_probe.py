@@ -74,10 +74,131 @@ def force(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+def capstone(n: int, sf_dir: str) -> None:
+    """Composed end-to-end demo (VERDICT r3 #8): the full
+    training-data pipeline — curate (PII→Gopher→exact-dedup→split→
+    sharded write), MinHash near-dup sweep (pairs→components→
+    keep-best) over the curated train split, and the shard manifest —
+    run as ONE composition at 1× and N× corpus scale.
+
+    The N× corpus uses the independent-growth regime (every token
+    salted per replica) PLUS a planted near-copy of each low-id doc
+    inside every replica, so the duplicate RATE is scale-invariant —
+    the realistic shape of corpus growth. Prints one JSON line:
+    per-stage seconds and the funnel at both scales.
+    """
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.functions import curate
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    def replicate_curatable(d, k):
+        """Replica j salts every 5th token (offset by j): shingle-level
+        Jaccard across replicas drops to ~0.25 (<< the 0.71 LSH knee)
+        so replicas are NOT near-dups of each other, while ~80% of
+        stopwords survive so the Gopher gate still sees natural text —
+        the scale-invariant-duplicate-rate growth a real corpus has.
+        (The --distinct regime salts EVERY token, which is right for
+        pure dedup throughput but starves a stopword-based gate.)"""
+        out = None
+        for j in range(k):
+            if j == 0:
+                txt = F.col("text")
+            else:
+                toks = F.split(F.col("text"), " ")
+                txt = F.array_join(
+                    F.transform(
+                        toks,
+                        _salt_every_fifth(j),
+                    ),
+                    " ",
+                )
+            r = d.select(
+                (F.col("doc_id") + j * 10_000_000).alias("doc_id"),
+                txt.alias("text"),
+                "lang",
+            )
+            out = r if out is None else out.unionByName(r)
+        return out
+
+    def _salt_every_fifth(j):
+        # closure factory, not default args: PySpark reads HOF arity
+        # from the lambda signature
+        return lambda x, i: F.when(
+            i % 5 == j % 5, F.concat(x, F.lit(f"x{j}"))
+        ).otherwise(x)
+
+    spark = get_spark("capstone")
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    # every replica carries its own near-dup cluster seeds (originals
+    # with one appended token, offset +5M stays inside the replica's
+    # 10M id range)
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 2000).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+            "lang",
+        )
+    )
+    base = tempfile.mkdtemp(prefix="capstone-")
+    out = {"n": n, "sf_dir": sf_dir, "scales": {}}
+    try:
+        for label, k in (("1x", 1), (f"{n}x", n)):
+            ipath = f"{base}/in_{label}"
+            opath = f"{base}/out_{label}"
+            replicate_curatable(aug, k).write.parquet(ipath)
+            res = {}
+            t0 = time.perf_counter()
+            stats = curate.run_curate(spark, ipath, opath, n_shards=32)
+            res["curate_s"] = round(time.perf_counter() - t0, 2)
+            res["funnel"] = {k2: v for k2, v in stats.items() if k2 != "out"}
+            train = spark.read.parquet(f"{opath}/curated").filter(
+                F.col("split") == "train")
+            t0 = time.perf_counter()
+            pairs = dedup.minhash_lsh_pairs(
+                train, "doc_id", "text", k=3, num_hashes=16, bands=4)
+            comp = dedup.near_dup_components(pairs)
+            keep = (
+                train.join(comp.withColumnRenamed("id", "doc_id"),
+                           "doc_id", "left")
+                .select("doc_id", "text",
+                        F.coalesce("component", "doc_id").alias("component"))
+                .groupBy("component")
+                .agg(F.max_by("doc_id",
+                              F.struct(F.length("text"),
+                                       (-F.col("doc_id")))).alias("kept"),
+                     F.count(F.lit(1)).alias("n_members"))
+            )
+            clusters = keep.filter(F.col("n_members") > 1).count()
+            res["near_dup_s"] = round(time.perf_counter() - t0, 2)
+            res["dup_clusters"] = clusters
+            t0 = time.perf_counter()
+            shards = spark.read.parquet(f"{opath}/train_shards")
+            manifest = R.facet_count(shards, "shard", "n_docs")
+            res["n_shards"] = manifest.count()
+            res["manifest_s"] = round(time.perf_counter() - t0, 2)
+            out["scales"][label] = res
+            print(f"# capstone {label}: {res}", file=sys.stderr, flush=True)
+        one, big = out["scales"]["1x"], out["scales"][f"{n}x"]
+        out["ratios"] = {
+            s: round(big[f"{s}_s"] / max(one[f"{s}_s"], 1e-9), 1)
+            for s in ("curate", "near_dup", "manifest")
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--distinct"]
+    args = [a for a in sys.argv[1:] if a not in ("--distinct", "--capstone")]
     distinct = "--distinct" in sys.argv[1:]
     n = int(args[0]) if args else 10
+    if "--capstone" in sys.argv[1:]:
+        capstone(n, args[1] if len(args) > 1 else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        return
     sf_dir = args[1] if len(args) > 1 else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale-probe")

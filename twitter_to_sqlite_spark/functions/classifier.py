@@ -90,10 +90,13 @@ def logreg_train(feats: DataFrame, iters: int = 3, lr: float = 1.0,
 
     w starts at 0 (first pass scores every doc 0.5); each iteration
     updates w_j ← round(w_j + lr · avg((y − σ(w·x)) · x_j), decimals).
-    The round makes the trajectory independent of aggregation order —
-    the float-sum-order trap that usually makes distributed training
-    irreproducible — so any engine replaying the same arithmetic lands
-    on the same weights (the oracle does exactly that).
+    The round absorbs order-dependent float noise (the ~1e-16 ULP
+    wobble of a distributed avg) far below the 1e-6 rounding
+    granularity, so in practice every engine replaying the same
+    arithmetic lands on the same weights (the oracle does exactly
+    that). This is probabilistic, not a hard guarantee: a gradient
+    landing within an ULP of a rounding boundary could still diverge;
+    accumulate in decimal if a hard guarantee is ever needed.
     """
     w = [0.0] * (len(FEATURES) + 1)
     for _ in range(iters):

@@ -92,6 +92,16 @@ def run_curate(spark, in_path: str, out_dir: str, steps=STEPS,
     ``out_dir/train_shards/``.
     """
     docs = spark.read.parquet(in_path)
+    # Reserved output names: the funnel adds these; an input corpus
+    # that already carries one would produce duplicate/ambiguous
+    # columns and a failed write — fail fast instead (ADVICE r3).
+    reserved = {"split", "text_clean", "keep", "pass_gopher",
+                "pass_dedup", "n_pii"}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with curate's "
+            f"reserved output names; rename them before curating")
     flagged = curate_flags(docs, steps, id_col, text_col, splits)
     stats = curate_stats(flagged)
     kept = flagged.filter("keep")

@@ -50,8 +50,11 @@ def get_spark(app_name: str = "twitter_to_sqlite_spark", cpus: str | None = None
         .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # The driver's events.parquet stores TIMESTAMP(NANOS), which the
-        # vectorized reader rejects; read as long and convert in tables.py.
+        # Some driver rounds generated events.parquet as
+        # TIMESTAMP(NANOS), which the vectorized reader rejects without
+        # this (it then surfaces as long; tables.load_table converts).
+        # Foreign sessions don't need it — the loader also has a
+        # conf-free explicit-schema fallback.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()

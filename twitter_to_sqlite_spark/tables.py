@@ -30,22 +30,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-        # unless nanosAsLong is on. Set it at read time so this works
-        # under ANY caller's SparkSession (the driver builds its own),
-        # then convert int64-nanos → timestamp. The generator emits
-        # µs-precision values, so the µs conversion is lossless.
+        # events.ts generation varies by driver round: µs (reads
+        # plainly, as TIMESTAMP_NTZ under Spark 4 defaults) or
+        # TIMESTAMP(NANOS), which the vectorized reader rejects unless
+        # spark.sql.legacy.parquet.nanosAsLong is on. Side-effect-free
+        # under ANY caller's session (ADVICE r3): try the plain read;
+        # only for nanos data fall back to an EXPLICIT ts-as-long
+        # schema (works without the legacy conf — the physical type is
+        # int64) and convert. No session conf is ever mutated.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # Integer `div`, not floor(double /): epoch-nanos exceed
-            # 2^53, so double division drifts by ~256 ns — enough to
-            # land one µs off DuckDB's exact ns→µs truncation.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        path = f"{sf_dir}/{name}.parquet"
+        try:
+            df = spark.read.parquet(path)
+            ts_type = df.schema["ts"].dataType
+        except Exception:
+            df, ts_type = None, T.LongType()
+        if df is not None and not isinstance(ts_type, T.LongType):
+            return df
+        if df is None:
+            # Nanos parquet under a session without the legacy conf:
+            # re-read with ts declared long (keep the rest inferred
+            # from a schema probe is impossible here, so declare the
+            # known generator layout explicitly).
+            df = spark.read.schema(
+                "event_id long, ts long, user_id long, "
+                "event_type string, value double, props string"
+            ).parquet(path)
+        # Integer `div`, not floor(double /): epoch-nanos exceed 2^53,
+        # so double division drifts by ~256 ns — enough to land one µs
+        # off DuckDB's exact ns→µs truncation. timestampadd on an NTZ
+        # epoch literal (not timestamp_micros + cast) keeps the value
+        # independent of the caller session's timezone.
+        return df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
