@@ -772,7 +772,8 @@ sess AS (
                              ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flag
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
        epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end
 FROM sess GROUP BY user_id, session_seq
 """
@@ -2104,7 +2105,8 @@ c AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
   FROM q
 )
-SELECT doc_id, lang, n_tokens_est, quality, cum_tokens
+SELECT doc_id, lang, n_tokens_est, quality,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
 """
 
