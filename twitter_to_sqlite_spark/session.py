@@ -48,6 +48,13 @@ def get_spark(app_name: str = "twitter_to_sqlite_spark", cpus: str | None = None
         # until heap pressure throttles every later query. A tight
         # periodic GC keeps storage memory flat.
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # The generated-class cache defaults to 100 entries; a catalog
+        # of 85 queries evicts everything every pass, so each re-run
+        # re-compiles its whole-stage/projection classes — measured 6.2s
+        # vs 2.3s for the MinHash build whose 16-hash projection is
+        # expensive to generate. 2000 entries keeps one full catalog
+        # (plus oracle twins) resident; class metadata is a few MB.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Some driver rounds generated events.parquet as
