@@ -1,0 +1,126 @@
+"""Hybrid-retrieval fusion, ANN recall eval, and corpus-level
+duplicated-n-gram stats: semantic laws on tiny known inputs plus
+scale-shape checks on the sf0.001 tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_to_sqlite_spark import tables
+from twitter_to_sqlite_spark.functions import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- rrf
+
+
+def _leg(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, rank int")
+
+
+def test_rrf_known_values(spark):
+    """Fused score is exactly Σ 1/(60+rank); docs in both legs beat
+    docs in one leg at comparable ranks; ties break by doc_id."""
+    lex = _leg(spark, [(1, 1), (2, 2), (3, 3)])
+    sem = _leg(spark, [(2, 1), (4, 2)])
+    out = {
+        r["doc_id"]: r
+        for r in similarity.rrf_fuse([lex, sem], "doc_id", k=10).collect()
+    }
+    assert out[2]["n_legs"] == 2
+    assert abs(out[2]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(out[1]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+    # doc 2 (both legs) outranks doc 1 (single leg, best rank)
+    assert out[2]["rank"] == 1 and out[1]["rank"] == 2
+    # all four docs surface, ranks are 1..4 with no gaps
+    assert sorted(r["rank"] for r in out.values()) == [1, 2, 3, 4]
+
+
+def test_rrf_top_k_truncates(spark):
+    lex = _leg(spark, [(i, i) for i in range(1, 30)])
+    out = similarity.rrf_fuse([lex], "doc_id", k=5).collect()
+    assert len(out) == 5
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        1, 2, 3, 4, 5]
+
+
+def test_rrf_tie_breaks_by_id(spark):
+    lex = _leg(spark, [(7, 1), (3, 2)])
+    sem = _leg(spark, [(3, 1), (7, 2)])
+    out = similarity.rrf_fuse([lex, sem], "doc_id", k=2).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in out}
+    # identical fused scores -> lower doc_id first
+    assert by_rank == {1: 3, 2: 7}
+
+
+# ------------------------------------------------------------- recall
+
+
+def test_recall_at_k_bounds_and_identity(spark):
+    e = tables.load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=3)
+    # identity: recall of exact vs itself is 1.0 for every query
+    perfect = similarity.recall_at_k(exact, exact, k=3).collect()
+    assert len(perfect) == 5
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 3 for r in perfect)
+    # LSH recall is in [0, 1] and every query appears even on miss
+    approx = similarity.lsh_bucketed_topk(e, q, k=3, dims=[0, 8, 16, 24])
+    rec = similarity.recall_at_k(exact, approx, k=3).collect()
+    assert len(rec) == 5
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rec)
+
+
+def test_recall_zero_for_disjoint(spark):
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(0, 9)], "query_id long, neighbor_id long")
+    rec = similarity.recall_at_k(exact, approx, k=2).collect()
+    assert rec == [type(rec[0])(query_id=0, n_hits=0, recall=0.0)]
+
+
+# ----------------------------------------------------- dup ngram frac
+
+
+def test_dup_ngram_frac_planted_copy(spark):
+    """An exact copy scores dup_frac 1.0 on both members; a unique doc
+    scores 0.0; counts are per-distinct-shingle."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),           # exact copy of 1
+            (3, "completely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.dup_ngram_stats(docs, "doc_id", "text", k=3).collect()}
+    assert out[1]["n_shingles"] == 3          # 5 tokens -> 3 trigrams
+    assert out[1]["dup_frac"] == 1.0 == out[2]["dup_frac"]
+    assert out[3]["dup_frac"] == 0.0
+    assert out[3]["n_dup"] == 0
+
+
+def test_dup_ngram_frac_partial_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z p q"),
+            (2, "x y z r s"),   # shares exactly the 'x y z' trigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.dup_ngram_stats(docs, "doc_id", "text", k=3).collect()}
+    assert out[1]["n_dup"] == 1 and out[1]["n_shingles"] == 3
+    assert out[1]["dup_frac"] == round(1 / 3, 4)
+
+
+def test_dup_ngram_no_pair_join_in_plan(spark):
+    """The dup-ngram plan must contain no join at all — it is two
+    aggregation shuffles, never pair generation."""
+    d = tables.load_table(spark, SF, "documents")
+    plan = dedup.dup_ngram_stats(d, "doc_id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan

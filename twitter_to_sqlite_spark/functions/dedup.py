@@ -361,6 +361,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: of a doc's distinct
+    k-gram shingles, what share also occurs in at least one OTHER
+    document.
+
+    The corpus-level companion to ``text.repetition_stats`` (which is
+    within-doc): pretraining curation pipelines use exactly this
+    signal — the fraction of a document's n-grams found elsewhere in
+    the corpus — to drop boilerplate-heavy pages without running a
+    full pair-generating dedup. Returns
+    (doc_id, n_shingles, n_dup, dup_frac).
+
+    Scale: one shuffle for the per-shingle document-frequency window
+    (shingle-keyed, uniform md5-like distribution) and one partial-agg
+    shuffle back onto the doc id. No pair generation, no joins — cost
+    is linear in total shingles at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(spread(df), id_col, text_col, k)
+    sh = sh.withColumn(
+        "__docs", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    return (
+        sh.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__docs") > 1).cast("long")).alias("n_dup"),
+        )
+        .select(
+            id_col, "n_shingles", "n_dup",
+            F.round(F.col("n_dup") / F.col("n_shingles"), 4)
+            .alias("dup_frac"),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_hashes: int = 16) -> DataFrame:

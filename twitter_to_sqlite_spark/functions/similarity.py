@@ -494,3 +494,70 @@ def semdedup_pairs(corpus: DataFrame, centroids: list[list[float]],
         .select("id_a", "id_b", F.col("cell").cast("long").alias("cell"),
                 "cosine")
     )
+
+
+def rrf_fuse(legs: list[DataFrame], id_col: str = "doc_id",
+             k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval legs (Cormack et al.
+    2009): fused score = Σ over legs containing the doc of
+    1/(c + rank). The standard way production search fuses a lexical
+    (BM25) leg with a vector (cosine) leg — rank-based, so the legs'
+    incomparable score scales never need calibration.
+
+    Each leg is (id_col, rank) — typically the top-K of that retriever,
+    NOT the full corpus. Returns the fused top-`k`:
+    (id_col, rrf_score, n_legs, rank).
+
+    Scale: legs are already top-K (bounded), so the union + groupBy is
+    over ≤ Σ K_i rows regardless of corpus size; the final top-k is an
+    orderBy+limit (TakeOrderedAndProject — no global sort). Ranks are
+    integers, so 1/(c+rank) and sums of ≤ len(legs) terms are exact
+    enough for cross-engine parity at round(6).
+    """
+    tagged = None
+    for leg in legs:
+        t = leg.select(F.col(id_col), F.col("rank"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = tagged.groupBy(id_col).agg(
+        F.round(F.sum(1.0 / (F.lit(c) + F.col("rank"))), 6)
+        .alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_legs"),
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rrf_score", "n_legs", "rank"
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against the
+    exact brute-force result — the measurement loop for tuning LSH
+    bits/probes and IVF cells ("measure, don't guess").
+
+    Both inputs are (query_id, neighbor_id, ...) top-k result sets
+    (brute_force_topk / lsh_bucketed_topk / ivf_topk shapes). Returns
+    (query_id, n_hits, recall) with recall = |approx ∩ exact| / k —
+    queries the approximate index missed entirely still appear, with
+    recall 0.
+
+    Scale: both sides are top-k results (|queries|·k rows), so the
+    join is trivially broadcast-able; never touches the corpus.
+    """
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 4)
+            .alias("recall"),
+        )
+    )

@@ -645,8 +645,9 @@ def q_fts_bm25(spark, sf_dir):
                       doc_lens=dl)
 
 
-SQL_FTS_BM25 = r"""
-WITH tok AS (
+#: BM25 CTE chain ('spark' AND 'join'), shared by the plain ranked-FTS
+#: oracle and the hybrid-retrieval oracle.
+_SQL_BM25_CTES = r"""tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS term
   FROM documents
 ), tok2 AS (
@@ -669,11 +670,16 @@ WITH tok AS (
   JOIN dfreq USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats
-)
-SELECT doc_id, round(sum(s), 4) AS score
-FROM hits
-GROUP BY doc_id
-HAVING count(DISTINCT term) = 2
+), bm AS (
+  SELECT doc_id, round(sum(s), 4) AS score
+  FROM hits
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = 2
+)"""
+
+SQL_FTS_BM25 = f"""
+WITH {_SQL_BM25_CTES}
+SELECT doc_id, score FROM bm
 """
 
 
@@ -1457,6 +1463,139 @@ FROM pairs WHERE {_SQL_COS} >= 0.95
 
 
 SQL_SEMDEDUP = _semdedup_sql()
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@3 of the sign-LSH bucketed ANN against exact brute
+    force, per query — the index-tuning measurement loop
+    (similarity.recall_at_k). Both legs are the same result shapes the
+    ann_* queries produce; the eval itself never touches the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=3)
+    approx = similarity.lsh_bucketed_topk(e, q, k=3, dims=_LSH_DIMS)
+    return similarity.recall_at_k(exact, approx, k=3)
+
+
+SQL_ANN_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a,
+                  {_sql_bucket("embedding")} AS bucket
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
+             {_sql_bucket("embedding")} AS bucket
+      FROM embeddings),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_SQL_COS} DESC, neighbor_id) AS r
+    FROM c, q WHERE neighbor_id != query_id
+  ) WHERE r <= 3
+),
+ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_SQL_COS} DESC, neighbor_id) AS r
+    FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+  ) WHERE r <= 3
+),
+hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM ap JOIN ex USING (query_id, neighbor_id)
+  GROUP BY query_id
+)
+SELECT qq.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 3, 4) AS recall
+FROM (SELECT DISTINCT query_id FROM ex) qq
+LEFT JOIN hits h USING (query_id)
+"""
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical leg ('spark' AND 'join') fused
+    with an embedding-cosine leg (query vector vec_id=0, doc_id joined
+    on vec_id) by reciprocal-rank fusion (similarity.rrf_fuse) — the
+    standard production two-leg search. Each leg contributes its
+    top-20; output is the fused top-10.
+
+    Scale: each leg's candidate set is an orderBy+limit
+    (TakeOrderedAndProject — no global sort of the corpus); fusion
+    operates on ≤40 rows regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    idx = R.build_inverted_index(d, "doc_id", "text")
+    dl = R.doc_lengths(d, "doc_id", "text")
+    bm = R.fts_bm25(idx, "doc_id", ["spark", "join"], mode="all",
+                    doc_lens=dl)
+    bm_top = bm.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    wb = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = bm_top.withColumn("rank", F.row_number().over(wb)).select(
+        "doc_id", "rank")
+    e = _t(spark, sf_dir, "embeddings")
+    sem = similarity.brute_force_topk(
+        e, e.filter(F.col("vec_id") == 0), k=20,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return similarity.rrf_fuse([lex, sem], "doc_id", k=10)
+
+
+SQL_HYBRID_SEARCH = f"""
+WITH {_SQL_BM25_CTES},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm QUALIFY rank <= 20
+),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a
+       FROM embeddings WHERE vec_id = 0),
+cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b
+       FROM embeddings),
+sem AS (
+  SELECT neighbor_id AS doc_id, rank FROM (
+    SELECT neighbor_id,
+           row_number() OVER (ORDER BY {_SQL_COS} DESC, neighbor_id) AS rank
+    FROM cv, qv WHERE neighbor_id != query_id
+  ) WHERE rank <= 20
+),
+unioned AS (
+  SELECT doc_id, rank FROM lex
+  UNION ALL
+  SELECT doc_id, rank FROM sem
+),
+fused AS (
+  SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+         count(*) AS n_legs
+  FROM unioned GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, n_legs,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+FROM fused QUALIFY rank <= 10
+"""
+
+
+def q_dup_ngram_frac(spark, sf_dir):
+    """Corpus-level duplicated-n-gram fraction per document
+    (dedup.dup_ngram_stats over documents + planted near-copies): the
+    share of each doc's distinct 3-gram shingles that occur in at
+    least one other document — the boilerplate signal pretraining
+    pipelines threshold on without running pairwise dedup. Planted
+    near-copies score dup_frac ≈ 1."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return dedup.dup_ngram_stats(d, "doc_id", "text", k=3)
+
+
+SQL_DUP_NGRAM_FRAC = f"""
+WITH docs AS ({_SQL_DOCS_PLANTED}),
+sh AS ({_SQL_SHINGLES}),
+dfreq AS (
+  SELECT shingle, count(*) AS docs FROM sh GROUP BY shingle
+)
+SELECT sh.id AS doc_id,
+       count(*) AS n_shingles,
+       CAST(sum((dfreq.docs > 1)::BIGINT) AS BIGINT) AS n_dup,
+       round(sum((dfreq.docs > 1)::BIGINT) / count(*), 4) AS dup_frac
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY sh.id
+"""
 
 
 # =====================================================================
@@ -2882,6 +3021,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (2) sessionize (red in r03 on timestamp representation, fixed —
     #     needs re-verification);
     # (3) the r03-green remainder, cheapest first.
+    # --- (0) new in r4, never driver-verified ---
+    "hybrid_search": q_hybrid_search,
+    "ann_recall": q_ann_recall,
+    "dup_ngram_frac": q_dup_ngram_frac,
     # --- (1) never driver-verified, cheap -> expensive ---
     "stratified_sample": q_stratified_sample,
     "multimodal_frames": q_multimodal_frames,
@@ -3058,6 +3201,9 @@ ORACLE_SQL: dict[str, str] = {
     "importance_sample": SQL_IMPORTANCE_SAMPLE,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "shard_manifest": SQL_SHARD_MANIFEST,
+    "hybrid_search": SQL_HYBRID_SEARCH,
+    "ann_recall": SQL_ANN_RECALL,
+    "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
 }
 
 
