@@ -124,3 +124,62 @@ def test_dup_ngram_no_pair_join_in_plan(spark):
     plan = dedup.dup_ngram_stats(d, "doc_id", "text")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Join" not in plan
+
+
+# ------------------------------------------------------------ sq8 ann
+
+
+def test_sq8_matches_brute_force_shape_and_recall(spark):
+    """8-bit symmetric quantization with 10-candidate rescore loses no
+    recall on the sf0.001 corpus (quantization error ≪ neighbor
+    gaps); output shape is identical to brute force."""
+    e = tables.load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=3)
+    sq = similarity.sq8_topk(e, q, k=3, candidates=10)
+    assert sq.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    rows = sq.collect()
+    assert len(rows) == 15 and all(1 <= r["rank"] <= 3 for r in rows)
+    rec = similarity.recall_at_k(exact, sq, k=3).collect()
+    assert all(r["recall"] == 1.0 for r in rec)
+
+
+def test_sq8_rescore_scores_are_exact(spark):
+    """Final cosines come from the EXACT vectors (quantization only
+    selects candidates): every (query, neighbor) cosine equals the
+    brute-force cosine for that pair."""
+    e = tables.load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in similarity.brute_force_topk(e, q, k=20).collect()}
+    for r in similarity.sq8_topk(e, q, k=3, candidates=10).collect():
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+# ----------------------------------------------------------- pagerank
+
+
+def test_pagerank_regular_graph_is_uniform(spark):
+    """On a regular graph (symmetric 2-cycle) the uniform vector is
+    the fixed point: rank stays exactly 1.0."""
+    from twitter_to_sqlite_spark.functions import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = graph.pagerank(edges, iterations=4).collect()
+    assert sorted((r["node"], r["rank"]) for r in out) == [(1, 1.0), (2, 1.0)]
+
+
+def test_pagerank_star_center_dominates_and_mass_conserved(spark):
+    """Symmetrized star: the hub outranks every leaf; with no dangling
+    nodes total rank mass stays |V| (up to rounding)."""
+    from twitter_to_sqlite_spark.functions import graph
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)],
+        "src long, dst long",
+    )
+    pr = {r["node"]: r["rank"] for r in
+          graph.pagerank(star, iterations=6).collect()}
+    assert pr[0] > max(pr[i] for i in range(1, 5))
+    assert all(pr[1] == pr[i] for i in range(2, 5))  # leaves symmetric
+    assert abs(sum(pr.values()) - 5.0) < 1e-4

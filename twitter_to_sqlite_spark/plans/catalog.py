@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark import tables
-from twitter_to_sqlite_spark.functions import dedup, multimodal, similarity, text
+from twitter_to_sqlite_spark.functions import (dedup, graph, multimodal,
+                                               similarity, text)
 from twitter_to_sqlite_spark.operators import relational as R
 from twitter_to_sqlite_spark.operators import sinks
 
@@ -1598,6 +1599,130 @@ GROUP BY sh.id
 """
 
 
+_PR_ITERS = 6
+_PR_DAMPING = 0.85
+#: supplier node ids offset out of the customer id space.
+_PR_SUPP_OFFSET = 10_000_000
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the symmetrized customer↔supplier trade graph
+    (distinct pairs from orders ⋈ lineitem; supplier ids offset by
+    10M) — the influence/centrality signal for graph-aware curation
+    (functions/graph.py::pagerank, 6 iterations, d=0.85, per-iteration
+    round(6) so the oracle replays the trajectory relationally, like
+    quality_classifier does for logreg)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(_PR_SUPP_OFFSET)).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"),
+                               F.col("c").alias("dst")))
+    return graph.pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING
+    ).withColumnRenamed("node", "node_id")
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power-iteration replay: one CTE per iteration, same
+    rounding, and literals taken from the SAME Python floats the Spark
+    side uses (repr) so base + damped term are bit-identical."""
+    base = repr(1.0 - _PR_DAMPING)
+    d = repr(_PR_DAMPING)
+    ctes = [f"""pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + {_PR_SUPP_OFFSET} AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT n.node,
+         round({base} + {d} * coalesce(c.contrib, 0.0), 6) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS contrib
+    FROM edges e
+    JOIN r{i - 1} r ON r.node = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, rank FROM r{_PR_ITERS}"
+    )
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+def q_ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (similarity.sq8_topk): candidates
+    ranked by int8-range quantized dot products (4× less memory than
+    float32 at scale), top-10 rescored with exact cosine, top-3 kept —
+    same output shape as ann_brute_force so ann_recall-style evals
+    measure the quantization loss directly."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.sq8_topk(e, q, k=3, candidates=10)
+
+
+SQL_ANN_SQ8 = f"""
+WITH qx AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a
+            FROM embeddings WHERE vec_id < 5),
+cx AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b
+       FROM embeddings),
+qq AS (SELECT query_id, a, sqrt(list_dot_product(a, a)) AS qn,
+              list_max(list_transform(a, x -> abs(x))) / 127.0 AS qs
+       FROM qx),
+qq2 AS (SELECT query_id, a, qn, qs,
+               list_transform(a, x -> round(x / qs, 0)) AS qa
+        FROM qq),
+cc AS (SELECT neighbor_id, b, sqrt(list_dot_product(b, b)) AS cn,
+              list_max(list_transform(b, x -> abs(x))) / 127.0 AS cs
+       FROM cx),
+cc2 AS (SELECT neighbor_id, b, cn, cs,
+               list_transform(b, x -> round(x / cs, 0)) AS ca
+        FROM cc),
+scored AS (
+  SELECT query_id, neighbor_id, a, b,
+         round(((list_dot_product(qa, ca) * qs) * cs) / (qn * cn), 4)
+           AS approx
+  FROM cc2, qq2 WHERE neighbor_id != query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, a, b FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, neighbor_id) AS ar
+    FROM scored
+  ) WHERE ar <= 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_SQL_COS} DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
 # =====================================================================
 # LLM-data-pipeline operators: text analysis + multimodal
 # =====================================================================
@@ -3024,7 +3149,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (0) new in r4, never driver-verified ---
     "hybrid_search": q_hybrid_search,
     "ann_recall": q_ann_recall,
+    "ann_sq8": q_ann_sq8,
     "dup_ngram_frac": q_dup_ngram_frac,
+    "pagerank": q_pagerank,
     # --- (1) never driver-verified, cheap -> expensive ---
     "stratified_sample": q_stratified_sample,
     "multimodal_frames": q_multimodal_frames,
@@ -3203,7 +3330,9 @@ ORACLE_SQL: dict[str, str] = {
     "shard_manifest": SQL_SHARD_MANIFEST,
     "hybrid_search": SQL_HYBRID_SEARCH,
     "ann_recall": SQL_ANN_RECALL,
+    "ann_sq8": SQL_ANN_SQ8,
     "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
+    "pagerank": SQL_PAGERANK,
 }
 
 
