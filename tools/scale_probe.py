@@ -74,6 +74,26 @@ def force(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+def _pagerank_ring(d):
+    """PageRank growth probe: a symmetric chain over the corpus doc
+    ids (doc i ↔ doc i+1 where both exist, built by a distributed
+    self-join — no global window), so |E| ≈ 2|V| scales exactly with
+    rows and the measured growth is the algorithm's, not the graph
+    generator's."""
+    from twitter_to_sqlite_spark.functions import graph
+
+    ids = d.select("doc_id")
+    fwd = (
+        ids.select((F.col("doc_id") + 1).alias("src_next"),
+                   F.col("doc_id").alias("src"))
+        .join(ids.select(F.col("doc_id").alias("src_next")), "src_next")
+        .select("src", F.col("src_next").alias("dst"))
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.pagerank(edges, iterations=4)
+
+
 def capstone(n: int, sf_dir: str) -> None:
     """Composed end-to-end demo (VERDICT r3 #8): the full
     training-data pipeline — curate (PII→Gopher→exact-dedup→split→
@@ -236,6 +256,14 @@ def main():
             max_cell=5000),
         "embed_near_dup": lambda d, v: similarity.embedding_near_dup_pairs(
             v, threshold=0.95, dims=[0, 8, 16, 24], max_bucket=5000),
+        "dup_ngram_frac": lambda d, v: dedup.dup_ngram_stats(
+            d, "doc_id", "text", k=3),
+        "sq8_topk": lambda d, v: similarity.sq8_topk(
+            v, v.filter(F.col("vec_id") < 5), k=3, candidates=10),
+        # symmetrized doc->doc edge list from shared rare shingles is
+        # data-dependent; for a pure growth probe use a synthetic ring
+        # over the doc ids (|E| = 2|V| exactly, at both scales)
+        "pagerank_ring": lambda d, v: _pagerank_ring(d),
     }
     out = {}
     for name, fn in OPS.items():
