@@ -36,18 +36,25 @@ def pagerank(edges: DataFrame, iterations: int = 6, damping: float = 0.85,
     convergence to ~1e-2 on graphs with spectral gap, which is rank-
     ordering-stable for curation purposes.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # The caller's edge expression may be an expensive subtree (a
+    # fact-table join + distinct); every iteration re-reads it, so
+    # materialize it ONCE and pre-join the out-degree weight — per
+    # iteration only the (small) rank vector moves.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("__c"))
         )
