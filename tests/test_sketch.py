@@ -1,0 +1,64 @@
+"""KMV sketch laws: exact under k, bounded error over k, mergeable,
+and scalable plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_to_sqlite_spark import tables
+from twitter_to_sqlite_spark.functions import sketch
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_kmv_exact_below_k(spark):
+    """Cardinality below k → the k-min set holds every value and the
+    estimate IS the exact distinct count."""
+    df = spark.range(40).select((F.col("id") % 17).alias("v"))
+    row = sketch.kmv_distinct(df, ["v"], k=64).collect()[0]
+    assert row["col_name"] == "v"
+    assert row["n_kept"] == 17 and row["kmv_estimate"] == 17
+
+
+def test_kmv_error_bound_above_k(spark):
+    """KMV standard error is ~1/sqrt(k−2); at k=64 over 1000 distinct
+    values the estimate lands within 4 sigma (±50%) with overwhelming
+    probability — and deterministically, given the fixed hash."""
+    df = spark.range(5000).select((F.col("id") % 1000).alias("v"))
+    row = sketch.kmv_distinct(df, ["v"], k=64).collect()[0]
+    assert row["n_kept"] == 64
+    assert 500 <= row["kmv_estimate"] <= 1500
+
+
+def test_kmv_deterministic_and_insensitive_to_duplication(spark):
+    """The sketch is a function of the VALUE SET: duplicating every
+    row (or re-running) cannot change the estimate."""
+    base = spark.range(3000).select((F.col("id") % 700).alias("v"))
+    doubled = base.unionByName(base)
+    e1 = sketch.kmv_distinct(base, ["v"], k=64).collect()[0]["kmv_estimate"]
+    e2 = sketch.kmv_distinct(doubled, ["v"], k=64).collect()[0]["kmv_estimate"]
+    e3 = sketch.kmv_distinct(base, ["v"], k=64).collect()[0]["kmv_estimate"]
+    assert e1 == e2 == e3
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Mergeability: unioning two corpora and sketching equals
+    sketching the unioned value set — the property that lets
+    per-shard sketches combine without a second pass."""
+    a = spark.range(0, 800).select(F.col("id").alias("v"))
+    b = spark.range(400, 1200).select(F.col("id").alias("v"))
+    merged = sketch.kmv_distinct(a.unionByName(b), ["v"], k=64).collect()[0]
+    direct = sketch.kmv_distinct(
+        spark.range(0, 1200).select(F.col("id").alias("v")), ["v"], k=64
+    ).collect()[0]
+    assert merged["kmv_estimate"] == direct["kmv_estimate"]
+
+
+def test_kmv_topk_plan_no_full_sort(spark):
+    """The k-min selection must compile to TakeOrderedAndProject (k
+    rows per partition map-side), never a global Sort+Exchange of all
+    hashes."""
+    e = tables.load_table(spark, SF, "events").select("user_id")
+    df = sketch.kmv_distinct(e, ["user_id"], k=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark import tables
 from twitter_to_sqlite_spark.functions import (dedup, graph, multimodal,
-                                               similarity, text)
+                                               similarity, sketch, text)
 from twitter_to_sqlite_spark.operators import relational as R
 from twitter_to_sqlite_spark.operators import sinks
 
@@ -1672,6 +1672,42 @@ r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""]
 SQL_PAGERANK = _pagerank_sql()
 
 
+_KMV_K = 64
+_KMV_COLS = ["user_id", "event_type", "props"]
+
+
+def q_sketch_profile(spark, sf_dir):
+    """KMV distinct-count sketch profile of the events stream
+    (functions/sketch.py::kmv_distinct, k=64): approximate cardinality
+    per column with bounded state and mergeable k-min sets — yet
+    bit-reproducible across engines because the sketch is a
+    deterministic function of the md5 hash space (native HLL
+    implementations differ per engine and can never oracle-match).
+    user_id (150+ distinct at sf≥0.01) exercises the estimator path;
+    event_type/props stay under k and come out exact."""
+    e = _t(spark, sf_dir, "events").select(*_KMV_COLS)
+    return sketch.kmv_distinct(e, _KMV_COLS, k=_KMV_K)
+
+
+def _kmv_sql() -> str:
+    parts = []
+    for c in _KMV_COLS:
+        parts.append(f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_kept,
+       CASE WHEN count(*) < {_KMV_K} THEN count(*)::BIGINT
+            ELSE CAST(round({float(_KMV_K - 1)!r} / max(u), 0) AS BIGINT)
+       END AS kmv_estimate
+FROM (
+  SELECT ('0x' || substring(md5({c}::VARCHAR), 1, 15))::BIGINT
+         / 1152921504606846976.0 AS u
+  FROM (SELECT DISTINCT {c} FROM events WHERE {c} IS NOT NULL)
+  ORDER BY u LIMIT {_KMV_K}
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_SKETCH_PROFILE = _kmv_sql()
+
+
 def q_ann_sq8(spark, sf_dir):
     """SQ8 scalar-quantized ANN (similarity.sq8_topk): candidates
     ranked by int8-range quantized dot products (4× less memory than
@@ -3152,6 +3188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq8": q_ann_sq8,
     "dup_ngram_frac": q_dup_ngram_frac,
     "pagerank": q_pagerank,
+    "sketch_profile": q_sketch_profile,
     # --- (1) never driver-verified, cheap -> expensive ---
     "stratified_sample": q_stratified_sample,
     "multimodal_frames": q_multimodal_frames,
@@ -3333,6 +3370,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_sq8": SQL_ANN_SQ8,
     "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
     "pagerank": SQL_PAGERANK,
+    "sketch_profile": SQL_SKETCH_PROFILE,
 }
 
 
