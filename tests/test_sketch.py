@@ -62,3 +62,49 @@ def test_kmv_topk_plan_no_full_sort(spark):
     df = sketch.kmv_distinct(e, ["user_id"], k=64)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ----------------------------------------------- weighted sample (A-ES)
+
+
+def test_weighted_sample_exact_size_and_determinism(spark):
+    from twitter_to_sqlite_spark.functions import sampling
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).cast("double").alias("w"))
+    s1 = sampling.weighted_sample(df, 50, "w", "k").collect()
+    s2 = sampling.weighted_sample(df, 50, "w", "k").collect()
+    assert len(s1) == 50
+    assert sorted(r["k"] for r in s1) == sorted(r["k"] for r in s2)
+
+
+def test_weighted_sample_key_monotone_in_weight(spark):
+    """u^(1/w) grows with w for u in (0,1): the same row with a higher
+    weight gets a higher sample key, hence >= inclusion chance."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    lo = spark.createDataFrame([(1, 0.2)], "k long, w double")
+    hi = spark.createDataFrame([(1, 0.9)], "k long, w double")
+    sk_lo = sampling.weighted_sample(lo, 1, "w", "k").collect()[0]["__sk"]
+    sk_hi = sampling.weighted_sample(hi, 1, "w", "k").collect()[0]["__sk"]
+    assert sk_hi > sk_lo
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from twitter_to_sqlite_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -1.0), (4, 0.5)], "k long, w double")
+    got = sorted(r["k"] for r in
+                 sampling.weighted_sample(df, 10, "w", "k").collect())
+    assert got == [1, 4]
+
+
+def test_weighted_sample_topk_plan(spark):
+    from twitter_to_sqlite_spark.functions import sampling
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("w"))
+    plan = sampling.weighted_sample(df, 10, "w", "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -228,3 +228,36 @@ def importance_sample(df: DataFrame, prob_col: str, key_col: str,
     u = (_key_hash(F.col(key_col), salt) % resolution).cast("double") \
         / F.lit(float(resolution))
     return df.filter(u < F.col(prob_col))
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str, key_col: str,
+                    salt: str = "", resolution: int = 1_000_000) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-ES): each row draws u = hash(key) ∈ (0,1] and is
+    keyed by u^(1/w); the k largest keys are the sample. Inclusion
+    probability is proportional to weight, the draw is a pure function
+    of the row key (reproducible across runs/engines/retries), and —
+    unlike acceptance sampling (importance_sample) — the output size
+    is exactly k.
+
+    The sort key is rounded to 12 decimals before ranking (ties broken
+    by the row key): pow/ln differ by ≤1 ulp across libm
+    implementations, and rounding absorbs that far below the rounding
+    granularity — the same device the classifier/PageRank trajectories
+    use. Returns the sampled rows + the sample key (`__sk`).
+
+    Scale: one narrow projection + TakeOrderedAndProject top-k — k
+    rows per partition map-side, never a global sort; composes with
+    any scan. Weights must be > 0 (rows with NULL/non-positive weight
+    are excluded, matching the estimator's domain).
+    """
+    u = (
+        (_key_hash(F.col(key_col), salt) % resolution) + F.lit(1.0)
+    ).cast("double") / F.lit(float(resolution))
+    sk = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 12)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__sk", sk)
+        .orderBy(F.col("__sk").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -2819,6 +2819,62 @@ FROM r WHERE rank <= {_GROUP_TOPK}
 """
 
 
+_WS_K = 100
+_WS_RES = 1_000_000
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Fixed-size quality-weighted sample without replacement
+    (sampling.weighted_sample, Efraimidis-Spirakis A-ES): exactly 100
+    docs, inclusion probability ∝ quality score, draw a pure function
+    of doc_id — the reproducible 'tilt toward quality but keep
+    diversity' selection with a guaranteed output size (unlike the
+    acceptance-based importance_sample)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = text.quality_score(text.token_count(d)).select(
+        "doc_id", "lang", "quality")
+    from twitter_to_sqlite_spark.functions import sampling
+
+    s = sampling.weighted_sample(
+        scored, k=_WS_K, weight_col="quality", key_col="doc_id",
+        resolution=_WS_RES)
+    return s.select("doc_id", "lang", "quality",
+                    F.col("__sk").alias("sample_key"))
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH f AS (
+  SELECT doc_id, lang, text, {_SQL_TOKS} AS t FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+    len(t)::DOUBLE AS n_words,
+    len(list_filter(t, x -> list_contains({_SQL_STOPLIST}, x)))::DOUBLE AS n_stop,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE AS n_punct,
+    len(list_distinct(t))::DOUBLE AS n_distinct,
+    length(text)::DOUBLE AS n_chars
+  FROM f
+),
+q AS (
+  SELECT doc_id, lang,
+    round(least((n_stop / greatest(n_words, 1.0)) * 2, 1.0) * 0.4
+          + (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5, 1.0)) * 0.2
+          + (1.0 - (1.0 - n_distinct / greatest(n_words, 1.0))) * 0.4, 4) AS quality
+  FROM m
+),
+keyed AS (
+  SELECT doc_id, lang, quality,
+         round(pow(
+           (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+            % {_WS_RES} + 1.0) / {float(_WS_RES)!r},
+           1.0 / quality), 12) AS sample_key
+  FROM q WHERE quality > 0
+)
+SELECT doc_id, lang, quality, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT {_WS_K}
+"""
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Per-language characteristic vocabulary: top-5 terms by TF-IDF
     (text.tfidf_top_terms). idf·Σtf keeps the sum integer until one
@@ -3189,6 +3245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_frac": q_dup_ngram_frac,
     "pagerank": q_pagerank,
     "sketch_profile": q_sketch_profile,
+    "weighted_sample": q_weighted_sample,
     # --- (1) never driver-verified, cheap -> expensive ---
     "stratified_sample": q_stratified_sample,
     "multimodal_frames": q_multimodal_frames,
@@ -3371,6 +3428,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
     "pagerank": SQL_PAGERANK,
     "sketch_profile": SQL_SKETCH_PROFILE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }
 
 
