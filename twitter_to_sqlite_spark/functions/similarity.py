@@ -514,6 +514,8 @@ def rrf_fuse(legs: list[DataFrame], id_col: str = "doc_id",
     integers, so 1/(c+rank) and sums of ≤ len(legs) terms are exact
     enough for cross-engine parity at round(6).
     """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one ranked leg")
     tagged = None
     for leg in legs:
         t = leg.select(F.col(id_col), F.col("rank"))
@@ -588,10 +590,15 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int,
     """
     def _quantized(df, ida, va, na, qa, sa):
         v = _as_double(F.col(vec_col))
+        # greatest(., tiny) guards the all-zero vector: its scale
+        # would otherwise be 0 and x/0 diverges between engines
+        # (Spark NULL vs IEEE inf); with the floor its codes are all
+        # zeros and the approx score a clean 0.
         base = df.select(F.col(id_col).alias(ida), v.alias(va)) \
             .withColumn(na, _norm(F.col(va))) \
-            .withColumn(sa, F.array_max(F.transform(F.col(va), F.abs))
-                        / F.lit(127.0))
+            .withColumn(sa, F.greatest(
+                F.array_max(F.transform(F.col(va), F.abs)) / F.lit(127.0),
+                F.lit(1e-30)))
         # materialize-then-reference: the scale column must exist
         # before the lambda uses it (interpreted per element otherwise)
         return base.withColumn(

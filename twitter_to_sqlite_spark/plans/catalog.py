@@ -1725,13 +1725,15 @@ WITH qx AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a
 cx AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b
        FROM embeddings),
 qq AS (SELECT query_id, a, sqrt(list_dot_product(a, a)) AS qn,
-              list_max(list_transform(a, x -> abs(x))) / 127.0 AS qs
+              greatest(list_max(list_transform(a, x -> abs(x))) / 127.0,
+                       1e-30) AS qs
        FROM qx),
 qq2 AS (SELECT query_id, a, qn, qs,
                list_transform(a, x -> round(x / qs, 0)) AS qa
         FROM qq),
 cc AS (SELECT neighbor_id, b, sqrt(list_dot_product(b, b)) AS cn,
-              list_max(list_transform(b, x -> abs(x))) / 127.0 AS cs
+              greatest(list_max(list_transform(b, x -> abs(x))) / 127.0,
+                       1e-30) AS cs
        FROM cx),
 cc2 AS (SELECT neighbor_id, b, cn, cs,
                list_transform(b, x -> round(x / cs, 0)) AS ca
