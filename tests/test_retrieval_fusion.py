@@ -183,3 +183,14 @@ def test_pagerank_star_center_dominates_and_mass_conserved(spark):
     assert pr[0] > max(pr[i] for i in range(1, 5))
     assert all(pr[1] == pr[i] for i in range(2, 5))  # leaves symmetric
     assert abs(sum(pr.values()) - 5.0) < 1e-4
+
+
+def test_sq8_broadcasts_queries_no_sortmergejoin(spark):
+    """The quantized scan keeps the brute-force shape: query side
+    broadcast, corpus never exchanged into a SortMergeJoin."""
+    e = tables.load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    plan = similarity.sq8_topk(e, q, k=3, candidates=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
