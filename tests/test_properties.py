@@ -475,3 +475,97 @@ def test_grouped_cumsum_dist_matches_window(spark, rows):
     want = {r["id"]: r["cs"]
             for r in d.withColumn("cs", F.sum("tok").over(w)).collect()}
     assert got == want
+
+
+# ------------------------------------------------- r4 operator laws
+
+
+LEG_ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),   # doc_id
+              st.integers(min_value=1, max_value=20)), # rank
+    min_size=1, max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(a=LEG_ROWS, b=LEG_ROWS)
+@SETTINGS
+def test_rrf_fuse_matches_python_spec(spark, a, b):
+    """Fused score/top-k matches the executable RRF spec for any pair
+    of ranked legs; leg order never matters (sum is commutative)."""
+    from twitter_to_sqlite_spark.functions import similarity
+
+    def leg(rows):
+        return spark.createDataFrame(rows, "doc_id long, rank int")
+
+    spec: dict = {}
+    for rows in (a, b):
+        for d, r in rows:
+            spec[d] = spec.get(d, 0.0) + 1.0 / (60 + r)
+    want = sorted(((round(s, 6), d) for d, s in spec.items()),
+                  key=lambda t: (-t[0], t[1]))[:5]
+    got = similarity.rrf_fuse([leg(a), leg(b)], "doc_id", k=5).collect()
+    got_pairs = [(r["rrf_score"], r["doc_id"])
+                 for r in sorted(got, key=lambda r: r["rank"])]
+    assert got_pairs == want
+    swapped = similarity.rrf_fuse([leg(b), leg(a)], "doc_id", k=5).collect()
+    assert sorted(got_pairs) == sorted(
+        (r["rrf_score"], r["doc_id"]) for r in swapped)
+
+
+VALUES = st.lists(st.integers(min_value=0, max_value=200),
+                  min_size=1, max_size=60)
+
+
+@given(xs=VALUES, ys=VALUES)
+@SETTINGS
+def test_kmv_merge_law_random(spark, xs, ys):
+    """sketch(A ∪ B) == sketch over the concatenation, for any inputs
+    (the mergeability that lets shard sketches combine) — and below k
+    the estimate is the exact distinct count."""
+    from twitter_to_sqlite_spark.functions import sketch
+
+    def df(v):
+        return spark.createDataFrame([(x,) for x in v], "v long")
+
+    k = 16
+    both = sketch.kmv_distinct(df(xs + ys), ["v"], k=k).collect()[0]
+    uni = sketch.kmv_distinct(
+        df(list(set(xs)) + list(set(ys))), ["v"], k=k).collect()[0]
+    assert both["kmv_estimate"] == uni["kmv_estimate"]
+    n_distinct = len(set(xs + ys))
+    if n_distinct < k:
+        assert both["kmv_estimate"] == n_distinct
+
+
+WEIGHTED = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=100),
+              st.floats(min_value=0.05, max_value=1.0,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=30, unique_by=lambda t: t[0],
+)
+
+
+@given(rows=WEIGHTED, k=st.integers(min_value=1, max_value=10))
+@SETTINGS
+def test_weighted_sample_laws(spark, rows, k):
+    """Output size = min(k, n); sample ⊆ input; determinism; and the
+    selected set matches the executable A-ES spec."""
+    import hashlib
+
+    from twitter_to_sqlite_spark.functions import sampling
+
+    df = spark.createDataFrame(rows, "key long, w double")
+    got = sampling.weighted_sample(df, k, "w", "key").collect()
+    assert len(got) == min(k, len(rows))
+    keys_in = {r[0] for r in rows}
+    assert {r["key"] for r in got} <= keys_in
+
+    def u(key):
+        h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+        return (h % 1_000_000 + 1.0) / 1_000_000.0
+
+    spec = sorted(
+        ((round(u(key) ** (1.0 / w), 12), key) for key, w in rows),
+        key=lambda t: (-t[0], t[1]))[:k]
+    assert sorted(r["key"] for r in got) == sorted(key for _, key in spec)
