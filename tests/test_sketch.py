@@ -108,3 +108,39 @@ def test_weighted_sample_topk_plan(spark):
     plan = sampling.weighted_sample(df, 10, "w", "k") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# -------------------------------------------------------- kmv overlap
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Below k the sketch holds every hash: jaccard/union/intersection
+    are exact."""
+    a = spark.range(0, 30).select(F.col("id").alias("v"))
+    b = spark.range(20, 50).select(F.col("id").alias("v"))
+    row = sketch.kmv_overlap(a, b, "v", "v", k=256).collect()[0]
+    assert row["n_kept"] == 50 and row["n_both"] == 10
+    assert row["jaccard_est"] == 0.2
+    assert row["union_est"] == 50 and row["intersect_est"] == 10
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    a = spark.range(0, 40).select(F.col("id").alias("v"))
+    b = spark.range(100, 140).select(F.col("id").alias("v"))
+    d = sketch.kmv_overlap(a, b, "v", "v", k=64).collect()[0]
+    assert d["n_both"] == 0 and d["jaccard_est"] == 0.0
+    assert d["intersect_est"] == 0
+    s = sketch.kmv_overlap(a, a, "v", "v", k=64).collect()[0]
+    assert s["jaccard_est"] == 1.0 and s["intersect_est"] == s["union_est"]
+
+
+def test_kmv_overlap_estimate_above_k(spark):
+    """Above k: a ~50% overlap of 2000-vs-2000 keys estimates Jaccard
+    within sketch error (stderr ≈ sqrt(J(1-J)/k) ≈ 0.06 at k=64; allow
+    4 sigma)."""
+    a = spark.range(0, 2000).select(F.col("id").alias("v"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("v"))
+    row = sketch.kmv_overlap(a, b, "v", "v", k=64).collect()[0]
+    true_j = 1000 / 3000
+    assert abs(row["jaccard_est"] - true_j) < 0.25
+    assert 1500 <= row["union_est"] <= 6000

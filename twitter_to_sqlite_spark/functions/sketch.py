@@ -69,3 +69,63 @@ def kmv_distinct(df: DataFrame, columns: list[str], k: int = 256) -> DataFrame:
         )
         out = est if out is None else out.unionByName(est)
     return out
+
+
+def _min_hashes(df: DataFrame, col: str, k: int) -> DataFrame:
+    """k smallest 60-bit hashes of the column's distinct values:
+    (__h long). TakeOrderedAndProject — k rows per partition map-side."""
+    return (
+        df.select(F.col(col).cast("string").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+        .select(
+            F.conv(F.substring(F.md5(F.col("__v")), 1, 15), 16, 10)
+            .cast("long").alias("__h")
+        )
+        .orderBy("__h")
+        .limit(k)
+    )
+
+
+def kmv_overlap(df_a: DataFrame, df_b: DataFrame,
+                a_col: str, b_col: str, k: int = 256) -> DataFrame:
+    """KMV Jaccard / intersection estimate between two key sets — the
+    screening step before a full decontamination join: two sketches of
+    k hashes each answer "how contaminated is corpus A by corpus B"
+    without ever joining the corpora.
+
+    K-min of the union is the union of the k-mins re-truncated to k
+    (KMV mergeability); the fraction of those union-k-min hashes
+    present in BOTH sides estimates Jaccard (Bar-Yossef et al. 2002),
+    and × the union estimate gives the intersection size. Below k
+    everything is exact. Returns one row:
+    (n_kept, n_both, jaccard_est, union_est, intersect_est).
+
+    Scale: each side is one distinct + TakeOrderedAndProject; the
+    combine works on ≤ 2k rows regardless of corpus size.
+    """
+    ka = _min_hashes(df_a, a_col, k).localCheckpoint(eager=False)
+    kb = _min_hashes(df_b, b_col, k).localCheckpoint(eager=False)
+    union_kmin = ka.unionByName(kb).distinct().orderBy("__h").limit(k)
+    flagged = (
+        union_kmin
+        .join(ka.withColumn("__ina", F.lit(1)), "__h", "left")
+        .join(kb.withColumn("__inb", F.lit(1)), "__h", "left")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum((F.col("__ina").isNotNull() & F.col("__inb").isNotNull())
+              .cast("long")).alias("n_both"),
+        F.max(F.col("__h") / F.lit(_HASH_SPACE)).alias("__umax"),
+    )
+    jacc = F.col("n_both") / F.greatest(F.col("n_kept"), F.lit(1))
+    union_raw = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__umax"))
+    return agg.select(
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(jacc, 4).alias("jaccard_est"),
+        F.round(union_raw, 0).cast("long").alias("union_est"),
+        F.round(jacc * union_raw, 0).cast("long").alias("intersect_est"),
+    )

@@ -1708,6 +1708,58 @@ FROM (
 SQL_SKETCH_PROFILE = _kmv_sql()
 
 
+def q_sketch_overlap(spark, sf_dir):
+    """KMV overlap screening (sketch.kmv_overlap, k=64): estimate the
+    Jaccard/intersection between the event-user key set and the order
+    customer key set from two 64-hash sketches — the cheap 'how
+    contaminated is A by B' probe run before a full decontamination
+    join (true J = 0.1 on this data: users ⊂ customers)."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    return sketch.kmv_overlap(e, o, "user_id", "o_custkey", k=_KMV_K)
+
+
+SQL_SKETCH_OVERLAP = f"""
+WITH ka AS (
+  SELECT ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+  ORDER BY h LIMIT {_KMV_K}
+),
+kb AS (
+  SELECT ('0x' || substring(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+  ORDER BY h LIMIT {_KMV_K}
+),
+uk AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+  ORDER BY h LIMIT {_KMV_K}
+),
+flagged AS (
+  SELECT uk.h,
+         (ka.h IS NOT NULL AND kb.h IS NOT NULL) AS in_both
+  FROM uk
+  LEFT JOIN ka ON ka.h = uk.h
+  LEFT JOIN kb ON kb.h = uk.h
+),
+agg AS (
+  SELECT count(*) AS n_kept,
+         CAST(sum(in_both::BIGINT) AS BIGINT) AS n_both,
+         max(h / 1152921504606846976.0) AS umax
+  FROM flagged
+)
+SELECT CAST(n_kept AS BIGINT) AS n_kept, n_both,
+       round(n_both / greatest(n_kept, 1), 4) AS jaccard_est,
+       CAST(round(CASE WHEN n_kept < {_KMV_K} THEN n_kept::DOUBLE
+                       ELSE {float(_KMV_K - 1)!r} / umax END, 0) AS BIGINT)
+         AS union_est,
+       CAST(round((n_both / greatest(n_kept, 1))
+                  * CASE WHEN n_kept < {_KMV_K} THEN n_kept::DOUBLE
+                         ELSE {float(_KMV_K - 1)!r} / umax END, 0) AS BIGINT)
+         AS intersect_est
+FROM agg
+"""
+
+
 def q_ann_sq8(spark, sf_dir):
     """SQ8 scalar-quantized ANN (similarity.sq8_topk): candidates
     ranked by int8-range quantized dot products (4× less memory than
@@ -3247,6 +3299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_frac": q_dup_ngram_frac,
     "pagerank": q_pagerank,
     "sketch_profile": q_sketch_profile,
+    "sketch_overlap": q_sketch_overlap,
     "weighted_sample": q_weighted_sample,
     # --- (1) never driver-verified, cheap -> expensive ---
     "stratified_sample": q_stratified_sample,
@@ -3430,6 +3483,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
     "pagerank": SQL_PAGERANK,
     "sketch_profile": SQL_SKETCH_PROFILE,
+    "sketch_overlap": SQL_SKETCH_OVERLAP,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }
 
