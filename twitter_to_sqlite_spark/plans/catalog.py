@@ -1708,6 +1708,79 @@ FROM (
 SQL_SKETCH_PROFILE = _kmv_sql()
 
 
+def q_data_quality(spark, sf_dir):
+    """Declarative data-quality report (functions/validate.py,
+    Deequ-style): pk uniqueness, referential integrity, null and range
+    constraints across the warehouse tables — the validation gate a
+    training pipeline runs between stages. Includes one deliberately
+    failing check (user_id is not a pk of events) so the report
+    exercises both outcomes. Each check is one scan-aggregate or one
+    anti-join count."""
+    from twitter_to_sqlite_spark.functions import validate as V
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    d = _t(spark, sf_dir, "documents")
+    return V.run_checks([
+        V.unique(o, ["o_orderkey"]),
+        V.foreign_key(li, "l_orderkey", o, "o_orderkey"),
+        V.foreign_key(e, "user_id", c, "c_custkey",
+                      name="fk(user_id->c_custkey)"),
+        V.not_null(e, "user_id"),
+        V.accepted_range(e, "value", lo=0),
+        V.accepted_range(d, "n_chars", lo=1),
+        V.unique(e, ["user_id"]),  # expected FAIL: user_id is no pk
+    ])
+
+
+SQL_DATA_QUALITY = """
+SELECT 'unique(o_orderkey)' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+       count(*) - count(DISTINCT o_orderkey) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'fk(l_orderkey)',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+UNION ALL
+SELECT 'fk(user_id->c_custkey)',
+       (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT count(*) FROM events
+        WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer)) = 0
+UNION ALL
+SELECT 'not_null(user_id)',
+       CAST(coalesce(sum((user_id IS NULL)::BIGINT), 0) AS BIGINT),
+       coalesce(sum((user_id IS NULL)::BIGINT), 0) = 0
+FROM events
+UNION ALL
+SELECT 'range(value)',
+       CAST(coalesce(sum((value IS NOT NULL AND value < 0)::BIGINT), 0)
+            AS BIGINT),
+       coalesce(sum((value IS NOT NULL AND value < 0)::BIGINT), 0) = 0
+FROM events
+UNION ALL
+SELECT 'range(n_chars)',
+       CAST(coalesce(sum((n_chars IS NOT NULL AND n_chars < 1)::BIGINT), 0)
+            AS BIGINT),
+       coalesce(sum((n_chars IS NOT NULL AND n_chars < 1)::BIGINT), 0) = 0
+FROM documents
+UNION ALL
+SELECT 'unique(user_id)',
+       CAST(count(*) - count(DISTINCT user_id) AS BIGINT),
+       count(*) - count(DISTINCT user_id) = 0 AS passed
+FROM events
+"""
+
+
 def q_sketch_overlap(spark, sf_dir):
     """KMV overlap screening (sketch.kmv_overlap, k=64): estimate the
     Jaccard/intersection between the event-user key set and the order
@@ -3300,6 +3373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "sketch_profile": q_sketch_profile,
     "sketch_overlap": q_sketch_overlap,
+    "data_quality": q_data_quality,
     "weighted_sample": q_weighted_sample,
     # --- (1) never driver-verified, cheap -> expensive ---
     "stratified_sample": q_stratified_sample,
@@ -3484,6 +3558,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "sketch_profile": SQL_SKETCH_PROFILE,
     "sketch_overlap": SQL_SKETCH_OVERLAP,
+    "data_quality": SQL_DATA_QUALITY,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }
 
