@@ -37,7 +37,12 @@ def not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
 
 def unique(df: DataFrame, cols: list[str],
            name: str | None = None) -> DataFrame:
-    """Violations = rows beyond the first per key (0 ⇔ cols are a pk)."""
+    """Violations = rows beyond the first per key (0 ⇔ cols are a pk).
+
+    Rows with a NULL key count as violations (count DISTINCT ignores
+    NULLs in Spark and DuckDB alike) — deliberate: a primary key is
+    non-null by definition, so NULL-keyed rows can never satisfy it.
+    """
     label = name or f"unique({','.join(cols)})"
     return _report(
         df,
