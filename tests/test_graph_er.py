@@ -1,0 +1,226 @@
+"""Unit tests for the r4 graph/ER/event-analytics operators:
+interval_join, funnel, entity resolution, triangle counting."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_to_sqlite_spark.functions import entity
+from twitter_to_sqlite_spark.functions.graph import triangle_count
+from twitter_to_sqlite_spark.operators import relational as R
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(
+        minutes=minute, seconds=second, microseconds=micro
+    )
+
+
+# ------------------------------------------------------ interval_join
+
+@pytest.fixture(scope="module")
+def iv_frames(spark):
+    left = spark.createDataFrame(
+        [(i, _ts(m)) for i, m in enumerate([0, 5, 29, 30, 31, 59, 90])],
+        "lid long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts(0), _ts(30)),   # [00:00, 00:30)
+            (200, _ts(30), _ts(60)),  # [00:30, 01:00)
+            (300, _ts(55), _ts(55)),  # empty interval -> matches nothing
+            (400, _ts(10), _ts(5)),   # end < start -> dropped, no
+                                      # fabricated descending buckets
+        ],
+        "rid long, s timestamp_ntz, e timestamp_ntz",
+    )
+    return left, right
+
+
+def test_interval_join_containment(iv_frames):
+    left, right = iv_frames
+    out = R.interval_join(left, right, "ts", "s", "e",
+                          bucket_seconds=1800.0)
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    # [0,30): minutes 0,5,29. [30,60): minutes 30,31,59. 90 matches none.
+    assert got == [(0, 100), (1, 100), (2, 100), (3, 200), (4, 200),
+                   (5, 200)]
+
+
+def test_interval_join_small_buckets_agree(iv_frames):
+    """Bucket width far below interval length: more explode, same
+    answer."""
+    left, right = iv_frames
+    out = R.interval_join(left, right, "ts", "s", "e",
+                          bucket_seconds=60.0)
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    assert got == [(0, 100), (1, 100), (2, 100), (3, 200), (4, 200),
+                   (5, 200)]
+
+
+def test_interval_join_no_nested_loop(iv_frames):
+    left, right = iv_frames
+    out = R.interval_join(left, right, "ts", "s", "e")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_with_key(spark):
+    left = spark.createDataFrame(
+        [("u1", 1, _ts(5)), ("u2", 2, _ts(5))],
+        "k string, lid long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, _ts(0), _ts(30))],
+        "k string, rid long, s timestamp_ntz, e timestamp_ntz",
+    )
+    out = R.interval_join(left, right, "ts", "s", "e", keys=["k"])
+    assert [(r.lid, r.rid) for r in out.collect()] == [(1, 10)]
+
+
+# ------------------------------------------------------------- funnel
+
+def _funnel_rows(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp_ntz, event_type string"
+    )
+    out = R.funnel(df, "user_id", "ts", "event_type",
+                   ["view", "click", "purchase"])
+    return {r.step: (r.step_name, r.users) for r in out.collect()}
+
+def test_funnel_ordered_completion(spark):
+    got = _funnel_rows(spark, [
+        ("a", _ts(1), "view"), ("a", _ts(2), "click"),
+        ("a", _ts(3), "purchase"),
+        # b clicks BEFORE viewing: the pre-view click must not count,
+        # but the later one does.
+        ("b", _ts(1), "click"), ("b", _ts(2), "view"),
+        ("b", _ts(3), "click"),
+        # c only views.
+        ("c", _ts(9), "view"),
+    ])
+    assert got == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_funnel_strictly_after(spark):
+    """A click at EXACTLY the view's timestamp does not advance
+    (strict >), matching the conditional-min oracle chain."""
+    got = _funnel_rows(spark, [
+        ("a", _ts(1), "view"), ("a", _ts(1), "click"),
+        ("b", _ts(1), "view"), ("b", _ts(1, 0, 1), "click"),
+    ])
+    assert got == {1: ("view", 2), 2: ("click", 1), 3: ("purchase", 0)}
+
+
+def test_funnel_takes_earliest_view(spark):
+    """Stage 1 anchors at the MIN view even when later views exist —
+    a click between two views counts."""
+    got = _funnel_rows(spark, [
+        ("a", _ts(1), "view"), ("a", _ts(2), "click"),
+        ("a", _ts(3), "view"),
+    ])
+    assert got == {1: ("view", 1), 2: ("click", 1), 3: ("purchase", 0)}
+
+
+def test_funnel_empty_and_null_users(spark):
+    got = _funnel_rows(spark, [
+        (None, _ts(1), "view"), ("a", _ts(1), "error"),
+    ])
+    assert got == {1: ("view", 0), 2: ("click", 0), 3: ("purchase", 0)}
+
+
+# -------------------------------------------------- entity resolution
+
+@pytest.fixture(scope="module")
+def names_df(spark):
+    rows = (
+        [("red widget",)] * 3
+        + [("red widgets",)] * 2
+        + [("blue widget",), ("blue bolt",), ("red bolt",),
+           ("chartreuse gasket",)]
+    )
+    return spark.createDataFrame(rows, "p_name string")
+
+
+def _blocks():
+    return [
+        F.regexp_extract("name", r"^(\S+)", 1),
+        F.regexp_extract("name", r"(\S+)$", 1),
+    ]
+
+
+def test_match_names_dictionary_counts(names_df):
+    out = entity.match_names(names_df, "p_name", _blocks(),
+                             max_distance=2).collect()
+    pairs = {(r.name1, r.name2): (r.n1, r.n2, r.dist) for r in out}
+    # "red widget" ~ "red widgets": dist 1, counts 3 and 2.
+    assert pairs[("red widget", "red widgets")] == (3, 2, 1)
+    # distance > 2 excluded: red widget vs blue widget is 3 edits.
+    assert ("blue widget", "red widget") not in pairs
+
+
+def test_match_names_multi_pass_recall(names_df):
+    """'blue bolt' ~ 'red bolt' share only the LAST token — pass 2
+    finds them (dist 4); 'blue widget' ~ 'red widget' likewise
+    (dist 3)."""
+    out = entity.match_names(names_df, "p_name", _blocks(),
+                             max_distance=4).collect()
+    pairs = {(r.name1, r.name2) for r in out}
+    assert ("blue bolt", "red bolt") in pairs
+    assert ("blue widget", "red widget") in pairs
+
+
+def test_match_names_max_block_drops_hot_keys(names_df):
+    """max_block=1 drops every shared blocking key, so nothing pairs."""
+    out = entity.match_names(names_df, "p_name", _blocks(),
+                             max_distance=3, max_block=1)
+    assert out.count() == 0
+
+
+def test_blocked_pairs_dedups_across_passes(names_df):
+    """red widget / red widgets share BOTH blocks; one candidate."""
+    d = entity.name_dictionary(names_df, "p_name")
+    cand = entity.blocked_pairs(d, _blocks())
+    n = cand.filter(
+        (F.col("name1") == "red widget") & (F.col("name2") == "red widgets")
+    ).count()
+    assert n == 1
+
+
+# ----------------------------------------------------- triangle_count
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_count(df).collect()[0]
+
+
+def test_triangle_k4(spark):
+    """K4: 4 nodes, 6 edges, C(4,3)=4 triangles, clustering 1."""
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = _tri(spark, edges)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert r.clustering == 1.0
+
+
+def test_triangle_path_none(spark):
+    r = _tri(spark, [(1, 2), (2, 3), (3, 4)])
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 3, 2, 0)
+    assert r.clustering == 0.0
+
+
+def test_triangle_dedup_and_direction_invariance(spark):
+    """Duplicate and reversed edges collapse: one triangle."""
+    r = _tri(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 3)])
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+
+
+def test_triangle_star_skew(spark):
+    """A hub with 10 leaves: 45 wedges at the hub but zero triangles —
+    and the oriented plan pivots at leaves (out-degree ≤ 1), so wedge
+    candidates stay tiny under skew."""
+    r = _tri(spark, [(0, i) for i in range(1, 11)])
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (11, 10, 45, 0)

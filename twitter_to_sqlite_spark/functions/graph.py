@@ -71,3 +71,91 @@ def pagerank(edges: DataFrame, iterations: int = 6, damping: float = 0.85,
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph, by DEGREE-ORDERED edge orientation (the
+    Chiba-Nishizeki / Suri-Vassilvitskii MapReduce form). Returns one
+    row: (n_nodes, n_edges, n_wedges, n_triangles, clustering).
+
+    Why orientation matters at scale: the naive wedge enumeration
+    pivots at every vertex and generates Σ deg(v)² wedge candidates —
+    quadratic in the max degree, and a single celebrity node breaks
+    it. Orienting every edge from the (degree, id)-smaller endpoint to
+    the larger and pivoting only at the SMALL end bounds the pivot
+    out-degree by O(√|E|), so wedge candidates are O(|E|^{3/2}) no
+    matter how skewed the degree distribution — the best possible for
+    exact counting.
+
+    Plan shape: dedup/normalize edges (one shuffle), degree agg (one
+    shuffle), two degree-attach joins, the wedge self-join on the
+    pivot, and one semi-join of wedges against oriented edges to close
+    triangles. Everything is an equi-join on a key — no nested loop,
+    no per-node adjacency list in memory.
+
+    Reference analogue: the follower graph the reference stores
+    (following table, twitter_to_sqlite/cli.py followers) is the edge
+    list this consumes; triangles/clustering are the cohesion signal.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = und.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = e1.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0).cast("long")
+        ).alias("n_wedges"),
+    )
+    edge_stats = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        node_stats.crossJoin(edge_stats)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

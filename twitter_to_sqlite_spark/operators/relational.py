@@ -693,3 +693,158 @@ def grouped_cumsum_dist(df: DataFrame, group_col: str, range_col: str,
         local.withColumn(out_col, F.col("__off") + F.col("__lval"))
         .drop("__pid", "__lval", "__off")
     )
+
+
+# ------------------------------------------------ interval / funnel
+
+def interval_join(left: DataFrame, right: DataFrame, left_ts: str,
+                  right_start: str, right_end: str,
+                  keys: list[str] | None = None,
+                  bucket_seconds: float = 1800.0) -> DataFrame:
+    """Interval (range-containment) join: pair each left row with every
+    right row whose ``[right_start, right_end)`` interval contains
+    ``left.left_ts`` — with or without an equi-key.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin:
+    O(|L|·|R|) pair evaluations and a broadcast of one whole side —
+    unusable at scale. This is the bucketed formulation instead:
+    quantize time into fixed ``bucket_seconds`` buckets, explode each
+    right interval onto every bucket it overlaps, and equi-join on
+    (bucket [, keys]) BEFORE applying the exact containment predicate.
+    The inequality then only runs on co-bucketed candidates.
+
+    Scale: one shuffled equi-join (SMJ/SHJ — never a nested loop; the
+    plan test pins this), candidate count = Σ_bucket |L_b|·|R_b|
+    instead of |L|·|R|. Pick ``bucket_seconds`` ≥ the typical interval
+    length: the per-interval explode factor is
+    ceil(len/bucket)+1 ≤ 2 for intervals no longer than a bucket, so
+    the right side at most doubles. Degenerate right rows with
+    ``end <= start`` (empty intervals) are dropped — they can match
+    nothing, and Spark's ``sequence(lo, hi)`` would otherwise step
+    DOWNWARD for hi < lo and fabricate buckets.
+
+    Timestamps are converted to epoch micros with an NTZ-to-NTZ
+    timestampdiff (not ``unix_micros``) so NTZ inputs are independent
+    of the session time zone — the same device as ``q_sessionize``.
+    Column names must be disjoint across the two sides apart from
+    ``keys``.
+    """
+    bw = int(bucket_seconds * 1_000_000)
+
+    def _us(c: str):
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+            f"00:00:00', cast(`{c}` as timestamp_ntz))"
+        )
+
+    l = (
+        left.withColumn("__lus", _us(left_ts))
+        .withColumn("__bkt", F.floor(F.col("__lus") / F.lit(bw)))
+    )
+    r = (
+        right.withColumn("__sus", _us(right_start))
+        .withColumn("__eus", _us(right_end))
+        .filter(F.col("__eus") > F.col("__sus"))
+        .withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__sus") / F.lit(bw)),
+                    F.floor((F.col("__eus") - 1) / F.lit(bw)),
+                )
+            ),
+        )
+    )
+    on = ["__bkt"] + list(keys or [])
+    return (
+        l.join(r, on=on, how="inner")
+        .filter(
+            (F.col("__lus") >= F.col("__sus"))
+            & (F.col("__lus") < F.col("__eus"))
+        )
+        .drop("__bkt", "__lus", "__sus", "__eus")
+    )
+
+
+def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+           steps: list[str]) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed step 1, then
+    step 2 strictly after it, then step 3 strictly after that, …
+    Returns one row per step: (step, step_name, users).
+
+    Spark has no MATCH_RECOGNIZE; the scalable single-pass form is a
+    per-user automaton: filter to funnel events, one shuffle to group
+    each user's events, sort them by time, and fold a (stage,
+    last_ts) accumulator over the sorted list with ``F.aggregate`` —
+    all JVM-side expressions, no Python. The fold advances to stage
+    k+1 on the first ``steps[k]`` event strictly later than the
+    stage-k timestamp, which is exactly the relational chain
+    s1 = min ts(step1); s_k = min ts(step_k) > s_{k-1} — first-match
+    in sorted order IS the minimum, and the strict ``>`` makes the
+    result independent of sort-tie order at equal timestamps.
+
+    Scale: per-user state is the user's FUNNEL events only (already
+    filtered to ``steps``); for behavioral event streams that is
+    session-bounded. If a key can hold unboundedly many funnel events,
+    use the n-aggregation join chain (one conditional-min pass per
+    step) instead — same answer, n shuffles, no per-key list.
+    Null users are excluded: a funnel requires an identity.
+    """
+    n = len(steps)
+    ts_type = df.schema[ts_col].dataType
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(
+        F.col(type_col).isin(steps) & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__ty"),
+    )
+    per_user = ev.groupBy("__u").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("__ts").alias("t"), F.col("__ty").alias("y"))
+            )
+        ).alias("__evs")
+    )
+    zero = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast(ts_type).alias("t")
+    )
+
+    def _step(acc, e):
+        advance = (
+            (acc["stage"] < F.lit(n))
+            & (e["y"] == F.element_at(steps_arr, acc["stage"] + 1))
+            & ((acc["stage"] == F.lit(0)) | (e["t"] > acc["t"]))
+        )
+        return F.when(
+            advance,
+            F.struct((acc["stage"] + 1).alias("stage"), e["t"].alias("t")),
+        ).otherwise(acc)
+
+    staged = per_user.select(
+        F.aggregate("__evs", zero, _step)["stage"].alias("__stage")
+    )
+    one = staged.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("__stage") >= F.lit(k + 1)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"__s{k + 1}")
+            for k in range(n)
+        ]
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k + 1).cast("long").alias("step"),
+                        F.lit(steps[k]).alias("step_name"),
+                        F.col(f"__s{k + 1}").alias("users"),
+                    )
+                    for k in range(n)
+                ]
+            )
+        ).alias("r")
+    ).select("r.step", "r.step_name", "r.users")
