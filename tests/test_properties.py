@@ -569,3 +569,194 @@ def test_weighted_sample_laws(spark, rows, k):
         ((round(u(key) ** (1.0 / w), 12), key) for key, w in rows),
         key=lambda t: (-t[0], t[1]))[:k]
     assert sorted(r["key"] for r in got) == sorted(key for _, key in spec)
+
+
+# ------------------------------------------------- r4b operator laws
+
+IV_LEFT = st.lists(st.integers(min_value=0, max_value=200),
+                   min_size=0, max_size=15)
+IV_RIGHT = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=200),
+              st.integers(min_value=-5, max_value=60)),
+    min_size=0, max_size=10,
+)
+
+
+@given(ls=IV_LEFT, rs=IV_RIGHT,
+       bucket=st.sampled_from([60.0, 600.0, 3600.0]))
+@SETTINGS
+def test_interval_join_matches_brute_force_any_bucket(spark, ls, rs,
+                                                      bucket):
+    """The bucketed interval join equals brute-force containment for
+    EVERY bucket width — bucketing is a physical rewrite, never a
+    semantic one."""
+    import datetime as dt
+
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(i, ts(m)) for i, m in enumerate(ls)] or [(None, None)],
+        "lid long, ts timestamp_ntz",
+    ).filter("lid is not null")
+    right = spark.createDataFrame(
+        [(i, ts(s), ts(s + ln)) for i, (s, ln) in enumerate(rs)]
+        or [(None, None, None)],
+        "rid long, s timestamp_ntz, e timestamp_ntz",
+    ).filter("rid is not null")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in R.interval_join(left, right, "ts", "s", "e",
+                                 bucket_seconds=bucket).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, m in enumerate(ls)
+        for ri, (s, ln) in enumerate(rs)
+        if s <= m < s + ln
+    )
+    assert got == want
+
+
+FUNNEL_EVENTS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),      # user
+              st.integers(min_value=0, max_value=30),     # minute
+              st.sampled_from(["view", "click", "purchase", "error"])),
+    min_size=0, max_size=25,
+)
+
+
+@given(evs=FUNNEL_EVENTS)
+@SETTINGS
+def test_funnel_matches_spec_and_is_monotone(spark, evs):
+    """funnel == the sequential conditional-min spec (s1 = min view;
+    s_k = min step_k ts STRICTLY after s_{k-1}), and step counts are
+    nonincreasing."""
+    import datetime as dt
+
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    base = dt.datetime(2024, 1, 1)
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(f"u{u}", base + dt.timedelta(minutes=m), ty)
+         for u, m, ty in evs] or [(None, None, None)],
+        "user_id string, ts timestamp_ntz, event_type string",
+    ).filter("user_id is not null")
+    got = {r.step: r.users
+           for r in R.funnel(df, "user_id", "ts", "event_type",
+                             steps).collect()}
+
+    def spec_stage(user_evs):
+        t, stage = None, 0
+        for want in steps:
+            cand = [m for m, ty in user_evs
+                    if ty == want and (t is None or m > t)]
+            if not cand:
+                break
+            t = min(cand)
+            stage += 1
+        return stage
+
+    by_user = {}
+    for u, m, ty in evs:
+        by_user.setdefault(f"u{u}", []).append((m, ty))
+    want = {k: 0 for k in (1, 2, 3)}
+    for u, uev in by_user.items():
+        s = spec_stage(uev)
+        for k in range(1, s + 1):
+            want[k] += 1
+    assert got == want
+    assert got[1] >= got[2] >= got[3]
+
+
+TRI_EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=7),
+              st.integers(min_value=0, max_value=7)),
+    min_size=0, max_size=20,
+)
+
+
+@given(edges=TRI_EDGES)
+@SETTINGS
+def test_triangle_count_matches_brute_force(spark, edges):
+    """triangle_count == brute-force enumeration over the cleaned
+    undirected graph, for any multiset of (possibly reversed,
+    duplicated, self-loop) edges."""
+    from itertools import combinations
+
+    from twitter_to_sqlite_spark.functions.graph import triangle_count
+
+    df = spark.createDataFrame(
+        edges or [(None, None)], "src long, dst long"
+    ).filter("src is not null")
+    r = triangle_count(df).collect()[0]
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for e in und for n in e}
+    tri = sum(
+        1 for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    deg = {n: sum(1 for e in und if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+        len(nodes), len(und), wedges, tri)
+
+
+ER_NAMES = st.lists(
+    st.tuples(st.sampled_from(["red", "blue", "teal", "navy"]),
+              st.sampled_from(["bolt", "ring", "gear", "bolts"])),
+    min_size=0, max_size=12,
+)
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(names=ER_NAMES, d=st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_match_names_matches_blocking_spec(spark, names, d):
+    """match_names == the executable spec: distinct names, pairs
+    sharing first OR last token, |len diff| <= d, levenshtein <= d."""
+    from pyspark.sql import functions as F
+
+    from twitter_to_sqlite_spark.functions import entity
+
+    full = [f"{a} {b}" for a, b in names]
+    df = spark.createDataFrame(
+        [(n,) for n in full] or [(None,)], "p_name string"
+    ).filter("p_name is not null")
+    blocks = [F.regexp_extract("name", r"^(\S+)", 1),
+              F.regexp_extract("name", r"(\S+)$", 1)]
+    got = sorted(
+        (r.name1, r.name2, r.n1, r.n2, r.dist)
+        for r in entity.match_names(df, "p_name", blocks,
+                                    max_distance=d).collect()
+    )
+    from collections import Counter
+
+    cnt = Counter(full)
+    uniq = sorted(cnt)
+    want = []
+    for i, n1 in enumerate(uniq):
+        for n2 in uniq[i + 1:]:
+            t1, t2 = n1.split(), n2.split()
+            if (t1[0] == t2[0] or t1[-1] == t2[-1]) \
+                    and abs(len(n1) - len(n2)) <= d \
+                    and _lev(n1, n2) <= d:
+                want.append((n1, n2, cnt[n1], cnt[n2], _lev(n1, n2)))
+    assert got == sorted(want)

@@ -200,3 +200,75 @@ def test_streaming_curation_foreachbatch(spark, dirs, tmp_path):
     }
     assert {r["doc_id"] for r in got} == want
     assert 100 not in want and 0 in want
+
+
+def _write_events(src, name, rows):
+    with open(os.path.join(src, name), "w") as f:
+        for uid, minute, ty in rows:
+            f.write(json.dumps({
+                "user_id": uid,
+                "ts": f"2024-01-01T00:{minute:02d}:00",
+                "event_type": ty,
+            }) + "\n")
+
+
+def _read_event_stream(spark, src):
+    schema = ("user_id long, ts timestamp_ntz, event_type string")
+    return spark.readStream.schema(schema).json(src)
+
+
+def test_funnel_stages_stateful_and_matches_batch(spark, dirs):
+    """Streaming funnel: state carries across micro-batch restarts,
+    and the final per-user stages aggregate to EXACTLY the batch
+    funnel's step counts when events arrive in order — the automaton
+    is shared, so batch and stream cannot drift."""
+    src, out, ckpt = dirs
+    steps = ["view", "click", "purchase"]
+    latest: dict = {}
+
+    def run_once():
+        stream = _read_event_stream(spark, src)
+        q = (
+            analytics.funnel_stages(stream, steps)
+            .writeStream.foreachBatch(
+                lambda batch, bid: latest.update(
+                    {r["user_id"]: r["stage"] for r in batch.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    c1 = [(1, 0, "view"), (1, 1, "click"), (2, 0, "view"),
+          (3, 0, "click"), (3, 1, "error")]
+    _write_events(src, "c1.json", c1)
+    run_once()
+    assert latest == {1: 2, 2: 1, 3: 0}
+
+    # second chunk: user 1 converts, user 3 finally views — state
+    # restored from the checkpoint across the restart.
+    c2 = [(1, 2, "purchase"), (3, 2, "view"), (2, 1, "view")]
+    _write_events(src, "c2.json", c2)
+    run_once()
+    assert latest == {1: 3, 2: 1, 3: 1}
+
+    # batch/stream agreement: run the batch automaton over ALL events.
+    import datetime as dt
+
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    all_rows = [
+        (u, dt.datetime(2024, 1, 1, 0, m), ty) for u, m, ty in c1 + c2
+    ]
+    bdf = spark.createDataFrame(
+        all_rows, "user_id long, ts timestamp_ntz, event_type string")
+    batch = {r.step: r.users
+             for r in R.funnel(bdf, "user_id", "ts", "event_type",
+                               steps).collect()}
+    stream_counts = {
+        k: sum(1 for s in latest.values() if s >= k) for k in (1, 2, 3)
+    }
+    assert batch == stream_counts

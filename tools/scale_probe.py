@@ -94,6 +94,82 @@ def _pagerank_ring(d):
     return graph.pagerank(edges, iterations=4)
 
 
+def _interval_probe(d):
+    """Interval-join growth probe: ts = doc_id seconds (replica id
+    offsets push each replica into a disjoint time range, so event
+    DENSITY stays constant as the corpus grows — the realistic regime:
+    more data means more history, not more events per second); every
+    10th row opens a 300 s window. Candidates per window stay ~300 at
+    every scale, so linear growth is the bar."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    ev = d.select(
+        "doc_id", F.timestamp_seconds(F.col("doc_id")).alias("ts"))
+    iv = ev.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("iv_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
+    )
+    j = R.interval_join(ev.select("doc_id", "ts"), iv, "ts", "s", "e",
+                        bucket_seconds=300.0)
+    return j.groupBy("iv_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _funnel_probe(d):
+    """Funnel growth probe: ~50 synthetic events per user (user ids
+    disjoint across replicas), event type cycling through the steps —
+    per-user state is constant, so linear growth is the bar."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    ev = d.select(
+        (F.col("doc_id") - (F.col("doc_id") % 50)).alias("user_id"),
+        F.timestamp_seconds(F.col("doc_id")).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    return R.funnel(ev, "user_id", "ts", "event_type",
+                    ["view", "click", "purchase"])
+
+
+def _triangle_chain(d):
+    """Triangle growth probe: chain graph with chords (i↔i+1, i↔i+2 —
+    degree ≤ 4, one triangle per consecutive id triple), built by
+    distributed self-joins; |E| and triangles both scale exactly with
+    rows, so the measured growth is the counter's."""
+    from twitter_to_sqlite_spark.functions.graph import triangle_count
+
+    ids = d.select("doc_id")
+    edges = None
+    for step in (1, 2):
+        e = (
+            ids.select((F.col("doc_id") + step).alias("nxt"),
+                       F.col("doc_id").alias("src"))
+            .join(ids.select(F.col("doc_id").alias("nxt")), "nxt")
+            .select("src", F.col("nxt").alias("dst"))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return triangle_count(edges)
+
+
+def _entity_probe(d):
+    """ER growth probe over the doc texts' two leading tokens as the
+    'name': with --distinct the salted tokens keep every blocking key
+    replica-local (block count grows, block SIZE does not → linear);
+    without it the name dictionary is scale-invariant and the probe
+    should stay FLAT — the dictionary reduction visibly decoupling
+    cost from row count."""
+    from twitter_to_sqlite_spark.functions import entity
+
+    named = d.select(
+        F.regexp_extract("text", r"^(\S+\s+\S+)", 1).alias("nm"))
+    blocks = [F.regexp_extract("name", r"^(\S+)", 1),
+              F.regexp_extract("name", r"(\S+)$", 1)]
+    return entity.match_names(named.filter(F.col("nm") != ""), "nm",
+                              blocks, max_distance=3, max_block=10000)
+
+
 def capstone(n: int, sf_dir: str) -> None:
     """Composed end-to-end demo (VERDICT r3 #8): the full
     training-data pipeline — curate (PII→Gopher→exact-dedup→split→
@@ -212,6 +288,11 @@ def capstone(n: int, sf_dir: str) -> None:
 
 
 def main():
+    only = None
+    for a in list(sys.argv[1:]):
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+            sys.argv.remove(a)
     args = [a for a in sys.argv[1:] if a not in ("--distinct", "--capstone")]
     distinct = "--distinct" in sys.argv[1:]
     n = int(args[0]) if args else 10
@@ -264,9 +345,15 @@ def main():
         # data-dependent; for a pure growth probe use a synthetic ring
         # over the doc ids (|E| = 2|V| exactly, at both scales)
         "pagerank_ring": lambda d, v: _pagerank_ring(d),
+        "interval_join": lambda d, v: _interval_probe(d),
+        "funnel": lambda d, v: _funnel_probe(d),
+        "triangle_chain": lambda d, v: _triangle_chain(d),
+        "entity_match": lambda d, v: _entity_probe(d),
     }
     out = {}
     for name, fn in OPS.items():
+        if only is not None and name not in only:
+            continue
         res = {}
         for label, (dp, vp) in (("t1", (d1p, v1p)), (f"t{n}", (dnp, vnp))):
             d, v = load(dp), load(vp)

@@ -17,6 +17,9 @@ no windowed aggregation — these are the Spark-native extensions a
   topk_per_window          batch finisher ranking each CLOSED window's
                            terms (rank needs the window complete —
                            exactly what append-after-watermark emits)
+  funnel_stages            stateful per-user funnel automaton (twin of
+                           the batch relational.funnel): stage + last
+                           step time in the state store, update mode
 """
 
 from __future__ import annotations
@@ -223,4 +226,71 @@ def topk_per_window(windowed_counts: DataFrame, k: int = 10) -> DataFrame:
     return (
         windowed_counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+_FUNNEL_STATE_SCHEMA = T.StructType([
+    T.StructField("stage", T.IntegerType()),
+    T.StructField("t_us", T.LongType()),
+])
+
+
+def funnel_stages(stream: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Streaming twin of the batch ``relational.funnel`` automaton:
+    per-user funnel stage maintained in the state store across
+    micro-batches (update mode) — real-time conversion tracking.
+
+    Each micro-batch's rows for a user are sorted by event time and
+    folded through the SAME (stage, last_ts) automaton as the batch
+    operator: advance to stage k+1 on the first ``steps[k]`` event
+    strictly later than the stage-k timestamp. State is two scalars
+    per user — bounded regardless of event volume.
+
+    Semantics note: in-order delivery is assumed PER USER ACROSS
+    micro-batches (within a batch the fold sorts). An event arriving
+    in a later batch with an earlier timestamp cannot retro-advance a
+    stage the automaton already passed — the standard at-arrival
+    semantics of streaming funnels; replays/backfills get the exact
+    answer from the batch operator, which both paths' shared automaton
+    (and the batch/stream agreement test) keeps aligned.
+    """
+    user_type = stream.schema[user_col].dataType
+    n = len(steps)
+    out_schema = T.StructType([
+        T.StructField(user_col, user_type),
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("stage_ts_us", T.LongType()),
+    ])
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        stage, t_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, ty in zip(pdf[ts_col], pdf[type_col]):
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if (stage < n and ty == steps[stage]
+                        and (stage == 0 or us > t_us)):
+                    stage += 1
+                    t_us = us
+        state.update((stage, t_us))
+        yield pd.DataFrame(
+            {user_col: [uid], "stage": [stage], "stage_ts_us": [t_us]}
+        )
+
+    return (
+        stream.select(user_col, ts_col, type_col)
+        .filter(F.col(user_col).isNotNull()
+                & F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
