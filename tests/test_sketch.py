@@ -144,3 +144,49 @@ def test_kmv_overlap_estimate_above_k(spark):
     true_j = 1000 / 3000
     assert abs(row["jaccard_est"] - true_j) < 0.25
     assert 1500 <= row["union_est"] <= 6000
+
+
+def test_sample_quantiles_exact_below_k(spark):
+    """n <= k: the sample IS the population, quantiles are exact
+    order statistics (index floor(q*(n-1))+1 of the sorted values)."""
+    df = spark.range(0, 101).select(
+        F.col("id").alias("key"), (F.col("id") * 2.0).alias("val"))
+    got = {r.q: (r.n_sample, r.est)
+           for r in sketch.sample_quantiles(
+               df, "val", "key", qs=(0.0, 0.25, 0.5, 1.0), k=1024
+           ).collect()}
+    assert got == {0.0: (101, 0.0), 0.25: (101, 50.0),
+                   0.5: (101, 100.0), 1.0: (101, 200.0)}
+
+
+def test_sample_quantiles_estimate_above_k(spark):
+    """n >> k: estimates land within sampling error (rank stderr
+    ~ sqrt(q(1-q)/k) ~ 0.016 at k=1024; allow 5 sigma) and are
+    monotone in q."""
+    df = spark.range(0, 50000).select(
+        F.col("id").alias("key"), F.col("id").cast("double").alias("val"))
+    rows = sorted(
+        sketch.sample_quantiles(df, "val", "key", k=1024).collect(),
+        key=lambda r: r.q)
+    ests = [r.est for r in rows]
+    assert ests == sorted(ests)
+    for r in rows:
+        assert abs(r.est / 50000 - r.q) < 0.08
+    assert rows[0].n_sample == 1024
+
+
+def test_sample_quantiles_partition_invariant(spark):
+    """The bottom-k hash sample is a pure function of the key set:
+    identical results under any partitioning."""
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("key"), F.pmod("id", 37).cast("double").alias("val"))
+    a = sketch.sample_quantiles(df, "val", "key", k=256).collect()
+    b = sketch.sample_quantiles(df.repartition(17), "val", "key",
+                                k=256).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sample_quantiles_empty(spark):
+    df = spark.range(0).select(
+        F.col("id").alias("key"), F.col("id").cast("double").alias("val"))
+    assert sketch.sample_quantiles(df, "val", "key").count() == 0

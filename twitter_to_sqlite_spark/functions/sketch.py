@@ -129,3 +129,55 @@ def kmv_overlap(df_a: DataFrame, df_b: DataFrame,
         F.round(union_raw, 0).cast("long").alias("union_est"),
         F.round(jacc * union_raw, 0).cast("long").alias("intersect_est"),
     )
+
+
+def sample_quantiles(df: DataFrame, value_col: str, key_col: str,
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+                     k: int = 1024) -> DataFrame:
+    """Approximate quantiles from a DETERMINISTIC bottom-k hash sample
+    — the quantile member of the portable-sketch family (cardinality:
+    kmv_distinct, overlap: kmv_overlap).
+
+    Native quantile sketches (t-digest, GK, KLL) are
+    merge-order-dependent and engine-specific, so they can never
+    oracle-match. Sampling the k rows with the smallest portable hash
+    of ``key_col`` gives a uniform random sample that is a pure
+    function of the key set: same rows in any engine, any partitioning,
+    any run. Quantile estimates are then ORDER STATISTICS of the
+    sample — element at 1-based index floor(q·(n−1))+1 of the sorted
+    sample, no interpolation — so the estimate is an actual data value
+    and bit-identical across engines. Sampling error is the usual
+    O(1/√k) in rank; when n ≤ k the sample is the population and the
+    order statistics are exact.
+
+    Returns one row per q: (q, n_sample, est). Scale: one
+    TakeOrderedAndProject (k rows per partition map-side, k total —
+    never a full sort), then an O(k log k) fold on one row; the
+    bottom-k sets of two shards merge by union + re-truncate, the
+    same map-side-combinable shape as KMV.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sample = (
+        df.filter(F.col(value_col).isNotNull()
+                  & F.col(key_col).isNotNull())
+        .select(F.col(value_col).alias("__val"), h.alias("__h"))
+        .orderBy("__h")
+        .limit(k)
+    )
+    agg = sample.agg(
+        F.sort_array(F.collect_list("__val")).alias("__vs"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    rows = agg.select(
+        "n_sample",
+        F.explode(
+            F.array(*[F.lit(float(q)).alias("q") for q in qs])
+        ).alias("q"),
+        F.col("__vs"),
+    )
+    idx = (F.floor(F.col("q") * (F.col("n_sample") - 1)) + 1).cast("int")
+    return rows.filter(F.col("n_sample") > 0).select(
+        "q", "n_sample", F.element_at("__vs", idx).alias("est")
+    )

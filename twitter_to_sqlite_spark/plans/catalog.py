@@ -3354,6 +3354,37 @@ FROM feat, {final}
 SQL_QUALITY_CLASSIFIER = _logreg_sql()
 
 
+def q_sketch_quantiles(spark, sf_dir):
+    """Quantile member of the portable-sketch family
+    (functions/sketch.py::sample_quantiles): order statistics of a
+    deterministic bottom-k hash sample of events.value (keyed by
+    event_id, k=1024) — approximate quantiles that are bit-identical
+    across engines, unlike t-digest/GK/KLL whose merge order is
+    engine-specific. One TakeOrderedAndProject + an O(k log k) fold
+    on a single row."""
+    e = _t(spark, sf_dir, "events")
+    return sketch.sample_quantiles(e, "value", "event_id", k=1024)
+
+
+SQL_SKETCH_QUANTILES = """
+WITH s AS (
+  SELECT value AS val,
+         ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+  ORDER BY h LIMIT 1024
+),
+o AS (
+  SELECT val, row_number() OVER (ORDER BY val) AS rn,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n_sample,
+       val AS est
+FROM o, (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) qs(q)
+WHERE rn = CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) + 1
+"""
+
+
 def q_interval_join(spark, sf_dir):
     """Interval join via time-bucketed equi-join
     (operators/relational.py::interval_join): purchases landing inside
@@ -3565,6 +3596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     needs re-verification);
     # (3) the r03-green remainder, cheapest first.
     # --- (0) new in r4, never driver-verified ---
+    "sketch_quantiles": q_sketch_quantiles,
     "interval_join": q_interval_join,
     "funnel": q_funnel,
     "entity_match": q_entity_match,
@@ -3669,6 +3701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "interval_join": SQL_INTERVAL_JOIN,
     "funnel": SQL_FUNNEL,
     "entity_match": SQL_ENTITY_MATCH,
