@@ -224,3 +224,32 @@ def test_triangle_star_skew(spark):
     candidates stay tiny under skew."""
     r = _tri(spark, [(0, i) for i in range(1, 11)])
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (11, 10, 45, 0)
+
+
+# ------------------------------------------------------ resample_fill
+
+def test_resample_fill_semantics(spark):
+    """Gaps zero-filled, LOCF level carries, leading level null,
+    bucket ids exact at bin boundaries (integer div, no float floor)."""
+    rows = [
+        ("a", _ts(0), 1.0),          # bin 0 (30-min bins)
+        ("a", _ts(0, 1), 2.0),       # bin 0
+        ("a", _ts(90), 5.0),         # bin 3 — bins 1,2 are gaps
+        ("b", _ts(30), 7.0),         # bin 1 exactly on the boundary
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp_ntz, value double")
+    out = R.resample_fill(df, "user_id", "ts", "value",
+                          step_seconds=1800.0)
+    got = {(r.user_id, r.bucket_us): (r.n_events, r.v_sum, r.level)
+           for r in out.collect()}
+    us = 1_800_000_000
+    base = 1704067200000000  # 2024-01-01T00:00Z epoch micros
+    assert len(got) == 8     # 2 keys x bins 0..3
+    assert got[("a", base + 0 * us)] == (2, 3.0, 3.0)
+    assert got[("a", base + 1 * us)] == (0, 0.0, 3.0)   # gap: LOCF
+    assert got[("a", base + 2 * us)] == (0, 0.0, 3.0)
+    assert got[("a", base + 3 * us)] == (1, 5.0, 5.0)
+    assert got[("b", base + 0 * us)] == (0, 0.0, None)  # pre-first
+    assert got[("b", base + 1 * us)] == (1, 7.0, 7.0)   # boundary bin
+    assert got[("b", base + 2 * us)] == (0, 0.0, 7.0)

@@ -848,3 +848,61 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
             )
         ).alias("r")
     ).select("r.step", "r.step_name", "r.users")
+
+
+def resample_fill(df: DataFrame, key_col: str, ts_col: str, val_col: str,
+                  step_seconds: float = 3600.0) -> DataFrame:
+    """Time-series resample + gap fill: bucket each key's events into
+    fixed ``step_seconds`` bins, then DENSIFY — every key gets a row
+    for every bin in the observed global range, with count/sum
+    zero-filled and a last-observation-carried-forward ``level`` —
+    the dense feature matrix a forecasting / training pipeline needs
+    (missing hours are data, not absent rows).
+
+    Returns (key, bucket_us, n_events, v_sum, level): bucket start as
+    epoch micros BIGINT, v_sum the bin's sum (0.0 when empty, rounded
+    to 4 — order-noise absorption), level the LOCF'd v_sum (null
+    before a key's first observation).
+
+    Scale: one partial-agg shuffle onto (key, bin); the spine is
+    GENERATED distributively — the 1-row global [min,max] bin range
+    broadcast-cross-joined to the distinct keys, then
+    ``sequence``-exploded per key, so no driver ever materializes
+    keys × bins. The fill join and the LOCF window share the
+    key partitioning. Bin ids use integer ``div`` on epoch micros
+    (never float division — a double quotient can land an epsilon
+    below an exact bin boundary and floor into the wrong bin).
+    """
+    step_us = int(step_seconds * 1_000_000)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast(`{ts_col}` as timestamp_ntz))"
+    )
+    binned = df.select(
+        F.col(key_col).alias("__k"),
+        us.alias("__us"),
+        F.col(val_col).alias("__v"),
+    ).withColumn("__b", F.expr(f"__us div {step_us}"))
+    agg = binned.groupBy("__k", "__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.sum("__v"), 4).alias("__s"),
+    )
+    rng = agg.agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    spine = (
+        agg.select("__k").distinct()
+        .crossJoin(F.broadcast(rng))
+        .select("__k", F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"))).alias("__b"))
+    )
+    j = spine.join(agg, ["__k", "__b"], "left")
+    w = (
+        Window.partitionBy("__k").orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        (F.col("__b") * F.lit(step_us)).cast("long").alias("bucket_us"),
+        F.coalesce("__n", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("__s", F.lit(0.0)).alias("v_sum"),
+        F.last("__s", ignorenulls=True).over(w).alias("level"),
+    )

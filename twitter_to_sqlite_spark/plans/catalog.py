@@ -3354,6 +3354,83 @@ FROM feat, {final}
 SQL_QUALITY_CLASSIFIER = _logreg_sql()
 
 
+def q_resample_fill(spark, sf_dir):
+    """Gap-filled 6-hour resample of events per user
+    (operators/relational.py::resample_fill): zero-filled counts/sums
+    plus a LOCF level over a distributively generated dense spine —
+    the missing-bins-are-data densification a time-series feature
+    pipeline needs."""
+    e = _t(spark, sf_dir, "events")
+    return R.resample_fill(e, "user_id", "ts", "value",
+                           step_seconds=21600.0)
+
+
+SQL_RESAMPLE_FILL = """
+WITH b AS (
+  SELECT user_id AS k, epoch_us(ts) // 21600000000 AS bin, value
+  FROM events
+),
+agg AS (
+  SELECT k, bin, CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 4) AS s
+  FROM b GROUP BY k, bin
+),
+rng AS (SELECT min(bin) AS lo, max(bin) AS hi FROM agg),
+spine AS (
+  SELECT k, unnest(generate_series(lo, hi)) AS bin
+  FROM (SELECT DISTINCT k FROM agg), rng
+),
+j AS (
+  SELECT spine.k, spine.bin, agg.n, agg.s
+  FROM spine LEFT JOIN agg ON spine.k = agg.k AND spine.bin = agg.bin
+)
+SELECT k AS user_id,
+       CAST(bin * 21600000000 AS BIGINT) AS bucket_us,
+       coalesce(n, 0) AS n_events,
+       coalesce(s, 0.0) AS v_sum,
+       last_value(s IGNORE NULLS)
+         OVER (PARTITION BY k ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS level
+FROM j
+"""
+
+
+def q_rolling_window(spark, sf_dir):
+    """Trailing 1-hour per-user event features (range-based window on
+    epoch micros, NOT row-based): for every event, the count and sum
+    of that user's events in the preceding hour inclusive — the
+    leakage-free trailing feature an online model trains on. One
+    shuffle on user_id; the range frame is computed in a single pass
+    over each user's time-sorted rows."""
+    e = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast(ts as timestamp_ntz))"
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy(F.col("ts_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select("event_id", "user_id", us.alias("ts_us"), "value")
+        .select(
+            "event_id", "user_id", "ts_us",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        )
+    )
+
+
+SQL_ROLLING_WINDOW = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(sum(value) OVER w, 4) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_sketch_quantiles(spark, sf_dir):
     """Quantile member of the portable-sketch family
     (functions/sketch.py::sample_quantiles): order statistics of a
@@ -3596,6 +3673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     needs re-verification);
     # (3) the r03-green remainder, cheapest first.
     # --- (0) new in r4, never driver-verified ---
+    "resample_fill": q_resample_fill,
+    "rolling_window": q_rolling_window,
     "sketch_quantiles": q_sketch_quantiles,
     "interval_join": q_interval_join,
     "funnel": q_funnel,
@@ -3701,6 +3780,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "resample_fill": SQL_RESAMPLE_FILL,
+    "rolling_window": SQL_ROLLING_WINDOW,
     "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "interval_join": SQL_INTERVAL_JOIN,
     "funnel": SQL_FUNNEL,
