@@ -812,9 +812,14 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     )
 
     def _step(acc, e):
+        # The index is clamped: once stage == n the first conjunct is
+        # false and Spark's And short-circuits, but relying on
+        # evaluation order around an ANSI out-of-bounds element_at is
+        # brittle — least() makes the expression total either way.
+        nxt = F.element_at(steps_arr, F.least(acc["stage"] + 1, F.lit(n)))
         advance = (
             (acc["stage"] < F.lit(n))
-            & (e["y"] == F.element_at(steps_arr, acc["stage"] + 1))
+            & (e["y"] == nxt)
             & ((acc["stage"] == F.lit(0)) | (e["t"] > acc["t"]))
         )
         return F.when(
