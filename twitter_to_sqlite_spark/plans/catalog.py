@@ -3354,6 +3354,52 @@ FROM feat, {final}
 SQL_QUALITY_CLASSIFIER = _logreg_sql()
 
 
+def q_transition_matrix(spark, sf_dir):
+    """Markov transition matrix of the event stream: counts and
+    probabilities of event_type → next event_type within each user's
+    time-ordered stream (lag window per user, ties broken by
+    event_id) — the behavioral-model fit every event pipeline runs.
+    One shuffle on user_id for the lag, one partial-agg shuffle on the
+    (from, to) pair; probabilities are exact-integer ratios rounded
+    to 6."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                           "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+SQL_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pairs
+"""
+
+
 def q_resample_fill(spark, sf_dir):
     """Gap-filled 6-hour resample of events per user
     (operators/relational.py::resample_fill): zero-filled counts/sums
@@ -3673,6 +3719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     needs re-verification);
     # (3) the r03-green remainder, cheapest first.
     # --- (0) new in r4, never driver-verified ---
+    "transition_matrix": q_transition_matrix,
     "resample_fill": q_resample_fill,
     "rolling_window": q_rolling_window,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3780,6 +3827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "transition_matrix": SQL_TRANSITION_MATRIX,
     "resample_fill": SQL_RESAMPLE_FILL,
     "rolling_window": SQL_ROLLING_WINDOW,
     "sketch_quantiles": SQL_SKETCH_QUANTILES,
