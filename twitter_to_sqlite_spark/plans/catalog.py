@@ -3354,6 +3354,65 @@ FROM feat, {final}
 SQL_QUALITY_CLASSIFIER = _logreg_sql()
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention over the event stream: users grouped by
+    first-activity day (the cohort), then for each (cohort_day,
+    active_day) the distinct users still active and the retention
+    fraction of the cohort — THE product-analytics query. Day ids are
+    integer-div bins of epoch micros (cross-engine exact). Plan: one
+    partial-agg shuffle for first-seen, one distinct on (user, day),
+    a key-partitioned join, one pair agg, and a broadcast-size cohort
+    join back — no window over the whole stream."""
+    e = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    ud = (
+        e.select(F.col("user_id").alias("u"),
+                 F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                        f"'1970-01-01 00:00:00', cast(ts as timestamp_ntz)) "
+                        f"div {day_us}").alias("d"))
+        .filter(F.col("u").isNotNull())
+        .distinct()
+    )
+    first = ud.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users"))
+    pairs = (
+        ud.join(first, "u")
+        .groupBy("cohort_day", F.col("d").alias("active_day"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return pairs.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        (F.col("active_day") - F.col("cohort_day")).alias("day_offset"),
+        "active_users", "cohort_users",
+        F.round(F.col("active_users") / F.col("cohort_users"), 6)
+        .alias("retention"),
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE user_id IS NOT NULL
+),
+first AS (SELECT u, min(d) AS cohort_day FROM ud GROUP BY u),
+sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+          FROM first GROUP BY cohort_day),
+pairs AS (
+  SELECT f.cohort_day, ud.d AS active_day,
+         CAST(count(*) AS BIGINT) AS active_users
+  FROM ud JOIN first f ON ud.u = f.u
+  GROUP BY 1, 2
+)
+SELECT p.cohort_day,
+       CAST(p.active_day - p.cohort_day AS BIGINT) AS day_offset,
+       p.active_users, s.cohort_users,
+       round(p.active_users / s.cohort_users, 6) AS retention
+FROM pairs p JOIN sizes s ON p.cohort_day = s.cohort_day
+"""
+
+
 def q_transition_matrix(spark, sf_dir):
     """Markov transition matrix of the event stream: counts and
     probabilities of event_type → next event_type within each user's
@@ -3719,6 +3778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     needs re-verification);
     # (3) the r03-green remainder, cheapest first.
     # --- (0) new in r4, never driver-verified ---
+    "retention_cohorts": q_retention_cohorts,
     "transition_matrix": q_transition_matrix,
     "resample_fill": q_resample_fill,
     "rolling_window": q_rolling_window,
@@ -3827,6 +3887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "transition_matrix": SQL_TRANSITION_MATRIX,
     "resample_fill": SQL_RESAMPLE_FILL,
     "rolling_window": SQL_ROLLING_WINDOW,
