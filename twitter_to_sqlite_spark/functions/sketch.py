@@ -181,3 +181,49 @@ def sample_quantiles(df: DataFrame, value_col: str, key_col: str,
     return rows.filter(F.col("n_sample") > 0).select(
         "q", "n_sample", F.element_at("__vs", idx).alias("est")
     )
+
+
+def grouped_sample_quantiles(df: DataFrame, group_col: str,
+                             value_col: str, key_col: str,
+                             qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+                             k: int = 256) -> DataFrame:
+    """Per-group form of :func:`sample_quantiles`: a deterministic
+    bottom-k portable-hash sample PER GROUP (row_number over a
+    group-partitioned window ordered by the hash — parallel across
+    groups, never a global sort), then order statistics of each
+    group's sorted sample. Returns (group, q, n_sample, est).
+
+    Scale: the window costs one shuffle on the group key; each
+    group's downstream state is ≤ k values. For low-cardinality
+    groups with huge membership this is the profile-per-language /
+    per-source shape: the sample bound makes the per-group quantile
+    cost independent of group size.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    samp = (
+        df.filter(F.col(value_col).isNotNull()
+                  & F.col(key_col).isNotNull()
+                  & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"),
+                F.col(value_col).alias("__val"), h.alias("__h"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("__g").orderBy("__h", "__val")))
+        .filter(F.col("__rn") <= k)
+    )
+    agg = samp.groupBy("__g").agg(
+        F.sort_array(F.collect_list("__val")).alias("__vs"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    rows = agg.select(
+        "__g", "n_sample", "__vs",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    idx = (F.floor(F.col("q") * (F.col("n_sample") - 1)) + 1).cast("int")
+    return rows.select(
+        F.col("__g").alias(group_col), "q", "n_sample",
+        F.element_at("__vs", idx).alias("est"),
+    )

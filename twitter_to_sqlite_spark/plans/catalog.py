@@ -3354,6 +3354,44 @@ FROM feat, {final}
 SQL_QUALITY_CLASSIFIER = _logreg_sql()
 
 
+def q_grouped_quantiles(spark, sf_dir):
+    """Per-language document-length quantiles from per-group
+    deterministic bottom-k hash samples
+    (functions/sketch.py::grouped_sample_quantiles, k=256): the
+    profile-per-language shape where a group-partitioned window takes
+    each group's bottom-k by the portable hash — parallel across
+    groups, never a global sort, per-group cost independent of group
+    size."""
+    d = _t(spark, sf_dir, "documents")
+    return sketch.grouped_sample_quantiles(
+        d, "lang", "n_chars", "doc_id", qs=(0.25, 0.5, 0.9), k=256)
+
+
+SQL_GROUPED_QUANTILES = """
+WITH s AS (
+  SELECT lang, n_chars AS val,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))
+                      ::BIGINT, n_chars) AS rn
+  FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+        AND lang IS NOT NULL
+),
+samp AS (SELECT lang, val FROM s WHERE rn <= 256),
+o AS (
+  SELECT lang, val,
+         row_number() OVER (PARTITION BY lang ORDER BY val) AS vr,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM samp
+)
+SELECT lang, CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n_sample,
+       val AS est
+FROM o, (VALUES (0.25), (0.5), (0.9)) qs(q)
+WHERE vr = CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) + 1
+"""
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention over the event stream: users grouped by
     first-activity day (the cohort), then for each (cohort_day,
@@ -3778,6 +3816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     needs re-verification);
     # (3) the r03-green remainder, cheapest first.
     # --- (0) new in r4, never driver-verified ---
+    "grouped_quantiles": q_grouped_quantiles,
     "retention_cohorts": q_retention_cohorts,
     "transition_matrix": q_transition_matrix,
     "resample_fill": q_resample_fill,
@@ -3887,6 +3926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "transition_matrix": SQL_TRANSITION_MATRIX,
     "resample_fill": SQL_RESAMPLE_FILL,
