@@ -3354,6 +3354,106 @@ FROM feat, {final}
 SQL_QUALITY_CLASSIFIER = _logreg_sql()
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Conversion-latency distribution for the view → click → purchase
+    funnel: per converting user, the time from each step to the next
+    (same strict-progression automaton as `funnel`, extended to record
+    step timestamps), summarized per transition as (n_users, min/max/
+    avg seconds). The latencies are exact integer micros; the average
+    is one division of exact integers rounded to 4 — engine-stable."""
+    e = _t(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    epoch_us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast(`__ts` as timestamp_ntz))"
+    )
+    ev = (
+        e.filter(F.col("event_type").isin(steps)
+                 & F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("__u"),
+                F.col("ts").alias("__ts"),
+                F.col("event_type").alias("__ty"))
+        .withColumn("__us", F.expr(epoch_us))
+    )
+    per_user = ev.groupBy("__u").agg(
+        F.sort_array(F.collect_list(
+            F.struct(F.col("__us").alias("t"), F.col("__ty").alias("y"))
+        )).alias("__evs")
+    )
+    n = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    zero = F.struct(
+        F.lit(0).alias("stage"), F.lit(0).cast("long").alias("t"),
+        F.lit(None).cast("long").alias("lat1"),
+        F.lit(None).cast("long").alias("lat2"),
+    )
+
+    def _step(acc, ee):
+        nxt = F.element_at(steps_arr, F.least(acc["stage"] + 1, F.lit(n)))
+        advance = (
+            (acc["stage"] < F.lit(n)) & (ee["y"] == nxt)
+            & ((acc["stage"] == F.lit(0)) | (ee["t"] > acc["t"]))
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                ee["t"].alias("t"),
+                F.when(acc["stage"] == 1, ee["t"] - acc["t"])
+                .otherwise(acc["lat1"]).alias("lat1"),
+                F.when(acc["stage"] == 2, ee["t"] - acc["t"])
+                .otherwise(acc["lat2"]).alias("lat2"),
+            ),
+        ).otherwise(acc)
+
+    fin = per_user.select(
+        F.aggregate("__evs", zero, _step).alias("__a"))
+    lats = fin.select(F.col("__a")["lat1"].alias("lat1"),
+                      F.col("__a")["lat2"].alias("lat2"))
+    out = None
+    for i, (frm, to) in enumerate([("view", "click"),
+                                   ("click", "purchase")]):
+        c = f"lat{i + 1}"
+        row = lats.filter(F.col(c).isNotNull()).agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.min(c) / F.lit(1_000_000.0), 4).alias("min_s"),
+            F.round(F.max(c) / F.lit(1_000_000.0), 4).alias("max_s"),
+            F.round(F.sum(c) / F.count(F.lit(1)) / F.lit(1_000_000.0), 4)
+            .alias("avg_s"),
+        ).select(
+            F.lit(frm).alias("from_step"), F.lit(to).alias("to_step"),
+            "n_users", "min_s", "max_s", "avg_s",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_FUNNEL_LATENCY = """
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+l1 AS (SELECT s2.t - s1.t AS lat FROM s1 JOIN s2 USING (user_id)),
+l2 AS (SELECT s3.t - s2.t AS lat FROM s2 JOIN s3 USING (user_id))
+SELECT 'view' AS from_step, 'click' AS to_step,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(min(lat) / 1000000.0, 4) AS min_s,
+       round(max(lat) / 1000000.0, 4) AS max_s,
+       round(sum(lat) / count(*) / 1000000.0, 4) AS avg_s
+FROM l1
+UNION ALL
+SELECT 'click', 'purchase', CAST(count(*) AS BIGINT),
+       round(min(lat) / 1000000.0, 4),
+       round(max(lat) / 1000000.0, 4),
+       round(sum(lat) / count(*) / 1000000.0, 4)
+FROM l2
+"""
+
+
 def q_grouped_quantiles(spark, sf_dir):
     """Per-language document-length quantiles from per-group
     deterministic bottom-k hash samples
@@ -3816,6 +3916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     needs re-verification);
     # (3) the r03-green remainder, cheapest first.
     # --- (0) new in r4, never driver-verified ---
+    "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
     "retention_cohorts": q_retention_cohorts,
     "transition_matrix": q_transition_matrix,
@@ -3926,6 +4027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "funnel_latency": SQL_FUNNEL_LATENCY,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "transition_matrix": SQL_TRANSITION_MATRIX,
