@@ -253,3 +253,36 @@ def test_resample_fill_semantics(spark):
     assert got[("b", base + 0 * us)] == (0, 0.0, None)  # pre-first
     assert got[("b", base + 1 * us)] == (1, 7.0, 7.0)   # boundary bin
     assert got[("b", base + 2 * us)] == (0, 0.0, 7.0)
+
+
+# ----------------------------------------------------- funnel_latency
+
+def test_funnel_latency_catalog_semantics(spark, sf_dir):
+    """The catalog's latency automaton agrees with a direct relational
+    computation of the step-to-step latencies on real data."""
+    from twitter_to_sqlite_spark.plans import catalog
+
+    got = {(r.from_step, r.to_step): (r.n_users, r.min_s, r.max_s,
+                                      r.avg_s)
+           for r in catalog.QUERIES["funnel_latency"](
+               spark, sf_dir).collect()}
+    # Relational recomputation via three conditional-min aggregations.
+    e = catalog._t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " cast(ts as timestamp_ntz))")
+    ev = e.withColumn("us", us)
+    s1 = (ev.filter("event_type = 'view'")
+          .groupBy("user_id").agg(F.min("us").alias("t1")))
+    s2 = (ev.filter("event_type = 'click'").join(s1, "user_id")
+          .filter(F.col("us") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("us").alias("t2"),
+                                  F.first("t1").alias("t1")))
+    lat1 = [r.t2 - r.t1 for r in s2.collect()]
+    if lat1:
+        n, mn, mx, avg = got[("view", "click")]
+        assert n == len(lat1)
+        assert mn == round(min(lat1) / 1e6, 4)
+        assert mx == round(max(lat1) / 1e6, 4)
+        assert avg == round(sum(lat1) / len(lat1) / 1e6, 4)

@@ -190,3 +190,29 @@ def test_sample_quantiles_empty(spark):
     df = spark.range(0).select(
         F.col("id").alias("key"), F.col("id").cast("double").alias("val"))
     assert sketch.sample_quantiles(df, "val", "key").count() == 0
+
+
+def test_grouped_sample_quantiles_exact_below_k(spark):
+    """Each group's sample is its whole population below k: per-group
+    order statistics are exact and independent across groups."""
+    rows = ([("a", i, float(i)) for i in range(11)]
+            + [("b", 100 + i, float(10 * i)) for i in range(5)])
+    df = spark.createDataFrame(rows, "g string, key long, val double")
+    got = {(r.g, r.q): (r.n_sample, r.est)
+           for r in sketch.grouped_sample_quantiles(
+               df, "g", "val", "key", qs=(0.0, 0.5, 1.0), k=64
+           ).collect()}
+    assert got[("a", 0.0)] == (11, 0.0)
+    assert got[("a", 0.5)] == (11, 5.0)
+    assert got[("a", 1.0)] == (11, 10.0)
+    assert got[("b", 0.5)] == (5, 20.0)
+    assert got[("b", 1.0)] == (5, 40.0)
+
+
+def test_grouped_sample_quantiles_caps_per_group(spark):
+    """Above k the per-group sample is capped at k rows."""
+    rows = [("g", i, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, key long, val double")
+    out = sketch.grouped_sample_quantiles(df, "g", "val", "key",
+                                          qs=(0.5,), k=32).collect()
+    assert len(out) == 1 and out[0].n_sample == 32
