@@ -16,11 +16,14 @@ from twitter_to_sqlite_spark.plans import catalog
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(spark, name: str) -> str:
-    df = catalog.QUERIES[name](spark, SF)
+def plan_of_df(spark, df) -> str:
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def plan_of(spark, name: str) -> str:
+    return plan_of_df(spark, catalog.QUERIES[name](spark, SF))
 
 
 def count_nodes(plan: str, node: str) -> int:
@@ -252,10 +255,13 @@ def test_pack_sequences_window_is_partitioned(spark):
 def test_substring_dedup_has_no_pair_join(spark):
     """Exact substring-span dedup must stay linear: occurrence counts
     come from a count window over the hash, never a self-join — no
-    join node of any kind, and every window is partitioned."""
+    join node of any kind, and every window is partitioned. Inspects
+    the raw builder: the catalog query serves a shared lazy-checkpoint
+    cache (_SPAN_CACHE) whose reused form explains as a checkpoint
+    scan."""
     import re
 
-    plan = plan_of(spark, "substring_dedup")
+    plan = plan_of_df(spark, catalog._dup_spans_build(spark, SF))
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "ShuffledHashJoin", "CartesianProduct",
                  "BroadcastNestedLoopJoin"):

@@ -630,12 +630,16 @@ FUNNEL_EVENTS = st.lists(
 )
 
 
-@given(evs=FUNNEL_EVENTS)
+@given(evs=FUNNEL_EVENTS,
+       win_minutes=st.one_of(st.none(),
+                             st.integers(min_value=1, max_value=12)))
 @SETTINGS
-def test_funnel_matches_spec_and_is_monotone(spark, evs):
+def test_funnel_matches_spec_and_is_monotone(spark, evs, win_minutes):
     """funnel == the sequential conditional-min spec (s1 = min view;
-    s_k = min step_k ts STRICTLY after s_{k-1}), and step counts are
-    nonincreasing."""
+    s_k = min step_k ts STRICTLY after s_{k-1}, and — windowed form —
+    within the window of s_{k-1}), and step counts are nonincreasing.
+    Covers both the plain automaton (win_minutes=None) and the
+    windowed one (the shared funnel_fold's `within` conjunct)."""
     import datetime as dt
 
     from twitter_to_sqlite_spark.operators import relational as R
@@ -647,15 +651,19 @@ def test_funnel_matches_spec_and_is_monotone(spark, evs):
          for u, m, ty in evs] or [(None, None, None)],
         "user_id string, ts timestamp_ntz, event_type string",
     ).filter("user_id is not null")
+    within_seconds = None if win_minutes is None else win_minutes * 60.0
     got = {r.step: r.users
            for r in R.funnel(df, "user_id", "ts", "event_type",
-                             steps).collect()}
+                             steps,
+                             within_seconds=within_seconds).collect()}
 
     def spec_stage(user_evs):
         t, stage = None, 0
         for want in steps:
             cand = [m for m, ty in user_evs
-                    if ty == want and (t is None or m > t)]
+                    if ty == want and (t is None or m > t)
+                    and (t is None or win_minutes is None
+                         or m - t <= win_minutes)]
             if not cand:
                 break
             t = min(cand)

@@ -56,11 +56,24 @@ def _canon_df(pdf):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    # Accept both `--only=a,b` and `--only a,b` (argparse-style).
+    argv = sys.argv[1:]
+    args: list[str] = []
     only = None
-    for a in sys.argv[1:]:
-        if a.startswith("--only"):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--only":
+            if i + 1 >= len(argv):
+                sys.exit("--only needs a comma-separated name list")
+            only = set(argv[i + 1].split(","))
+            i += 2
+            continue
+        if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
+        i += 1
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     spark = get_spark("driver-sim")

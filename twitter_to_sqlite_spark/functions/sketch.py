@@ -163,7 +163,12 @@ def sample_quantiles(df: DataFrame, value_col: str, key_col: str,
         df.filter(F.col(value_col).isNotNull()
                   & F.col(key_col).isNotNull())
         .select(F.col(value_col).alias("__val"), h.alias("__h"))
-        .orderBy("__h")
+        # (__h, __val): duplicate keys hash identically, so a bare
+        # __h order would resolve ties at the k boundary
+        # nondeterministically across runs/engines — the explicit
+        # value tie column makes the sample a pure function of the
+        # data (same device as grouped_sample_quantiles).
+        .orderBy("__h", "__val")
         .limit(k)
     )
     agg = sample.agg(

@@ -737,9 +737,14 @@ def interval_join(left: DataFrame, right: DataFrame, left_ts: str,
             f"00:00:00', cast(`{c}` as timestamp_ntz))"
         )
 
+    # Bucket ids use integer `div` on the epoch micros, never a float
+    # quotient — the resample_fill convention: a double division is
+    # exact only below 2^53, so nanos-scale longs could floor into the
+    # wrong bucket and drop boundary rows when the two sides round
+    # differently.
     l = (
         left.withColumn("__lus", _us(left_ts))
-        .withColumn("__bkt", F.floor(F.col("__lus") / F.lit(bw)))
+        .withColumn("__bkt", F.expr(f"__lus div {bw}"))
     )
     r = (
         right.withColumn("__sus", _us(right_start))
@@ -749,8 +754,8 @@ def interval_join(left: DataFrame, right: DataFrame, left_ts: str,
             "__bkt",
             F.explode(
                 F.sequence(
-                    F.floor(F.col("__sus") / F.lit(bw)),
-                    F.floor((F.col("__eus") - 1) / F.lit(bw)),
+                    F.expr(f"__sus div {bw}"),
+                    F.expr(f"(__eus - 1) div {bw}"),
                 )
             ),
         )
@@ -766,8 +771,73 @@ def interval_join(left: DataFrame, right: DataFrame, left_ts: str,
     )
 
 
+def funnel_fold(steps: list[str], ts_type,
+                with_latencies: bool = False,
+                within=None):
+    """THE one definition of the ordered-funnel automaton: returns
+    ``(zero, step_fn)`` for an ``F.aggregate`` fold over a time-sorted
+    array of ``struct(t, y)`` events — shared by :func:`funnel`, the
+    latency variant (plans/catalog.py ``q_funnel_latency``), and the
+    windowed form, so the batch automata can never drift apart through
+    a tweak to one copy (the streaming twin in streaming/analytics.py
+    is necessarily separate but agreement-tested).
+
+    The accumulator is ``(stage, t)``: the fold advances to stage k+1
+    on the first ``steps[k]`` event strictly later than the stage-k
+    timestamp — first-match in sorted order IS the conditional
+    minimum, so the result equals the relational chain
+    s1 = min ts(step1); s_k = min ts(step_k) > s_{k-1}.
+
+    ``with_latencies`` extends the accumulator with ``lat1..lat{n-1}``
+    (step-to-step gaps, recorded on each advance) — requires a numeric
+    ``ts_type`` (epoch micros).
+
+    ``within`` adds the windowed-funnel conjunct: an advance past
+    stage 1 also requires ``e.t - acc.t <= within`` (same units as
+    ``t`` — numeric ``ts_type``). Equivalence to the conditional-min
+    chain still holds with the extra conjunct: both predicates depend
+    only on the fixed stage-(k-1) timestamp, so the first qualifying
+    event in sorted order is still the minimum of the qualifying set.
+    An event of type k beyond the window does NOT reset the automaton
+    (times only grow, so once past the window stage k is unreachable
+    — exactly the chain's empty-set semantics).
+    """
+    n = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    fields = [F.lit(0).alias("stage"), F.lit(None).cast(ts_type).alias("t")]
+    if with_latencies:
+        fields += [F.lit(None).cast("long").alias(f"lat{k}")
+                   for k in range(1, n)]
+    zero = F.struct(*fields)
+
+    def _step(acc, e):
+        # The index is clamped: once stage == n the first conjunct is
+        # false and Spark's And short-circuits, but relying on
+        # evaluation order around an ANSI out-of-bounds element_at is
+        # brittle — least() makes the expression total either way.
+        nxt = F.element_at(steps_arr, F.least(acc["stage"] + 1, F.lit(n)))
+        gate = (acc["stage"] == F.lit(0)) | (e["t"] > acc["t"])
+        if within is not None:
+            gate = gate & (
+                (acc["stage"] == F.lit(0))
+                | (e["t"] - acc["t"] <= F.lit(within))
+            )
+        advance = (acc["stage"] < F.lit(n)) & (e["y"] == nxt) & gate
+        out = [(acc["stage"] + 1).alias("stage"), e["t"].alias("t")]
+        if with_latencies:
+            for k in range(1, n):
+                out.append(
+                    F.when(acc["stage"] == k, e["t"] - acc["t"])
+                    .otherwise(acc[f"lat{k}"]).alias(f"lat{k}")
+                )
+        return F.when(advance, F.struct(*out)).otherwise(acc)
+
+    return zero, _step
+
+
 def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
-           steps: list[str]) -> DataFrame:
+           steps: list[str],
+           within_seconds: float | None = None) -> DataFrame:
     """Ordered-funnel analysis: how many users completed step 1, then
     step 2 strictly after it, then step 3 strictly after that, …
     Returns one row per step: (step, step_name, users).
@@ -789,10 +859,25 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     use the n-aggregation join chain (one conditional-min pass per
     step) instead — same answer, n shuffles, no per-key list.
     Null users are excluded: a funnel requires an identity.
+
+    ``within_seconds`` makes this a WINDOWED funnel: each advance past
+    step 1 must land within that many seconds of the previous step's
+    timestamp (the real conversion-funnel constraint). The timestamp
+    column is then routed through epoch micros (NTZ-safe
+    timestampdiff) so the gap arithmetic is exact integers.
     """
     n = len(steps)
+    within_us = None
+    if within_seconds is not None:
+        within_us = int(within_seconds * 1_000_000)
+        df = df.withColumn(
+            ts_col,
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+                f"00:00:00', cast(`{ts_col}` as timestamp_ntz))"
+            ),
+        )
     ts_type = df.schema[ts_col].dataType
-    steps_arr = F.array(*[F.lit(s) for s in steps])
     ev = df.filter(
         F.col(type_col).isin(steps) & F.col(user_col).isNotNull()
     ).select(
@@ -807,25 +892,7 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
             )
         ).alias("__evs")
     )
-    zero = F.struct(
-        F.lit(0).alias("stage"), F.lit(None).cast(ts_type).alias("t")
-    )
-
-    def _step(acc, e):
-        # The index is clamped: once stage == n the first conjunct is
-        # false and Spark's And short-circuits, but relying on
-        # evaluation order around an ANSI out-of-bounds element_at is
-        # brittle — least() makes the expression total either way.
-        nxt = F.element_at(steps_arr, F.least(acc["stage"] + 1, F.lit(n)))
-        advance = (
-            (acc["stage"] < F.lit(n))
-            & (e["y"] == nxt)
-            & ((acc["stage"] == F.lit(0)) | (e["t"] > acc["t"]))
-        )
-        return F.when(
-            advance,
-            F.struct((acc["stage"] + 1).alias("stage"), e["t"].alias("t")),
-        ).otherwise(acc)
+    zero, _step = funnel_fold(steps, ts_type, within=within_us)
 
     staged = per_user.select(
         F.aggregate("__evs", zero, _step)["stage"].alias("__stage")
@@ -877,12 +944,19 @@ def resample_fill(df: DataFrame, key_col: str, ts_col: str, val_col: str,
     key partitioning. Bin ids use integer ``div`` on epoch micros
     (never float division — a double quotient can land an epsilon
     below an exact bin boundary and floor into the wrong bin).
+
+    NULL keys are excluded up front (the funnel/quantile operators'
+    explicit null policy): a NULL-key group could never equi-join back
+    to its spine rows (NULL = NULL is not true), so its events would
+    silently vanish from the output while still widening the global
+    bin range — an explicit filter instead of a silent drop.
     """
     step_us = int(step_seconds * 1_000_000)
     us = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
         f"cast(`{ts_col}` as timestamp_ntz))"
     )
+    df = df.filter(F.col(key_col).isNotNull())
     binned = df.select(
         F.col(key_col).alias("__k"),
         us.alias("__us"),

@@ -930,6 +930,7 @@ def clear_caches() -> None:
     the start of every timing pass so a 'cached' query is re-measured
     as a true build, not a checkpoint-block scan)."""
     _MINHASH_PAIRS_CACHE.clear()
+    _SPAN_CACHE.clear()
 
 
 def _minhash_pairs_build(spark, sf_dir) -> DataFrame:
@@ -2602,12 +2603,36 @@ FROM c
 _SPAN_WINDOW = 8
 
 
+# One rolling-hash span computation per (session, sf_dir) per process:
+# the span frame feeds both the detect query (substring_dedup) and the
+# clean query (substring_clean) — the build is the expensive half
+# (every 8-gram of the corpus hashed + a count window), so recomputing
+# it per query doubled the gate's slowest entry. Same
+# build-once-probe-many shape as _MINHASH_PAIRS_CACHE;
+# localCheckpoint(eager=False) materializes on first action.
+_SPAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dup_spans_build(spark, sf_dir) -> DataFrame:
+    """The raw (uncached) span pipeline — plan tests inspect THIS
+    (the cached form explains as a Scan ExistingRDD checkpoint)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.duplicate_spans(d, window=_SPAN_WINDOW)
+
+
+def _dup_spans(spark, sf_dir) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _SPAN_CACHE:
+        _SPAN_CACHE[key] = _dup_spans_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _SPAN_CACHE[key]
+
+
 def q_substring_dedup(spark, sf_dir):
     """Exact substring-duplication spans (Lee et al. 2022 re-expressed
     as rolling window hashes): maximal token ranges whose every 8-gram
     occurs ≥2 times corpus-wide. Two linear shuffles, no pair join."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.duplicate_spans(d, window=_SPAN_WINDOW)
+    return _dup_spans(spark, sf_dir)
 
 
 SQL_SUBSTRING_DEDUP = f"""
@@ -2648,10 +2673,10 @@ def q_substring_clean(spark, sf_dir):
     (q_substring_dedup) and cut them out of the text — the
     'remove every duplicated range' policy of Lee et al. 2022's
     aggressive variant. Detection plus one 1:1 join and per-row
-    array surgery."""
+    array surgery; the span frame is shared with substring_dedup
+    (_SPAN_CACHE) — built once per (session, sf_dir)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    spans = dedup.duplicate_spans(d, window=_SPAN_WINDOW)
-    return dedup.remove_spans(d, spans)
+    return dedup.remove_spans(d, _dup_spans(spark, sf_dir))
 
 
 SQL_SUBSTRING_CLEAN = f"""
@@ -3380,31 +3405,10 @@ def q_funnel_latency(spark, sf_dir):
             F.struct(F.col("__us").alias("t"), F.col("__ty").alias("y"))
         )).alias("__evs")
     )
-    n = len(steps)
-    steps_arr = F.array(*[F.lit(s) for s in steps])
-    zero = F.struct(
-        F.lit(0).alias("stage"), F.lit(0).cast("long").alias("t"),
-        F.lit(None).cast("long").alias("lat1"),
-        F.lit(None).cast("long").alias("lat2"),
-    )
-
-    def _step(acc, ee):
-        nxt = F.element_at(steps_arr, F.least(acc["stage"] + 1, F.lit(n)))
-        advance = (
-            (acc["stage"] < F.lit(n)) & (ee["y"] == nxt)
-            & ((acc["stage"] == F.lit(0)) | (ee["t"] > acc["t"]))
-        )
-        return F.when(
-            advance,
-            F.struct(
-                (acc["stage"] + 1).alias("stage"),
-                ee["t"].alias("t"),
-                F.when(acc["stage"] == 1, ee["t"] - acc["t"])
-                .otherwise(acc["lat1"]).alias("lat1"),
-                F.when(acc["stage"] == 2, ee["t"] - acc["t"])
-                .otherwise(acc["lat2"]).alias("lat2"),
-            ),
-        ).otherwise(acc)
+    # THE shared automaton (relational.funnel_fold) with the latency
+    # accumulator switched on — one fold definition for every batch
+    # funnel form.
+    zero, _step = R.funnel_fold(steps, "long", with_latencies=True)
 
     fin = per_user.select(
         F.aggregate("__evs", zero, _step).alias("__a"))
@@ -3611,7 +3615,7 @@ def q_resample_fill(spark, sf_dir):
 SQL_RESAMPLE_FILL = """
 WITH b AS (
   SELECT user_id AS k, epoch_us(ts) // 21600000000 AS bin, value
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 agg AS (
   SELECT k, bin, CAST(count(*) AS BIGINT) AS n,
@@ -3691,7 +3695,7 @@ WITH s AS (
   SELECT value AS val,
          ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
   FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
-  ORDER BY h LIMIT 1024
+  ORDER BY h, val LIMIT 1024
 ),
 o AS (
   SELECT val, row_number() OVER (ORDER BY val) AS rn,
@@ -3764,6 +3768,42 @@ s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
        WHERE e.event_type = 'click' GROUP BY e.user_id),
 s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
        JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+"""
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """WINDOWED ordered funnel (operators/relational.py::funnel with
+    within_seconds): each step must land within 24 h of the previous
+    one — the real conversion-funnel constraint (a purchase a month
+    after the click is not attribution). Same single-pass automaton
+    with one extra gap conjunct in the shared fold
+    (relational.funnel_fold), so the answer still equals the
+    conditional-min CTE chain with the matching window conjunct."""
+    e = _t(spark, sf_dir, "events")
+    return R.funnel(e, "user_id", "ts", "event_type",
+                    ["view", "click", "purchase"],
+                    within_seconds=86400.0)
+
+
+_FUNNEL_WIN_US = 86400 * 1_000_000
+
+SQL_FUNNEL_WINDOWED = f"""
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t
+              AND epoch_us(e.ts) - s1.t <= {_FUNNEL_WIN_US}
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t
+              AND epoch_us(e.ts) - s2.t <= {_FUNNEL_WIN_US}
        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
 SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
        (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users
@@ -3908,14 +3948,24 @@ FROM nodes, en, tri
 # =====================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Ordered for the driver correctness pass, which historically
-    # truncated at 50 entries (CORRECTNESS_r03 saw only the first 50):
-    # (1) the 35 queries that have never had a driver-green row, cheapest
-    #     first so a wall-time budget covers as many as possible;
-    # (2) sessionize (red in r03 on timestamp representation, fixed —
-    #     needs re-verification);
-    # (3) the r03-green remainder, cheapest first.
-    # --- (0) new in r4, never driver-verified ---
+    # Ordered for the driver correctness pass, which truncates at 50
+    # entries per round (registry order):
+    # (1) the 6 queries still lacking a driver-green row after r4 —
+    #     sessionize's latest driver row is r3's red (fixed since,
+    #     judge-green); the other five have never been sampled;
+    # (2) new in r5, never driver-verified;
+    # (3) the driver-green remainder (r1-r4 cumulative), roughly
+    #     cheapest first.
+    # --- (1) carry-over: certify these six ---
+    "sessionize": q_sessionize,
+    "lm_bigram_score": q_lm_bigram_score,
+    "dedup_incremental": q_dedup_incremental,
+    "perplexity_buckets": q_perplexity_buckets,
+    "perplexity_buckets_dist": q_perplexity_buckets_dist,
+    "substring_clean": q_substring_clean,
+    # --- (2) new in r5, never driver-verified ---
+    "funnel_windowed": q_funnel_windowed,
+    # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
     "retention_cohorts": q_retention_cohorts,
@@ -3936,7 +3986,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_overlap": q_sketch_overlap,
     "data_quality": q_data_quality,
     "weighted_sample": q_weighted_sample,
-    # --- (1) never driver-verified, cheap -> expensive ---
     "stratified_sample": q_stratified_sample,
     "multimodal_frames": q_multimodal_frames,
     "dataset_split": q_dataset_split,
@@ -3967,14 +4016,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_select_dist": q_token_budget_select_dist,
     "pipeline_clean": q_pipeline_clean,
     "decontaminate": q_decontaminate,
-    "substring_clean": q_substring_clean,
-    "lm_bigram_score": q_lm_bigram_score,
-    "dedup_incremental": q_dedup_incremental,
-    "perplexity_buckets": q_perplexity_buckets,
-    "perplexity_buckets_dist": q_perplexity_buckets_dist,
-    # --- (2) fixed in r4, needs a fresh green row ---
-    "sessionize": q_sessionize,
-    # --- (3) driver-green in r03, cheap -> expensive ---
     "ci_in_list": q_ci_in_list,
     "source_regex": q_source_regex,
     "html_unescape": q_html_unescape,
@@ -4036,6 +4077,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "interval_join": SQL_INTERVAL_JOIN,
     "funnel": SQL_FUNNEL,
+    "funnel_windowed": SQL_FUNNEL_WINDOWED,
     "entity_match": SQL_ENTITY_MATCH,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "facet_count": SQL_FACET_COUNT,
