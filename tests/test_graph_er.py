@@ -191,6 +191,78 @@ def test_blocked_pairs_dedups_across_passes(names_df):
     assert n == 1
 
 
+def test_cluster_entities_planted_misspellings(spark):
+    """Planted misspelling clusters resolve to one entity id each —
+    including TRANSITIVE chains no single pair covers (acme corp ~
+    acme corp. ~ acme corpx may pairwise exceed the distance between
+    the extremes), while unrelated names stay singletons."""
+    rows = (
+        [("acme corp",)] * 4 + [("acme corp.",)] * 2 + [("acme corpxx",)]
+        + [("zenith ltd",)] * 3 + [("zenith ltd.",)]
+        + [("unrelated gasket",)]
+    )
+    df = spark.createDataFrame(rows, "p_name string")
+    out = entity.cluster_entities(df, "p_name", _blocks(),
+                                  max_distance=2).collect()
+    ent = {r.name: r.entity_id for r in out}
+    n_rec = {r.name: r.n_records for r in out}
+    # every dictionary name appears exactly once
+    assert len(out) == 6
+    # acme cluster: corp ~ corp. (1 edit) and corp. ~ corpxx (2 edits)
+    # chain transitively even though corp ~ corpxx is 3 edits > max.
+    assert ent["acme corp"] == ent["acme corp."] == ent["acme corpxx"] \
+        == "acme corp"
+    assert ent["zenith ltd"] == ent["zenith ltd."] == "zenith ltd"
+    # singleton keeps itself
+    assert ent["unrelated gasket"] == "unrelated gasket"
+    # record counts survive the labeling join
+    assert n_rec["acme corp"] == 4 and n_rec["zenith ltd"] == 3
+
+
+def test_cluster_entities_no_pairs_all_singletons(spark):
+    df = spark.createDataFrame(
+        [("alpha one",), ("beta two",), ("gamma three",)],
+        "p_name string")
+    out = entity.cluster_entities(df, "p_name", _blocks(),
+                                  max_distance=1).collect()
+    assert all(r.entity_id == r.name for r in out)
+    assert len(out) == 3
+
+
+# ---------------------------------------------------- windowed funnel
+
+def test_funnel_windowed_gap_constraint(spark):
+    """A step landing beyond the window does not advance — and does
+    not reset: a later in-window event of the same step can't rescue
+    it either, matching the conditional-min chain's empty-set
+    semantics."""
+    rows = [
+        # a: click 10 min after view (inside 15-min window) -> stage 2
+        ("a", _ts(0), "view"), ("a", _ts(10), "click"),
+        # b: first click 20 min after view (outside); the window is
+        # anchored at the min view, so b never reaches stage 2.
+        ("b", _ts(0), "view"), ("b", _ts(20), "click"),
+        # c: purchase within window of click -> full funnel
+        ("c", _ts(0), "view"), ("c", _ts(5), "click"),
+        ("c", _ts(15), "purchase"),
+        # d: purchase 30 min after click (outside) -> stage 2 only
+        ("d", _ts(0), "view"), ("d", _ts(5), "click"),
+        ("d", _ts(40), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp_ntz, event_type string")
+    out = R.funnel(df, "user_id", "ts", "event_type",
+                   ["view", "click", "purchase"],
+                   within_seconds=900.0)
+    got = {r.step: r.users for r in out.collect()}
+    assert got == {1: 4, 2: 3, 3: 1}
+    # sanity: without the window everyone converts as far as they go
+    plain = {r.step: r.users
+             for r in R.funnel(df, "user_id", "ts", "event_type",
+                               ["view", "click", "purchase"]).collect()}
+    assert plain == {1: 4, 2: 4, 3: 2}
+
+
 # ----------------------------------------------------- triangle_count
 
 def _tri(spark, edges):

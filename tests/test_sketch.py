@@ -216,3 +216,72 @@ def test_grouped_sample_quantiles_caps_per_group(spark):
     out = sketch.grouped_sample_quantiles(df, "g", "val", "key",
                                           qs=(0.5,), k=32).collect()
     assert len(out) == 1 and out[0].n_sample == 32
+
+
+# ----------------------------------------------------------- sample_topk
+
+def _py_topk(values, k, top):
+    """Python spec of sample_topk: bottom-k md5 domain sample, exact
+    counts of sampled values, top by (count desc, value)."""
+    import hashlib
+    from collections import Counter
+
+    def h(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+    dom = sorted(set(values), key=lambda v: (h(v), v))[:k]
+    counts = Counter(v for v in values if v in set(dom))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return [(v, n, i + 1) for i, (v, n) in enumerate(ranked)]
+
+
+def test_sample_topk_matches_spec_and_counts_exact(spark):
+    values = [f"k{i % 7}" for i in range(100)] + ["hot"] * 50
+    df = spark.createDataFrame([(v,) for v in values], "props string")
+    got = sorted((r.value, r.n_occ, r.rank)
+                 for r in sketch.sample_topk(df, "props",
+                                             k=64, top=5).collect())
+    assert got == sorted(_py_topk(values, 64, 5))
+    # domain ≤ k: the sample IS the domain, so the top entry is the
+    # true heavy hitter with its exact count
+    assert ("hot", 50, 1) in got
+
+
+def test_sample_topk_merge_law(spark):
+    """Shard samples union + re-truncate to k, exact counts add:
+    sketch(A ∪ B) == combine(sketch parts of A, sketch parts of B).
+    Verified via the Python spec on both sides; k < |domain| so the
+    sample is a real subset."""
+    import hashlib
+    from collections import Counter
+
+    a = [f"v{i % 30}" for i in range(60)]
+    b = [f"v{(i * 7) % 45}" for i in range(90)]
+
+    def h(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+    k, top = 16, 8
+    # shard-side state: bottom-k of the shard domain + exact counts
+    def shard(values):
+        dom = sorted(set(values), key=lambda v: (h(v), v))[:k]
+        return dom, Counter(x for x in values if x in set(dom))
+
+    dom_a, cnt_a = shard(a)
+    dom_b, cnt_b = shard(b)
+    merged_dom = sorted(set(dom_a) | set(dom_b),
+                        key=lambda v: (h(v), v))[:k]
+    # a value surviving the merged sample was sampled in EVERY shard
+    # whose domain contains it (bottom-k is monotone), so shard counts
+    # for it are exact and add
+    merged = Counter()
+    for v in merged_dom:
+        merged[v] = cnt_a.get(v, 0) + cnt_b.get(v, 0)
+    ranked = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    want = [(v, n, i + 1) for i, (v, n) in enumerate(ranked)]
+
+    df = spark.createDataFrame([(v,) for v in a + b], "props string")
+    got = sorted((r.value, r.n_occ, r.rank)
+                 for r in sketch.sample_topk(df, "props",
+                                             k=k, top=top).collect())
+    assert got == sorted(want)

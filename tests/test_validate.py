@@ -58,3 +58,48 @@ def test_foreign_key_broadcasts_small_parent(spark):
     plan = V.foreign_key(child, "k", parent, "p") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# -------------------------------------------------------- profile_drift
+
+def _profile(spark, rows):
+    from twitter_to_sqlite_spark.functions import sketch
+
+    df = spark.createDataFrame(rows, "a long, b string")
+    return sketch.kmv_distinct(df, ["a", "b"], k=64)
+
+
+def test_profile_drift_stable_passes(spark):
+    rows = [(i % 10, f"x{i % 3}") for i in range(50)]
+    prof = _profile(spark, rows)
+    rep = {r["check_name"]: r for r in
+           V.profile_drift(prof, prof, rel_tol=0.1).collect()}
+    assert all(r["passed"] for r in rep.values())
+    assert all(r["rel_change"] == 0.0 for r in rep.values())
+
+
+def test_profile_drift_planted_cardinality_jump_fails(spark):
+    """A column whose distinct count doubles vs the stored baseline
+    flips passed to false; the untouched column stays green."""
+    base = _profile(spark, [(i % 10, f"x{i % 3}") for i in range(50)])
+    cur = _profile(spark, [(i % 40, f"x{i % 3}") for i in range(80)])
+    rep = {r["check_name"]: r for r in
+           V.profile_drift(cur, base, rel_tol=0.25).collect()}
+    assert not rep["drift(a)"]["passed"]          # 10 -> 40 distinct
+    assert rep["drift(a)"]["rel_change"] >= 1.0
+    assert rep["drift(b)"]["passed"]              # 3 -> 3 distinct
+
+
+def test_profile_drift_schema_drift_fails(spark):
+    """A column present only on one side (renamed/dropped) is schema
+    drift: estimate 0 on the missing side blows any tolerance."""
+    from twitter_to_sqlite_spark.functions import sketch
+
+    base = _profile(spark, [(1, "x")])
+    cur_df = spark.createDataFrame([(1, "x")], "a long, c string")
+    cur = sketch.kmv_distinct(cur_df, ["a", "c"], k=64)
+    rep = {r["check_name"]: r for r in
+           V.profile_drift(cur, base, rel_tol=0.25).collect()}
+    assert rep["drift(a)"]["passed"]
+    assert not rep["drift(b)"]["passed"]   # dropped column
+    assert not rep["drift(c)"]["passed"]   # new column

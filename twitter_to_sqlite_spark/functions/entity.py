@@ -92,15 +92,11 @@ def blocked_pairs(names: DataFrame, block_exprs: list[Column],
     ).distinct()
 
 
-def match_names(df: DataFrame, name_col: str,
-                block_exprs: list[Column], max_distance: int = 3,
-                max_block: int | None = None) -> DataFrame:
-    """Blocked fuzzy-match over the distinct-name dictionary of
-    ``df[name_col]``: candidate pairs whose Levenshtein distance is
-    ≤ ``max_distance``. Returns (name1, n1, name2, n2, dist) with
-    counts/dist as BIGINT (cross-engine schema stability); record-
-    level pairs are an equi-join back on name1/name2."""
-    d = name_dictionary(df, name_col)
+def _match_dictionary(d: DataFrame, block_exprs: list[Column],
+                      max_distance: int,
+                      max_block: int | None) -> DataFrame:
+    """Matched pairs over an existing (name, n_records) dictionary —
+    the shared core of match_names / cluster_entities."""
     cand = blocked_pairs(
         d, block_exprs, max_block=max_block,
         max_length_diff=max_distance,
@@ -111,3 +107,48 @@ def match_names(df: DataFrame, name_col: str,
         )
         .filter(F.col("dist") <= max_distance)
     )
+
+
+def cluster_entities(df: DataFrame, name_col: str,
+                     block_exprs: list[Column], max_distance: int = 3,
+                     max_block: int | None = None) -> DataFrame:
+    """End-to-end entity resolution: fuzzy-matched name pairs
+    (:func:`match_names`) fed through min-label connected components
+    (functions/dedup.py::near_dup_components — transitive closure,
+    since edit-distance matches are not transitive pairwise), then
+    every dictionary name labeled with its component's minimum name as
+    the canonical ``entity_id``. Singletons are their own entity.
+    Returns (name, entity_id, n_records); record-level entity ids are
+    one equi-join back on the name.
+
+    Scale: the quadratic work stays confined to the capped-block name
+    DICTIONARY (see module docstring); the component iteration runs
+    over matched pairs only — the overwhelming singleton majority
+    never enters it — and the final labeling is one join on the
+    dictionary, broadcast-able when match clusters are rare.
+    """
+    from twitter_to_sqlite_spark.functions.dedup import near_dup_components
+
+    d = name_dictionary(df, name_col)
+    pairs = _match_dictionary(d, block_exprs, max_distance, max_block)
+    comp = near_dup_components(pairs, "name1", "name2")
+    return (
+        d.join(comp.withColumnRenamed("id", "name"), "name", "left")
+        .select(
+            "name",
+            F.coalesce("component", F.col("name")).alias("entity_id"),
+            "n_records",
+        )
+    )
+
+
+def match_names(df: DataFrame, name_col: str,
+                block_exprs: list[Column], max_distance: int = 3,
+                max_block: int | None = None) -> DataFrame:
+    """Blocked fuzzy-match over the distinct-name dictionary of
+    ``df[name_col]``: candidate pairs whose Levenshtein distance is
+    ≤ ``max_distance``. Returns (name1, n1, name2, n2, dist) with
+    counts/dist as BIGINT (cross-engine schema stability); record-
+    level pairs are an equi-join back on name1/name2."""
+    d = name_dictionary(df, name_col)
+    return _match_dictionary(d, block_exprs, max_distance, max_block)

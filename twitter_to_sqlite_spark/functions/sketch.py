@@ -14,7 +14,7 @@ TakeOrderedAndProject computes exactly that shape map-side).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: 2^60 — the md5-derived hash is 15 hex chars = 60 bits.
@@ -185,6 +185,60 @@ def sample_quantiles(df: DataFrame, value_col: str, key_col: str,
     idx = (F.floor(F.col("q") * (F.col("n_sample") - 1)) + 1).cast("int")
     return rows.filter(F.col("n_sample") > 0).select(
         "q", "n_sample", F.element_at("__vs", idx).alias("est")
+    )
+
+
+def sample_topk(df: DataFrame, value_col: str,
+                k: int = 512, top: int = 20) -> DataFrame:
+    """Deterministic heavy-hitters sketch — the top-k-frequency member
+    of the portable-sketch family (cardinality: kmv_distinct, overlap:
+    kmv_overlap, quantiles: sample_quantiles).
+
+    SpaceSaving/Misra-Gries summaries are merge-order-dependent and
+    engine-specific, so they can never oracle-match. The portable
+    device is the same bottom-k hash sample: take the ``k`` DISTINCT
+    values with the smallest portable hash (a uniform domain sample
+    that is a pure function of the value set — same rows in any
+    engine, any partitioning), count ONLY those values exactly via a
+    broadcast semi-join, and report the ``top`` most frequent of the
+    sample. A heavy hitter is included with probability k/D (exact
+    coverage when the domain has ≤ k values — the hot-key-detection
+    regime); the reported counts are exact, never estimates.
+
+    Returns (value, n_occ, rank) — ``value`` cast to string so the
+    sketch is type-generic like kmv_distinct.
+
+    Scale: one distinct + TakeOrderedAndProject for the sample (k rows
+    per partition map-side), then a broadcast semi-join that prunes
+    the stream BEFORE the count — the aggregate holds ≤ k groups
+    regardless of domain size (a full top-k like vocab_stats keeps
+    per-value state for the whole domain). Mergeable like the others:
+    shard samples union + re-truncate to k, and the exact per-value
+    counts of surviving values add.
+    """
+    vals = (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+    h = F.conv(F.substring(F.md5(F.col("value")), 1, 15), 16, 10) \
+        .cast("long")
+    samp = (
+        vals.distinct()
+        .select("value", h.alias("__h"))
+        # hash of a DISTINCT value is unique short of md5 collision,
+        # but the explicit value tie column keeps the repo convention
+        .orderBy("__h", "value")
+        .limit(k)
+    )
+    counted = (
+        vals.join(F.broadcast(samp.select("value")), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    top_rows = counted.orderBy(F.col("n_occ").desc(), "value").limit(top)
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("value"))
+    return top_rows.withColumn("rank", F.row_number().over(w)).select(
+        "value", "n_occ", "rank"
     )
 
 

@@ -80,6 +80,46 @@ def foreign_key(child: DataFrame, col: str, parent: DataFrame,
     return _report(orphans, name or f"fk({col})", F.count(F.lit(1)))
 
 
+def profile_drift(current: DataFrame, baseline: DataFrame,
+                  rel_tol: float = 0.25) -> DataFrame:
+    """Anomaly-aware quality gate: compare today's column profile
+    against a STORED one (Deequ's `isConsistentWith` idea) — both
+    sides are ``kmv_distinct`` outputs (col_name, n_kept,
+    kmv_estimate), the baseline typically read back from the parquet
+    snapshot the last run persisted. A static predicate can't catch
+    "user_id cardinality doubled overnight"; a drift check against
+    the previous profile can.
+
+    Full outer join on col_name so SCHEMA drift is caught too: a
+    column missing from either side gets estimate 0 on that side,
+    which blows past any tolerance and fails. Returns one row per
+    column: (check_name, baseline_est, current_est, rel_change,
+    passed) with rel_change = |cur − base| / max(base, 1) rounded to
+    4 and passed ⇔ rel_change ≤ rel_tol.
+
+    Scale: the profiles are sketches (rows = #columns), so the gate
+    itself is O(columns) regardless of table size — the expensive
+    pass is the profile build, one KMV scan per snapshot, already
+    paid when the baseline was persisted.
+    """
+    b = baseline.select(
+        "col_name", F.col("kmv_estimate").alias("__b"))
+    c = current.select(
+        "col_name", F.col("kmv_estimate").alias("__c"))
+    j = b.join(c, "col_name", "full_outer")
+    base = F.coalesce(F.col("__b"), F.lit(0)).cast("long")
+    cur = F.coalesce(F.col("__c"), F.lit(0)).cast("long")
+    rel = F.round(F.abs(cur - base) / F.greatest(base, F.lit(1)), 4)
+    return j.select(
+        F.concat(F.lit("drift("), F.col("col_name"), F.lit(")"))
+        .alias("check_name"),
+        base.alias("baseline_est"),
+        cur.alias("current_est"),
+        rel.alias("rel_change"),
+        (rel <= F.lit(float(rel_tol))).alias("passed"),
+    )
+
+
 def run_checks(checks: list[DataFrame]) -> DataFrame:
     """Union the one-row check reports into the full report."""
     if not checks:
