@@ -358,3 +358,94 @@ def test_funnel_latency_catalog_semantics(spark, sf_dir):
         assert mn == round(min(lat1) / 1e6, 4)
         assert mx == round(max(lat1) / 1e6, 4)
         assert avg == round(sum(lat1) / len(lat1) / 1e6, 4)
+
+
+# ------------------------------------------------------- scd2_history
+
+def test_scd2_history_intervals(spark):
+    """Consecutive identical snapshots collapse; each change opens a
+    new interval closing the previous; last interval is current;
+    null-safe: NULL->x and x->NULL are changes, NULL->NULL is not."""
+    rows = [
+        ("u1", 1, _ts(0), "bronze"),
+        ("u1", 2, _ts(10), "bronze"),   # no change — collapsed
+        ("u1", 3, _ts(20), "gold"),     # change
+        ("u1", 4, _ts(30), None),       # change to NULL
+        ("u1", 5, _ts(40), None),       # NULL -> NULL: no change
+        ("u2", 6, _ts(5), "silver"),
+        (None, 7, _ts(0), "x"),         # null key excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp_ntz, "
+              "tier string")
+    out = R.scd2_history(df, ["user_id"], "event_id", "ts", ["tier"])
+    got = sorted(
+        ((r.user_id, r.tier, r.valid_from_us, r.valid_to_us,
+          r.is_current) for r in out.collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    base = 1704067200000000
+    m = 60_000_000
+    assert got == [
+        ("u1", "bronze", base, base + 20 * m, False),
+        ("u1", "gold", base + 20 * m, base + 30 * m, False),
+        ("u1", None, base + 30 * m, None, True),
+        ("u2", "silver", base + 5 * m, None, True),
+    ]
+
+
+def test_scd2_history_multi_attr_change(spark):
+    """Any one attribute changing opens a new interval."""
+    rows = [
+        ("u", 1, _ts(0), "a", 1), ("u", 2, _ts(1), "a", 2),
+        ("u", 3, _ts(2), "a", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, ts timestamp_ntz, "
+              "x string, y long")
+    out = R.scd2_history(df, ["k"], "event_id", "ts", ["x", "y"])
+    assert out.count() == 2
+
+
+def test_scd2_single_shuffle(spark):
+    """Both windows share the key partitioning: exactly one exchange."""
+    df = spark.createDataFrame(
+        [("u", 1, _ts(0), "a")],
+        "k string, event_id long, ts timestamp_ntz, x string")
+    plan = R.scd2_history(df, ["k"], "event_id", "ts", ["x"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --------------------------------------------------------------- ewma
+
+def test_ewma_recurrence(spark):
+    """The fold equals the hand-computed recurrence; window truncation
+    only matters past W rows; NULLs excluded."""
+    rows = [("u", i, float(v)) for i, v in enumerate([10, 20, 30])]
+    df = spark.createDataFrame(rows, "k string, o long, value double")
+    out = {r.o: r.ewma
+           for r in R.ewma(df, "k", "o", "value",
+                           alpha=0.5, window=16).collect()}
+    # s0 = .5*10 = 5; s1 = .5*5? no: fold over [10,20]: ((0*.5+.5*10)*.5+.5*20)=12.5
+    assert out == {0: 5.0, 1: 12.5, 2: 21.25}
+
+
+def test_ewma_truncation_window(spark):
+    """W=2: each row's fold sees only the trailing 2 values."""
+    rows = [("u", i, 100.0 if i == 0 else 0.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, o long, value double")
+    out = {r.o: r.ewma
+           for r in R.ewma(df, "k", "o", "value",
+                           alpha=0.5, window=2).collect()}
+    # row 2 and beyond no longer see the spike at all
+    assert out[0] == 50.0 and out[1] == 25.0
+    assert out[2] == 0.0 and out[3] == 0.0
+
+
+def test_ewma_single_shuffle(spark):
+    df = spark.createDataFrame([("u", 1, 1.0)],
+                               "k string, o long, value double")
+    plan = R.ewma(df, "k", "o", "value") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -285,3 +285,54 @@ def test_sample_topk_merge_law(spark):
                  for r in sketch.sample_topk(df, "props",
                                              k=k, top=top).collect())
     assert got == sorted(want)
+
+
+# ------------------------------------------------------ kmv_distinct_by
+
+def test_kmv_by_exact_below_k(spark):
+    rows = [(g, f"v{g}{i % (3 + g)}") for g in range(3)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    got = {r.g: (r.n_kept, r.kmv_estimate)
+           for r in sketch.kmv_distinct_by(df, "g", "v", k=64).collect()}
+    assert got == {0: (3, 3), 1: (4, 4), 2: (5, 5)}
+
+
+def test_kmv_by_matches_global_per_group(spark):
+    """Each group's grouped estimate equals the global sketch run on
+    that group alone — the per-group window IS kmv_distinct applied
+    groupwise."""
+    rows = [(g, f"x{(i * 7 + g) % 200}") for g in range(2)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    grouped = {r.g: r.kmv_estimate
+               for r in sketch.kmv_distinct_by(df, "g", "v",
+                                               k=32).collect()}
+    for g in (0, 1):
+        solo = sketch.kmv_distinct(
+            df.filter(F.col("g") == g), ["v"], k=32).collect()[0]
+        assert grouped[g] == solo["kmv_estimate"]
+
+
+# -------------------------------------------------- kmv_merge_distinct
+
+def test_kmv_merge_distinct_equals_direct(spark):
+    """Merging per-shard k-min sets == sketching the concatenated
+    data, exactly — KMV mergeability, including above k where the
+    estimator runs."""
+    a = spark.createDataFrame(
+        [(f"x{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(150, 450)], "v string")
+    merged = sketch.kmv_merge_distinct([a, b], ["v"], k=64).collect()[0]
+    direct = sketch.kmv_distinct(a.unionByName(b), ["v"],
+                                 k=64).collect()[0]
+    assert (merged["n_kept"], merged["kmv_estimate"]) \
+        == (direct["n_kept"], direct["kmv_estimate"])
+
+
+def test_kmv_merge_distinct_exact_below_k(spark):
+    a = spark.createDataFrame([("p",), ("q",)], "v string")
+    b = spark.createDataFrame([("q",), ("r",)], "v string")
+    row = sketch.kmv_merge_distinct([a, b], ["v"], k=64).collect()[0]
+    assert row["kmv_estimate"] == 3

@@ -272,3 +272,51 @@ def test_funnel_stages_stateful_and_matches_batch(spark, dirs):
         k: sum(1 for s in latest.values() if s >= k) for k in (1, 2, 3)
     }
     assert batch == stream_counts
+
+
+def test_funnel_stages_windowed_matches_batch(spark, dirs):
+    """Windowed streaming funnel (within_seconds): the gap conjunct
+    gates advances exactly like the batch windowed automaton — user 1
+    clicks 1 min after viewing (inside a 2-min window), user 4 clicks
+    5 min after viewing (outside), and the final stages aggregate to
+    the batch windowed funnel's counts."""
+    src, out, ckpt = dirs
+    steps = ["view", "click", "purchase"]
+    latest: dict = {}
+
+    rows = [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        (4, 0, "view"), (4, 5, "click"),
+        (5, 0, "view"), (5, 1, "click"), (5, 9, "purchase"),
+    ]
+    _write_events(src, "w1.json", rows)
+    stream = _read_event_stream(spark, src)
+    q = (
+        analytics.funnel_stages(stream, steps, within_seconds=120.0)
+        .writeStream.foreachBatch(
+            lambda batch, bid: latest.update(
+                {r["user_id"]: r["stage"] for r in batch.collect()}
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert latest == {1: 3, 4: 1, 5: 2}
+
+    import datetime as dt
+
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    bdf = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, 0, m), ty) for u, m, ty in rows],
+        "user_id long, ts timestamp_ntz, event_type string")
+    batch = {r.step: r.users
+             for r in R.funnel(bdf, "user_id", "ts", "event_type",
+                               steps, within_seconds=120.0).collect()}
+    stream_counts = {
+        k: sum(1 for s in latest.values() if s >= k) for k in (1, 2, 3)
+    }
+    assert batch == stream_counts

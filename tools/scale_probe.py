@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark import tables
-from twitter_to_sqlite_spark.functions import classifier, dedup, similarity, text
+from twitter_to_sqlite_spark.functions import (classifier, dedup, similarity,
+                                               sketch, text)
 from twitter_to_sqlite_spark.session import get_spark
 
 
@@ -115,10 +116,12 @@ def _interval_probe(d):
     return j.groupBy("iv_id").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _funnel_probe(d):
+def _funnel_probe(d, within_seconds=None):
     """Funnel growth probe: ~50 synthetic events per user (user ids
     disjoint across replicas), event type cycling through the steps —
-    per-user state is constant, so linear growth is the bar."""
+    per-user state is constant, so linear growth is the bar.
+    ``within_seconds`` probes the windowed form (r5) on the same
+    stream."""
     from twitter_to_sqlite_spark.operators import relational as R
 
     ev = d.select(
@@ -130,7 +133,8 @@ def _funnel_probe(d):
         ).alias("event_type"),
     )
     return R.funnel(ev, "user_id", "ts", "event_type",
-                    ["view", "click", "purchase"])
+                    ["view", "click", "purchase"],
+                    within_seconds=within_seconds)
 
 
 def _triangle_chain(d):
@@ -151,6 +155,36 @@ def _triangle_chain(d):
         )
         edges = e if edges is None else edges.unionByName(e)
     return triangle_count(edges)
+
+
+def _entity_clusters_probe(d):
+    """End-to-end ER growth probe (r5): match + min-label components +
+    dictionary labeling. Same regimes as _entity_probe; the component
+    iteration adds rounds proportional to cluster diameter (constant
+    here), so the bar matches entity_match's."""
+    from twitter_to_sqlite_spark.functions import entity
+
+    named = d.select(
+        F.regexp_extract("text", r"^(\S+\s+\S+)", 1).alias("nm"))
+    blocks = [F.regexp_extract("name", r"^(\S+)", 1),
+              F.regexp_extract("name", r"(\S+)$", 1)]
+    return entity.cluster_entities(named.filter(F.col("nm") != ""),
+                                   "nm", blocks, max_distance=3,
+                                   max_block=10000)
+
+
+def _scd2_probe(d):
+    """SCD2 growth probe (r5): ~50-change stream per key, attribute
+    cycling — two windows on one key shuffle, so linear is the bar."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    ev = d.select(
+        (F.col("doc_id") - (F.col("doc_id") % 50)).alias("k"),
+        F.col("doc_id").alias("event_id"),
+        F.timestamp_seconds(F.col("doc_id")).alias("ts"),
+        (F.col("doc_id") % 3).cast("string").alias("attr"),
+    )
+    return R.scd2_history(ev, ["k"], "event_id", "ts", ["attr"])
 
 
 def _entity_probe(d):
@@ -349,6 +383,17 @@ def main():
         "funnel": lambda d, v: _funnel_probe(d),
         "triangle_chain": lambda d, v: _triangle_chain(d),
         "entity_match": lambda d, v: _entity_probe(d),
+        # --- r5 operators ---
+        "entity_clusters": lambda d, v: _entity_clusters_probe(d),
+        "scd2_history": lambda d, v: _scd2_probe(d),
+        "funnel_windowed": lambda d, v: _funnel_probe(
+            d, within_seconds=10.0),
+        "sketch_topk": lambda d, v: sketch.sample_topk(
+            d.select(F.regexp_extract("text", r"^(\S+)", 1)
+                     .alias("tok")).filter(F.col("tok") != ""),
+            "tok", k=256, top=20),
+        "kmv_by": lambda d, v: sketch.kmv_distinct_by(
+            d, "lang", "doc_id", k=256),
     }
     out = {}
     for name, fn in OPS.items():

@@ -71,6 +71,52 @@ def kmv_distinct(df: DataFrame, columns: list[str], k: int = 256) -> DataFrame:
     return out
 
 
+def kmv_distinct_by(df: DataFrame, group_col: str, value_col: str,
+                    k: int = 256) -> DataFrame:
+    """Per-group KMV distinct-count estimate — the grouped member of
+    the portable-sketch family (the profile-per-language /
+    users-per-segment shape). Same estimator as :func:`kmv_distinct`
+    ((k−1)/u_(k), exact below k), but the bottom-k hashes are taken
+    PER GROUP via a group-partitioned window ordered by the hash —
+    parallel across groups, never a global sort, per-group state ≤ k
+    (the grouped_sample_quantiles device). NULL groups/values are
+    excluded. Returns (group, n_kept, kmv_estimate).
+
+    Scale: one distinct on (group, value) (partial-agg shuffle), one
+    window shuffle on the group; per-group cost is independent of
+    group size, and each group's k-min set merges across shards like
+    the global sketch.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col("__v")), 1, 15), 16, 10
+    ).cast("long")
+    vals = (
+        df.filter(F.col(group_col).isNotNull()
+                  & F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"),
+                F.col(value_col).cast("string").alias("__v"))
+        .distinct()
+        .select("__g", h.alias("__h"))
+    )
+    kmin = vals.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__g").orderBy("__h"))
+    ).filter(F.col("__rn") <= k)
+    agg = kmin.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.col("__h") / F.lit(_HASH_SPACE)).alias("__umax"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
+        .otherwise(
+            F.round(F.lit(float(k - 1)) / F.col("__umax"), 0).cast("long")
+        ).alias("kmv_estimate"),
+    )
+
+
 def _min_hashes(df: DataFrame, col: str, k: int) -> DataFrame:
     """k smallest 60-bit hashes of the column's distinct values:
     (__h long). TakeOrderedAndProject — k rows per partition map-side."""
@@ -85,6 +131,46 @@ def _min_hashes(df: DataFrame, col: str, k: int) -> DataFrame:
         .orderBy("__h")
         .limit(k)
     )
+
+
+def kmv_merge_distinct(dfs: list[DataFrame], columns: list[str],
+                       k: int = 256) -> DataFrame:
+    """Distinct-count estimate of the UNION of several frames computed
+    from their per-shard k-min sets — the 1000-executor merge path: a
+    fleet profiles its shards independently, then the coordinator
+    merges k·shards hashes instead of re-scanning any data. KMV
+    mergeability makes the merge EXACT: the k smallest hashes of a
+    union are the union of the shards' k-min sets re-truncated to k,
+    so the merged estimate equals running :func:`kmv_distinct` on the
+    concatenated data bit-for-bit (the oracle pairing exploits exactly
+    that — the Spark side merges shard sketches, the oracle sketches
+    the whole).
+
+    Returns the kmv_distinct shape: (col_name, n_kept, kmv_estimate).
+    Scale: one distinct + TakeOrderedAndProject per (shard, column);
+    the merge itself touches ≤ k·|shards| rows.
+    """
+    out = None
+    for c in columns:
+        u = None
+        for df in dfs:
+            m = _min_hashes(df, c, k)
+            u = m if u is None else u.unionByName(m)
+        kmin = u.distinct().orderBy("__h").limit(k)
+        est = kmin.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max(F.col("__h") / F.lit(_HASH_SPACE)).alias("__umax"),
+        ).select(
+            F.lit(c).alias("col_name"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
+            .otherwise(
+                F.round(F.lit(float(k - 1)) / F.col("__umax"), 0)
+                .cast("long")
+            ).alias("kmv_estimate"),
+        )
+        out = est if out is None else out.unionByName(est)
+    return out
 
 
 def kmv_overlap(df_a: DataFrame, df_b: DataFrame,

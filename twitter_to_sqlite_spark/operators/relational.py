@@ -922,6 +922,92 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     ).select("r.step", "r.step_name", "r.users")
 
 
+def ewma(df: DataFrame, key_col: str, order_col: str, val_col: str,
+         alpha: float = 0.2, window: int = 16,
+         out_col: str = "ewma") -> DataFrame:
+    """Truncated exponentially-weighted moving average per key: for
+    each row, fold the trailing ``window`` values (oldest → newest)
+    through ``acc·(1−α) + α·x`` with zero init — the EWMA recurrence
+    itself, evaluated over a bounded frame. The standard smoothing
+    feature for monitoring/forecasting pipelines.
+
+    Why this shape: the exact infinite-history EWMA is a linear
+    recurrence that only a sequential scan computes; truncating at W
+    rows bounds per-row state AND the discarded history's influence
+    (≤ (1−α)^W ≈ 3% at α=0.2, W=16) while keeping everything a plain
+    partitioned window — no pow() (whose libm rounding differs across
+    engines), no UDF, no sequential bottleneck. Both engines fold the
+    same values in the same order with the same fused arithmetic, so
+    results are bit-identical before the final round(6). NULL values
+    are excluded up front (they would poison the fold).
+
+    Scale: one shuffle on the key; per-row work is a W-element JVM
+    fold inside the ordered window scan.
+    """
+    one_minus = 1.0 - alpha
+    w = (
+        Window.partitionBy(key_col).orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    lst = F.collect_list(F.col(val_col).cast("double")).over(w)
+    fold = F.aggregate(
+        lst, F.lit(0.0),
+        lambda acc, x: acc * F.lit(one_minus) + F.lit(alpha) * x,
+    )
+    return df.filter(
+        F.col(key_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
+        key_col, order_col, val_col, F.round(fold, 6).alias(out_col)
+    )
+
+
+def scd2_history(df: DataFrame, key_cols: list[str], order_col: str,
+                 ts_col: str, attr_cols: list[str]) -> DataFrame:
+    """Type-2 slowly-changing-dimension historization: collapse a
+    change stream ``(key, ts, attrs…)`` into validity intervals — one
+    row per ATTRIBUTE CHANGE with ``valid_from_us`` / ``valid_to_us``
+    epoch-micros bounds and ``is_current`` — the classic warehouse
+    historization the reference's LWW upsert (K1) throws away (it
+    keeps only the latest row; SCD2 keeps the full timeline
+    point-in-time joinable, e.g. by the as-of join).
+
+    Change detection is null-safe (``<=>``): NULL → value and value →
+    NULL are changes, NULL → NULL is not. ``order_col`` must be a
+    per-key unique ordering (the reference's chronological-id
+    convention) so ties can't make the timeline nondeterministic.
+    Rows with a NULL key are excluded (the resample_fill null policy).
+
+    Scale: two windows over the SAME key partitioning (Catalyst reuses
+    one shuffle): a lag to flag changes, then — on the surviving
+    change rows only — a lead for the interval close. No self-join,
+    no driver state.
+    """
+    for k in key_cols:
+        df = df.filter(F.col(k).isNotNull())
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(order_col).over(w).isNull()
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast(`{ts_col}` as timestamp_ntz))"
+    )
+    kept = (
+        df.withColumn("__chg", first | changed)
+        .filter(F.col("__chg"))
+        .withColumn("__us", us)
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(order_col)
+    valid_to = F.lead("__us").over(w2)
+    return kept.select(
+        *key_cols, *attr_cols,
+        F.col("__us").cast("long").alias("valid_from_us"),
+        valid_to.cast("long").alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
 def resample_fill(df: DataFrame, key_col: str, ts_col: str, val_col: str,
                   step_seconds: float = 3600.0) -> DataFrame:
     """Time-series resample + gap fill: bucket each key's events into

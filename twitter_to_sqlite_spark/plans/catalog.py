@@ -1854,6 +1854,178 @@ FROM base FULL OUTER JOIN cur USING (col_name)
 """
 
 
+def q_scd2_history(spark, sf_dir):
+    """Type-2 SCD historization (operators/relational.py::
+    scd2_history): the events stream collapsed into per-user
+    event_type validity intervals (valid_from/valid_to epoch micros,
+    is_current) — the full point-in-time timeline the reference's
+    last-write-wins upsert (K1) discards, joinable by the as-of join.
+    Null-safe change detection; chronological event_id ordering (the
+    reference's integer-id convention)."""
+    e = _t(spark, sf_dir, "events")
+    return R.scd2_history(e, ["user_id"], "event_id", "ts",
+                          ["event_type"])
+
+
+SQL_SCD2_HISTORY = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         lag(event_type) OVER w AS prev,
+         lag(event_id) OVER w IS NULL AS first
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+k AS (
+  SELECT user_id, event_id, event_type, us FROM s
+  WHERE first OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type,
+       us AS valid_from_us,
+       lead(us) OVER w2 AS valid_to_us,
+       lead(us) OVER w2 IS NULL AS is_current
+FROM k
+WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+def q_sketch_profile_by(spark, sf_dir):
+    """Grouped KMV distinct sketch (functions/sketch.py::
+    kmv_distinct_by, k=64): distinct users per event_type from
+    per-group bottom-k hash sets — the users-per-segment profile with
+    per-group state ≤ k (group-partitioned window, never a global
+    sort). ~150 distinct users per type at sf0.01 exercises the
+    (k−1)/u_(k) estimator path in every group."""
+    e = _t(spark, sf_dir, "events")
+    return sketch.kmv_distinct_by(e, "event_type", "user_id", k=_KMV_K)
+
+
+SQL_SKETCH_PROFILE_BY = f"""
+WITH v AS (SELECT DISTINCT event_type AS g, user_id AS v FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+h AS (SELECT g, ('0x' || substring(md5(v::VARCHAR), 1, 15))::BIGINT AS h
+      FROM v),
+r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM h),
+a AS (SELECT g, count(*) AS n_kept,
+             max(h / 1152921504606846976.0) AS umax
+      FROM r WHERE rn <= {_KMV_K} GROUP BY g)
+SELECT g AS event_type, n_kept::BIGINT AS n_kept,
+       CASE WHEN n_kept < {_KMV_K} THEN n_kept::BIGINT
+            ELSE CAST(round({float(_KMV_K - 1)!r} / umax, 0) AS BIGINT)
+       END AS kmv_estimate
+FROM a
+"""
+
+
+def q_sketch_merge(spark, sf_dir):
+    """KMV mergeability as a driver-gated fact, not just a unit test:
+    the Spark side profiles two DISJOINT time shards of events
+    independently and merges their k-min sets
+    (sketch.kmv_merge_distinct — the 1000-executor no-second-pass
+    path); the ORACLE sketches the whole table directly
+    (SQL_SKETCH_PROFILE). They hash-match only because k-min of a
+    union is exactly the re-truncated union of k-mins — the parity IS
+    the merge law, verified cross-engine."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.expr(f"ts < TIMESTAMP_NTZ '{_DRIFT_CUTOFF}'")
+    return sketch.kmv_merge_distinct(
+        [e.filter(cut), e.filter(~cut)], _KMV_COLS, k=_KMV_K)
+
+
+# the merged-shard sketch must equal the direct whole-table sketch
+SQL_SKETCH_MERGE = SQL_SKETCH_PROFILE
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_W = 16
+
+
+def q_ewma(spark, sf_dir):
+    """Truncated EWMA of each user's event values
+    (operators/relational.py::ewma, α=0.2, W=16): the recurrence
+    acc·(1−α)+α·x folded oldest→newest over a bounded trailing frame —
+    no pow() (libm rounding differs across engines), no sequential
+    scan; both engines run the identical multiply-add sequence, so
+    values are bit-equal before round(6)."""
+    e = _t(spark, sf_dir, "events")
+    return R.ewma(e, "user_id", "event_id", "value",
+                  alpha=_EWMA_ALPHA, window=_EWMA_W)
+
+
+SQL_EWMA = f"""
+SELECT user_id, event_id, value,
+       CAST(round(list_reduce(
+         list_prepend(0.0, list(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW)),
+         (acc, x) -> acc * {1.0 - _EWMA_ALPHA!r} + {_EWMA_ALPHA!r} * x
+       ), 6) AS DOUBLE) AS ewma
+FROM events
+WHERE user_id IS NOT NULL AND value IS NOT NULL
+"""
+
+
+_WINSOR_Q = 0.95
+_WINSOR_K = 512
+
+
+def q_winsorize(spark, sf_dir):
+    """Winsorization driven by the quantile sketch — the
+    sketch→transform composition a feature pipeline runs: per-group
+    (event_type) p95 from the deterministic bottom-k hash sample
+    (sketch.grouped_sample_quantiles), broadcast back, values clipped
+    at the cap. The cap is an actual data value (sample order
+    statistic), so the clip is engine-exact with no float estimate in
+    the join."""
+    e = _t(spark, sf_dir, "events")
+    caps = sketch.grouped_sample_quantiles(
+        e, "event_type", "value", "event_id",
+        qs=(_WINSOR_Q,), k=_WINSOR_K,
+    ).select("event_type", F.col("est").alias("__cap"))
+    return (
+        e.filter(F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull()
+                 & F.col("event_id").isNotNull())
+        .join(F.broadcast(caps), "event_type")
+        .select(
+            "event_id", "event_type", "value",
+            F.least(F.col("value"), F.col("__cap"))
+            .alias("value_winsorized"),
+            (F.col("value") > F.col("__cap")).alias("was_clipped"),
+        )
+    )
+
+
+SQL_WINSORIZE = f"""
+WITH s AS (
+  SELECT event_type, value AS val,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ('0x' || substring(md5(event_id::VARCHAR), 1, 15))
+                      ::BIGINT, value) AS rn
+  FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
+        AND event_type IS NOT NULL
+),
+samp AS (SELECT event_type, val FROM s WHERE rn <= {_WINSOR_K}),
+o AS (
+  SELECT event_type, val,
+         row_number() OVER (PARTITION BY event_type ORDER BY val) AS vr,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM samp
+),
+caps AS (
+  SELECT event_type, val AS cap FROM o
+  WHERE vr = CAST(floor({_WINSOR_Q!r} * (n - 1)) AS BIGINT) + 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(e.value, c.cap) AS value_winsorized,
+       e.value > c.cap AS was_clipped
+FROM events e JOIN caps c USING (event_type)
+WHERE e.value IS NOT NULL AND e.event_id IS NOT NULL
+"""
+
+
 _TOPK_SAMPLE_K = 64
 _TOPK_TOP = 10
 
@@ -4311,6 +4483,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality_drift": q_data_quality_drift,
     "sketch_topk": q_sketch_topk,
     "ann_tuning": q_ann_tuning,
+    "scd2_history": q_scd2_history,
+    "sketch_profile_by": q_sketch_profile_by,
+    "sketch_merge": q_sketch_merge,
+    "ewma": q_ewma,
+    "winsorize": q_winsorize,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -4521,6 +4698,11 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_profile": SQL_SKETCH_PROFILE,
     "sketch_overlap": SQL_SKETCH_OVERLAP,
     "sketch_topk": SQL_SKETCH_TOPK,
+    "scd2_history": SQL_SCD2_HISTORY,
+    "sketch_profile_by": SQL_SKETCH_PROFILE_BY,
+    "sketch_merge": SQL_SKETCH_MERGE,
+    "ewma": SQL_EWMA,
+    "winsorize": SQL_WINSORIZE,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -237,7 +237,8 @@ _FUNNEL_STATE_SCHEMA = T.StructType([
 
 def funnel_stages(stream: DataFrame, steps: list[str],
                   user_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type") -> DataFrame:
+                  type_col: str = "event_type",
+                  within_seconds: float | None = None) -> DataFrame:
     """Streaming twin of the batch ``relational.funnel`` automaton:
     per-user funnel stage maintained in the state store across
     micro-batches (update mode) — real-time conversion tracking.
@@ -255,9 +256,16 @@ def funnel_stages(stream: DataFrame, steps: list[str],
     semantics of streaming funnels; replays/backfills get the exact
     answer from the batch operator, which both paths' shared automaton
     (and the batch/stream agreement test) keeps aligned.
+
+    ``within_seconds`` mirrors the batch windowed funnel: an advance
+    past stage 1 also requires the event to land within that many
+    seconds of the previous step — same gap conjunct as
+    relational.funnel_fold's ``within``.
     """
     user_type = stream.schema[user_col].dataType
     n = len(steps)
+    within_us = (None if within_seconds is None
+                 else int(within_seconds * 1_000_000))
     out_schema = T.StructType([
         T.StructField(user_col, user_type),
         T.StructField("stage", T.IntegerType()),
@@ -273,7 +281,9 @@ def funnel_stages(stream: DataFrame, steps: list[str],
             for ts, ty in zip(pdf[ts_col], pdf[type_col]):
                 us = int(pd.Timestamp(ts).value // 1_000)
                 if (stage < n and ty == steps[stage]
-                        and (stage == 0 or us > t_us)):
+                        and (stage == 0 or us > t_us)
+                        and (stage == 0 or within_us is None
+                             or us - t_us <= within_us)):
                     stage += 1
                     t_us = us
         state.update((stage, t_us))
