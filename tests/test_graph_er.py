@@ -449,3 +449,61 @@ def test_ewma_single_shuffle(spark):
     plan = R.ewma(df, "k", "o", "value") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# -------------------------------------------------------- salted_join
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    """One hot key dominating the fact side: the salted join returns
+    exactly the plain join's multiset (each fact row meets each
+    matching dim row once, on its own salt)."""
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(500)], "k long, fid long")
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "k long, label string")
+    got = sorted((r.fid, r.label)
+                 for r in R.salted_join(fact, dim, "k",
+                                        n_salt=8).collect())
+    want = sorted((r.fid, r.label)
+                  for r in fact.join(dim, "k").collect())
+    assert got == want and len(got) == 500
+
+
+def test_salted_join_spreads_key_over_salts(spark):
+    """The physical join key is (k, __salt): the dim side explodes
+    n_salt ways so a single hot key occupies n_salt hash groups."""
+    fact = spark.createDataFrame([(1, 1)], "k long, fid long")
+    dim = spark.createDataFrame([(1, "x")], "k long, label string")
+    out = R.salted_join(fact, dim, "k", n_salt=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan
+
+
+# -------------------------------------------------- weighted_sample_by
+
+def test_weighted_sample_by_exact_size_per_group(spark):
+    from twitter_to_sqlite_spark.functions import sampling
+
+    rows = ([("a", f"k{i}", 1.0) for i in range(50)]
+            + [("b", f"j{i}", 2.0) for i in range(3)])
+    df = spark.createDataFrame(rows, "g string, key string, w double")
+    out = sampling.weighted_sample_by(df, "g", 5, "w", "key")
+    sizes = {r.g: r.n for r in
+             out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"a": 5, "b": 3}  # min(k, |group|)
+
+
+def test_weighted_sample_by_matches_global_per_group(spark):
+    """Each group's grouped sample equals weighted_sample run on that
+    group alone — the window IS the global draw applied groupwise."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    rows = [(f"g{i % 3}", f"k{i}", float(1 + i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "g string, key string, w double")
+    grouped = sampling.weighted_sample_by(df, "g", 4, "w", "key")
+    for g in ("g0", "g1", "g2"):
+        solo = {r.key for r in sampling.weighted_sample(
+            df.filter(F.col("g") == g), 4, "w", "key").collect()}
+        got = {r.key for r in
+               grouped.filter(F.col("g") == g).collect()}
+        assert got == solo

@@ -261,3 +261,37 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str, key_col: str,
         .orderBy(F.col("__sk").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def weighted_sample_by(df: DataFrame, group_col: str, k: int,
+                       weight_col: str, key_col: str, salt: str = "",
+                       resolution: int = 1_000_000) -> DataFrame:
+    """Per-group fixed-size weighted sampling without replacement:
+    the :func:`weighted_sample` A-ES draw, ranked PER GROUP by a
+    group-partitioned window instead of a global top-k — exactly k
+    rows from every group (fewer only when the group is smaller), the
+    stratified form of reproducible quality-tilted selection (k
+    best-drawn docs per language/source).
+
+    Scale: the same narrow projection, then one shuffle on the group
+    key; per-group downstream state is ≤ k (the
+    grouped_sample_quantiles device). Draws stay pure functions of the
+    row key, so the sample per group is engine/run/retry-stable.
+    NULL groups and non-positive weights are excluded.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        (_key_hash(F.col(key_col), salt) % resolution) + F.lit(1.0)
+    ).cast("double") / F.lit(float(resolution))
+    sk = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 12)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__sk").desc(), F.col(key_col))
+    return (
+        df.filter((F.col(weight_col) > 0)
+                  & F.col(group_col).isNotNull())
+        .withColumn("__sk", sk)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

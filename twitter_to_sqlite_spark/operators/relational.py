@@ -617,6 +617,40 @@ def salted_facet_count(df: DataFrame, col: str, count_alias: str = "n",
     return partial.groupBy(col).agg(F.sum("__c").alias(count_alias))
 
 
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                n_salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-mitigated equi-join: the JOIN counterpart of
+    :func:`salted_facet_count`. A hot join key sends its every fact
+    row to one reducer in a plain shuffle join; here each fact row
+    gets a deterministic position-based salt and the (smaller) right
+    side is replicated onto ALL `n_salt` salt values, so the join key
+    becomes (key, salt) and the hot key's rows spread over n_salt
+    tasks.
+
+    Same answer as a plain join for any input (each fact row still
+    meets every matching right row exactly once — on its own salt).
+    Cost model: the right side is scanned once and exploded n_salt×,
+    so use this when the right side is too big to broadcast but far
+    smaller than the skewed fact side — the classic mid-size-dimension
+    regime. Prefer AQE skew-join handling by default (it splits skewed
+    partitions at runtime without replication); reach for explicit
+    salting when running without AQE or when the skew is so extreme
+    one KEY (not one partition) dominates — AQE cannot split a single
+    key's hash group, salting can.
+
+    The salt is position-based (monotonically_increasing_id), not
+    content-based, for the same adversarial reason as the salted
+    count: identical flooding rows must still spread. The join's
+    multiset result is independent of the assignment.
+    """
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return f.join(d, [key, "__salt"], how).drop("__salt")
+
+
 def grouped_ntile_dist(df: DataFrame, group_col: str, range_col: str,
                        tie_col: str, n_buckets: int,
                        num_ranges: int | None = None,

@@ -2026,6 +2026,141 @@ WHERE e.value IS NOT NULL AND e.event_id IS NOT NULL
 """
 
 
+def q_skew_join_salted(spark, sf_dir):
+    """Skew-mitigated equi-join (operators/relational.py::salted_join):
+    lineitem ⋈ orders on the order key with the orders side replicated
+    onto 8 deterministic salts — the explicit-salting device for the
+    one-hot-KEY regime AQE's partition splitting can't fix (a single
+    key's hash group is unsplittable; a salt makes it 16 groups).
+    Same answer as the plain join — the oracle IS the plain join —
+    aggregated to revenue per order status."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus")
+    j = R.salted_join(li, o, "okey", n_salt=8)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+        ).cast("double").alias("revenue"),
+    )
+
+
+SQL_SKEW_JOIN_SALTED = """
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+_WSB_K = 20
+
+
+def q_weighted_sample_by(spark, sf_dir):
+    """Per-language fixed-size weighted sample
+    (sampling.weighted_sample_by): exactly 20 docs per lang, inclusion
+    ∝ quality, draw a pure function of doc_id — the stratified form of
+    weighted_sample (group-partitioned window instead of a global
+    top-k, per-group state ≤ k)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = text.quality_score(text.token_count(d)).select(
+        "doc_id", "lang", "quality")
+    from twitter_to_sqlite_spark.functions import sampling
+
+    s = sampling.weighted_sample_by(
+        scored, "lang", k=_WSB_K, weight_col="quality",
+        key_col="doc_id", resolution=_WS_RES)
+    return s.select("doc_id", "lang", "quality",
+                    F.col("__sk").alias("sample_key"))
+
+
+def _weighted_sample_by_sql() -> str:
+    base = SQL_WEIGHTED_SAMPLE
+    # reuse the quality + keyed CTEs of the global form, swap the
+    # global top-k tail for a per-group row_number cut
+    marker = "SELECT doc_id, lang, quality, sample_key\nFROM keyed"
+    head, found, _tail = base.partition(marker)
+    assert found, "SQL_WEIGHTED_SAMPLE tail changed; update the marker"
+    return head + f"""SELECT doc_id, lang, quality, sample_key FROM (
+  SELECT doc_id, lang, quality, sample_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY sample_key DESC, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= {_WSB_K}
+"""
+
+
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (the inverse of q_pivot_status): orders' numeric
+    metrics stacked into (o_orderkey, metric, val) long form — the
+    wide→long reshape feature stores need. Spark's native unpivot
+    (one-pass generator, no shuffle); the oracle is the equivalent
+    UNION ALL."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    )
+    return o.unpivot(
+        ["o_orderkey"], ["o_totalprice", "o_custkey"],
+        "metric", "val",
+    )
+
+
+SQL_UNPIVOT = """
+SELECT o_orderkey, 'o_totalprice' AS metric,
+       o_totalprice::DOUBLE AS val FROM orders
+UNION ALL
+SELECT o_orderkey, 'o_custkey', o_custkey::DOUBLE
+FROM orders
+"""
+
+
+_SLIDE_STEP_US = 3_600_000_000  # 1 h hop
+_SLIDE_N = 2                    # 2 hops per window = 2 h windows
+
+
+def q_sliding_counts(spark, sf_dir):
+    """Hopping-window event counts (2 h windows sliding by 1 h):
+    Spark's native F.window(ts, '2 hours', '1 hour') generator — each
+    event lands in exactly 2 windows, aggregated by window start
+    (epoch micros for cross-engine hashing). The oracle replays the
+    explode arithmetic: window starts (bin − off)·hop for off ∈
+    {0,1}. The streaming twin of this exact expression is the
+    watermarked windowed agg in streaming/."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast(win.start as timestamp_ntz))"
+    )
+    return (
+        e.select("user_id", "value", win.alias("win"))
+        .select("user_id", "value", us.alias("win_start_us"))
+        .groupBy("win_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_SLIDING_COUNTS = f"""
+SELECT (epoch_us(ts) // {_SLIDE_STEP_US} - off) * {_SLIDE_STEP_US}
+         AS win_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events, (VALUES (0), (1)) t(off)
+GROUP BY 1
+"""
+
+
 _TOPK_SAMPLE_K = 64
 _TOPK_TOP = 10
 
@@ -4488,6 +4623,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_merge": q_sketch_merge,
     "ewma": q_ewma,
     "winsorize": q_winsorize,
+    "skew_join_salted": q_skew_join_salted,
+    "weighted_sample_by": q_weighted_sample_by,
+    "unpivot": q_unpivot,
+    "sliding_counts": q_sliding_counts,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -4703,6 +4842,10 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_merge": SQL_SKETCH_MERGE,
     "ewma": SQL_EWMA,
     "winsorize": SQL_WINSORIZE,
+    "skew_join_salted": SQL_SKEW_JOIN_SALTED,
+    "weighted_sample_by": _weighted_sample_by_sql(),
+    "unpivot": SQL_UNPIVOT,
+    "sliding_counts": SQL_SLIDING_COUNTS,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
