@@ -507,3 +507,34 @@ def test_weighted_sample_by_matches_global_per_group(spark):
         got = {r.key for r in
                grouped.filter(F.col("g") == g).collect()}
         assert got == solo
+
+
+# ---------------------------------------------------- trailing_zscore
+
+def test_trailing_zscore_flags_spike_leakage_free(spark):
+    """A spike after a stable history gets a huge z-score; the frame
+    excludes the current row, so the spike can't suppress its own
+    score; rows without min_points history stay NULL/unflagged."""
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.2, 9.8, 10.1, 100.0]
+    rows = [("u", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, o long, value double")
+    out = {r.o: (r.zscore, r.is_anomaly)
+           for r in R.trailing_zscore(df, "k", "o", "value",
+                                      window=16, min_points=8,
+                                      threshold=3.0).collect()}
+    # rows 0..7: fewer than 8 preceding points -> NULL, not flagged
+    for i in range(8):
+        assert out[i] == (None, False)
+    # row 9 (the spike) is flagged against the stable history
+    z9, flag9 = out[9]
+    assert flag9 and z9 > 3.0
+    # row 8 is ordinary
+    assert not out[8][1]
+
+
+def test_trailing_zscore_zero_variance_null(spark):
+    rows = [("u", i, 5.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, o long, value double")
+    out = R.trailing_zscore(df, "k", "o", "value", min_points=8)
+    assert all(r.zscore is None and not r.is_anomaly
+               for r in out.collect())

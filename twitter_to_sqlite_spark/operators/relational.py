@@ -995,6 +995,47 @@ def ewma(df: DataFrame, key_col: str, order_col: str, val_col: str,
     )
 
 
+def trailing_zscore(df: DataFrame, key_col: str, order_col: str,
+                    val_col: str, window: int = 16,
+                    min_points: int = 8,
+                    threshold: float = 3.0) -> DataFrame:
+    """Leakage-free anomaly scoring: each value's z-score against the
+    trailing ``window`` PRECEDING values of its key (frame excludes
+    the current row — the score an online monitor could actually have
+    computed at event time). Returns (key, order, value, zscore,
+    is_anomaly) with zscore NULL until ``min_points`` history exists
+    or while the trailing std is 0.
+
+    The anomaly flag is computed from the ROUNDED z-score (round 4),
+    so the float boundary both engines compare is identical — the
+    repo's standard order-noise absorption, applied before the
+    threshold instead of after.
+
+    Scale: one shuffle on the key; mean/std are single-pass window
+    aggregates over each key's time-sorted rows.
+    """
+    w = (
+        Window.partitionBy(key_col).orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(val_col).cast("double")
+    n = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    z = F.when(
+        (n >= min_points) & (std > 0),
+        F.round((v - mean) / std, 4),
+    )
+    return df.filter(
+        F.col(key_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
+        key_col, order_col, val_col,
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False))
+        .alias("is_anomaly"),
+    )
+
+
 def scd2_history(df: DataFrame, key_cols: list[str], order_col: str,
                  ts_col: str, attr_cols: list[str]) -> DataFrame:
     """Type-2 slowly-changing-dimension historization: collapse a

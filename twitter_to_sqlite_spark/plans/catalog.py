@@ -2161,6 +2161,39 @@ GROUP BY 1
 """
 
 
+def q_anomaly_zscore(spark, sf_dir):
+    """Trailing z-score anomaly detection
+    (operators/relational.py::trailing_zscore): each event's value
+    scored against its user's 16 PRECEDING values (frame excludes the
+    current row — the leakage-free score an online monitor had at
+    event time); flag at |z| > 3 computed from the rounded score so
+    both engines compare the identical boundary."""
+    e = _t(spark, sf_dir, "events")
+    return R.trailing_zscore(e, "user_id", "event_id", "value",
+                             window=16, min_points=8, threshold=3.0)
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH s AS (
+  SELECT user_id, event_id, value,
+         count(value) OVER w AS n,
+         avg(value) OVER w AS m,
+         stddev_samp(value) OVER w AS sd
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, value,
+       CASE WHEN n >= 8 AND sd > 0
+            THEN round((value - m) / sd, 4) END AS zscore,
+       coalesce(abs(CASE WHEN n >= 8 AND sd > 0
+                         THEN round((value - m) / sd, 4) END) > 3.0,
+                false) AS is_anomaly
+FROM s
+"""
+
+
 _TOPK_SAMPLE_K = 64
 _TOPK_TOP = 10
 
@@ -4627,6 +4660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_by": q_weighted_sample_by,
     "unpivot": q_unpivot,
     "sliding_counts": q_sliding_counts,
+    "anomaly_zscore": q_anomaly_zscore,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -4846,6 +4880,7 @@ ORACLE_SQL: dict[str, str] = {
     "weighted_sample_by": _weighted_sample_by_sql(),
     "unpivot": SQL_UNPIVOT,
     "sliding_counts": SQL_SLIDING_COUNTS,
+    "anomaly_zscore": SQL_ANOMALY_ZSCORE,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
