@@ -768,3 +768,91 @@ def test_match_names_matches_blocking_spec(spark, names, d):
                     and _lev(n1, n2) <= d:
                 want.append((n1, n2, cnt[n1], cnt[n2], _lev(n1, n2)))
     assert got == sorted(want)
+
+
+SCD2_EVENTS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),     # key
+              st.integers(min_value=0, max_value=4)),    # attr value
+    min_size=0, max_size=20,
+)
+
+
+@given(evs=SCD2_EVENTS)
+@SETTINGS
+def test_scd2_point_in_time_reconstruction(spark, evs):
+    """THE SCD2 contract: joining any original event time back into
+    the intervals recovers exactly that event's attribute — i.e. the
+    historization is lossless point-in-time. Also: per key, intervals
+    tile [first_ts, ∞) with no gaps/overlaps and exactly one
+    is_current row."""
+    import datetime as dt
+
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"k{k}", i, base + dt.timedelta(minutes=i), f"a{v}")
+        for i, (k, v) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "k string, event_id long, ts timestamp_ntz, attr string",
+    ).filter("k is not null")
+    hist = R.scd2_history(df, ["k"], "event_id", "ts", ["attr"]) \
+        .collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(
+            (r.valid_from_us, r.valid_to_us, r.attr, r.is_current))
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda t: t[0])
+        # tiling: each interval closes exactly where the next opens
+        for (f1, t1, _, _), (f2, _, _, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2
+        assert [c for _, _, _, c in ivs].count(True) == 1
+        assert ivs[-1][3] and ivs[-1][1] is None
+    # point-in-time: every original event's ts falls in an interval
+    # carrying that event's attr (ties at equal ts don't exist — ts is
+    # minute-unique by construction)
+    for kname, eid, ts, attr in rows:
+        us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp()
+                 * 1_000_000)
+        hit = [a for f, t, a, _ in by_key[kname]
+               if f <= us and (t is None or us < t)]
+        assert hit == [attr]
+
+
+EWMA_VALS = st.lists(
+    st.floats(min_value=-100, max_value=100,
+              allow_nan=False, allow_infinity=False),
+    min_size=0, max_size=12,
+)
+
+
+@given(vals=EWMA_VALS)
+@SETTINGS
+def test_ewma_matches_python_fold(spark, vals):
+    """ewma == the Python recurrence folded over the trailing window,
+    for any values — and the fold is exactly α-weighted truncated
+    smoothing (window 4 here so truncation is exercised)."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    rows = [("u", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)],
+        "k string, o long, value double",
+    ).filter("k is not null")
+    got = {r.o: r.ewma
+           for r in R.ewma(df, "k", "o", "value",
+                           alpha=0.25, window=4).collect()}
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for i in range(len(vals)):
+        acc = 0.0
+        for x in vals[max(0, i - 3):i + 1]:
+            acc = acc * 0.75 + 0.25 * x
+        # Spark F.round is HALF_UP; Python round() is half-even —
+        # quantize the spec the way the engine rounds
+        want = float(Decimal(repr(acc)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+        assert got[i] == pytest.approx(want, abs=1e-9)
