@@ -1011,6 +1011,75 @@ SELECT id AS doc_id, min(component) AS component FROM walk GROUP BY id
 """
 
 
+# Split weights in bucket units (mod = Σ); insertion order fixes the
+# contiguous bucket ranges, mirrored in the oracle CASE. Defined here
+# (above its first import-time use in _split_leakage_sql); also used
+# by q_dataset_split further down.
+_SPLITS = {"train": 8, "val": 1, "test": 1}
+
+
+def q_split_leakage(spark, sf_dir):
+    """Train/eval LEAKAGE audit — the hygiene check a training
+    pipeline must run after splitting: near-dup pairs (the shared
+    MinHash pair frame) labeled with each side's hash-bucket split
+    assignment, counted per split pair. A near-dup pair crossing the
+    train/val boundary is exactly the contamination an exact-key split
+    cannot see (the planted near-copies guarantee the audit has
+    positives at every SF).
+
+    Scale: the pairs frame is the already-bounded LSH output; the
+    split labels are a shuffle-free CASE over the hash, joined onto
+    ≤|pairs| rows — the audit costs nothing beyond the dedup sweep a
+    pipeline already runs."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _docs_with_planted_dups(spark, sf_dir).select("doc_id")
+    splits = sampling.assign_splits(d, _SPLITS, key_col="doc_id")
+    pairs = _minhash_pairs(spark, sf_dir)
+    a = splits.select(F.col("doc_id").alias("id_a"),
+                      F.col("split").alias("__sa"))
+    b = splits.select(F.col("doc_id").alias("id_b"),
+                      F.col("split").alias("__sb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    lo = F.least("__sa", "__sb")
+    hi = F.greatest("__sa", "__sb")
+    return j.groupBy(lo.alias("split_lo"), hi.alias("split_hi")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+    ).withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+
+
+def _split_leakage_sql() -> str:
+    total = sum(_SPLITS.values())
+    cases, lo = [], 0
+    for name, wt in _SPLITS.items():
+        cases.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    case = f"CASE {' '.join(cases)} END"
+    return f"""
+WITH {_SQL_MINHASH_CTES},
+sp AS (
+  SELECT doc_id, {case} AS split FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+             % {total} AS b
+    FROM (SELECT DISTINCT doc_id FROM docs)
+  )
+)
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(sa.split, sb.split) != greatest(sa.split, sb.split)
+         AS is_leak
+FROM mh_pairs p
+JOIN sp sa ON p.id_a = sa.doc_id
+JOIN sp sb ON p.id_b = sb.doc_id
+GROUP BY 1, 2
+"""
+
+
+SQL_SPLIT_LEAKAGE = _split_leakage_sql()
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Canonical-document selection — the step that ENDS a dedup
     pipeline: label every document with its near-dup component
@@ -3506,9 +3575,7 @@ ORDER BY n_occurrences DESC, word
 LIMIT {_VOCAB_TOPK}
 """
 
-# Split weights in bucket units (mod = Σ); insertion order fixes the
-# contiguous bucket ranges, mirrored in the oracle CASE.
-_SPLITS = {"train": 8, "val": 1, "test": 1}
+# (_SPLITS is defined above q_split_leakage — shared split weights.)
 
 
 def q_dataset_split(spark, sf_dir):
@@ -4661,6 +4728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot": q_unpivot,
     "sliding_counts": q_sliding_counts,
     "anomaly_zscore": q_anomaly_zscore,
+    "split_leakage": q_split_leakage,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -4881,6 +4949,7 @@ ORACLE_SQL: dict[str, str] = {
     "unpivot": SQL_UNPIVOT,
     "sliding_counts": SQL_SLIDING_COUNTS,
     "anomaly_zscore": SQL_ANOMALY_ZSCORE,
+    "split_leakage": SQL_SPLIT_LEAKAGE,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
