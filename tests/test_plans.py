@@ -389,3 +389,43 @@ def test_mix_corpora_dist_no_group_only_window(spark):
     plan = plan_of(spark, "mix_corpora_dist")
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("__pid" in s for s in specs)
+
+
+def test_winsorize_caps_join_is_broadcast(spark):
+    """The per-group cap table (rows = #groups) must broadcast onto
+    the event stream — a shuffle join would re-key the stream for a
+    handful of caps."""
+    plan = plan_of(spark, "winsorize")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_sketch_topk_sample_join_is_broadcast(spark):
+    """The k-value domain sample must broadcast-semi-join the stream
+    (aggregate state <= k groups), and the bottom-k must be a
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "sketch_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_unpivot_has_no_shuffle(spark):
+    """Melt is a one-pass generator: no exchange anywhere."""
+    plan = plan_of(spark, "unpivot")
+    assert count_nodes(plan, "Exchange") == 0
+
+
+def test_ewma_and_anomaly_windows_are_partitioned(spark):
+    """Both trailing-frame queries must run partitioned windows only
+    (a global window would serialize the stream on one task)."""
+    import re
+
+    for name in ("ewma", "anomaly_zscore"):
+        plan = plan_of(spark, name)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, name
+        for spec in specs:
+            first = spec.split(",")[0].strip()
+            assert " ASC" not in first and " DESC" not in first, (
+                f"{name}: global window {spec}"
+            )

@@ -320,3 +320,78 @@ def test_funnel_stages_windowed_matches_batch(spark, dirs):
         k: sum(1 for s in latest.values() if s >= k) for k in (1, 2, 3)
     }
     assert batch == stream_counts
+
+
+def _write_value_events(src, name, rows):
+    with open(os.path.join(src, name), "w") as f:
+        for uid, minute, val in rows:
+            f.write(json.dumps({
+                "user_id": uid,
+                "ts": f"2024-01-01T00:{minute:02d}:00",
+                "value": val,
+            }) + "\n")
+
+
+def test_zscore_stream_matches_batch(spark, dirs):
+    """Streaming trailing z-score: ring-buffer state carries across
+    micro-batch restarts, each event scored against its PRECEDING
+    history only, and the per-event scores agree with the batch
+    trailing_zscore over the full stream."""
+    src, out, ckpt = dirs
+    got: dict = {}
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("user_id long, ts timestamp_ntz, value double")
+                  .json(src))
+        q = (
+            analytics.zscore_stream(stream, "user_id", "ts", "value",
+                                    window=8, min_points=4,
+                                    threshold=2.0)
+            .writeStream.foreachBatch(
+                lambda batch, bid: got.update(
+                    {(r["user_id"], r["ts"]): (r["zscore"],
+                                               r["is_anomaly"])
+                     for r in batch.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    base = [10.0, 10.2, 9.8, 10.1]
+    c1 = [(1, i, v) for i, v in enumerate(base)]
+    _write_value_events(src, "z1.json", c1)
+    run_once()
+    # second chunk lands AFTER a restart: the buffer must have been
+    # restored for the spike to be scored against the stable history
+    c2 = [(1, 4, 9.9), (1, 5, 50.0), (1, 6, 10.0)]
+    _write_value_events(src, "z2.json", c2)
+    run_once()
+
+    import datetime as dt
+
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    rows = [(u, dt.datetime(2024, 1, 1, 0, m), v) for u, m, v in c1 + c2]
+    bdf = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double")
+    batch = {(r.user_id, r.ts): (r.zscore, r.is_anomaly)
+             for r in R.trailing_zscore(
+                 bdf, "user_id", "ts", "value",
+                 window=8, min_points=4, threshold=2.0).collect()}
+    assert set(got) == set(batch)
+    for k in batch:
+        bz, bflag = batch[k]
+        sz, sflag = got[k]
+        assert sflag == bflag, k
+        if bz is None:
+            assert sz is None, k
+        else:
+            assert sz == pytest.approx(bz, abs=2e-4), k
+    # the spike was flagged, through the restart
+    spike_key = (1, dt.datetime(2024, 1, 1, 0, 5))
+    assert got[spike_key][1]

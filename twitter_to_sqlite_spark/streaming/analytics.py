@@ -20,6 +20,11 @@ no windowed aggregation — these are the Spark-native extensions a
   funnel_stages            stateful per-user funnel automaton (twin of
                            the batch relational.funnel): stage + last
                            step time in the state store, update mode
+  zscore_stream            stateful per-key trailing z-score (twin of
+                           the batch relational.trailing_zscore): a
+                           ring buffer of the last W values in the
+                           state store, each event scored BEFORE its
+                           value is appended (leakage-free)
 """
 
 from __future__ import annotations
@@ -300,6 +305,83 @@ def funnel_stages(stream: DataFrame, steps: list[str],
             update,
             outputStructType=out_schema,
             stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_ZSCORE_STATE_SCHEMA = T.StructType([
+    T.StructField("vals", T.ArrayType(T.DoubleType())),
+])
+
+
+def zscore_stream(stream: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", val_col: str = "value",
+                  window: int = 16, min_points: int = 8,
+                  threshold: float = 3.0) -> DataFrame:
+    """Streaming twin of the batch ``relational.trailing_zscore``:
+    per-key anomaly scoring with a RING BUFFER of the last ``window``
+    values in the state store — each arriving value is scored against
+    the buffer BEFORE being appended (the same preceding-only,
+    leakage-free frame as the batch operator), then pushed in and the
+    buffer trimmed. State is ≤ ``window`` doubles per key regardless
+    of stream volume.
+
+    Emits one row per input event (update mode): (key, ts, value,
+    zscore, is_anomaly) with zscore None until ``min_points`` history
+    exists or while the trailing sample-std is 0. Same in-order-per-
+    key-across-batches assumption as ``funnel_stages``; batch replays
+    get the exact answer from the batch operator, and the agreement
+    test keeps the two scorers aligned.
+    """
+    import math
+
+    key_type = stream.schema[key_col].dataType
+    ts_type = stream.schema[ts_col].dataType
+    out_schema = T.StructType([
+        T.StructField(key_col, key_type),
+        T.StructField(ts_col, ts_type),
+        T.StructField(val_col, T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ])
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (kid,) = key
+        (buf,) = state.get if state.exists else ([],)
+        buf = list(buf)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[val_col]):
+                v = float(v)
+                z = None
+                if len(buf) >= min_points:
+                    m = sum(buf) / len(buf)
+                    var = sum((x - m) ** 2 for x in buf) / (len(buf) - 1)
+                    sd = math.sqrt(var)
+                    if sd > 0:
+                        z = round((v - m) / sd, 4)
+                out.append((kid, ts, v, z,
+                            z is not None and abs(z) > threshold))
+                buf.append(v)
+                if len(buf) > window:
+                    buf = buf[-window:]
+        state.update((buf,))
+        yield pd.DataFrame(
+            out, columns=[key_col, ts_col, val_col, "zscore",
+                          "is_anomaly"])
+
+    return (
+        stream.select(key_col, ts_col, val_col)
+        .filter(F.col(key_col).isNotNull() & F.col(val_col).isNotNull())
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_ZSCORE_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
