@@ -538,3 +538,16 @@ def test_trailing_zscore_zero_variance_null(spark):
     out = R.trailing_zscore(df, "k", "o", "value", min_points=8)
     assert all(r.zscore is None and not r.is_anomaly
                for r in out.collect())
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """An outer join would emit unmatched dim rows once per salt
+    replica — the operator refuses instead of silently duplicating."""
+    f = spark.createDataFrame([(1, 1)], "k long, fid long")
+    d = spark.createDataFrame([(1, "x")], "k long, label string")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        R.salted_join(f, d, "k", how="full")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        R.salted_join(f, d, "k", how="right")
+    # left outer is fact-preserving and allowed
+    assert R.salted_join(f, d, "k", how="left").count() == 1

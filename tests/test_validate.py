@@ -103,3 +103,18 @@ def test_profile_drift_schema_drift_fails(spark):
     assert rep["drift(a)"]["passed"]
     assert not rep["drift(b)"]["passed"]   # dropped column
     assert not rep["drift(c)"]["passed"]   # new column
+
+
+def test_profile_drift_schema_drift_fails_even_at_loose_tol(spark):
+    """rel_tol >= 1.0 must not mask a dropped column (its rel_change
+    is exactly 1.0): passed requires both sides present."""
+    from twitter_to_sqlite_spark.functions import sketch
+
+    base = _profile(spark, [(1, "x")])
+    cur_df = spark.createDataFrame([(1, "x")], "a long, c string")
+    cur = sketch.kmv_distinct(cur_df, ["a", "c"], k=64)
+    rep = {r["check_name"]: r for r in
+           V.profile_drift(cur, base, rel_tol=1.0).collect()}
+    assert not rep["drift(b)"]["passed"]
+    assert not rep["drift(c)"]["passed"]
+    assert rep["drift(a)"]["passed"]

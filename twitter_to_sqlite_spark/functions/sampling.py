@@ -251,16 +251,26 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str, key_col: str,
     any scan. Weights must be > 0 (rows with NULL/non-positive weight
     are excluded, matching the estimator's domain).
     """
-    u = (
-        (_key_hash(F.col(key_col), salt) % resolution) + F.lit(1.0)
-    ).cast("double") / F.lit(float(resolution))
-    sk = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 12)
+    sk = _aes_key(weight_col, key_col, salt, resolution)
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("__sk", sk)
         .orderBy(F.col("__sk").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def _aes_key(weight_col: str, key_col: str, salt: str,
+             resolution: int):
+    """THE one A-ES sample-key expression (u^(1/w) with the rounded-12
+    libm absorption), shared by the global and grouped samplers so the
+    draw can never fork — the generated grouped oracle reuses the
+    global form's keyed CTE on the assumption both Spark forms draw
+    identically."""
+    u = (
+        (_key_hash(F.col(key_col), salt) % resolution) + F.lit(1.0)
+    ).cast("double") / F.lit(float(resolution))
+    return F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 12)
 
 
 def weighted_sample_by(df: DataFrame, group_col: str, k: int,
@@ -281,10 +291,7 @@ def weighted_sample_by(df: DataFrame, group_col: str, k: int,
     """
     from pyspark.sql import Window
 
-    u = (
-        (_key_hash(F.col(key_col), salt) % resolution) + F.lit(1.0)
-    ).cast("double") / F.lit(float(resolution))
-    sk = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 12)
+    sk = _aes_key(weight_col, key_col, salt, resolution)
     w = Window.partitionBy(group_col).orderBy(
         F.col("__sk").desc(), F.col(key_col))
     return (

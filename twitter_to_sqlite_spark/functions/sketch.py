@@ -29,6 +29,24 @@ def _uniform_hash(col):
     return h / F.lit(_HASH_SPACE)
 
 
+def _kmv_estimate(agg: DataFrame, k: int, *lead) -> DataFrame:
+    """THE one (k−1)/u_(k) estimator select (exact below k), applied
+    to an aggregate with columns (n_kept, __umax). Shared by the
+    global, grouped, and shard-merged sketches: the three forms must
+    stay bit-identical for cross-engine parity — and for the merge-law
+    query, whose whole point is that the merged estimate EQUALS the
+    direct one."""
+    return agg.select(
+        *lead,
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
+        .otherwise(
+            F.round(F.lit(float(k - 1)) / F.col("__umax"), 0)
+            .cast("long")
+        ).alias("kmv_estimate"),
+    )
+
+
 def kmv_distinct(df: DataFrame, columns: list[str], k: int = 256) -> DataFrame:
     """KMV (k-minimum-values) distinct-count estimate per column
     (Bar-Yossef et al. 2002): hash every distinct value uniformly into
@@ -55,17 +73,12 @@ def kmv_distinct(df: DataFrame, columns: list[str], k: int = 256) -> DataFrame:
             .select(_uniform_hash(F.col("__v")).alias("__u"))
         )
         kmin = vals.orderBy("__u").limit(k)
-        est = kmin.agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.max("__u").alias("__umax"),
-        ).select(
-            F.lit(c).alias("col_name"),
-            F.col("n_kept").cast("long").alias("n_kept"),
-            F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
-            .otherwise(
-                F.round(F.lit(float(k - 1)) / F.col("__umax"), 0)
-                .cast("long")
-            ).alias("kmv_estimate"),
+        est = _kmv_estimate(
+            kmin.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.max("__u").alias("__umax"),
+            ),
+            k, F.lit(c).alias("col_name"),
         )
         out = est if out is None else out.unionByName(est)
     return out
@@ -87,8 +100,6 @@ def kmv_distinct_by(df: DataFrame, group_col: str, value_col: str,
     group size, and each group's k-min set merges across shards like
     the global sketch.
     """
-    from pyspark.sql import Window
-
     h = F.conv(
         F.substring(F.md5(F.col("__v")), 1, 15), 16, 10
     ).cast("long")
@@ -107,14 +118,7 @@ def kmv_distinct_by(df: DataFrame, group_col: str, value_col: str,
         F.count(F.lit(1)).alias("n_kept"),
         F.max(F.col("__h") / F.lit(_HASH_SPACE)).alias("__umax"),
     )
-    return agg.select(
-        F.col("__g").alias(group_col),
-        F.col("n_kept").cast("long").alias("n_kept"),
-        F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
-        .otherwise(
-            F.round(F.lit(float(k - 1)) / F.col("__umax"), 0).cast("long")
-        ).alias("kmv_estimate"),
-    )
+    return _kmv_estimate(agg, k, F.col("__g").alias(group_col))
 
 
 def _min_hashes(df: DataFrame, col: str, k: int) -> DataFrame:
@@ -157,17 +161,13 @@ def kmv_merge_distinct(dfs: list[DataFrame], columns: list[str],
             m = _min_hashes(df, c, k)
             u = m if u is None else u.unionByName(m)
         kmin = u.distinct().orderBy("__h").limit(k)
-        est = kmin.agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.max(F.col("__h") / F.lit(_HASH_SPACE)).alias("__umax"),
-        ).select(
-            F.lit(c).alias("col_name"),
-            F.col("n_kept").cast("long").alias("n_kept"),
-            F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
-            .otherwise(
-                F.round(F.lit(float(k - 1)) / F.col("__umax"), 0)
-                .cast("long")
-            ).alias("kmv_estimate"),
+        est = _kmv_estimate(
+            kmin.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.max(F.col("__h") / F.lit(_HASH_SPACE))
+                .alias("__umax"),
+            ),
+            k, F.lit(c).alias("col_name"),
         )
         out = est if out is None else out.unionByName(est)
     return out
@@ -344,8 +344,6 @@ def grouped_sample_quantiles(df: DataFrame, group_col: str,
     per-source shape: the sample bound makes the per-group quantile
     cost independent of group size.
     """
-    from pyspark.sql import Window
-
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")

@@ -91,11 +91,13 @@ def profile_drift(current: DataFrame, baseline: DataFrame,
     the previous profile can.
 
     Full outer join on col_name so SCHEMA drift is caught too: a
-    column missing from either side gets estimate 0 on that side,
-    which blows past any tolerance and fails. Returns one row per
-    column: (check_name, baseline_est, current_est, rel_change,
+    column missing from either side FAILS unconditionally (estimate 0
+    stands in for the missing side's value, and `passed` additionally
+    requires both sides present — a rel_tol ≥ 1 must not mask a
+    dropped column whose rel_change is exactly 1.0). Returns one row
+    per column: (check_name, baseline_est, current_est, rel_change,
     passed) with rel_change = |cur − base| / max(base, 1) rounded to
-    4 and passed ⇔ rel_change ≤ rel_tol.
+    4 and passed ⇔ both present ∧ rel_change ≤ rel_tol.
 
     Scale: the profiles are sketches (rows = #columns), so the gate
     itself is O(columns) regardless of table size — the expensive
@@ -116,7 +118,8 @@ def profile_drift(current: DataFrame, baseline: DataFrame,
         base.alias("baseline_est"),
         cur.alias("current_est"),
         rel.alias("rel_change"),
-        (rel <= F.lit(float(rel_tol))).alias("passed"),
+        (F.col("__b").isNotNull() & F.col("__c").isNotNull()
+         & (rel <= F.lit(float(rel_tol)))).alias("passed"),
     )
 
 

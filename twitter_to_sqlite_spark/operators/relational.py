@@ -642,7 +642,23 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     content-based, for the same adversarial reason as the salted
     count: identical flooding rows must still spread. The join's
     multiset result is independent of the assignment.
+
+    Only fact-preserving join types are accepted: a right/full outer
+    join would emit an unmatched dim row once PER SALT REPLICA (up to
+    n_salt null-extended copies) — not the plain join's answer. Salt
+    the other side instead for those.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti",
+               "cross"}
+    if how.lower().replace("_", "") not in {
+        a.replace("_", "") for a in allowed
+    }:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"({sorted(allowed)}); got {how!r} — an outer join would "
+            f"duplicate unmatched dim rows once per salt replica"
+        )
     salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(

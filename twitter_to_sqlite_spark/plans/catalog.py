@@ -1915,10 +1915,11 @@ SELECT 'drift(' || col_name || ')' AS check_name,
                  - coalesce(base.kmv_estimate, 0))
              / greatest(coalesce(base.kmv_estimate, 0), 1), 4)
          AS rel_change,
-       round(abs(coalesce(cur.kmv_estimate, 0)
-                 - coalesce(base.kmv_estimate, 0))
-             / greatest(coalesce(base.kmv_estimate, 0), 1), 4)
-         <= {_DRIFT_TOL} AS passed
+       base.kmv_estimate IS NOT NULL AND cur.kmv_estimate IS NOT NULL
+       AND round(abs(coalesce(cur.kmv_estimate, 0)
+                     - coalesce(base.kmv_estimate, 0))
+                 / greatest(coalesce(base.kmv_estimate, 0), 1), 4)
+           <= {_DRIFT_TOL} AS passed
 FROM base FULL OUTER JOIN cur USING (col_name)
 """
 
@@ -1997,8 +1998,14 @@ def q_sketch_merge(spark, sf_dir):
     the merge law, verified cross-engine."""
     e = _t(spark, sf_dir, "events")
     cut = F.expr(f"ts < TIMESTAMP_NTZ '{_DRIFT_CUTOFF}'")
+    # the shards must PARTITION the table: a NULL ts satisfies neither
+    # `cut` nor `~cut`, so the second shard takes the complement
+    # explicitly (NULL-ts rows included) — otherwise their values
+    # would be missing from the merge while the oracle's whole-table
+    # sketch sees them
     return sketch.kmv_merge_distinct(
-        [e.filter(cut), e.filter(~cut)], _KMV_COLS, k=_KMV_K)
+        [e.filter(cut), e.filter(cut.isNull() | ~cut)],
+        _KMV_COLS, k=_KMV_K)
 
 
 # the merged-shard sketch must equal the direct whole-table sketch
@@ -2156,11 +2163,14 @@ def _weighted_sample_by_sql() -> str:
     marker = "SELECT doc_id, lang, quality, sample_key\nFROM keyed"
     head, found, _tail = base.partition(marker)
     assert found, "SQL_WEIGHTED_SAMPLE tail changed; update the marker"
+    # NULL-group exclusion mirrors sampling.weighted_sample_by — a
+    # NULL-lang partition would otherwise emit rows only on the oracle
+    # side (the Spark operator filters group_col IS NOT NULL)
     return head + f"""SELECT doc_id, lang, quality, sample_key FROM (
   SELECT doc_id, lang, quality, sample_key,
          row_number() OVER (PARTITION BY lang
                             ORDER BY sample_key DESC, doc_id) AS rn
-  FROM keyed
+  FROM keyed WHERE lang IS NOT NULL
 ) WHERE rn <= {_WSB_K}
 """
 

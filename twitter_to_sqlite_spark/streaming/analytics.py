@@ -281,16 +281,19 @@ def funnel_stages(stream: DataFrame, steps: list[str],
                state: GroupState) -> Iterator[pd.DataFrame]:
         (uid,) = key
         stage, t_us = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, ty in zip(pdf[ts_col], pdf[type_col]):
-                us = int(pd.Timestamp(ts).value // 1_000)
-                if (stage < n and ty == steps[stage]
-                        and (stage == 0 or us > t_us)
-                        and (stage == 0 or within_us is None
-                             or us - t_us <= within_us)):
-                    stage += 1
-                    t_us = us
+        # Concatenate before sorting: a user's micro-batch group can
+        # arrive as multiple Arrow chunks; the automaton must fold in
+        # global event-time order, not chunk-local order.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(ts_col)
+        for ts, ty in zip(pdf[ts_col], pdf[type_col]):
+            us = int(pd.Timestamp(ts).value // 1_000)
+            if (stage < n and ty == steps[stage]
+                    and (stage == 0 or us > t_us)
+                    and (stage == 0 or within_us is None
+                         or us - t_us <= within_us)):
+                stage += 1
+                t_us = us
         state.update((stage, t_us))
         yield pd.DataFrame(
             {user_col: [uid], "stage": [stage], "stage_ts_us": [t_us]}
@@ -347,28 +350,37 @@ def zscore_stream(stream: DataFrame, key_col: str = "user_id",
         T.StructField("is_anomaly", T.BooleanType()),
     ])
 
+    # sample std divides by n−1: scoring needs ≥ 2 history points no
+    # matter what the caller asks for (the batch twin's stddev_samp of
+    # one value is NULL — degrade the same way, never ZeroDivisionError)
+    min_points = max(min_points, 2)
+
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         (kid,) = key
         (buf,) = state.get if state.exists else ([],)
         buf = list(buf)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, v in zip(pdf[ts_col], pdf[val_col]):
-                v = float(v)
-                z = None
-                if len(buf) >= min_points:
-                    m = sum(buf) / len(buf)
-                    var = sum((x - m) ** 2 for x in buf) / (len(buf) - 1)
-                    sd = math.sqrt(var)
-                    if sd > 0:
-                        z = round((v - m) / sd, 4)
-                out.append((kid, ts, v, z,
-                            z is not None and abs(z) > threshold))
-                buf.append(v)
-                if len(buf) > window:
-                    buf = buf[-window:]
+        # Concatenate BEFORE sorting: a key whose micro-batch group
+        # spans multiple Arrow chunks must be scored in global
+        # event-time order, not chunk-local order — chunk boundaries
+        # are a transport artifact, not a semantic one.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(ts_col)
+        for ts, v in zip(pdf[ts_col], pdf[val_col]):
+            v = float(v)
+            z = None
+            if len(buf) >= min_points:
+                m = sum(buf) / len(buf)
+                var = sum((x - m) ** 2 for x in buf) / (len(buf) - 1)
+                sd = math.sqrt(var)
+                if sd > 0:
+                    z = round((v - m) / sd, 4)
+            out.append((kid, ts, v, z,
+                        z is not None and abs(z) > threshold))
+            buf.append(v)
+            if len(buf) > window:
+                buf = buf[-window:]
         state.update((buf,))
         yield pd.DataFrame(
             out, columns=[key_col, ts_col, val_col, "zscore",
