@@ -551,3 +551,54 @@ def test_salted_join_rejects_outer_joins(spark):
         R.salted_join(f, d, "k", how="right")
     # left outer is fact-preserving and allowed
     assert R.salted_join(f, d, "k", how="left").count() == 1
+
+
+# ------------------------------------------------- snapshot_diff / CDC
+
+def test_snapshot_diff_three_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (4, None)],
+        "k long, v string")
+    out = {r.k: r.change_type
+           for r in R.snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 5 added,
+    # 4 NULL==NULL unchanged (null-safe compare)
+    assert out == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_roundtrip_with_changelog(spark):
+    """diff(old, new) converted to a changelog and applied to old
+    reproduces new exactly — the CDC pair is a true inverse."""
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0)], "k long, v double")
+    d = R.snapshot_diff(old, new, ["k"], ["v"])
+    log = d.select(
+        "k",
+        F.col("new_v").alias("v"),
+        F.when(F.col("change_type") == "removed", "delete")
+        .otherwise("upsert").alias("op"),
+        F.lit(1).alias("ord"),
+    )
+    applied = R.apply_changelog(old, log, ["k"], "op", "ord")
+    assert sorted((r.k, r.v) for r in applied.collect()) \
+        == sorted((r.k, r.v) for r in new.collect())
+
+
+def test_apply_changelog_latest_wins_and_inserts(spark):
+    snap = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    log = spark.createDataFrame(
+        [
+            (1, "x2", "upsert", 1), (1, None, "delete", 2),  # delete wins
+            (2, "y2", "upsert", 5),
+            (9, "new", "upsert", 1),                          # insert
+        ],
+        "k long, v string, op string, ord long")
+    out = {r.k: r.v
+           for r in R.apply_changelog(snap, log, ["k"], "op",
+                                      "ord").collect()}
+    assert out == {2: "y2", 9: "new"}

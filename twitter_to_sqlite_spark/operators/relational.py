@@ -1011,6 +1011,99 @@ def ewma(df: DataFrame, key_col: str, order_col: str, val_col: str,
     )
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed table:
+    one row per key whose state changed, labeled ``added`` (key only
+    in new), ``removed`` (only in old), or ``changed`` (present in
+    both with any compare column differing, null-safely). Unchanged
+    keys are not emitted — at 100 TB the diff is the small output, the
+    snapshots are the big inputs. This is the reverse direction of the
+    reference's upsert machinery (K1 writes changes in; this reads
+    changes back out, the Delta CDF idea as a plain plan).
+
+    Returns (key…, change_type, old/new compare columns prefixed).
+    Keys must be non-null in both snapshots (enforced by filter — a
+    NULL pk identifies nothing).
+
+    Scale: ONE full-outer shuffle join on the key — both sides
+    partition by the same key, no window, no driver state. With both
+    snapshots bucketed on the key (operators/bucketing.py) the
+    exchange disappears entirely.
+    """
+    o = old
+    n = new
+    for k in key_cols:
+        o = o.filter(F.col(k).isNotNull())
+        n = n.filter(F.col(k).isNotNull())
+    o = o.select(
+        *key_cols,
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = n.select(
+        *key_cols,
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(
+            F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .drop("__in_old", "__in_new")
+    )
+
+
+def apply_changelog(snapshot: DataFrame, changes: DataFrame,
+                    key_cols: list[str], op_col: str,
+                    order_col: str) -> DataFrame:
+    """Apply a CDC changelog (upsert/delete ops) to a snapshot: for
+    each key, the LATEST change by ``order_col`` wins — an ``upsert``
+    replaces (or inserts) the row, a ``delete`` removes it; keys
+    untouched by the log pass through. The inverse of
+    :func:`snapshot_diff`, and the generalization of the reference's
+    INSERT OR REPLACE (K1) to logs that can also delete.
+
+    ``changes`` carries the snapshot's columns plus ``op_col`` ∈
+    {'upsert', 'delete'} and the ordering column. Returns the new
+    snapshot (original columns only).
+
+    Scale: one window shuffle on the key over the CHANGELOG (small
+    relative to the snapshot), then one key-partitioned outer join
+    against the snapshot — the standard merge shape; on Delta this is
+    exactly MERGE WHEN MATCHED [AND op='delete'] THEN DELETE.
+    """
+    cols = snapshot.columns
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*key_cols,
+                F.col(op_col).alias("__op"),
+                *[F.col(c).alias(f"__new_{c}")
+                  for c in cols if c not in key_cols])
+    )
+    j = snapshot.join(latest, key_cols, "full_outer")
+    keep = F.col("__op").isNull() | (F.col("__op") == "upsert")
+    out_cols = [
+        F.col(k) for k in key_cols
+    ] + [
+        F.when(F.col("__op") == "upsert", F.col(f"__new_{c}"))
+        .otherwise(F.col(c)).alias(c)
+        for c in cols if c not in key_cols
+    ]
+    return j.filter(keep).select(*out_cols)
+
+
 def trailing_zscore(df: DataFrame, key_col: str, order_col: str,
                     val_col: str, window: int = 16,
                     min_points: int = 8,

@@ -2273,6 +2273,102 @@ FROM s
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between two snapshots (operators/relational.py::
+    snapshot_diff): deterministic arithmetic slices of events play
+    'yesterday' (drops event_id % 103 = 0) and 'today' (drops % 101,
+    bumps value where % 97 = 0), so the diff provably contains all
+    three change types at every SF. One full-outer key join; only
+    changed keys are emitted — the diff is the small output, the
+    snapshots the big inputs (Delta CDF as a plain plan)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    old = e.filter(F.col("event_id") % 103 != 0)
+    new = e.filter(F.col("event_id") % 101 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 97 == 0, F.col("value") + 1)
+        .otherwise(F.col("value")),
+    )
+    return R.snapshot_diff(old, new, ["event_id"], ["value"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT event_id, value FROM events
+  WHERE event_id IS NOT NULL AND event_id % 103 != 0
+),
+new AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN value + 1 ELSE value END
+           AS value
+  FROM events WHERE event_id IS NOT NULL AND event_id % 101 != 0
+),
+j AS (
+  SELECT coalesce(old.event_id, new.event_id) AS event_id,
+         old.value AS old_value, new.value AS new_value,
+         old.event_id IS NOT NULL AS in_old,
+         new.event_id IS NOT NULL AS in_new
+  FROM old FULL OUTER JOIN new ON old.event_id = new.event_id
+)
+SELECT event_id, old_value, new_value,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN old_value IS DISTINCT FROM new_value THEN 'changed'
+       END AS change_type
+FROM j
+WHERE CASE WHEN NOT in_old THEN 'added'
+           WHEN NOT in_new THEN 'removed'
+           WHEN old_value IS DISTINCT FROM new_value THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+def q_apply_changelog(spark, sf_dir):
+    """CDC apply (operators/relational.py::apply_changelog): a
+    synthetic changelog (delete every event_id % 11 = 0 at order 2;
+    upsert value×2 for % 13 = 0 at order 1) merged into the events
+    snapshot — latest op per key wins, so keys divisible by both (143)
+    end deleted, exercising the conflict path. The generalization of
+    the reference's INSERT OR REPLACE to logs that can also delete;
+    on Delta this is MERGE WHEN MATCHED THEN DELETE."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                           "value")
+    dels = e.filter(F.col("event_id") % 11 == 0).select(
+        "event_id", "user_id", "value",
+        F.lit("delete").alias("op"), F.lit(2).alias("ord"),
+    )
+    ups = e.filter(F.col("event_id") % 13 == 0).select(
+        "event_id", "user_id",
+        (F.col("value") * 2).alias("value"),
+        F.lit("upsert").alias("op"), F.lit(1).alias("ord"),
+    )
+    return R.apply_changelog(e, dels.unionByName(ups),
+                             ["event_id"], "op", "ord")
+
+
+SQL_APPLY_CHANGELOG = """
+WITH ch AS (
+  SELECT event_id, user_id, value, 'delete' AS op, 2 AS ord
+  FROM events WHERE event_id % 11 = 0
+  UNION ALL
+  SELECT event_id, user_id, value * 2, 'upsert', 1
+  FROM events WHERE event_id % 13 = 0
+),
+latest AS (
+  SELECT event_id, op, user_id AS c_user_id, value AS c_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ord DESC) AS rn
+        FROM ch) WHERE rn = 1
+)
+SELECT e.event_id,
+       CASE WHEN latest.op = 'upsert' THEN latest.c_user_id
+            ELSE e.user_id END AS user_id,
+       CASE WHEN latest.op = 'upsert' THEN latest.c_value
+            ELSE e.value END AS value
+FROM events e LEFT JOIN latest USING (event_id)
+WHERE latest.op IS NULL OR latest.op = 'upsert'
+"""
+
+
 _TOPK_SAMPLE_K = 64
 _TOPK_TOP = 10
 
@@ -4739,6 +4835,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_counts": q_sliding_counts,
     "anomaly_zscore": q_anomaly_zscore,
     "split_leakage": q_split_leakage,
+    "snapshot_diff": q_snapshot_diff,
+    "apply_changelog": q_apply_changelog,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -4960,6 +5058,8 @@ ORACLE_SQL: dict[str, str] = {
     "sliding_counts": SQL_SLIDING_COUNTS,
     "anomaly_zscore": SQL_ANOMALY_ZSCORE,
     "split_leakage": SQL_SPLIT_LEAKAGE,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "apply_changelog": SQL_APPLY_CHANGELOG,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
