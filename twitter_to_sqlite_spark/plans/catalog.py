@@ -2369,6 +2369,71 @@ WHERE latest.op IS NULL OR latest.op = 'upsert'
 """
 
 
+_EQD_QS = (0.25, 0.5, 0.75)
+
+
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-depth histogram of events.value driven by the quantile
+    sketch: bin edges are the deterministic bottom-k sample's
+    quartiles (sample_quantiles — actual data values, engine-exact),
+    every row assigned to its bin by comparing against the broadcast
+    edges, counted per bin with the bin's observed min/max. The
+    optimizer-statistics shape (equi-depth histograms are what a CBO
+    keeps) built sketch-first: one TakeOrderedAndProject for the
+    edges, one broadcast join + partial agg for the counts."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull())
+    qs = sketch.sample_quantiles(e, "value", "event_id",
+                                 qs=_EQD_QS, k=1024)
+    edges = [r["est"] for r in sorted(qs.collect(),
+                                      key=lambda r: r["q"])]
+    bin_id = F.lit(len(edges))
+    for i, edge in enumerate(reversed(edges)):
+        bin_id = F.when(F.col("value") <= F.lit(edge),
+                        F.lit(len(edges) - 1 - i)).otherwise(bin_id)
+    return (
+        e.select("value", bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("value"), 4).alias("bin_min"),
+            F.round(F.max("value"), 4).alias("bin_max"),
+        )
+    )
+
+
+SQL_EQUIDEPTH_HISTOGRAM = f"""
+WITH s AS (
+  SELECT value AS val,
+         ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+  ORDER BY h, val LIMIT 1024
+),
+o AS (
+  SELECT val, row_number() OVER (ORDER BY val) AS rn,
+         count(*) OVER () AS n
+  FROM s
+),
+edges AS (
+  SELECT CAST(q AS DOUBLE) AS q, val AS est
+  FROM o, (VALUES {", ".join(f"({q})" for q in _EQD_QS)}) qs(q)
+  WHERE rn = CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) + 1
+),
+e1 AS (SELECT est FROM edges WHERE q = {_EQD_QS[0]}),
+e2 AS (SELECT est FROM edges WHERE q = {_EQD_QS[1]}),
+e3 AS (SELECT est FROM edges WHERE q = {_EQD_QS[2]})
+SELECT CASE WHEN value <= (SELECT est FROM e1) THEN 0
+            WHEN value <= (SELECT est FROM e2) THEN 1
+            WHEN value <= (SELECT est FROM e3) THEN 2
+            ELSE 3 END AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(value), 4) AS bin_min,
+       round(max(value), 4) AS bin_max
+FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+GROUP BY 1
+"""
+
+
 _TOPK_SAMPLE_K = 64
 _TOPK_TOP = 10
 
@@ -4837,6 +4902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": q_split_leakage,
     "snapshot_diff": q_snapshot_diff,
     "apply_changelog": q_apply_changelog,
+    "equidepth_histogram": q_equidepth_histogram,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5060,6 +5126,7 @@ ORACLE_SQL: dict[str, str] = {
     "split_leakage": SQL_SPLIT_LEAKAGE,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "apply_changelog": SQL_APPLY_CHANGELOG,
+    "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
