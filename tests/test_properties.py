@@ -856,3 +856,55 @@ def test_ewma_matches_python_fold(spark, vals):
         want = float(Decimal(repr(acc)).quantize(
             Decimal("0.000001"), rounding=ROUND_HALF_UP))
         assert got[i] == pytest.approx(want, abs=1e-9)
+
+
+CDC_TABLE = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),   # key
+              st.integers(min_value=0, max_value=3)),  # value
+    min_size=0, max_size=10,
+)
+
+
+@given(old_rows=CDC_TABLE, new_rows=CDC_TABLE)
+@SETTINGS
+def test_snapshot_diff_apply_inverse_law(spark, old_rows, new_rows):
+    """For ARBITRARY keyed snapshots: applying diff(old, new) as a
+    changelog to old reproduces new exactly, and the diff emits only
+    genuinely changed keys (nothing for keys whose value is equal,
+    null-safely)."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    def snap(rows):
+        dedup = {}
+        for k, v in rows:
+            dedup[k] = (k, f"v{v}" if v else None)  # exercise NULLs
+        return list(dedup.values())
+
+    o_rows, n_rows = snap(old_rows), snap(new_rows)
+    old = spark.createDataFrame(o_rows or [(None, None)],
+                                "k long, v string").filter("k is not null")
+    new = spark.createDataFrame(n_rows or [(None, None)],
+                                "k long, v string").filter("k is not null")
+    d = R.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    o_map, n_map = dict(o_rows), dict(n_rows)
+    for r in d:
+        if r.change_type == "added":
+            assert r.k in n_map and r.k not in o_map
+        elif r.change_type == "removed":
+            assert r.k in o_map and r.k not in n_map
+        else:
+            assert o_map[r.k] != n_map[r.k]
+    # completeness: every differing key appears exactly once
+    want = {k for k in set(o_map) | set(n_map)
+            if o_map.get(k, "<absent>") != n_map.get(k, "<absent>")}
+    assert {r.k for r in d} == want and len(d) == len(want)
+    # inverse: diff as changelog applied to old == new
+    log = spark.createDataFrame(
+        [(r.k, r.new_v,
+          "delete" if r.change_type == "removed" else "upsert", 1)
+         for r in d] or [(None, None, None, None)],
+        "k long, v string, op string, ord long",
+    ).filter("k is not null")
+    applied = R.apply_changelog(old, log, ["k"], "op", "ord")
+    assert sorted((r.k, r.v) for r in applied.collect()) \
+        == sorted(n_rows)
