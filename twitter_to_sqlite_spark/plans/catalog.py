@@ -19,9 +19,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark import tables
-from twitter_to_sqlite_spark.functions import (dedup, entity, graph,
-                                               multimodal, similarity,
-                                               sketch, text)
+from twitter_to_sqlite_spark.functions import (bloom, dedup, entity,
+                                               graph, multimodal,
+                                               similarity, sketch, text)
 from twitter_to_sqlite_spark.operators import relational as R
 from twitter_to_sqlite_spark.operators import sinks
 
@@ -2431,6 +2431,52 @@ SELECT CASE WHEN value <= (SELECT est FROM e1) THEN 0
        round(max(value), 4) AS bin_max
 FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
 GROUP BY 1
+"""
+
+
+_BLOOM_PRICE = 460_000.0
+
+
+def q_bloom_prune(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (functions/bloom.py::
+    bloom_prune_join): lineitem ⋈ the ~1.5% of orders that are
+    1-URGENT above a price floor. The dim side's keys are folded into
+    a 64 Kibit deterministic Bloom filter (distributed bit_or build,
+    bounded ≤1024-row collect), and the membership probe is a pure
+    column predicate on the fact scan — so ~98% of lineitem never
+    reaches the join shuffle. False positives die in the exact join,
+    so the oracle is the plain join. The explicit, engine-portable
+    form of Spark's runtime row-level filtering — the device that
+    makes selective fact⋈dim joins shuffle O(selectivity·|fact|)
+    instead of O(|fact|) at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount", "l_returnflag")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_totalprice") > _BLOOM_PRICE))
+        .select("o_orderkey")
+    )
+    j = bloom.bloom_prune_join(li, dim, "o_orderkey")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+        ).cast("double").alias("revenue"),
+    )
+
+
+SQL_BLOOM_PRUNE = f"""
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_totalprice > {_BLOOM_PRICE!r}
+GROUP BY l.l_returnflag
 """
 
 
@@ -4903,6 +4949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "apply_changelog": q_apply_changelog,
     "equidepth_histogram": q_equidepth_histogram,
+    "bloom_prune": q_bloom_prune,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5127,6 +5174,7 @@ ORACLE_SQL: dict[str, str] = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "apply_changelog": SQL_APPLY_CHANGELOG,
     "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
+    "bloom_prune": SQL_BLOOM_PRUNE,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
