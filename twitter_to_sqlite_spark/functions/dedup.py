@@ -399,6 +399,65 @@ def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def boilerplate_stats(df: DataFrame, group_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 2, min_frac: float = 0.5) -> DataFrame:
+    """Per-group boilerplate shingle profile: within each group
+    (site/domain/source), a k-gram shingle present in at least
+    ``min_frac`` of the group's documents is boilerplate — the
+    grouped document-frequency device CCNet/RefinedWeb-style cleaners
+    use to strip per-site chrome (cookie banners, nav bars, footers)
+    that corpus-global dedup can't see because each site's chrome is
+    unique to that site.
+
+    Returns one row per group:
+    (group, n_docs, n_shingles, n_boiler, boiler_occ_frac) where
+    boiler_occ_frac is the share of (doc, shingle) occurrences that
+    are boilerplate — the fraction of the group's text surface a
+    boilerplate-stripping pass would remove.
+
+    Scale: one shuffle to shingle (doc-keyed window), one equi-join to
+    tag each doc's shingles with its group (id-keyed, co-partitioned
+    with the shingle window's output), one (group, shingle) partial
+    agg, and a broadcast of the per-group doc totals. No pair
+    generation; cost is linear in total shingles. Group skew is
+    bounded by the (group, shingle) composite key — a hot site spreads
+    over its shingle domain.
+
+    Reference parity: twitter-to-sqlite's source-dim extraction
+    (utils.py:extract_and_save_source) normalizes per-client
+    boilerplate strings into a dimension; this is the statistical
+    generalization that *discovers* the boilerplate.
+    """
+    sh = shingles(spread(df), id_col, text_col, k)
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(group_col).alias("__grp"))
+    totals = (
+        df.groupBy(F.col(group_col).alias("__grp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dfreq = (
+        sh.join(src, "id")
+        .groupBy("__grp", "shingle")
+        .agg(F.count(F.lit(1)).alias("__ndocs"))
+    )
+    flagged = dfreq.join(F.broadcast(totals), "__grp").withColumn(
+        "__boiler",
+        F.col("__ndocs") >= F.lit(min_frac) * F.col("n_docs"))
+    return (
+        flagged.groupBy(F.col("__grp").alias(group_col))
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("__boiler").cast("long")).alias("n_boiler"),
+            F.round(
+                F.sum(F.when(F.col("__boiler"), F.col("__ndocs"))
+                      .otherwise(F.lit(0)))
+                / F.sum("__ndocs"), 6).alias("boiler_occ_frac"),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_hashes: int = 16) -> DataFrame:

@@ -2480,6 +2480,61 @@ GROUP BY l.l_returnflag
 """
 
 
+_BP_MINFRAC = 0.5
+
+
+def q_boilerplate(spark, sf_dir):
+    """Per-source boilerplate discovery (functions/dedup.py::
+    boilerplate_stats): bigram shingles present in ≥50% of a source's
+    documents are that source's chrome. The synthetic corpus has no
+    real chrome (max within-source bigram df is ~32%), so the query
+    plants a per-source footer on 60% of each source's docs — the
+    planted-fixture device the dedup queries use — and the stats must
+    find exactly it. Grouped document-frequency, no pair generation:
+    the per-site cleaning pass corpus-global dedup can't express."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.when(
+            F.col("doc_id") % 10 < 6,
+            F.concat(F.col("text"), F.lit(" please accept "),
+                     F.col("source"), F.lit(" cookie policy")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.boilerplate_stats(
+        d, "source", "doc_id", "text", k=2, min_frac=_BP_MINFRAC)
+
+
+SQL_BOILERPLATE = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 < 6
+              THEN text || ' please accept ' || source || ' cookie policy'
+              ELSE text END AS text
+  FROM documents
+),
+t AS (SELECT doc_id, source, {_SQL_TOKS} AS tk FROM docs),
+sh AS (
+  SELECT DISTINCT doc_id, source, unnest(
+    list_transform(generate_series(1, greatest(len(tk) - 1, 1)),
+                   i -> array_to_string(tk[i:i+1], ' '))) AS shingle
+  FROM t
+),
+dfq AS (SELECT source, shingle, count(*) AS ndocs
+        FROM sh GROUP BY 1, 2),
+tot AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY 1)
+SELECT t.source,
+       t.n_docs,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.ndocs >= {_BP_MINFRAC!r} * t.n_docs
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN d.ndocs >= {_BP_MINFRAC!r} * t.n_docs
+                      THEN d.ndocs ELSE 0 END) / sum(d.ndocs), 6)
+         AS boiler_occ_frac
+FROM dfq d JOIN tot t USING (source)
+GROUP BY t.source, t.n_docs
+"""
+
+
 _TOPK_SAMPLE_K = 64
 _TOPK_TOP = 10
 
@@ -4950,6 +5005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apply_changelog": q_apply_changelog,
     "equidepth_histogram": q_equidepth_histogram,
     "bloom_prune": q_bloom_prune,
+    "boilerplate": q_boilerplate,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5175,6 +5231,7 @@ ORACLE_SQL: dict[str, str] = {
     "apply_changelog": SQL_APPLY_CHANGELOG,
     "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
     "bloom_prune": SQL_BLOOM_PRUNE,
+    "boilerplate": SQL_BOILERPLATE,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
