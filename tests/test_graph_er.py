@@ -602,3 +602,52 @@ def test_apply_changelog_latest_wins_and_inserts(spark):
            for r in R.apply_changelog(snap, log, ["k"], "op",
                                       "ord").collect()}
     assert out == {2: "y2", 9: "new"}
+
+
+# ---------------------------------------------------------------------
+# k-core peel
+# ---------------------------------------------------------------------
+
+def _sym(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def test_kcore_planted_clique_survives_chain_peels(spark):
+    from twitter_to_sqlite_spark.functions.graph import kcore
+
+    # K5 clique (each node degree 4) + a pendant chain hanging off
+    # node 0: the chain peels one link per round at k=2, the clique
+    # is the exact 2-core (and 4-core)
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(0, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(_sym(clique + chain), "src long, dst long")
+
+    core2 = kcore(edges, k=2, rounds=5).collect()
+    assert sorted(r["node_id"] for r in core2) == [0, 1, 2, 3, 4]
+
+    core4 = {r["node_id"]: r["degree"] for r in kcore(edges, k=4, rounds=5).collect()}
+    assert sorted(core4) == [0, 1, 2, 3, 4]
+    assert all(d == 4 for d in core4.values())
+
+
+def test_kcore_insufficient_rounds_is_superset(spark):
+    from twitter_to_sqlite_spark.functions.graph import kcore
+
+    # chain of 6 at k=2 needs 3 rounds to vanish; 1 round leaves a
+    # strict superset of the (empty) 2-core, more rounds converge to it
+    chain = [(i, i + 1) for i in range(6)]
+    edges = spark.createDataFrame(_sym(chain), "src long, dst long")
+    assert len(kcore(edges, k=2, rounds=1).collect()) > 0
+    assert kcore(edges, k=2, rounds=4).collect() == []
+
+
+def test_kcore_monotone_in_k(spark):
+    from twitter_to_sqlite_spark.functions.graph import kcore
+
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    extra = [(0, 20), (1, 20), (2, 20)]  # node 20 has degree 3
+    edges = spark.createDataFrame(_sym(clique + extra), "src long, dst long")
+    n3 = {r["node_id"] for r in kcore(edges, k=3, rounds=6).collect()}
+    n5 = {r["node_id"] for r in kcore(edges, k=5, rounds=6).collect()}
+    assert n5 <= n3
+    assert 20 in n3 and 20 not in n5

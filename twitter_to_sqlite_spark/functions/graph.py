@@ -159,3 +159,55 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
             ).alias("clustering"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 6,
+          src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Bounded-round k-core peel of an undirected (symmetric) edge
+    list: each round drops every node with degree < k, then both
+    endpoints' edges — the classic iterative peeling, run a FIXED
+    number of rounds so another engine can replay the trajectory
+    relationally (the same fixed-iteration device as :func:`pagerank`).
+
+    Exact semantics: the survivor set only shrinks round over round,
+    and the true k-core is a fixpoint of the peel — so the result is
+    the exact k-core whenever the peel converges within `rounds`
+    (a round that removes nothing), and a superset upper bound
+    otherwise. Callers wanting a convergence certificate can compare
+    kcore(e, k, r) against kcore(e, k, r + 1).
+
+    Returns (node_id, degree) for surviving nodes, degree measured in
+    the peeled graph.
+
+    Scale: each round is one node-keyed partial-agg (degrees) and two
+    semi-joins of the edge list against the (shrinking) keep set — all
+    equi-joins on node ids, no pair generation, and the edge list only
+    ever shrinks. Lineage is truncated per round (localCheckpoint) so
+    the plan doesn't deepen with `rounds`. At 100 TB the peel is
+    edges-linear per round with the same shuffle key throughout, so
+    co-partitioning carries across rounds.
+
+    Reference analogue: the follower/friend graph tables
+    (twitter_to_sqlite/cli.py followers command) — k-core is the
+    standard community-density screen over exactly such edge lists.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src", "leftsemi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node_id"), "degree")
+    )

@@ -2480,6 +2480,84 @@ GROUP BY l.l_returnflag
 """
 
 
+_KCORE_K = 4
+_KCORE_ROUNDS = 6
+_KCORE_MOD = 20
+
+
+def q_kcore(spark, sf_dir):
+    """k-core peel (functions/graph.py::kcore, k=4, 6 rounds) of the
+    hash-sparsified trade graph: the customer↔supplier edge list
+    thinned to the deterministic 5% of pairs whose md5 ∈ 0 (mod 20) —
+    sparsification brings the expander-ish bipartite graph to the
+    critical regime where peeling actually cascades (the full graph's
+    min degree exceeds k, making the peel a no-op). Fixed rounds make
+    the trajectory engine-replayable; at sf0.1 the peel converges
+    within the budget so the output IS the exact 4-core."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(_PR_SUPP_OFFSET)).alias("s"),
+        )
+        .distinct()
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("c"), F.col("s"))),
+                    1, 15),
+                16, 10,
+            ).cast("long") % _KCORE_MOD == 0
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"),
+                               F.col("c").alias("dst")))
+    return graph.kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    """Unrolled peel replay: one (keep, edge) CTE pair per round."""
+    ctes = [f"""pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + {_PR_SUPP_OFFSET} AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+samp AS (
+  SELECT c, s FROM pairs
+  WHERE ('0x' || substring(md5(c::VARCHAR || ':' || s::VARCHAR), 1, 15))
+          ::BIGINT % {_KCORE_MOD} = 0
+),
+e0 AS (
+  SELECT c AS src, s AS dst FROM samp
+  UNION ALL
+  SELECT s AS src, c AS dst FROM samp
+)"""]
+    # AS MATERIALIZED: each e{i} is referenced twice (k{i+1} and
+    # e{i+1}); DuckDB inlines plain CTEs, which would expand the peel
+    # chain 2^rounds-fold (measured 121s -> 0.2s at sf0.01).
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(f"""k{i} AS MATERIALIZED (
+  SELECT src FROM e{i - 1} GROUP BY src HAVING count(*) >= {_KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN k{i} a ON e.src = a.src
+  JOIN k{i} b ON e.dst = b.src
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT src AS node_id, CAST(count(*) AS BIGINT) AS degree
+FROM e{_KCORE_ROUNDS} GROUP BY src"""
+    )
+
+
+SQL_KCORE = _kcore_sql()
+
+
 _BP_MINFRAC = 0.5
 
 
@@ -5006,6 +5084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "equidepth_histogram": q_equidepth_histogram,
     "bloom_prune": q_bloom_prune,
     "boilerplate": q_boilerplate,
+    "kcore": q_kcore,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5232,6 +5311,7 @@ ORACLE_SQL: dict[str, str] = {
     "equidepth_histogram": SQL_EQUIDEPTH_HISTOGRAM,
     "bloom_prune": SQL_BLOOM_PRUNE,
     "boilerplate": SQL_BOILERPLATE,
+    "kcore": SQL_KCORE,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
