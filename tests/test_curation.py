@@ -686,3 +686,46 @@ def test_split_leakage_detects_planted_cross_split_dups(spark, sf_dir):
     assert rows
     assert all(r.n_pairs > 0 for r in rows)
     assert any(not r.is_leak for r in rows)  # same-split pairs exist
+
+
+# ---------------------------------------------------------------------
+# containment (doc-in-doc) pairs
+# ---------------------------------------------------------------------
+
+def test_containment_finds_excerpt_jaccard_misses(spark):
+    from twitter_to_sqlite_spark.functions import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    excerpt = " ".join(base.split()[:8])  # 40% prefix
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, excerpt), (3, other)], "doc_id long, text string")
+
+    cont = dedup.containment_pairs(df, threshold=0.9).collect()
+    assert [(r["contained_id"], r["container_id"]) for r in cont] == [(2, 1)]
+    assert cont[0]["containment"] == 1.0
+
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert all((r["id_a"], r["id_b"]) != (1, 2) for r in jac)
+
+
+def test_containment_equal_size_reports_lesser_id(spark):
+    from twitter_to_sqlite_spark.functions import dedup
+
+    t = "red orange yellow green blue indigo violet"
+    df = spark.createDataFrame([(7, t), (4, t)], "doc_id long, text string")
+    got = dedup.containment_pairs(df, threshold=0.9).collect()
+    assert len(got) == 1
+    assert (got[0]["contained_id"], got[0]["container_id"]) == (4, 7)
+
+
+def test_containment_threshold_filters(spark):
+    from twitter_to_sqlite_spark.functions import dedup
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    half = "w1 w2 w3 w4 w5 x1 x2 x3 x4 x5"  # ~half the shingles differ
+    df = spark.createDataFrame([(1, a), (2, half)], "doc_id long, text string")
+    assert dedup.containment_pairs(df, threshold=0.9).collect() == []
+    low = dedup.containment_pairs(df, threshold=0.3).collect()
+    assert len(low) == 1

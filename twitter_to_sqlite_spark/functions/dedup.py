@@ -361,6 +361,63 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      threshold: float = 0.9,
+                      max_df: int | None = None) -> DataFrame:
+    """Directed containment near-dup pairs: C(A⊂B) = |A∩B| / |A| over
+    k-gram shingle sets, reported for the SMALLER set of each pair.
+
+    The asymmetric complement of :func:`ngram_jaccard_pairs`: a quote
+    or excerpt wholly contained in a longer document has containment
+    ≈ 1 while its Jaccard is only |A|/|B| — so symmetric dedup never
+    sees it. Pretraining pipelines use exactly this signal to drop
+    subsumed fragments (quote pages, partial mirrors, chunked copies)
+    while keeping the containing original.
+
+    Same single inverted-index plan as the Jaccard form (shingle
+    self-join, id_a < id_b, Σ df² bounded by `max_df` stop-shingles);
+    only the normalization differs: inter / min(|A|,|B|). Equal-size
+    identical sets report the lesser id as the contained one. Returns
+    (contained_id, container_id, inter, size_contained,
+    size_container, containment).
+    """
+    df = spread(df)
+    sh = shingles(df, id_col, text_col, k)
+    from pyspark.sql import Window
+
+    if max_df is not None:
+        sh = sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).filter(F.col("__df") <= max_df)
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    rows = sh.select("shingle", F.struct("id", "sz").alias("item"))
+    inter = (
+        _pairs_within_buckets(rows, ["shingle"])
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("size_a"), F.col("b.sz").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    small_first = F.col("size_a") <= F.col("size_b")
+    return (
+        inter.select(
+            F.when(small_first, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(small_first, F.col("id_b")).otherwise(F.col("id_a"))
+            .alias("container_id"),
+            "inter",
+            F.least("size_a", "size_b").alias("size_contained"),
+            F.greatest("size_a", "size_b").alias("size_container"),
+            F.round(
+                F.col("inter") / F.least("size_a", "size_b"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3) -> DataFrame:
     """Per-document duplicated-n-gram fraction: of a doc's distinct

@@ -2480,6 +2480,80 @@ GROUP BY l.l_returnflag
 """
 
 
+_CONT_OFFSET = 9_000_000
+_CONT_FRAC = 0.4
+_CONT_TAU = 0.9
+_CONT_MAX_DF = 20
+
+
+def q_containment(spark, sf_dir):
+    """Directed containment dedup (functions/dedup.py::
+    containment_pairs): 20 planted excerpt docs — the first 40% of a
+    base doc's tokens — must be flagged as contained in their bases
+    with containment ≈ 1, though their Jaccard (≈ |A|/|B| ≈ 0.4) is
+    invisible to the symmetric pass at τ=0.5. The quote/partial-mirror
+    screen of a pretraining pipeline; same inverted-index cost
+    envelope as dedup_jaccard (Σ df² with stop-shingle cap)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                    lambda t: F.length(t) > 0)
+    excerpts = (
+        d.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks, 1,
+                    F.ceil(F.size(toks) * F.lit(_CONT_FRAC)).cast("int"),
+                ),
+            ).alias("text"),
+        )
+    )
+    return dedup.containment_pairs(
+        d.unionByName(excerpts), "doc_id", "text",
+        k=3, threshold=_CONT_TAU, max_df=_CONT_MAX_DF)
+
+
+SQL_CONTAINMENT = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+docs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_CONT_OFFSET} AS doc_id,
+         array_to_string(
+           tk[1:CAST(ceil(len(tk) * {_CONT_FRAC!r}) AS BIGINT)], ' ')
+           AS text
+  FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM base)
+  WHERE doc_id < 20
+),
+sh AS ({_SQL_SHINGLES}),
+shf AS (
+  SELECT id, shingle FROM (
+    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+  ) WHERE df <= {_CONT_MAX_DF}
+),
+sz AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT CASE WHEN sa.sz <= sb.sz THEN id_a ELSE id_b END AS contained_id,
+         CASE WHEN sa.sz <= sb.sz THEN id_b ELSE id_a END AS container_id,
+         inter,
+         least(sa.sz, sb.sz) AS size_contained,
+         greatest(sa.sz, sb.sz) AS size_container,
+         round(inter / least(sa.sz, sb.sz), 6) AS containment
+  FROM inter
+  JOIN sz sa ON sa.id = id_a
+  JOIN sz sb ON sb.id = id_b
+)
+SELECT * FROM scored WHERE containment >= {_CONT_TAU!r}
+"""
+
+
 _KCORE_K = 4
 _KCORE_ROUNDS = 6
 _KCORE_MOD = 20
@@ -5085,6 +5159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune": q_bloom_prune,
     "boilerplate": q_boilerplate,
     "kcore": q_kcore,
+    "containment": q_containment,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5312,6 +5387,7 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_prune": SQL_BLOOM_PRUNE,
     "boilerplate": SQL_BOILERPLATE,
     "kcore": SQL_KCORE,
+    "containment": SQL_CONTAINMENT,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
