@@ -908,3 +908,74 @@ def test_snapshot_diff_apply_inverse_law(spark, old_rows, new_rows):
     applied = R.apply_changelog(old, log, ["k"], "op", "ord")
     assert sorted((r.k, r.v) for r in applied.collect()) \
         == sorted(n_rows)
+
+
+IVM_BASE = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),          # group
+              st.one_of(st.none(),
+                        st.integers(min_value=-5, max_value=5))),
+    min_size=0, max_size=12,
+)
+# changelog ops: (group, value, +1 insert / -1 retract-from-base)
+IVM_LOG = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.one_of(st.none(),
+                        st.integers(min_value=-5, max_value=5)),
+              st.sampled_from([1, -1])),
+    min_size=0, max_size=8,
+)
+
+
+@given(base_rows=IVM_BASE, log=IVM_LOG)
+@SETTINGS
+def test_incremental_agg_merge_equals_recompute(spark, base_rows, log):
+    """View-maintenance law: merging the stored (COUNT, SUM) partials
+    with a weighted changelog's delta aggregate equals recomputing the
+    aggregate over the maintained multiset — for ARBITRARY bases and
+    logs whose retractions actually exist in the base (multiset
+    discipline), including NULL values and groups that vanish."""
+    from twitter_to_sqlite_spark.operators import relational as R
+    import collections
+
+    from pyspark.sql import functions as F
+
+    base_ms = collections.Counter(base_rows)
+    # keep only retractions the base can honor, so the maintained
+    # multiset stays well-defined; inserts are always legal
+    applied, ms = [], collections.Counter(base_ms)
+    for g, v, w in log:
+        if w == 1:
+            ms[(g, v)] += 1
+            applied.append((g, v, 1))
+        elif ms[(g, v)] > 0:
+            ms[(g, v)] -= 1
+            applied.append((g, v, -1))
+
+    sch = "g int, v int"
+    base = spark.createDataFrame(base_rows or [(None, None)], sch) \
+        .filter("g is not null")
+    base_agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_vals"),
+        F.sum(F.col("v").cast("decimal(18,4)")).alias("v_sum"))
+    changes = spark.createDataFrame(
+        applied or [(None, None, None)], "g int, v int, w int") \
+        .filter("g is not null")
+    delta = R.weighted_delta_agg(changes, ["g"], "w", "v")
+    got = {
+        r["g"]: (r["n_rows"], r["n_vals"],
+                 None if r["v_sum"] is None else float(r["v_sum"]))
+        for r in R.merge_agg_delta(base_agg, delta, ["g"]).collect()
+    }
+
+    want = {}
+    for (g, v), n in ms.items():
+        if g is None or n <= 0:
+            continue
+        cnt, nv, s = want.get(g, (0, 0, 0.0))
+        want[g] = (cnt + n,
+                   nv + (n if v is not None else 0),
+                   s + (v * n if v is not None else 0.0))
+    want = {g: (c, nv, s if nv else None)
+            for g, (c, nv, s) in want.items() if c > 0}
+    assert got == want

@@ -1104,6 +1104,86 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame,
     return j.filter(keep).select(*out_cols)
 
 
+def weighted_delta_agg(changes: DataFrame, key_cols: list[str],
+                       weight_col: str, value_col: str) -> DataFrame:
+    """Fold a weighted changelog (+1 insert / −1 retraction rows) into
+    per-group aggregate deltas: (keys, n_rows = Σw, v_sum =
+    Σ w·value). Updates are encoded as a retraction of the old row
+    plus an insertion of the new one — the standard z-relation /
+    incremental-view-maintenance encoding. The value term is summed in
+    DECIMAL(18,4) so the delta is exact and commutes with the base
+    (no float-order drift between maintain-and-merge and recompute).
+
+    Rows whose value is NULL still move ``n_rows`` (a retraction of a
+    NULL-valued row must decrement the count) while leaving ``v_sum``
+    untouched, matching COUNT(*)/SUM semantics on both engines.
+
+    ``n_vals`` (Σ w over non-NULL values) is maintained alongside:
+    without it, a merged partial cannot distinguish "contributions
+    canceled to 0" from "only NULL values remain", and SUM's
+    all-NULL→NULL contract breaks (caught by the hypothesis law).
+    """
+    w = F.col(weight_col).cast("long")
+    return (
+        changes.groupBy(*key_cols)
+        .agg(
+            F.sum(w).alias("n_rows"),
+            F.sum(
+                F.when(F.col(value_col).isNotNull(), w)
+                .otherwise(F.lit(0))
+            ).alias("n_vals"),
+            F.sum(
+                (w * F.col(value_col)).cast("decimal(18,4)")
+            ).alias("v_sum"),
+        )
+    )
+
+
+def merge_agg_delta(base: DataFrame, delta: DataFrame,
+                    key_cols: list[str], n_col: str = "n_rows",
+                    sum_col: str = "v_sum") -> DataFrame:
+    """Incremental maintenance of a (COUNT, SUM) materialized
+    aggregate: merge the stored per-group partials with a changelog's
+    deltas (from :func:`weighted_delta_agg`) WITHOUT rescanning the
+    base rows. One full-outer key join of two already-aggregated
+    frames; groups whose maintained count reaches 0 disappear, new
+    groups appear from the delta side. Because both sides carry exact
+    DECIMAL sums, merge(base, delta) is provably equal to recomputing
+    the aggregate over the maintained table — the invariant the
+    catalog query's oracle checks by doing exactly that recompute.
+
+    Scale: this is THE reason to maintain a 100 TB fact table's
+    rollups incrementally — the join touches |groups| + |changed
+    groups| rows, never the fact table. With AQE both inputs are
+    small enough to broadcast in practice.
+    """
+    b = base.select(
+        *key_cols,
+        F.col(n_col).alias("__bn"), F.col("n_vals").alias("__bk"),
+        F.col(sum_col).alias("__bv"))
+    d = delta.select(
+        *key_cols,
+        F.col(n_col).alias("__dn"), F.col("n_vals").alias("__dk"),
+        F.col(sum_col).alias("__dv"))
+    j = b.join(d, key_cols, "full_outer")
+    n = (F.coalesce(F.col("__bn"), F.lit(0))
+         + F.coalesce(F.col("__dn"), F.lit(0)))
+    nv = (F.coalesce(F.col("__bk"), F.lit(0))
+          + F.coalesce(F.col("__dk"), F.lit(0)))
+    zero = F.lit(0).cast("decimal(18,4)")
+    # SUM's all-NULL contract: once no non-NULL contribution remains,
+    # the maintained sum must report NULL, not a canceled-out 0
+    v = F.when(
+        nv == 0, F.lit(None).cast("decimal(18,4)")
+    ).otherwise(F.coalesce(F.col("__bv"), zero)
+                + F.coalesce(F.col("__dv"), zero))
+    return (
+        j.select(*key_cols, n.alias(n_col), nv.alias("n_vals"),
+                 v.alias(sum_col))
+        .filter(F.col(n_col) != 0)
+    )
+
+
 def trailing_zscore(df: DataFrame, key_col: str, order_col: str,
                     val_col: str, window: int = 16,
                     min_points: int = 8,

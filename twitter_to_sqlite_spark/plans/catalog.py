@@ -2369,6 +2369,56 @@ WHERE latest.op IS NULL OR latest.op = 'upsert'
 """
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance (operators/
+    relational.py::weighted_delta_agg + merge_agg_delta): 'yesterday's
+    per-event_type (COUNT, DECIMAL SUM) rollup is maintained under a
+    changelog — late arrivals (event_id % 101 = 0) as +1 rows,
+    retractions (% 103 = 0 of rows present in the base) as −1 rows —
+    by merging stored partials with the delta aggregate, never
+    rescanning the base. The oracle RECOMPUTES the rollup from the
+    maintained table directly, so parity IS the view-maintenance law:
+    maintain-then-merge ≡ recompute. Exact because both engines sum
+    in DECIMAL(18,4)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("event_type").isNotNull()
+                & F.col("event_id").isNotNull())
+    )
+    base = e.filter(F.col("event_id") % 101 != 0)
+    base_agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_vals"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("v_sum"),
+    )
+    inserts = e.filter(F.col("event_id") % 101 == 0) \
+        .withColumn("w", F.lit(1))
+    deletes = e.filter((F.col("event_id") % 103 == 0)
+                       & (F.col("event_id") % 101 != 0)) \
+        .withColumn("w", F.lit(-1))
+    delta = R.weighted_delta_agg(
+        inserts.unionByName(deletes), ["event_type"], "w", "value")
+    merged = R.merge_agg_delta(base_agg, delta, ["event_type"])
+    return merged.select(
+        "event_type", "n_rows", "n_vals",
+        F.col("v_sum").cast("double").alias("v_sum"))
+
+
+SQL_INCREMENTAL_AGG = """
+WITH maintained AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    AND NOT (event_id % 103 = 0 AND event_id % 101 != 0)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(value) AS BIGINT) AS n_vals,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+FROM maintained GROUP BY event_type
+"""
+
+
 _EQD_QS = (0.25, 0.5, 0.75)
 
 
@@ -5160,6 +5210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate": q_boilerplate,
     "kcore": q_kcore,
     "containment": q_containment,
+    "incremental_agg": q_incremental_agg,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5388,6 +5439,7 @@ ORACLE_SQL: dict[str, str] = {
     "boilerplate": SQL_BOILERPLATE,
     "kcore": SQL_KCORE,
     "containment": SQL_CONTAINMENT,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
