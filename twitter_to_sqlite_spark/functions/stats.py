@@ -1,0 +1,136 @@
+"""Moment-based statistics: correlation matrices and A/B tests.
+
+Both operators reduce to ONE partial-aggregate scan collecting raw
+moment sums (n, Σx, Σy, Σxy, Σx², Σy²) and derive the statistic from
+the moments with an arithmetic expression — the only shape that
+(a) scales: a 100 TB fact table is one map-side-combined agg job, no
+shuffle beyond the tiny per-group partials, and (b) cross-engine
+reproduces: Spark's `corr`/`stddev` and DuckDB's use different
+one-pass update formulas whose float noise diverges, while identical
+moment sums fed through an identical expression agree to rounding.
+
+Reference analogue: the reference's analytics surface is
+count/min/max folds (twitter_to_sqlite/utils.py fetch_timeline's
+since_id bookkeeping); these are the continuous-metric analogue a
+warehouse user expects from the same tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moments(x, y):
+    """The five sufficient statistics of a (x, y) pair. Sums are
+    carried in DECIMAL(18,4) (values quantized HALF_UP to 4 decimals
+    first — lossless for money-style columns) so the moments are
+    EXACT and order-independent: the n·Σxy − Σx·Σy cancellation then
+    has zero accumulation noise on either engine."""
+    xd = x.cast("decimal(18,4)")
+    yd = y.cast("decimal(18,4)")
+    return [
+        F.count(F.when(x.isNotNull() & y.isNotNull(), F.lit(1))),
+        F.sum(F.when(y.isNotNull(), xd)),
+        F.sum(F.when(x.isNotNull(), yd)),
+        F.sum(xd * yd),
+        F.sum(F.when(y.isNotNull(), xd * xd)),
+        F.sum(F.when(x.isNotNull(), yd * yd)),
+    ]
+
+
+def corr_pairs(df: DataFrame, pairs: list[tuple[str, str]],
+               decimals: int = 4) -> DataFrame:
+    """Pearson correlation for each named column pair, all pairs in
+    ONE aggregate scan. Rows where either side is NULL are excluded
+    pairwise (SQL corr semantics). Returns (x_col, y_col, n, corr) —
+    corr NULL when a side is constant or n < 2.
+
+    r = (n·Σxy − Σx·Σy) / sqrt(n·Σx² − (Σx)²) / sqrt(n·Σy² − (Σy)²),
+    evaluated on the collected moments in the same operation order as
+    the oracle so the rounded result is engine-stable.
+    """
+    aggs = []
+    for i, (xc, yc) in enumerate(pairs):
+        x = F.col(xc).cast("double")
+        y = F.col(yc).cast("double")
+        for j, m in enumerate(_moments(x, y)):
+            aggs.append(m.alias(f"__m{i}_{j}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for i, (xc, yc) in enumerate(pairs):
+        n = F.col(f"__m{i}_0").cast("double")
+        sx = F.col(f"__m{i}_1").cast("double")
+        sy = F.col(f"__m{i}_2").cast("double")
+        sxy = F.col(f"__m{i}_3").cast("double")
+        sxx = F.col(f"__m{i}_4").cast("double")
+        syy = F.col(f"__m{i}_5").cast("double")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when(
+            (n >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx) / F.sqrt(vy),
+                    decimals),
+        )
+        rows.append(F.struct(
+            F.lit(xc).alias("x_col"), F.lit(yc).alias("y_col"),
+            F.col(f"__m{i}_0").alias("n"), r.alias("corr")))
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("__s"))
+        .select("__s.x_col", "__s.y_col", "__s.n", "__s.corr")
+    )
+
+
+def ab_welch(df: DataFrame, group_col: str, variant_col,
+             value_col: str, decimals: int = 4,
+             z_crit: float = 1.96) -> DataFrame:
+    """Per-group two-sample Welch z-test between variant 0 and
+    variant 1 of ``variant_col`` (a 0/1 integer column or expression —
+    e.g. a deterministic hash of the unit id, so assignment is
+    reproducible across engines and retries).
+
+    One grouped aggregate collecting both variants' moments via
+    conditional sums (no second shuffle, no self-join), then
+    z = (mean₁ − mean₀) / sqrt(s₀²/n₀ + s₁²/n₁) with sample variances
+    from the moments. The flag tests the ROUNDED z against z_crit so
+    both engines decide the boundary identically. Returns (group,
+    n_0, n_1, mean_0, mean_1, z_score, significant) — z NULL until
+    both arms have ≥ 2 values and positive variance.
+    """
+    v = F.col(value_col).cast("double")
+    arm = F.col(variant_col) if isinstance(variant_col, str) \
+        else variant_col
+    d = df.withColumn("__v", v).filter(F.col("__v").isNotNull())
+    d = d.withColumn("__a", arm.cast("int"))
+
+    def side(bit):
+        cond = F.col("__a") == bit
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{bit}"),
+            F.sum(F.when(cond, F.col("__v"))).alias(f"__s{bit}"),
+            F.sum(F.when(cond, F.col("__v") * F.col("__v")))
+            .alias(f"__q{bit}"),
+        ]
+
+    g = d.groupBy(F.col(group_col)).agg(*(side(0) + side(1)))
+    out = [F.col(group_col), F.col("n_0"), F.col("n_1")]
+    means, vars_ = [], []
+    for b in (0, 1):
+        n = F.col(f"n_{b}").cast("double")
+        s, q = F.col(f"__s{b}"), F.col(f"__q{b}")
+        means.append(F.round(s / n, decimals).alias(f"mean_{b}"))
+        vars_.append((q - s * s / n) / (n - 1))
+    z = F.when(
+        (F.col("n_0") >= 2) & (F.col("n_1") >= 2)
+        & (vars_[0] + vars_[1] > 0),
+        F.round(
+            (F.col("__s1") / F.col("n_1") - F.col("__s0") / F.col("n_0"))
+            / F.sqrt(vars_[1] / F.col("n_1") + vars_[0] / F.col("n_0")),
+            decimals,
+        ),
+    )
+    return g.select(
+        *out, *means, z.alias("z_score"),
+        F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False))
+        .alias("significant"),
+    )

@@ -2369,6 +2369,115 @@ WHERE latest.op IS NULL OR latest.op = 'upsert'
 """
 
 
+_CORR_PAIRS = [("l_quantity", "l_extendedprice"),
+               ("l_extendedprice", "l_discount"),
+               ("l_quantity", "l_tax")]
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations over lineitem metrics
+    (functions/stats.py::corr_pairs): all three pairs' raw moments
+    collected in ONE map-side-combined aggregate scan, the statistic
+    derived from the moments in a fixed expression order — the
+    profiling shape that cross-engine reproduces where built-in
+    corr()'s streaming update formulas don't, and that costs one agg
+    job on a 100 TB fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    from twitter_to_sqlite_spark.functions import stats
+
+    return stats.corr_pairs(li, _CORR_PAIRS)
+
+
+def _corr_sql() -> str:
+    sel, arms = [], []
+    for i, (xc, yc) in enumerate(_CORR_PAIRS):
+        # DECIMAL(28,4): int128-backed so DuckDB's product doesn't
+        # overflow the int64 decimal kernel (values are identical)
+        x = f"CAST({xc} AS DECIMAL(28,4))"
+        y = f"CAST({yc} AS DECIMAL(28,4))"
+        sel.append(
+            f"count(CASE WHEN {xc} IS NOT NULL AND {yc} IS NOT NULL "
+            f"THEN 1 END) AS m{i}_0, "
+            f"sum(CASE WHEN {yc} IS NOT NULL THEN {x} END)::DOUBLE AS m{i}_1, "
+            f"sum(CASE WHEN {xc} IS NOT NULL THEN {y} END)::DOUBLE AS m{i}_2, "
+            f"sum({x} * {y})::DOUBLE AS m{i}_3, "
+            f"sum(CASE WHEN {yc} IS NOT NULL THEN {x} * {x} END)::DOUBLE "
+            f"AS m{i}_4, "
+            f"sum(CASE WHEN {xc} IS NOT NULL THEN {y} * {y} END)::DOUBLE "
+            f"AS m{i}_5")
+        arms.append(f"""SELECT '{xc}' AS x_col, '{yc}' AS y_col,
+       m{i}_0 AS n,
+       CASE WHEN m{i}_0 >= 2
+                 AND m{i}_0 * m{i}_4 - m{i}_1 * m{i}_1 > 0
+                 AND m{i}_0 * m{i}_5 - m{i}_2 * m{i}_2 > 0
+            THEN round((m{i}_0 * m{i}_3 - m{i}_1 * m{i}_2)
+                       / sqrt(m{i}_0 * m{i}_4 - m{i}_1 * m{i}_1)
+                       / sqrt(m{i}_0 * m{i}_5 - m{i}_2 * m{i}_2), 4)
+       END AS corr
+FROM w""")
+    return ("WITH w AS (SELECT " + ", ".join(sel)
+            + " FROM lineitem)\n" + "\nUNION ALL\n".join(arms))
+
+
+SQL_CORR_MATRIX = _corr_sql()
+
+
+_AB_ZCRIT = 1.96
+
+
+def q_ab_test(spark, sf_dir):
+    """Per-event_type Welch z-test (functions/stats.py::ab_welch)
+    between the deterministic variant arms user_id % 2 — the
+    experiment-analysis readout. One grouped aggregate collects both
+    arms' moments via conditional sums (no self-join, no second
+    shuffle); the significance flag tests the ROUNDED z so both
+    engines decide the 1.96 boundary identically."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    from twitter_to_sqlite_spark.functions import stats
+
+    return stats.ab_welch(e, "event_type", F.col("user_id") % 2,
+                          "value", z_crit=_AB_ZCRIT)
+
+
+SQL_AB_TEST = f"""
+WITH d AS (
+  SELECT event_type, (user_id % 2)::INT AS a, value::DOUBLE AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL
+),
+g AS (
+  SELECT event_type,
+         sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS n_0,
+         sum(CASE WHEN a = 0 THEN v END) AS s0,
+         sum(CASE WHEN a = 0 THEN v * v END) AS q0,
+         sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS n_1,
+         sum(CASE WHEN a = 1 THEN v END) AS s1,
+         sum(CASE WHEN a = 1 THEN v * v END) AS q1
+  FROM d GROUP BY event_type
+),
+z AS (
+  SELECT event_type, n_0, n_1,
+         round(s0 / n_0, 4) AS mean_0,
+         round(s1 / n_1, 4) AS mean_1,
+         CASE WHEN n_0 >= 2 AND n_1 >= 2
+                   AND (q0 - s0 * s0 / n_0) / (n_0 - 1)
+                     + (q1 - s1 * s1 / n_1) / (n_1 - 1) > 0
+              THEN round((s1 / n_1 - s0 / n_0)
+                         / sqrt((q1 - s1 * s1 / n_1) / (n_1 - 1) / n_1
+                              + (q0 - s0 * s0 / n_0) / (n_0 - 1) / n_0),
+                         4)
+         END AS z_score
+  FROM g
+)
+SELECT event_type, CAST(n_0 AS BIGINT) AS n_0,
+       CAST(n_1 AS BIGINT) AS n_1, mean_0, mean_1, z_score,
+       coalesce(abs(z_score) > {_AB_ZCRIT!r}, false) AS significant
+FROM z
+"""
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-aggregate maintenance (operators/
     relational.py::weighted_delta_agg + merge_agg_delta): 'yesterday's
@@ -5211,6 +5320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "containment": q_containment,
     "incremental_agg": q_incremental_agg,
+    "corr_matrix": q_corr_matrix,
+    "ab_test": q_ab_test,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5440,6 +5551,8 @@ ORACLE_SQL: dict[str, str] = {
     "kcore": SQL_KCORE,
     "containment": SQL_CONTAINMENT,
     "incremental_agg": SQL_INCREMENTAL_AGG,
+    "corr_matrix": SQL_CORR_MATRIX,
+    "ab_test": SQL_AB_TEST,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
