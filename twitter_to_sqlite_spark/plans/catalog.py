@@ -2369,6 +2369,53 @@ WHERE latest.op IS NULL OR latest.op = 'upsert'
 """
 
 
+def q_event_paths(spark, sf_dir):
+    """Length-3 user-journey mining: every consecutive
+    (type → type → type) window in each user's time-ordered stream,
+    counted corpus-wide with its share — the path-frequency extension
+    of transition_matrix (order-2 Markov evidence vs its order-1).
+    Same cost envelope: ONE user-keyed window shuffle computes both
+    leads, one partial-agg shuffle on the path; the path dictionary
+    is bounded by |types|³, so the agg state is tiny at any corpus
+    size."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                           "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy()
+    return paths.select(
+        "path", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("share"),
+    )
+
+
+SQL_EVENT_PATHS = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || '>' || t2 || '>' || t3 AS path,
+         count(*) AS n
+  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (), 6) AS share
+FROM paths
+"""
+
+
 _CORR_PAIRS = [("l_quantity", "l_extendedprice"),
                ("l_extendedprice", "l_discount"),
                ("l_quantity", "l_tax")]
@@ -5322,6 +5369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg": q_incremental_agg,
     "corr_matrix": q_corr_matrix,
     "ab_test": q_ab_test,
+    "event_paths": q_event_paths,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5553,6 +5601,7 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "corr_matrix": SQL_CORR_MATRIX,
     "ab_test": SQL_AB_TEST,
+    "event_paths": SQL_EVENT_PATHS,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
