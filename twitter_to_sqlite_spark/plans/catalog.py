@@ -3060,7 +3060,9 @@ def q_ann_tuning(spark, sf_dir):
     engine-stable. Scale: every leg is queries-broadcast ×
     corpus-scan; the exact leg is computed once (lazy localCheckpoint)
     and each per-setting eval joins only |queries|·k rows."""
-    e = _t(spark, sf_dir, "embeddings")
+    # one materialization feeds all 11 legs' corpus AND query sides —
+    # without it the sweep re-scans the embeddings parquet ~20x
+    e = _t(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
     q = e.filter(F.col("vec_id") < _TUNE_NQ)
     exact = similarity.brute_force_topk(e, q, k=_TUNE_K) \
         .localCheckpoint(eager=False)
