@@ -651,3 +651,45 @@ def test_kcore_monotone_in_k(spark):
     n5 = {r["node_id"] for r in kcore(edges, k=5, rounds=6).collect()}
     assert n5 <= n3
     assert 20 in n3 and 20 not in n5
+
+
+# ---------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from twitter_to_sqlite_spark.functions.graph import label_propagation
+
+    # two K4 cliques joined by one bridge edge: LPA must settle each
+    # clique on its min node id and keep the two communities distinct
+    a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    b = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(_sym(a + b + bridge), "src long, dst long")
+    got = {r["node_id"]: r["community"]
+           for r in label_propagation(edges, rounds=6).collect()}
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(10, 14)} == {10}
+
+
+def test_lpa_deterministic_across_runs(spark):
+    from twitter_to_sqlite_spark.functions.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        _sym([(i, (i * 7) % 20) for i in range(20) if i != (i * 7) % 20]),
+        "src long, dst long")
+    r1 = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    r2 = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    assert r1 == r2
+
+
+def test_lpa_self_vote_damps_bipartite_flip(spark):
+    from twitter_to_sqlite_spark.functions.graph import label_propagation
+
+    # star K1,3: with a self-vote the center (0) and leaves all agree
+    # on label 0 within two rounds instead of oscillating
+    edges = spark.createDataFrame(
+        _sym([(0, 1), (0, 2), (0, 3)]), "src long, dst long")
+    got = {r["node_id"]: r["community"]
+           for r in label_propagation(edges, rounds=4).collect()}
+    assert set(got.values()) == {0}

@@ -9,7 +9,7 @@ commands) are exactly the edge lists these operators consume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -211,3 +211,53 @@ def kcore(edges: DataFrame, k: int, rounds: int = 6,
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("src").alias("node_id"), "degree")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Synchronous label propagation (LPA) community detection over a
+    symmetric edge list, fixed `rounds` so the trajectory is
+    engine-replayable (the :func:`pagerank`/:func:`kcore` device).
+
+    label₀(v) = v; each round every node adopts the most frequent
+    label among its neighbors PLUS its own current label (the
+    self-vote damps the 2-cycle oscillation synchronous LPA exhibits
+    on bipartite structure), ties broken by the smallest label — the
+    fully deterministic variant of the classic Raghavan et al. rule
+    (GraphX's LPA breaks ties by hash; that can never oracle-match).
+
+    Returns (node_id, community). Scale: per round, one join of the
+    edge list against the label vector on src (edges never move if
+    pre-partitioned by src) and one (dst, label) partial-agg + one
+    per-dst argmax window — all shuffles on node ids, state is one
+    label per node. Lineage truncated per round.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(labels.select("node", "label"))
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__n").desc(), F.col("label").asc())
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("node").alias("node_id"),
+                         F.col("label").alias("community"))

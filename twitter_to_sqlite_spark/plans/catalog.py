@@ -2838,6 +2838,90 @@ FROM e{_KCORE_ROUNDS} GROUP BY src"""
 SQL_KCORE = _kcore_sql()
 
 
+_LPA_ROUNDS = 4
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Label-propagation communities (functions/graph.py::
+    label_propagation, 4 synchronous rounds, self-vote, min-label
+    ties) over the same md5-sampled 5% trade graph the k-core peel
+    uses — the density-blind complement: k-core finds the cohesive
+    core, LPA partitions everything into communities. Deterministic
+    by construction (GraphX's hash tie-break can never oracle-match);
+    the oracle replays the vote/argmax trajectory round by round."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(_PR_SUPP_OFFSET)).alias("s"),
+        )
+        .distinct()
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("c"), F.col("s"))),
+                    1, 15),
+                16, 10,
+            ).cast("long") % _KCORE_MOD == 0
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"),
+                               F.col("c").alias("dst")))
+    return graph.label_propagation(edges, rounds=_LPA_ROUNDS)
+
+
+def _lpa_sql() -> str:
+    """Unrolled LPA replay: per round a vote CTE (neighbor labels +
+    self-vote) and an argmax CTE (count DESC, label ASC). Materialized
+    — each round's labels are referenced twice."""
+    ctes = [f"""pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + {_PR_SUPP_OFFSET} AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+samp AS (
+  SELECT c, s FROM pairs
+  WHERE ('0x' || substring(md5(c::VARCHAR || ':' || s::VARCHAR), 1, 15))
+          ::BIGINT % {_KCORE_MOD} = 0
+),
+e AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM samp
+  UNION ALL
+  SELECT s AS src, c AS dst FROM samp
+),
+l0 AS MATERIALIZED (
+  SELECT node, node AS label FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e)
+)"""]
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(f"""v{i} AS (
+  SELECT node, label, count(*) AS n FROM (
+    SELECT e.dst AS node, l.label FROM e
+    JOIN l{i - 1} l ON l.node = e.src
+    UNION ALL
+    SELECT node, label FROM l{i - 1}
+  ) GROUP BY node, label
+),
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, label AS community "
+          f"FROM l{_LPA_ROUNDS}"
+    )
+
+
+SQL_LPA_COMMUNITIES = _lpa_sql()
+
+
 _BP_MINFRAC = 0.5
 
 
@@ -5372,6 +5456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_matrix": q_corr_matrix,
     "ab_test": q_ab_test,
     "event_paths": q_event_paths,
+    "lpa_communities": q_lpa_communities,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5604,6 +5689,7 @@ ORACLE_SQL: dict[str, str] = {
     "corr_matrix": SQL_CORR_MATRIX,
     "ab_test": SQL_AB_TEST,
     "event_paths": SQL_EVENT_PATHS,
+    "lpa_communities": SQL_LPA_COMMUNITIES,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
