@@ -49,3 +49,65 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     to call on any pair of catalog tables.
     """
     return spark.table(left_table).join(spark.table(right_table), keys, how)
+
+
+def zvalue(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer
+    columns, ``bits`` bits each → one 2·bits-bit locality key: rows
+    close in BOTH dimensions are close in z, so range-partitioning /
+    sorting the table by z gives every file a small bounding box in
+    (x, y) — the multi-dimensional data-clustering device (Delta/
+    Databricks OPTIMIZE ZORDER, Iceberg sort orders) that lets
+    min/max file statistics prune scans on EITHER predicate column,
+    where a plain sort only prunes its leading column.
+
+    Pure JVM bit arithmetic (a static unrolled expression — no UDF,
+    fully codegen'd); callers clamp/rescale their columns into
+    [0, 2^bits) first.
+    """
+    import functools
+    from pyspark.sql import functions as F
+
+    xs = x if not isinstance(x, str) else F.col(x)
+    ys = y if not isinstance(y, str) else F.col(y)
+    xs, ys = xs.cast("long"), ys.cast("long")
+    parts = []
+    for i in range(bits):
+        xbit = F.shiftright(xs, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(ys, i).bitwiseAND(F.lit(1))
+        parts.append(F.shiftleft(xbit, 2 * i))
+        parts.append(F.shiftleft(ybit, 2 * i + 1))
+    return functools.reduce(lambda a, b: a + b, parts)
+
+
+def zorder_layout_stats(df: DataFrame, x_col: str, y_col: str,
+                        bits: int = 16, n_files: int = 64):
+    """Plan the z-ordered layout of ``df`` and report, per target
+    file (z-range bucket), the (x, y) bounding box and row count —
+    the min/max statistics a scan planner would prune on. The file id
+    is ``z·n_files div 2^(2·bits)`` (contiguous z-ranges of equal
+    width), so the layout is a pure function of the data: both
+    engines, and every retry, assign identical files.
+
+    Returns (file_id, n_rows, x_min, x_max, y_min, y_max). The
+    companion write path is ``df.repartitionByRange(n_files,
+    zvalue(...)).sortWithinPartitions(zvalue(...))`` + parquet — the
+    stats here are exactly what those files' footers would carry.
+    """
+    from pyspark.sql import functions as F
+
+    z = zvalue(x_col, y_col, bits=bits)
+    span = 1 << (2 * bits)
+    d = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
+        z.alias("__z"))
+    d = d.withColumn(
+        "file_id", F.expr(f"(__z * {n_files}) div {span}"))
+    return (
+        d.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("x_min"), F.max("__x").alias("x_max"),
+            F.min("__y").alias("y_min"), F.max("__y").alias("y_max"),
+        )
+    )

@@ -2838,6 +2838,57 @@ FROM e{_KCORE_ROUNDS} GROUP BY src"""
 SQL_KCORE = _kcore_sql()
 
 
+_Z_BITS = 8
+_Z_FILES = 64
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order layout planning (operators/bucketing.py::zvalue +
+    zorder_layout_stats): orders quantized on (price div 2048,
+    orderdate div 10 days), Morton-interleaved, split into 64 equal
+    z-range files, and each file's (x, y) bounding box + row count
+    reported — exactly the min/max footer statistics a scan planner
+    prunes on. The point of z-ordering: every file's box is small in
+    BOTH dimensions, so predicates on EITHER column prune, where a
+    plain sort serves only its leading column. Layout is a pure
+    function of the data (no sampled range boundaries), so engines
+    and retries agree bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.expr("cast(floor(o_totalprice / 2048) as bigint)").alias("xq"),
+        F.expr("cast(datediff(cast(o_orderdate as date), "
+               "date'1995-01-01') as bigint) div 10").alias("yq"),
+    )
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    return bucketing.zorder_layout_stats(
+        d, "xq", "yq", bits=_Z_BITS, n_files=_Z_FILES)
+
+
+def _zorder_sql() -> str:
+    z = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS))
+    span = 1 << (2 * _Z_BITS)
+    return f"""
+WITH d AS (
+  SELECT CAST(floor(o_totalprice / 2048) AS BIGINT) AS x,
+         CAST(datediff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) // 10 AS y
+  FROM orders
+),
+zd AS (SELECT x, y, {z} AS z FROM d)
+SELECT (z * {_Z_FILES}) // {span} AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM zd GROUP BY 1
+"""
+
+
+SQL_ZORDER_LAYOUT = _zorder_sql()
+
+
 _LPA_ROUNDS = 4
 
 
@@ -5457,6 +5508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_test": q_ab_test,
     "event_paths": q_event_paths,
     "lpa_communities": q_lpa_communities,
+    "zorder_layout": q_zorder_layout,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5690,6 +5742,7 @@ ORACLE_SQL: dict[str, str] = {
     "ab_test": SQL_AB_TEST,
     "event_paths": SQL_EVENT_PATHS,
     "lpa_communities": SQL_LPA_COMMUNITIES,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
