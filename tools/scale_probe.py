@@ -95,6 +95,68 @@ def _pagerank_ring(d):
     return graph.pagerank(edges, iterations=4)
 
 
+def _chain_edges(d):
+    """Symmetric chain over doc ids (|E| ≈ 2|V|), shared by the
+    graph-shaped growth probes."""
+    ids = d.select("doc_id")
+    fwd = (
+        ids.select((F.col("doc_id") + 1).alias("src_next"),
+                   F.col("doc_id").alias("src"))
+        .join(ids.select(F.col("doc_id").alias("src_next")), "src_next")
+        .select("src", F.col("src_next").alias("dst"))
+    )
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _kcore_chain(d):
+    """k-core peel on the chain at k=2: interior nodes form the near-
+    fixpoint, endpoints peel — per-round cost is the probe target."""
+    from twitter_to_sqlite_spark.functions import graph
+
+    return graph.kcore(_chain_edges(d), k=2, rounds=3)
+
+
+def _lpa_chain(d):
+    from twitter_to_sqlite_spark.functions import graph
+
+    return graph.label_propagation(_chain_edges(d), rounds=3)
+
+
+def _bloom_probe(d):
+    """Fact = all ids, dim = ~1%% of ids: build cost is dim-linear,
+    probe cost fact-linear — the ratio should track rows."""
+    from twitter_to_sqlite_spark.functions import bloom
+
+    fact = d.select("doc_id", F.length("text").alias("val"))
+    dim = d.select("doc_id").filter(F.col("doc_id") % 97 == 0)
+    return bloom.bloom_prune_join(fact, dim, "doc_id")
+
+
+def _incremental_agg_probe(d):
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    e = d.select("doc_id", "lang", F.length("text").alias("val"))
+    base = e.filter(F.col("doc_id") % 11 != 0)
+    base_agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_vals"),
+        F.sum(F.col("val").cast("decimal(18,4)")).alias("v_sum"))
+    changes = e.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "w", F.lit(1))
+    delta = R.weighted_delta_agg(changes, ["lang"], "w", "val")
+    return R.merge_agg_delta(base_agg, delta, ["lang"])
+
+
+def _zorder_probe(d):
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    pts = d.select((F.col("doc_id") % 256).alias("x"),
+                   (F.expr("doc_id div 256") % 256).alias("y"))
+    return bucketing.zorder_layout_stats(pts, "x", "y",
+                                         bits=8, n_files=64)
+
+
 def _interval_probe(d):
     """Interval-join growth probe: ts = doc_id seconds (replica id
     offsets push each replica into a disjoint time range, so event
@@ -394,6 +456,18 @@ def main():
             "tok", k=256, top=20),
         "kmv_by": lambda d, v: sketch.kmv_distinct_by(
             d, "lang", "doc_id", k=256),
+        # --- r5 late additions ---
+        "boilerplate": lambda d, v: dedup.boilerplate_stats(
+            d.withColumn("source", (F.col("doc_id") % 20)
+                         .cast("string")),
+            "source", "doc_id", "text", k=2, min_frac=0.5),
+        "containment": lambda d, v: dedup.containment_pairs(
+            d, "doc_id", "text", k=3, threshold=0.9, max_df=20),
+        "bloom_prune": lambda d, v: _bloom_probe(d),
+        "kcore_chain": lambda d, v: _kcore_chain(d),
+        "lpa_chain": lambda d, v: _lpa_chain(d),
+        "incremental_agg": lambda d, v: _incremental_agg_probe(d),
+        "zorder": lambda d, v: _zorder_probe(d),
     }
     out = {}
     for name, fn in OPS.items():
