@@ -64,3 +64,24 @@ def test_ab_welch_degenerate_arms(spark):
     # one-sample arm: no z, never significant
     assert r["z_score"] is None and r["significant"] is False
     assert r["n_1"] == 1 and r["mean_1"] == 3.0
+
+
+def test_describe_numeric_exact_profile(spark):
+    df = spark.createDataFrame(
+        [(1, 10.5), (2, None), (3, 10.5), (3, -2.25)],
+        "a long, b double")
+    got = {r["column"]: r for r in stats.describe_numeric(
+        df, ["a", "b"]).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["n_rows"], a["n_null"], a["n_distinct"]) == (4, 0, 3)
+    assert (a["min_val"], a["max_val"], a["mean"]) == (1.0, 3.0, 2.25)
+    assert (b["n_rows"], b["n_null"], b["n_distinct"]) == (4, 1, 2)
+    assert b["mean"] == pytest.approx((10.5 + 10.5 - 2.25) / 3, abs=1e-4)
+
+
+def test_describe_numeric_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "a long, b double")
+    b = {r["column"]: r for r in stats.describe_numeric(
+        df, ["b"]).collect()}["b"]
+    assert b["n_null"] == 2 and b["n_distinct"] == 0
+    assert b["min_val"] is None and b["mean"] is None

@@ -134,3 +134,54 @@ def ab_welch(df: DataFrame, group_col: str, variant_col,
         F.coalesce(F.abs(z) > F.lit(z_crit), F.lit(False))
         .alias("significant"),
     )
+
+
+def describe_numeric(df: DataFrame, columns: list[str],
+                     decimals: int = 4) -> DataFrame:
+    """Exact numeric profile of the named columns — ONE aggregate
+    scan, one row out per column: (column, n_rows, n_null,
+    n_distinct, min_val, max_val, mean). The df.describe()/summary()
+    shape rebuilt for cross-engine exactness: count-distincts are
+    exact (Spark plans the multi-distinct agg via Expand — still one
+    scan), the mean is an exact DECIMAL(18,4) sum divided once, and
+    min/max/mean surface as doubles rounded to `decimals`.
+
+    Scale: a single map-side-combined aggregate job; the Expand for d
+    distinct columns replays the scan's rows d+1 ways but never
+    shuffles more than the partial-agg state. For approximate-distinct
+    at extreme cardinality use sketch.kmv_distinct instead — this is
+    the exact companion.
+    """
+    n_all = F.count(F.lit(1))
+    aggs = [n_all.alias("__n")]
+    for i, c in enumerate(columns):
+        col = F.col(c)
+        d = col.cast("double")
+        aggs += [
+            F.count(c).alias(f"__k{i}"),
+            F.countDistinct(c).alias(f"__d{i}"),
+            F.min(d).alias(f"__mn{i}"),
+            F.max(d).alias(f"__mx{i}"),
+            F.sum(col.cast("decimal(18,4)")).alias(f"__s{i}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = []
+    for i, c in enumerate(columns):
+        k = F.col(f"__k{i}")
+        rows.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - k).alias("n_null"),
+            F.col(f"__d{i}").alias("n_distinct"),
+            F.round(F.col(f"__mn{i}"), decimals).alias("min_val"),
+            F.round(F.col(f"__mx{i}"), decimals).alias("max_val"),
+            F.when(k > 0,
+                   F.round(F.col(f"__s{i}").cast("double") / k, decimals))
+            .alias("mean"),
+        ))
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("__s"))
+        .select("__s.column", "__s.n_rows", "__s.n_null",
+                "__s.n_distinct", "__s.min_val", "__s.max_val",
+                "__s.mean")
+    )

@@ -2838,6 +2838,47 @@ FROM e{_KCORE_ROUNDS} GROUP BY src"""
 SQL_KCORE = _kcore_sql()
 
 
+_DESC_COLS = ["event_id", "user_id", "value"]
+
+
+def q_describe(spark, sf_dir):
+    """Exact numeric profile of events (functions/stats.py::
+    describe_numeric): count / nulls / exact distinct / min / max /
+    DECIMAL-exact mean per column, all in ONE aggregate scan (Spark
+    plans the multi-distinct via Expand) — df.describe() rebuilt so
+    every cell cross-engine matches. The exact companion of the
+    KMV-approximate sketch_profile."""
+    e = _t(spark, sf_dir, "events")
+    from twitter_to_sqlite_spark.functions import stats
+
+    return stats.describe_numeric(e, _DESC_COLS)
+
+
+def _describe_sql() -> str:
+    sel = ["count(*) AS n"]
+    arms = []
+    for i, c in enumerate(_DESC_COLS):
+        sel += [
+            f"count({c}) AS k{i}",
+            f"count(DISTINCT {c}) AS d{i}",
+            f"min({c}::DOUBLE) AS mn{i}",
+            f"max({c}::DOUBLE) AS mx{i}",
+            f"sum(CAST({c} AS DECIMAL(18,4))) AS s{i}",
+        ]
+        arms.append(f"""SELECT '{c}' AS "column",
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(n - k{i} AS BIGINT) AS n_null,
+       CAST(d{i} AS BIGINT) AS n_distinct,
+       round(mn{i}, 4) AS min_val, round(mx{i}, 4) AS max_val,
+       CASE WHEN k{i} > 0 THEN round(s{i}::DOUBLE / k{i}, 4) END AS mean
+FROM w""")
+    return ("WITH w AS (SELECT " + ", ".join(sel)
+            + " FROM events)\n" + "\nUNION ALL\n".join(arms))
+
+
+SQL_DESCRIBE = _describe_sql()
+
+
 _Z_BITS = 8
 _Z_FILES = 64
 
@@ -5509,6 +5550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_paths": q_event_paths,
     "lpa_communities": q_lpa_communities,
     "zorder_layout": q_zorder_layout,
+    "describe": q_describe,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5743,6 +5785,7 @@ ORACLE_SQL: dict[str, str] = {
     "event_paths": SQL_EVENT_PATHS,
     "lpa_communities": SQL_LPA_COMMUNITIES,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "describe": SQL_DESCRIBE,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
