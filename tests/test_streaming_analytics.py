@@ -395,3 +395,60 @@ def test_zscore_stream_matches_batch(spark, dirs):
     # the spike was flagged, through the restart
     spike_key = (1, dt.datetime(2024, 1, 1, 0, 5))
     assert got[spike_key][1]
+
+
+def test_maintain_rollup_matches_batch_recompute(spark, tmp_path):
+    """Streaming IVM: maintaining the rollup across micro-batches
+    equals the one-shot aggregate of everything streamed — including
+    NULL values moving counts but not sums."""
+    import json as _json
+
+    from twitter_to_sqlite_spark.streaming.analytics import maintain_rollup
+    from pyspark.sql import functions as F
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    rollup = str(tmp_path / "rollup")
+
+    rows1 = [{"g": "a", "v": 1.5}, {"g": "a", "v": 2.0},
+             {"g": "b", "v": None}]
+    rows2 = [{"g": "a", "v": -1.5}, {"g": "c", "v": 7.25},
+             {"g": "b", "v": 4.0}]
+    (spool / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1))
+
+    schema = "g string, v double"
+    on_batch = maintain_rollup(spark, rollup, ["g"], "v")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).json(str(spool))
+    q = stream.writeStream.foreachBatch(on_batch) \
+        .option("checkpointLocation", str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    (spool / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows2))
+    q = stream.writeStream.foreachBatch(on_batch) \
+        .option("checkpointLocation", str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {r["g"]: (r["n_rows"], r["n_vals"], float(r["v_sum"]))
+           for r in spark.read.parquet(rollup).collect()}
+    every = spark.createDataFrame(
+        [(r["g"], r["v"]) for r in rows1 + rows2], schema)
+    want = {r["g"]: (r["n_rows"], r["n_vals"],
+                     float(r["v_sum"]) if r["v_sum"] is not None else None)
+            for r in every.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("v").alias("n_vals"),
+                F.sum(F.col("v").cast("decimal(18,4)")).alias("v_sum"))
+            .collect()}
+    # NULL-only group: stored sum is NULL; normalize for compare
+    got = {k: (a, b, c) for k, (a, b, c) in got.items()}
+    assert {k: (a, b) for k, (a, b, _) in got.items()} \
+        == {k: (a, b) for k, (a, b, _) in want.items()}
+    for k in want:
+        if want[k][2] is None:
+            continue
+        assert got[k][2] == want[k][2]

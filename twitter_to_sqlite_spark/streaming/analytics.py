@@ -398,3 +398,46 @@ def zscore_stream(stream: DataFrame, key_col: str = "user_id",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def maintain_rollup(spark, path: str, key_cols: list[str],
+                    value_col: str):
+    """Streaming materialized-view maintenance: a foreachBatch
+    callable that keeps a per-key (n_rows, n_vals, v_sum DECIMAL)
+    rollup parquet current under an append-only event stream —
+    the streaming face of ``relational.weighted_delta_agg`` +
+    ``merge_agg_delta``. Each micro-batch aggregates ONLY its own
+    rows into a delta and merges it with the stored partials under
+    the advisory table lock (read-merge-swap, single-writer by
+    construction); the base table is never rescanned, so maintenance
+    cost per batch is O(|batch| + |touched groups|) at any table size.
+
+    Because the merged sums are exact DECIMAL and merge is
+    associative, the maintained rollup after N batches equals the
+    one-shot batch aggregate of the concatenated stream — the
+    agreement the test pins (and the same maintain≡recompute law the
+    batch operator's hypothesis test proves).
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            maintain_rollup(spark, path, ["event_type"], "value"))
+    """
+    from twitter_to_sqlite_spark.operators import relational as R
+    from twitter_to_sqlite_spark.operators import sinks
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        import os
+
+        delta = R.weighted_delta_agg(
+            batch_df.withColumn("__w", F.lit(1)),
+            key_cols, "__w", value_col)
+        with sinks.table_lock(path):
+            if os.path.exists(path):
+                stored = spark.read.parquet(path)
+                merged = R.merge_agg_delta(stored, delta, key_cols)
+            else:
+                merged = delta.filter(F.col("n_rows") != 0)
+            sinks.write_swap(merged, path)
+
+    return on_batch
