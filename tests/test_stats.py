@@ -85,3 +85,22 @@ def test_describe_numeric_all_null_column(spark):
         df, ["b"]).collect()}["b"]
     assert b["n_null"] == 2 and b["n_distinct"] == 0
     assert b["min_val"] is None and b["mean"] is None
+
+
+def test_grouped_trend_exact_line_and_degenerates(spark):
+    rows = []
+    for x in range(10):
+        rows.append(("lin", float(x), 3.0 * x + 2))   # exact line
+        rows.append(("flat", float(x), 7.0))          # constant y
+    rows += [("one", 1.0, 5.0)]                        # n=1
+    rows += [("constx", 4.0, 1.0), ("constx", 4.0, 9.0)]  # constant x
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in stats.grouped_trend(
+        df, "g", "x", "y").collect()}
+    lin = got["lin"]
+    assert (lin["slope"], lin["intercept"], lin["r2"]) == (3.0, 2.0, 1.0)
+    flat = got["flat"]
+    assert flat["slope"] == 0.0 and flat["intercept"] == 7.0
+    assert flat["r2"] is None          # zero y-variance
+    assert got["one"]["slope"] is None
+    assert got["constx"]["slope"] is None

@@ -185,3 +185,53 @@ def describe_numeric(df: DataFrame, columns: list[str],
                 "__s.n_distinct", "__s.min_val", "__s.max_val",
                 "__s.mean")
     )
+
+
+def grouped_trend(df: DataFrame, group_col: str, x_col: str,
+                  y_col: str, decimals: int = 4) -> DataFrame:
+    """Per-group OLS trend line y = a + b·x — slope, intercept and R²
+    from each group's exact DECIMAL moments, ONE grouped aggregate
+    scan (the per-key regression a metrics pipeline fits per series:
+    trend detection, burn-down rates, drift slopes).
+
+    b = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), a = (Σy − b·Σx)/n,
+    R² = b²·(n·Σx² − (Σx)²) / (n·Σy² − (Σy)²), all derived in a fixed
+    expression order from moments that are exact, so the rounded
+    output is engine-stable. Returns (group, n, slope, intercept,
+    r2) — NULL when x is constant or n < 2; R² NULL when y is
+    constant.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    xd = x.cast("decimal(18,4)")
+    yd = y.cast("decimal(18,4)")
+    both = x.isNotNull() & y.isNotNull()
+    g = (
+        df.filter(both)
+        .groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("__sx"), F.sum(yd).alias("__sy"),
+            F.sum(xd * yd).alias("__sxy"),
+            F.sum(xd * xd).alias("__sxx"),
+            F.sum(yd * yd).alias("__syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    b = (n * sxy - sx * sy) / vx
+    fit = (F.col("n") >= 2) & (vx > 0)
+    return g.select(
+        group_col, "n",
+        F.when(fit, F.round(b, decimals)).alias("slope"),
+        F.when(fit, F.round((sy - b * sx) / n, decimals))
+        .alias("intercept"),
+        F.when(fit & (vy > 0),
+               F.round(b * b * vx / vy, decimals)).alias("r2"),
+    )

@@ -2838,6 +2838,60 @@ FROM e{_KCORE_ROUNDS} GROUP BY src"""
 SQL_KCORE = _kcore_sql()
 
 
+def q_grouped_trend(spark, sf_dir):
+    """Per-event_type OLS trend of value over event time (functions/
+    stats.py::grouped_trend): slope/intercept/R² from exact DECIMAL
+    moments in ONE grouped aggregate — the per-series drift fit a
+    metrics pipeline runs over every key. x is epoch-DAYS since
+    1995-01-01 (integer-exact in DECIMAL; epoch-micros would overflow
+    the moment products)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull())
+    from twitter_to_sqlite_spark.functions import stats
+
+    d = e.select(
+        "event_type", "value",
+        F.expr("datediff(cast(ts as date), date'2024-01-01')")
+        .cast("long").alias("xday"),
+    )
+    return stats.grouped_trend(d, "event_type", "xday", "value")
+
+
+SQL_GROUPED_TREND = """
+WITH d AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS DECIMAL(28,4)) AS x,
+         CAST(value AS DECIMAL(28,4)) AS y,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) IS NOT NULL
+           AND value IS NOT NULL AS ok
+  FROM events WHERE event_type IS NOT NULL
+),
+g AS (
+  SELECT event_type, count(*) AS n,
+         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x * y)::DOUBLE AS sxy,
+         sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy
+  FROM d WHERE ok GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+       END AS slope,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+            THEN round((sy - (n * sxy - sx * sy)
+                             / (n * sxx - sx * sx) * sx) / n, 4)
+       END AS intercept,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0
+            THEN round(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                       * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                       * (n * sxx - sx * sx) / (n * syy - sy * sy), 4)
+       END AS r2
+FROM g
+"""
+
+
 _DESC_COLS = ["event_id", "user_id", "value"]
 
 
@@ -5551,6 +5605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lpa_communities": q_lpa_communities,
     "zorder_layout": q_zorder_layout,
     "describe": q_describe,
+    "grouped_trend": q_grouped_trend,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5786,6 +5841,7 @@ ORACLE_SQL: dict[str, str] = {
     "lpa_communities": SQL_LPA_COMMUNITIES,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "describe": SQL_DESCRIBE,
+    "grouped_trend": SQL_GROUPED_TREND,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
