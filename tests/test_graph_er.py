@@ -693,3 +693,59 @@ def test_lpa_self_vote_damps_bipartite_flip(spark):
     got = {r["node_id"]: r["community"]
            for r in label_propagation(edges, rounds=4).collect()}
     assert set(got.values()) == {0}
+
+
+# ---------------------------------------------------------------------
+# conversion attribution
+# ---------------------------------------------------------------------
+
+def _attr_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, dt.datetime(2024, 1, 1, 0, 0, s), t)
+         for i, (u, s, t) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string")
+
+
+def test_attribution_first_and_last_touch(spark):
+    ev = _attr_events(spark, [
+        (1, 0, "click"), (1, 10, "view"), (1, 20, "error"),
+        (1, 30, "purchase"),
+        (2, 5, "purchase"),           # no touches at all
+    ])
+    got = {r["user_id"]: r for r in R.attribute_conversions(
+        ev, "user_id", "ts", "event_id", "event_type",
+        "purchase", ["click", "view"]).collect()}
+    a = got[1]
+    assert a["first_touch_type"] == "click"
+    assert a["last_touch_type"] == "view"
+    assert a["latency_us"] == 20 * 1_000_000
+    assert a["attributed"]
+    b = got[2]
+    assert not b["attributed"] and b["first_touch_type"] is None
+
+
+def test_attribution_window_voids_stale_touch(spark):
+    ev = _attr_events(spark, [
+        (1, 0, "click"), (1, 50, "purchase"),
+    ])
+    fresh = R.attribute_conversions(
+        ev, "user_id", "ts", "event_id", "event_type",
+        "purchase", ["click"], within_seconds=60).collect()[0]
+    assert fresh["attributed"] and fresh["last_touch_type"] == "click"
+    stale = R.attribute_conversions(
+        ev, "user_id", "ts", "event_id", "event_type",
+        "purchase", ["click"], within_seconds=30).collect()[0]
+    assert not stale["attributed"]
+    assert stale["last_touch_type"] is None
+    # first touch is reported regardless of the lookback window
+    assert stale["first_touch_type"] == "click"
+
+
+def test_attribution_touch_after_conversion_ignored(spark):
+    ev = _attr_events(spark, [
+        (1, 10, "purchase"), (1, 20, "click"),
+    ])
+    got = R.attribute_conversions(
+        ev, "user_id", "ts", "event_id", "event_type",
+        "purchase", ["click"]).collect()[0]
+    assert not got["attributed"] and got["first_touch_type"] is None

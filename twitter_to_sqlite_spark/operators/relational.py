@@ -1104,6 +1104,66 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame,
     return j.filter(keep).select(*out_cols)
 
 
+def attribute_conversions(df: DataFrame, user_col: str, ts_col: str,
+                          order_col: str, type_col: str,
+                          conversion: str, touch_types: list[str],
+                          within_seconds: float | None = None
+                          ) -> DataFrame:
+    """Marketing-style conversion attribution: one row per conversion
+    event with its FIRST-touch and LAST-touch attributed events —
+    the earliest / latest preceding touch of an allowed type in the
+    same user's stream, each as (epoch-micros, type), latency to the
+    last touch, and an ``attributed`` flag. ``within_seconds`` voids
+    a last-touch attribution older than the lookback window (the
+    standard attribution-window rule).
+
+    One user-keyed window shuffle computes everything: first/last
+    with ignorenulls over a ROWS UNBOUNDED PRECEDING..1 PRECEDING
+    frame of the conditional touch struct — no self-join of
+    conversions against touches (the naive range-join formulation
+    shuffles the stream twice and explodes on dense users). Epoch
+    micros via timestampdiff so NTZ inputs never route through the
+    session time zone (the sessionize device).
+    """
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+        f"00:00:00', cast(`{ts_col}` as timestamp_ntz))")
+    d = df.withColumn("__us", us)
+    touch = F.when(
+        F.col(type_col).isin(*touch_types),
+        F.struct(F.col("__us").alias("t"),
+                 F.col(type_col).alias("ty")),
+    )
+    d = d.withColumn("__touch", touch)
+    w = (
+        Window.partitionBy(user_col).orderBy("__us", order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    first_t = F.first("__touch", ignorenulls=True).over(w)
+    last_t = F.last("__touch", ignorenulls=True).over(w)
+    conv = (
+        d.withColumn("__ft", first_t)
+        .withColumn("__lt", last_t)
+        .filter(F.col(type_col) == conversion)
+    )
+    lt_ok = F.col("__lt").isNotNull()
+    if within_seconds is not None:
+        lt_ok = lt_ok & (
+            F.col("__us") - F.col("__lt.t")
+            <= F.lit(int(within_seconds * 1_000_000)))
+    return conv.select(
+        F.col(order_col), F.col(user_col),
+        F.col("__us").alias("conv_us"),
+        F.col("__ft.ty").alias("first_touch_type"),
+        F.col("__ft.t").alias("first_touch_us"),
+        F.when(lt_ok, F.col("__lt.ty")).alias("last_touch_type"),
+        F.when(lt_ok, F.col("__lt.t")).alias("last_touch_us"),
+        F.when(lt_ok, F.col("__us") - F.col("__lt.t"))
+        .alias("latency_us"),
+        lt_ok.alias("attributed"),
+    )
+
+
 def weighted_delta_agg(changes: DataFrame, key_cols: list[str],
                        weight_col: str, value_col: str) -> DataFrame:
     """Fold a weighted changelog (+1 insert / −1 retraction rows) into

@@ -2838,6 +2838,52 @@ FROM e{_KCORE_ROUNDS} GROUP BY src"""
 SQL_KCORE = _kcore_sql()
 
 
+_ATTR_WINDOW_S = 3600.0
+
+
+def q_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution (operators/
+    relational.py::attribute_conversions): every purchase attributed
+    to the earliest and the latest preceding click/view in the same
+    user's stream, last-touch voided beyond a 1-hour lookback. ONE
+    user-keyed window (first/last ignorenulls over a preceding-rows
+    frame of the conditional touch struct) — no conversions×touches
+    self-join, which is the shape that explodes on dense users."""
+    e = _t(spark, sf_dir, "events")
+    return R.attribute_conversions(
+        e, "user_id", "ts", "event_id", "event_type",
+        conversion="purchase", touch_types=["click", "view"],
+        within_seconds=_ATTR_WINDOW_S)
+
+
+SQL_ATTRIBUTION = f"""
+WITH d AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type IN ('click', 'view')
+              THEN {{'t': epoch_us(ts), 'ty': event_type}} END AS touch
+  FROM events
+),
+wnd AS (
+  SELECT event_id, user_id, event_type, us,
+         first_value(touch IGNORE NULLS) OVER w AS ft,
+         last_value(touch IGNORE NULLS) OVER w AS lt
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, us AS conv_us,
+       ft.ty AS first_touch_type, ft.t AS first_touch_us,
+       CASE WHEN ok THEN lt.ty END AS last_touch_type,
+       CASE WHEN ok THEN lt.t END AS last_touch_us,
+       CASE WHEN ok THEN us - lt.t END AS latency_us,
+       ok AS attributed
+FROM (SELECT *, lt IS NOT NULL
+             AND us - lt.t <= {int(_ATTR_WINDOW_S * 1_000_000)} AS ok
+      FROM wnd)
+WHERE event_type = 'purchase'
+"""
+
+
 def q_grouped_trend(spark, sf_dir):
     """Per-event_type OLS trend of value over event time (functions/
     stats.py::grouped_trend): slope/intercept/R² from exact DECIMAL
@@ -5606,6 +5652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_layout": q_zorder_layout,
     "describe": q_describe,
     "grouped_trend": q_grouped_trend,
+    "attribution": q_attribution,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5842,6 +5889,7 @@ ORACLE_SQL: dict[str, str] = {
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "describe": SQL_DESCRIBE,
     "grouped_trend": SQL_GROUPED_TREND,
+    "attribution": SQL_ATTRIBUTION,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
