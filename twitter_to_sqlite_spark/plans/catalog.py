@@ -2838,6 +2838,69 @@ FROM e{_KCORE_ROUNDS} GROUP BY src"""
 SQL_KCORE = _kcore_sql()
 
 
+_DR_TAU = 0.5
+
+
+def q_dedup_recall(spark, sf_dir):
+    """Candidate recall of the MinHash-LSH index against exact
+    Jaccard ≥ 0.5 truth — ann_recall's device applied to dedup:
+    'measure, don't guess' for the b=4/r=4 banding choice. truth =
+    the df-capped exact Jaccard pairs (q_dedup_jaccard's operator),
+    candidates = the shared LSH pair frame; one row out with recall
+    (how much true duplication the bands surface) and precision (how
+    much candidate verification work is wasted). Both legs are the
+    catalog's own operators; the output joins only pair KEYS, never
+    documents."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    truth = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=_DR_TAU,
+        max_df=_JACCARD_MAX_DF).select("id_a", "id_b")
+    cand = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4)
+            .alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_cand"), 4)
+            .alias("precision"),
+        )
+    )
+
+
+SQL_DEDUP_RECALL = f"""
+WITH {_SQL_MINHASH_CTES},
+shf AS (
+  SELECT id, shingle FROM (
+    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+  ) WHERE df <= {_JACCARD_MAX_DF}
+),
+sz AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.id = id_a
+  JOIN sz sb ON sb.id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {_DR_TAU!r}
+),
+hits AS (SELECT id_a, id_b FROM truth JOIN mh_pairs USING (id_a, id_b))
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM mh_pairs)::BIGINT AS n_cand,
+       (SELECT count(*) FROM hits)::BIGINT AS n_hit,
+       round((SELECT count(*) FROM hits)
+             / (SELECT count(*) FROM truth), 4) AS recall,
+       round((SELECT count(*) FROM hits)
+             / (SELECT count(*) FROM mh_pairs), 4) AS precision
+"""
+
+
 _ATTR_WINDOW_S = 3600.0
 
 
@@ -5653,6 +5716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "describe": q_describe,
     "grouped_trend": q_grouped_trend,
     "attribution": q_attribution,
+    "dedup_recall": q_dedup_recall,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5890,6 +5954,7 @@ ORACLE_SQL: dict[str, str] = {
     "describe": SQL_DESCRIBE,
     "grouped_trend": SQL_GROUPED_TREND,
     "attribution": SQL_ATTRIBUTION,
+    "dedup_recall": SQL_DEDUP_RECALL,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
