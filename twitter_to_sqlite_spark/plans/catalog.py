@@ -2838,6 +2838,67 @@ FROM e{_KCORE_ROUNDS} GROUP BY src"""
 SQL_KCORE = _kcore_sql()
 
 
+_WSE_K = 64
+
+
+def q_window_sketch_error(spark, sf_dir):
+    """Per-hopping-window KMV accuracy audit: exact distinct users vs
+    the k=64 KMV estimate for every 2h/1h window, with the relative
+    error — the committed evidence that the sketch the streaming path
+    would carry (bounded state per window) tracks the truth. Exact
+    leg = sliding_counts' distinct; estimate leg = the grouped KMV
+    keyed by window start; one broadcast-size join of two aggregates."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast(win.start as timestamp_ntz))"
+    )
+    d = e.select("user_id", win.alias("win")) \
+        .select("user_id", us.alias("win_start_us"))
+    exact = d.groupBy("win_start_us").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    est = sketch.kmv_distinct_by(d, "win_start_us", "user_id", k=_WSE_K)
+    return exact.join(est, "win_start_us").select(
+        "win_start_us", "n_exact", "kmv_estimate",
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+            / F.col("n_exact"), 4).alias("rel_err"),
+    )
+
+
+SQL_WINDOW_SKETCH_ERROR = f"""
+WITH d AS (
+  SELECT (epoch_us(ts) // {_SLIDE_STEP_US} - off) * {_SLIDE_STEP_US} AS g,
+         user_id AS v
+  FROM events, (VALUES (0), (1)) t(off)
+  WHERE user_id IS NOT NULL
+),
+ex AS (SELECT g, count(DISTINCT v) AS n_exact FROM d GROUP BY g),
+dv AS (SELECT DISTINCT g, v FROM d),
+h AS (SELECT g, ('0x' || substring(md5(v::VARCHAR), 1, 15))::BIGINT AS h
+      FROM dv),
+r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM h),
+a AS (SELECT g, count(*) AS n_kept,
+             max(h / 1152921504606846976.0) AS umax
+      FROM r WHERE rn <= {_WSE_K} GROUP BY g),
+est AS (
+  SELECT g,
+         CASE WHEN n_kept < {_WSE_K} THEN n_kept::BIGINT
+              ELSE CAST(round({float(_WSE_K - 1)!r} / umax, 0) AS BIGINT)
+         END AS kmv_estimate
+  FROM a
+)
+SELECT ex.g AS win_start_us,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       est.kmv_estimate,
+       round(abs(est.kmv_estimate - ex.n_exact) / ex.n_exact, 4)
+         AS rel_err
+FROM ex JOIN est ON ex.g = est.g
+"""
+
+
 _DR_TAU = 0.5
 
 
@@ -5717,6 +5778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_trend": q_grouped_trend,
     "attribution": q_attribution,
     "dedup_recall": q_dedup_recall,
+    "window_sketch_error": q_window_sketch_error,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -5955,6 +6017,7 @@ ORACLE_SQL: dict[str, str] = {
     "grouped_trend": SQL_GROUPED_TREND,
     "attribution": SQL_ATTRIBUTION,
     "dedup_recall": SQL_DEDUP_RECALL,
+    "window_sketch_error": SQL_WINDOW_SKETCH_ERROR,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
