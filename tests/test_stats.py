@@ -104,3 +104,73 @@ def test_grouped_trend_exact_line_and_degenerates(spark):
     assert flat["r2"] is None          # zero y-variance
     assert got["one"]["slope"] is None
     assert got["constx"]["slope"] is None
+
+
+def _mini_catalog_events(spark, rows):
+    import datetime as dt
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec),
+          u, t, None, None)
+         for i, (u, sec, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+
+
+def test_key_skew_detects_planted_hot_key(spark, tmp_path):
+    import math
+    from twitter_to_sqlite_spark.plans import catalog
+
+    rows = [(1, s % 60, "a") for s in range(90)]      # hot user 1
+    rows += [(u, u % 60, "a") for u in range(2, 12)]  # 10 cold users
+    _mini_catalog_events(spark, rows).write.parquet(
+        str(tmp_path / "events.parquet"))
+    got = {r["key_col"]: r for r in catalog.q_key_skew(
+        spark, str(tmp_path)).collect()}
+    uid = got["user_id"]
+    assert uid["n_keys"] == 11 and uid["max_freq"] == 90
+    assert uid["imbalance"] == round(90 / (100 / 11), 4)
+    # entropy: heavily skewed -> far below uniform ceiling
+    assert uid["entropy"] < uid["entropy_uniform"] / 2
+    probs = [90 / 100] + [1 / 100] * 10
+    want_h = -sum(p * math.log(p) for p in probs)
+    assert uid["entropy"] == round(want_h, 4)
+
+
+def test_lateness_profile_counts_out_of_order(spark, tmp_path):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    # user 1: arrival order 0..3 with event times 0s, 30s, 10s, 100s
+    # -> the 10s event arrives 20s late; everything else on time
+    rows = [(1, 0, "a"), (1, 30, "a"), (1, 10, "a"), (1, 100, "a")]
+    # seconds above are event-time; arrival order is the row order
+    _mini_catalog_events(spark, rows).write.parquet(
+        str(tmp_path / "events.parquet"))
+    r = catalog.q_lateness_profile(spark, str(tmp_path)).collect()[0]
+    assert r["n_events"] == 4 and r["n_late"] == 1
+    assert r["n_late_60s"] == 1 and r["n_late_1s"] == 0
+    assert r["max_late_us"] == 20 * 1_000_000
+
+
+def test_chi_square_independent_vs_dependent(spark, tmp_path):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    # perfectly independent 2x2 table: chi2 == 0
+    rows = []
+    for u in range(40):
+        rows.append((u, u % 60, "x" if u % 4 < 2 else "y"))
+    _mini_catalog_events(spark, rows).write.parquet(
+        str(tmp_path / "events.parquet"))
+    r = catalog.q_chi_square(spark, str(tmp_path)).collect()[0]
+    assert r["chi2"] == 0.0 and r["n_cells"] == 4
+
+
+def test_chi_square_perfect_dependence(spark, tmp_path):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    # event_type fully determined by user parity: chi2 == N
+    rows = [(u, u % 60, "x" if u % 2 == 0 else "y") for u in range(40)]
+    _mini_catalog_events(spark, rows).write.parquet(
+        str(tmp_path / "events.parquet"))
+    r = catalog.q_chi_square(spark, str(tmp_path)).collect()[0]
+    # n_cells counts the FULL grid (2 types x 2 arms), zeros included
+    assert r["chi2"] == 40.0 and r["n_cells"] == 4

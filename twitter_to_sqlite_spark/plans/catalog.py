@@ -2838,6 +2838,206 @@ FROM e{_KCORE_ROUNDS} GROUP BY src"""
 SQL_KCORE = _kcore_sql()
 
 
+def q_key_skew(spark, sf_dir):
+    """Join/shuffle-key skew diagnosis for the two natural event
+    keys: per key column, the cardinality, hot-key share, imbalance
+    factor (max over mean frequency — the number AQE's skew-join
+    threshold reasons about), and Shannon entropy vs its uniform
+    ceiling. THE measurement that decides between a plain shuffle,
+    AQE skew splitting, and the explicit salted join — committed as
+    data, not guessed. One groupBy per key column + a scalar agg;
+    entropy from Σ n·ln n so the float work is two dozen terms per
+    partition partial."""
+    e = _t(spark, sf_dir, "events")
+
+    def skew_of(col):
+        counts = e.filter(F.col(col).isNotNull()) \
+            .groupBy(col).agg(F.count(F.lit(1)).alias("__n"))
+        n = F.col("__n").cast("double")
+        return counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("__n").alias("n_rows"),
+            F.max("__n").alias("max_freq"),
+            F.sum(n * F.log(n)).alias("__nlogn"),
+        ).select(
+            F.lit(col).alias("key_col"),
+            "n_keys", "n_rows", "max_freq",
+            F.round(F.col("max_freq")
+                    / (F.col("n_rows") / F.col("n_keys")), 4)
+            .alias("imbalance"),
+            F.round(
+                F.log(F.col("n_rows").cast("double"))
+                - F.col("__nlogn") / F.col("n_rows"), 4)
+            .alias("entropy"),
+            F.round(F.log(F.col("n_keys").cast("double")), 4)
+            .alias("entropy_uniform"),
+        )
+
+    return skew_of("user_id").unionByName(skew_of("event_type"))
+
+
+def _key_skew_sql() -> str:
+    arms = []
+    for col in ("user_id", "event_type"):
+        arms.append(f"""SELECT key_col, n_keys, n_rows, max_freq,
+       round(max_freq / (n_rows / n_keys), 4) AS imbalance,
+       round(ln(n_rows) - nlogn / n_rows, 4) AS entropy,
+       round(ln(n_keys), 4) AS entropy_uniform
+FROM (
+  SELECT '{col}' AS key_col,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_freq,
+         sum(n::DOUBLE * ln(n::DOUBLE)) AS nlogn
+  FROM (SELECT {col}, count(*) AS n FROM events
+        WHERE {col} IS NOT NULL GROUP BY {col})
+)""")
+    return "\nUNION ALL\n".join(arms)
+
+
+SQL_KEY_SKEW = _key_skew_sql()
+
+
+_LATE_BUCKETS_US = [0, 1_000_000, 60_000_000]
+
+
+def q_lateness_profile(spark, sf_dir):
+    """Event-time out-of-orderness profile — the measurement that
+    sizes a streaming watermark ('measure, don't guess' applied to
+    allowed lateness): per event, its lag behind the max event time
+    already seen in its user's ARRIVAL order (event_id), bucketed
+    into on-time / ≤1s / ≤60s / >60s with the max observed lag. One
+    user-keyed window (running max over preceding arrivals), one
+    scalar agg."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast(ts as timestamp_ntz))")
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = e.select(F.col("user_id"), F.col("event_id"), us.alias("__us"))
+    d = d.withColumn(
+        "__late",
+        F.greatest(F.lit(0).cast("long"),
+                   F.max("__us").over(w) - F.col("__us")))
+    b0, b1, b2 = _LATE_BUCKETS_US
+    return d.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("__late") > b0).cast("long")).alias("n_late"),
+        F.round(
+            F.sum((F.col("__late") > b0).cast("long"))
+            / F.count(F.lit(1)), 6).alias("p_late"),
+        F.sum(((F.col("__late") > b0)
+               & (F.col("__late") <= b1)).cast("long"))
+        .alias("n_late_1s"),
+        F.sum(((F.col("__late") > b1)
+               & (F.col("__late") <= b2)).cast("long"))
+        .alias("n_late_60s"),
+        F.sum((F.col("__late") > b2).cast("long")).alias("n_late_gt"),
+        F.max("__late").alias("max_late_us"),
+    )
+
+
+SQL_LATENESS_PROFILE = f"""
+WITH d AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         greatest(0, coalesce(max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us)
+           AS late
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       round(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) / count(*), 6)
+         AS p_late,
+       CAST(sum(CASE WHEN late > 0 AND late <= {_LATE_BUCKETS_US[1]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1s,
+       CAST(sum(CASE WHEN late > {_LATE_BUCKETS_US[1]}
+                     AND late <= {_LATE_BUCKETS_US[2]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s,
+       CAST(sum(CASE WHEN late > {_LATE_BUCKETS_US[2]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_gt,
+       CAST(max(late) AS BIGINT) AS max_late_us
+FROM d
+"""
+
+
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence test of event_type × deterministic
+    variant (user_id % 2) — the categorical companion of ab_test:
+    observed cell counts vs expected row·col/N, χ² summed over the
+    contingency table. All counts exact integers, χ² derived in a
+    fixed expression order (cells sorted by type then arm), so the
+    rounded statistic is engine-stable. One groupBy on the cell pair;
+    totals broadcast back."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    cells = e.groupBy(
+        F.col("event_type").alias("t"),
+        (F.col("user_id") % 2).alias("a"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_t = cells.groupBy("t").agg(F.sum("o").alias("rt"))
+    cols_a = cells.groupBy("a").agg(F.sum("o").alias("ca"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    # the FULL grid: an unobserved (t, a) cell still contributes
+    # (0 - E)^2 / E — dropping zero cells understates chi2 (caught by
+    # the perfect-dependence test, where half the statistic lives in
+    # the empty cells)
+    grid = rows_t.crossJoin(F.broadcast(cols_a))
+    j = (grid.join(cells, ["t", "a"], "left")
+         .withColumn("o", F.coalesce("o", F.lit(0)))
+         .crossJoin(F.broadcast(tot)))
+    ex = F.col("rt").cast("double") * F.col("ca") / F.col("n")
+    term = (F.col("o") - ex) * (F.col("o") - ex) / ex
+    # deterministic summation order: sort_array over collected structs
+    return (
+        j.select(F.struct(F.col("t"), F.col("a"),
+                          term.alias("x")).alias("s"))
+        .agg(F.sort_array(F.collect_list("s")).alias("terms"),
+             F.count(F.lit(1)).alias("n_cells"))
+        .select(
+            F.round(F.aggregate(
+                "terms", F.lit(0.0), lambda acc, s: acc + s["x"]), 4)
+            .alias("chi2"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+        )
+    )
+
+
+SQL_CHI_SQUARE = """
+WITH d AS (
+  SELECT event_type AS t, (user_id % 2)::INT AS a
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+cells AS (SELECT t, a, count(*) AS o FROM d GROUP BY t, a),
+rt AS (SELECT t, sum(o) AS rt FROM cells GROUP BY t),
+ca AS (SELECT a, sum(o) AS ca FROM cells GROUP BY a),
+n AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT rt.t, ca.a, rt.rt, ca.ca, coalesce(cells.o, 0) AS o
+  FROM rt CROSS JOIN ca LEFT JOIN cells USING (t, a)
+),
+terms AS (
+  SELECT t, a,
+         (o - rt::DOUBLE * ca / n.n)
+           * (o - rt::DOUBLE * ca / n.n)
+           / (rt::DOUBLE * ca / n.n) AS x
+  FROM grid, n
+)
+SELECT round(sum_x, 4) AS chi2, n_cells FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         list_reduce(list_prepend(0.0,
+           list(x ORDER BY t, a)), (acc, v) -> acc + v) AS sum_x
+  FROM terms
+)
+"""
+
+
 _WSE_K = 64
 
 
@@ -5779,6 +5979,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "dedup_recall": q_dedup_recall,
     "window_sketch_error": q_window_sketch_error,
+    "key_skew": q_key_skew,
+    "lateness_profile": q_lateness_profile,
+    "chi_square": q_chi_square,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -6018,6 +6221,9 @@ ORACLE_SQL: dict[str, str] = {
     "attribution": SQL_ATTRIBUTION,
     "dedup_recall": SQL_DEDUP_RECALL,
     "window_sketch_error": SQL_WINDOW_SKETCH_ERROR,
+    "key_skew": SQL_KEY_SKEW,
+    "lateness_profile": SQL_LATENESS_PROFILE,
+    "chi_square": SQL_CHI_SQUARE,
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
