@@ -979,3 +979,88 @@ def test_incremental_agg_merge_equals_recompute(spark, base_rows, log):
     want = {g: (c, nv, s if nv else None)
             for g, (c, nv, s) in want.items() if c > 0}
     assert got == want
+
+
+BLOOM_KEYS = st.lists(st.integers(min_value=-1000, max_value=1000),
+                      min_size=0, max_size=30, unique=True)
+
+
+@given(dim_keys=BLOOM_KEYS, fact_keys=BLOOM_KEYS)
+@SETTINGS
+def test_bloom_never_false_negative_law(spark, dim_keys, fact_keys):
+    """For ARBITRARY key sets (negative keys included): every fact key
+    present in dim survives the probe, and the pruned join equals the
+    plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from twitter_to_sqlite_spark.functions import bloom
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys] or [(None,)],
+                                "k bigint").filter("k is not null")
+    fact = spark.createDataFrame([(k,) for k in fact_keys] or [(None,)],
+                                 "k bigint").filter("k is not null")
+    words = bloom.build_bloom(dim, "k", m_words=16, k=3)
+    survivors = {r["k"] for r in fact.filter(
+        bloom.might_contain(F.col("k"), words, k=3)).collect()}
+    assert set(dim_keys) & set(fact_keys) <= survivors
+    got = sorted(r["k"] for r in
+                 bloom.bloom_prune_join(fact, dim, "k",
+                                        m_words=16, k=3).collect())
+    assert got == sorted(set(dim_keys) & set(fact_keys))
+
+
+ZPTS = st.lists(st.tuples(st.integers(min_value=0, max_value=255),
+                          st.integers(min_value=0, max_value=255)),
+                min_size=1, max_size=20)
+
+
+@given(pts=ZPTS)
+@SETTINGS
+def test_zvalue_interleave_law(spark, pts):
+    """zvalue == the reference bit-interleave for arbitrary points,
+    and deinterleaving recovers (x, y) exactly."""
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    df = spark.createDataFrame(list(set(pts)), "x long, y long")
+    got = df.select("x", "y",
+                    bucketing.zvalue("x", "y", bits=8).alias("z")).collect()
+    for r in got:
+        z = 0
+        for i in range(8):
+            z |= ((r["x"] >> i) & 1) << (2 * i)
+            z |= ((r["y"] >> i) & 1) << (2 * i + 1)
+        assert r["z"] == z
+        # deinterleave round-trip
+        x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r["x"], r["y"])
+
+
+CONT_DOCS = st.lists(
+    st.lists(st.integers(min_value=0, max_value=12),
+             min_size=3, max_size=12),
+    min_size=1, max_size=5)
+
+
+@given(docs=CONT_DOCS, frac=st.floats(min_value=0.3, max_value=0.9))
+@SETTINGS
+def test_containment_prefix_is_always_one(spark, docs, frac):
+    """A doc's token-prefix excerpt (>= k tokens) is ALWAYS flagged
+    with containment 1.0 against its base at any threshold <= 1 —
+    the defining guarantee of the asymmetric normalization."""
+    rows = []
+    for i, toks in enumerate(docs):
+        text = " ".join(f"w{i}t{t}" for t in toks)  # doc-unique tokens
+        rows.append((i, text))
+        m = max(3, int(len(toks) * frac))
+        rows.append((100 + i, " ".join(f"w{i}t{t}" for t in toks[:m])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["contained_id"], r["container_id"]): r["containment"]
+           for r in dedup.containment_pairs(
+               df, threshold=0.99, max_df=None).collect()}
+    for i, toks in enumerate(docs):
+        m = max(3, int(len(toks) * frac))
+        if m >= len(toks):
+            continue  # excerpt == whole doc handled by equal-size tie
+        key = (100 + i, i)
+        assert got.get(key) == 1.0, (i, toks, m, got)

@@ -121,7 +121,10 @@ def might_contain(key: Column, words: list[int],
     probe bits. The words array is an inline literal, so the predicate
     is eligible for the scan-side filter stage (no join, no UDF)."""
     m_bits = 64 * len(words)
-    lit_words = F.lit(words)
+    # force array<long>: a words list whose values happen to fit in
+    # int32 would otherwise infer array<int>, and getbit on an int
+    # rejects bit positions >= 32 (found by the hypothesis law)
+    lit_words = F.lit(words).cast("array<long>")
     cond = F.lit(True)
     for i in range(k):
         pos = _positions(key, i, m_bits, hash_fn)
