@@ -1,0 +1,199 @@
+"""Evaluation/monitoring metrics: ROC-AUC, calibration bins,
+embedding profile, PMI collocations, novelty, PSI drift.
+
+Each new r5 operator is pinned against a hand-computable planted
+case, and AUC against a brute-force pairwise definition.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_to_sqlite_spark.functions import dedup, stats, text
+
+
+# ---------------------------------------------------------------- AUC
+
+def _brute_auc(pairs):
+    """P(s+ > s-) + 0.5 P(s+ = s-) over all (pos, neg) pairs."""
+    pos = [s for y, s in pairs if y == 1]
+    neg = [s for y, s in pairs if y == 0]
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_perfect_and_inverted_and_random(spark):
+    rows = [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)]
+    df = spark.createDataFrame(rows, "y int, prob double")
+    assert stats.roc_auc(df).collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame([(1 - y, s) for y, s in rows],
+                                "y int, prob double")
+    assert stats.roc_auc(inv).collect()[0]["auc"] == 0.0
+
+
+def test_auc_all_ties_is_half(spark):
+    df = spark.createDataFrame([(1, 0.5)] * 3 + [(0, 0.5)] * 5,
+                               "y int, prob double")
+    r = stats.roc_auc(df).collect()[0]
+    assert r["auc"] == 0.5 and r["n_pos"] == 3 and r["n_neg"] == 5
+
+
+def test_auc_matches_brute_force_with_ties(spark):
+    # deterministic pseudo-random labels/scores with heavy ties
+    pairs = [((i * 7) % 3 == 0 and 1 or 0, ((i * 13) % 5) / 4.0)
+             for i in range(40)]
+    df = spark.createDataFrame(pairs, "y int, prob double")
+    got = stats.roc_auc(df).collect()[0]["auc"]
+    assert got == pytest.approx(_brute_auc(pairs), abs=1e-6)
+
+
+def test_auc_single_class_is_null(spark):
+    df = spark.createDataFrame([(1, 0.3), (1, 0.7)], "y int, prob double")
+    assert stats.roc_auc(df).collect()[0]["auc"] is None
+
+
+# -------------------------------------------------------- calibration
+
+def test_calibration_bins_exact_counts_and_gap(spark):
+    rows = ([(1, 0.95)] * 9 + [(0, 0.95)]          # bin 9: rate 0.9
+            + [(1, 0.05)] * 2 + [(0, 0.05)] * 8)   # bin 0: rate 0.2
+    df = spark.createDataFrame(rows, "y int, prob double")
+    got = {r["bin"]: r for r in
+           stats.calibration_bins(df, n_bins=10).collect()}
+    assert set(got) == {0, 9}
+    assert got[9]["n"] == 10 and got[9]["pos_rate"] == 0.9
+    assert got[9]["avg_score"] == 0.95
+    assert got[9]["gap"] == pytest.approx(0.05, abs=1e-6)
+    assert got[0]["pos_rate"] == pytest.approx(0.2, abs=1e-6)
+    assert got[0]["gap"] == pytest.approx(0.15, abs=1e-6)
+
+
+def test_calibration_top_bin_includes_prob_one(spark):
+    df = spark.createDataFrame([(1, 1.0), (0, 0.9999)], "y int, prob double")
+    got = stats.calibration_bins(df, n_bins=10).collect()
+    assert len(got) == 1 and got[0]["bin"] == 9 and got[0]["n"] == 2
+
+
+# -------------------------------------------------- embedding profile
+
+def test_embedding_profile_hand_case(spark):
+    df = spark.createDataFrame(
+        [([0.0, 1.0],), ([0.5, 1.0],), ([1.0, 1.0],)],
+        "embedding array<float>")
+    got = {r["pos"]: r for r in stats.embedding_profile(df).collect()}
+    assert got[0]["n"] == 3 and got[0]["mean"] == 0.5
+    # population variance of {0, .5, 1} = 1/6
+    assert got[0]["var"] == pytest.approx(1 / 6, abs=1e-6)
+    assert got[0]["min_val"] == 0.0 and got[0]["max_val"] == 1.0
+    assert got[1]["var"] == 0.0 and got[1]["mean"] == 1.0
+
+
+def test_embedding_profile_flags_collapsed_dimension(spark):
+    # a "collapsed" dim 1 (all equal) has var 0; healthy dim 0 doesn't
+    rows = [([float(i) / 10, 0.25],) for i in range(10)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    got = {r["pos"]: r for r in stats.embedding_profile(df).collect()}
+    assert got[1]["var"] == 0.0
+    assert got[0]["var"] > 0.01
+
+
+# ------------------------------------------------------ collocations
+
+def test_pmi_planted_collocation_ranks_first(spark):
+    # "zig zag" always adjacent and exclusive; filler words mix freely
+    docs = [("zig zag alpha beta gamma",)] * 5 + \
+           [("alpha gamma beta alpha beta",)] * 5
+    df = spark.createDataFrame(docs, "text string")
+    got = text.pmi_collocations(df, min_count=3, top_k=5).collect()
+    assert (got[0]["w1"], got[0]["w2"]) == ("zig", "zag")
+    assert got[0]["n_pair"] == 5
+    # exclusive pair beats promiscuous fillers
+    assert got[0]["pmi"] > got[-1]["pmi"]
+
+
+def test_pmi_min_count_floor(spark):
+    df = spark.createDataFrame(
+        [("rare pair",), ("common word common word common word",)],
+        "text string")
+    got = text.pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert all((r["w1"], r["w2"]) != ("rare", "pair") for r in got)
+
+
+# ----------------------------------------------------------- novelty
+
+def test_novelty_copy_zero_and_fresh_one(spark):
+    stored = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # copy
+         (11, "completely unrelated fresh novel content here"),  # new
+         (12, "the quick brown fox sat quietly eating lunch")],  # mixed
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.novelty_stats(new, stored, k=3).collect()}
+    assert got[10]["novelty"] == 0.0
+    assert got[11]["novelty"] == 1.0
+    assert 0.0 < got[12]["novelty"] < 1.0
+    # novel count never exceeds shingle count
+    assert all(r["n_novel"] <= r["n_shingles"] for r in got.values())
+
+
+def test_novelty_shingle_counts_are_distinct_counts(spark):
+    stored = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    # "a b a b a b" has 4 distinct trigram shingles? tokens=6 ->
+    # shingles: "a b a", "b a b", "a b a", "b a b" -> 2 distinct
+    new = spark.createDataFrame([(2, "a b a b a b")],
+                                "doc_id long, text string")
+    r = dedup.novelty_stats(new, stored, k=3).collect()[0]
+    assert r["n_shingles"] == 2 and r["novelty"] == 1.0
+
+
+# --------------------------------------------------------- PSI drift
+
+def _psi_of(spark, base_vals, cur_vals, bins=10):
+    """Replay the catalog's PSI computation on two value lists."""
+    b = spark.createDataFrame([(v,) for v in base_vals], "quality double")
+    c = spark.createDataFrame([(v,) for v in cur_vals], "quality double")
+
+    def counts(df, alias):
+        col = F.least(F.floor(F.col("quality") * bins).cast("int"),
+                      F.lit(bins - 1))
+        return df.groupBy(col.alias("bin")).agg(
+            F.count(F.lit(1)).alias(alias))
+
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    g = (spine.join(counts(b, "nb"), "bin", "left")
+         .join(counts(c, "nc"), "bin", "left")
+         .fillna(0, ["nb", "nc"]).collect())
+    tnb = sum(r["nb"] for r in g)
+    tnc = sum(r["nc"] for r in g)
+    psi = 0.0
+    for r in sorted(g, key=lambda r: r["bin"]):
+        pb = (r["nb"] + 1.0) / (tnb + bins)
+        pc = (r["nc"] + 1.0) / (tnc + bins)
+        psi += (pc - pb) * math.log(pc / pb)
+    return psi
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    vals = [i / 20 for i in range(20)]
+    assert _psi_of(spark, vals, vals) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_psi_planted_shift_exceeds_alert_threshold(spark):
+    base = [0.7 + (i % 3) / 10 for i in range(50)]   # mass in bins 7-9
+    cur = [0.1 + (i % 3) / 10 for i in range(50)]    # mass in bins 1-3
+    assert _psi_of(spark, base, cur) > 0.25          # "investigate"
+
+
+def test_psi_catalog_query_flags_planted_drift(spark, sf_dir):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    r = catalog.q_psi_drift(spark, sf_dir).collect()[0]
+    assert r["n_cur"] > 0 and r["n_base"] > 0
+    # planted spam docs shift the quality distribution measurably
+    assert r["psi"] > 0.0

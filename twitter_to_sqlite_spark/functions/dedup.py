@@ -833,6 +833,45 @@ def cross_minhash_pairs(new: DataFrame, stored: DataFrame,
     )
 
 
+def novelty_stats(new: DataFrame, stored: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3, decimals: int = 6) -> DataFrame:
+    """Per-document novelty of a new shard against the stored corpus:
+    the fraction of each new document's distinct k-shingles that occur
+    NOWHERE in the store — the data-valuation signal an incremental
+    crawl pipeline ranks shards by (a shard of novelty ≈ 0 is paying
+    storage for text the corpus already has; near-dup candidates catch
+    copies, novelty also prices partial overlap).
+
+    Shape: distinct shingles per new doc (one doc-keyed window), the
+    store reduced to its DISTINCT shingle set (map-side combined),
+    ONE left equi-join on the shingle — a high-entropy key, so the
+    join shuffle is balanced — then one per-doc count agg. Work is
+    linear in both sides' shingle counts; nothing is ever pairwise.
+
+    Returns (doc_id, n_shingles, n_novel, novelty) for every new doc;
+    novelty = n_novel / n_shingles rounded to `decimals`.
+    """
+    new_sh = shingles(new, id_col, text_col, k)
+    stored_sh = (
+        shingles(stored, id_col, text_col, k)
+        .select("shingle").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    j = new_sh.join(stored_sh, "shingle", "left")
+    per = j.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        .alias("n_novel"),
+    )
+    return per.select(
+        F.col("id").alias(id_col), "n_shingles", "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"),
+            decimals).alias("novelty"),
+    )
+
+
 def build_minhash_index(corpus: DataFrame, path: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, num_hashes: int = 16,

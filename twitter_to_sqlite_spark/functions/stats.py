@@ -187,6 +187,153 @@ def describe_numeric(df: DataFrame, columns: list[str],
     )
 
 
+def roc_auc(df: DataFrame, label_col: str = "y",
+            score_col: str = "prob", decimals: int = 6) -> DataFrame:
+    """Exact ROC-AUC of a scored, labeled table — the Mann-Whitney
+    rank-sum form with tie-aware average ranks, so the result equals
+    P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) exactly.
+
+    Shape: one groupBy on the (rounded) score collapses the corpus to
+    ≤ |distinct scores| rows — for a probability rounded to 4 decimals
+    that is ≤ 10,001 rows regardless of corpus size — then one
+    cumulative window over those rows and one scalar agg. The window
+    is single-partition but bounded by score CARDINALITY, not row
+    count, so the plan survives 100 TB.
+
+    All rank arithmetic stays integral (average ranks carried as
+    2·rank to avoid .5 floats; sums in DECIMAL(38,0) so a trillion-row
+    corpus cannot overflow), with ONE double division at the end —
+    engine-exact to the rounding.
+
+    Returns one row: (n_pos, n_neg, auc); auc NULL when a class is
+    empty.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    y = F.col(label_col).cast("long")
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(y).alias("__np"))
+    )
+    w = (
+        Window.orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn(
+        "__before",
+        F.coalesce(F.sum("__n").over(w), F.lit(0).cast("long")))
+    # Σ over positives of 2·avg_rank, where avg_rank of a tie group
+    # starting after `before` rows with n members is before+(n+1)/2.
+    agg = r.agg(
+        F.sum((F.col("__np")
+               * (2 * F.col("__before") + F.col("__n") + 1))
+              .cast("decimal(38,0)")).alias("__r2"),
+        F.sum("__np").alias("n_pos"),
+        F.sum(F.col("__n") - F.col("__np")).alias("n_neg"),
+    )
+    npd = F.col("n_pos").cast("double")
+    nnd = F.col("n_neg").cast("double")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            (F.col("__r2").cast("double") - npd * (npd + 1))
+            / (2 * npd * nnd), decimals),
+    )
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+def calibration_bins(df: DataFrame, label_col: str = "y",
+                     score_col: str = "prob", n_bins: int = 10,
+                     decimals: int = 6) -> DataFrame:
+    """Reliability-diagram buckets for a probabilistic classifier:
+    fixed-width score bins with each bin's exact mean predicted
+    probability vs the empirical positive rate, and the |gap| whose
+    n-weighted sum is the expected calibration error (ECE).
+
+    One grouped aggregate on the bin id (≤ n_bins groups, map-side
+    combined — a 100 TB scoring table reduces to n_bins rows in one
+    scan). The mean score is an exact DECIMAL(18,4) sum (lossless for
+    a probability already rounded to 4) divided once; the gap is
+    derived from the same exact sums in a fixed expression order.
+
+    Returns (bin, n, avg_score, pos_rate, gap), observed bins only.
+    """
+    s = F.col(score_col)
+    y = F.col(label_col).cast("long")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s.cast("decimal(18,4)")).alias("__sp"),
+            F.sum(y).alias("__np"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    spd = F.col("__sp").cast("double")
+    npd = F.col("__np").cast("double")
+    return g.select(
+        "bin", "n",
+        F.round(spd / nd, decimals).alias("avg_score"),
+        F.round(npd / nd, decimals).alias("pos_rate"),
+        F.round(F.abs(spd / nd - npd / nd), decimals).alias("gap"),
+    )
+
+
+# Quantization scale for embedding_profile: float32 has a 24-bit
+# mantissa, so val·2²⁴ is EXACT in float64 for |val| < 1 and floor()
+# of it is a deterministic integer on every engine — the moments are
+# then exact integer sums with no decimal rounding-mode dependence.
+_EMB_SCALE = float(1 << 24)
+
+
+def embedding_profile(df: DataFrame, vec_col: str = "embedding",
+                      decimals: int = 6) -> DataFrame:
+    """Per-dimension profile of an array<float> embedding column —
+    n / mean / variance / min / max per position — the drift monitor
+    for a vector pipeline (a collapsed dimension, a normalization bug,
+    or an upstream model swap shows up here before recall drops).
+
+    Values are quantized to 2⁻²⁴ (exact for float32 inputs in (-1, 1);
+    below float32's own 6-7 significant digits elsewhere) so the
+    moment sums are exact integers in DECIMAL(38,0) — engine- and
+    order-independent — with the two final divisions in a fixed
+    expression order. min/max are exact on the raw values.
+
+    Shape: posexplode widens the scan by the dimension count, then ONE
+    map-side-combined aggregate on ≤ dim groups. No shuffle beyond the
+    dim-sized partials; no UDF.
+    """
+    ex = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "__v"))
+        .filter(F.col("__v").isNotNull())
+        .select(F.col("pos").cast("long").alias("pos"),
+                F.col("__v").cast("double").alias("__v"))
+    )
+    iv = F.floor(F.col("__v") * F.lit(_EMB_SCALE)).cast("long")
+    g = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(iv.cast("decimal(38,0)")).alias("__s"),
+        F.sum((iv * iv).cast("decimal(38,0)")).alias("__q"),
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("__s").cast("double") / nd
+    return g.select(
+        "pos", "n",
+        F.round(m / F.lit(_EMB_SCALE), decimals).alias("mean"),
+        F.round(
+            (F.col("__q").cast("double") / nd - m * m)
+            / F.lit(_EMB_SCALE * _EMB_SCALE), decimals).alias("var"),
+        F.round(F.col("__mn"), decimals).alias("min_val"),
+        F.round(F.col("__mx"), decimals).alias("max_val"),
+    )
+
+
 def grouped_trend(df: DataFrame, group_col: str, x_col: str,
                   y_col: str, decimals: int = 4) -> DataFrame:
     """Per-group OLS trend line y = a + b·x — slope, intercept and R²

@@ -246,6 +246,61 @@ def lm_bigram_score(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 3, top_k: int = 20,
+                     decimals: int = 4) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by pointwise mutual
+    information — the corpus-statistics step that finds multiword
+    units ("new york", "machine learning") for tokenizer vocab and
+    phrase-mining pipelines. PMI = ln(P(w1 w2) / (P(w1)·P(w2))) with
+    bigram probability over bigram positions and unigram probabilities
+    over token positions; a min_count floor screens out the
+    rare-pair PMI explosion (standard practice).
+
+    Shape: one explode for unigram counts, one for bigram counts (both
+    map-side combined, high-entropy keys), two equi-joins of the
+    bigram table against the unigram table, scalar totals broadcast
+    back, TakeOrderedAndProject for the top-k — no window, no
+    driver-side state. Counts are exact integers; the single ln() is
+    evaluated on one fixed expression so the rounded PMI is
+    engine-stable. Ties at the k boundary break on (pmi, w1, w2).
+    """
+    toks = df.select(_tokens(F.col(text_col)).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    )
+    tot = uni.agg(F.sum("cw").alias("__nt"))
+    pairs = toks.filter(F.size("__t") >= 2).select(
+        F.explode(F.expr(
+            "zip_with(slice(__t, 1, size(__t) - 1),"
+            " slice(__t, 2, size(__t) - 1),"
+            " (x, y) -> struct(x AS w1, y AS w2))"
+        )).alias("__p"),
+    ).select("__p.w1", "__p.w2")
+    cab = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    btot = cab.agg(F.sum("n_pair").alias("__nb"))
+    j = (
+        cab.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("cw").alias("__c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("cw").alias("__c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("__nt") * F.col("__nt"))
+            / (F.col("__nb").cast("double") * F.col("__c1") * F.col("__c2"))
+        ), decimals)
+    return (
+        j.select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
 def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     size: int = 32, stride: int = 24) -> DataFrame:

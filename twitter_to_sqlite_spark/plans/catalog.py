@@ -5238,10 +5238,12 @@ def q_quality_classifier(spark, sf_dir):
     return classifier.logreg_score(feats, _LR_CACHE[key])
 
 
-def _logreg_sql(iters: int = _LR_ITERS, lr: float = _LR_LR) -> str:
-    """DuckDB twin of classifier.logreg_train + logreg_score: the same
-    features, the same zero init, the same round(w + lr·avg(grad), 6)
-    per iteration, the same rounded-σ verdict."""
+def _logreg_parts(iters: int = _LR_ITERS,
+                  lr: float = _LR_LR) -> tuple[str, str, str]:
+    """Shared CTE chain of the classifier oracles: returns (joined
+    CTE SQL, σ(final-weights) expression, final weight CTE name) so
+    quality_classifier / classifier_auc / calibration all replay ONE
+    training definition instead of three drifting copies."""
     feats = ["x_words", "x_wordlen", "x_stop", "x_dup"]
 
     def margin(w: str) -> str:
@@ -5285,17 +5287,325 @@ def _logreg_sql(iters: int = _LR_ITERS, lr: float = _LR_LR) -> str:
         )
         ctes.append(f"wt{t} AS MATERIALIZED (SELECT {wsel} FROM {prev}, gr{t})")
     final = f"wt{iters}"
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes), sigma(final), final
+
+
+def _logreg_sql(iters: int = _LR_ITERS, lr: float = _LR_LR) -> str:
+    """DuckDB twin of classifier.logreg_train + logreg_score: the same
+    features, the same zero init, the same round(w + lr·avg(grad), 6)
+    per iteration, the same rounded-σ verdict."""
+    joined, sig, final = _logreg_parts(iters, lr)
     return f"""
 WITH {joined}
 SELECT doc_id, y,
-       round({sigma(final)}, 4) AS prob,
-       round({sigma(final)}, 4) > 0.5 AS keep
+       round({sig}, 4) AS prob,
+       round({sig}, 4) > 0.5 AS keep
 FROM feat, {final}
 """
 
 
 SQL_QUALITY_CLASSIFIER = _logreg_sql()
+
+
+def q_classifier_auc(spark, sf_dir):
+    """Exact ROC-AUC of the distilled quality classifier against its
+    training labels (functions/stats.py::roc_auc) — the measure-don't-
+    guess companion of quality_classifier: before a soft scorer gates
+    a corpus, its ranking power is a committed number, not a vibe.
+    Tie-aware Mann-Whitney rank-sum on the ROUNDED probability, so
+    both engines rank the identical discrete score distribution; the
+    corpus collapses to ≤10⁴ score groups before any window runs.
+    Shares the cached trained weights with quality_classifier."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    return stats.roc_auc(
+        q_quality_classifier(spark, sf_dir), "y", "prob")
+
+
+def _classifier_auc_sql() -> str:
+    joined, sig, final = _logreg_parts()
+    return f"""
+WITH {joined},
+scored AS (SELECT y, round({sig}, 4) AS prob FROM feat, {final}),
+g AS (SELECT prob, count(*) AS n, sum(y) AS np
+      FROM scored GROUP BY prob),
+r AS (SELECT n, np,
+             coalesce(sum(n) OVER (ORDER BY prob
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM g),
+s AS (SELECT sum(np * (2 * before + n + 1)) AS r2,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(n - np) AS BIGINT) AS n_neg
+      FROM r)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((r2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1))
+               / (2 * n_pos::DOUBLE * n_neg::DOUBLE), 6)
+       END AS auc
+FROM s
+"""
+
+
+SQL_CLASSIFIER_AUC = _classifier_auc_sql()
+
+
+def q_calibration(spark, sf_dir):
+    """Reliability-diagram buckets of the distilled classifier
+    (functions/stats.py::calibration_bins): per score decile, exact
+    mean predicted probability vs empirical positive rate and the
+    |gap| — whether 0.8 means 80%. The companion diagnostic to
+    classifier_auc (ranking power vs probability honesty); a 100 TB
+    scoring table reduces to ≤10 rows in one map-side-combined agg.
+    Shares the cached trained weights with quality_classifier."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    return stats.calibration_bins(
+        q_quality_classifier(spark, sf_dir), "y", "prob", n_bins=10)
+
+
+def _calibration_sql() -> str:
+    joined, sig, final = _logreg_parts()
+    return f"""
+WITH {joined},
+scored AS (SELECT y, round({sig}, 4) AS prob FROM feat, {final})
+SELECT least(floor(prob * 10), 9)::INT AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CAST(prob AS DECIMAL(18,4)))::DOUBLE / count(*), 6)
+         AS avg_score,
+       round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
+       round(abs(sum(CAST(prob AS DECIMAL(18,4)))::DOUBLE / count(*)
+                 - sum(y)::DOUBLE / count(*)), 6) AS gap
+FROM scored GROUP BY 1
+"""
+
+
+SQL_CALIBRATION = _calibration_sql()
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-dimension embedding-column profile (functions/stats.py::
+    embedding_profile): n/mean/var/min/max per vector position — the
+    drift monitor a vector pipeline runs per ingest batch (a collapsed
+    dimension, normalization bug, or upstream model swap shows here
+    before ANN recall drops). Moments are exact integer sums of the
+    2⁻²⁴-quantized float32 values (quantization is the engine-
+    portability contract — see the function docstring), one map-side-
+    combined agg over ≤ dim groups."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    e = _t(spark, sf_dir, "embeddings").select("embedding")
+    return stats.embedding_profile(e, "embedding")
+
+
+SQL_EMBEDDING_STATS = """
+WITH ex AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+q AS (
+  SELECT CAST(pos AS BIGINT) AS pos, val::DOUBLE AS v,
+         floor(val::DOUBLE * 16777216.0)::BIGINT AS iv
+  FROM ex WHERE val IS NOT NULL
+)
+SELECT pos, CAST(count(*) AS BIGINT) AS n,
+       round((sum(iv)::DOUBLE / count(*)) / 16777216.0, 6) AS mean,
+       round((sum(iv * iv)::DOUBLE / count(*)
+              - (sum(iv)::DOUBLE / count(*))
+                * (sum(iv)::DOUBLE / count(*)))
+             / 281474976710656.0, 6) AS var,
+       round(min(v), 6) AS min_val,
+       round(max(v), 6) AS max_val
+FROM q GROUP BY pos
+"""
+
+
+def q_novelty(spark, sf_dir):
+    """Per-document novelty of a new shard vs the stored corpus
+    (functions/dedup.py::novelty_stats): fraction of each new doc's
+    distinct 3-shingles absent from the store — the data-valuation
+    signal incremental crawls rank shards by; complements
+    dedup_incremental (candidates catch copies, novelty prices partial
+    overlap). Planted verbatim copies of stored docs pin novelty = 0
+    rows. One left equi-join on the high-entropy shingle key + one
+    per-doc agg — linear, never pairwise."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = d.filter(F.col("doc_id") % 2 == 0)
+    planted = d.filter(
+        (F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    return dedup.novelty_stats(new, stored, k=3)
+
+
+SQL_NOVELTY = f"""
+WITH stored AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+),
+shn AS (
+  SELECT DISTINCT id, unnest(
+    list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id AS id, {{toks}} AS t FROM newdocs)
+),
+shs AS (
+  SELECT DISTINCT unnest(
+    list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM (SELECT {{toks}} AS t FROM stored)
+)
+SELECT n.id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN s.shingle IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN s.shingle IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM shn n LEFT JOIN shs s ON n.shingle = s.shingle
+GROUP BY n.id
+""".replace("{toks}", _SQL_TOKS)
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by PMI with a min-count floor
+    (functions/text.py::pmi_collocations) — the phrase-mining /
+    tokenizer-vocab step over the document corpus. Exact integer
+    counts, one ln() in a fixed expression order, deterministic
+    (pmi, w1, w2) tie-break at the k boundary."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    return text.pmi_collocations(d, "text", min_count=3, top_k=20)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH toks AS (SELECT {_SQL_TOKS} AS t FROM documents),
+uni AS (SELECT w, count(*) AS cw
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+nt AS (SELECT sum(cw) AS nt FROM uni),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+  FROM toks WHERE len(t) >= 2
+),
+cab AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+        FROM pairs GROUP BY p.w1, p.w2),
+nb AS (SELECT sum(n_pair) AS nb FROM cab),
+j AS (SELECT w1, w2, n_pair, u1.cw AS c1, u2.cw AS c2
+      FROM cab JOIN uni u1 ON cab.w1 = u1.w
+               JOIN uni u2 ON cab.w2 = u2.w
+      WHERE n_pair >= 3)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       round(ln((n_pair::DOUBLE * nt * nt)
+                / (nb::DOUBLE * c1 * c2)), 4) AS pmi
+FROM j, nt, nb
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+# PSI bin count (fixed-width over the quality score's [0, 1] range).
+_PSI_BINS = 10
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population stability index of the quality-score distribution,
+    stored corpus vs incoming shard — THE standard drift number ML
+    monitoring gates on (PSI < 0.1 stable / > 0.25 investigate).
+    Planted low-quality spam docs in the incoming side guarantee a
+    real shift. Laplace-smoothed bin shares over a generated dense
+    spine (empty bins still contribute), terms folded in bin order so
+    the float sum is engine-identical; counts reduce map-side, the
+    10-row spine never leaves the executors."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    planted = d.filter(
+        (F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.lit(("spam " * 40).strip()).alias("text"))
+    cur = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    def bin_counts(side, alias):
+        q = text.quality_score(side).select("quality")
+        b = F.least(F.floor(F.col("quality") * _PSI_BINS).cast("int"),
+                    F.lit(_PSI_BINS - 1))
+        return q.groupBy(b.alias("bin")).agg(
+            F.count(F.lit(1)).alias(alias))
+
+    spine = spark.range(_PSI_BINS).select(
+        F.col("id").cast("int").alias("bin"))
+    g = (
+        spine
+        .join(bin_counts(base, "__nb"), "bin", "left")
+        .join(bin_counts(cur, "__nc"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("__nb", F.lit(0)).alias("nb"),
+            F.coalesce("__nc", F.lit(0)).alias("nc"),
+        )
+    )
+    tot = g.agg(F.sum("nb").alias("tnb"), F.sum("nc").alias("tnc"))
+    gt = g.crossJoin(F.broadcast(tot))
+    pb = (F.col("nb") + 1.0) / (F.col("tnb") + _PSI_BINS)
+    pc = (F.col("nc") + 1.0) / (F.col("tnc") + _PSI_BINS)
+    terms = gt.select(
+        "tnb", "tnc",
+        F.struct(F.col("bin"),
+                 ((pc - pb) * F.log(pc / pb)).alias("x")).alias("s"),
+    )
+    return (
+        terms.agg(
+            F.sort_array(F.collect_list("s")).alias("terms"),
+            F.max("tnb").alias("n_base"),
+            F.max("tnc").alias("n_cur"),
+        )
+        .select(
+            "n_base", "n_cur",
+            F.round(F.aggregate(
+                "terms", F.lit(0.0), lambda acc, s: acc + s["x"]), 6)
+            .alias("psi"),
+        )
+    )
+
+
+def _psi_sql() -> str:
+    quality = SQL_QUALITY_SCORE.replace("FROM documents", "FROM {src}")
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+cur AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id,
+         '{("spam " * 40).strip()}' AS text
+  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+),
+qb AS ({quality.replace("{src}", "base")}),
+qc AS ({quality.replace("{src}", "cur")}),
+cb AS (SELECT least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+         AS bin, count(*) AS nb FROM qb GROUP BY 1),
+cc AS (SELECT least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+         AS bin, count(*) AS nc FROM qc GROUP BY 1),
+spine AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1}))::INT AS bin),
+g AS (SELECT s.bin, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      FROM spine s LEFT JOIN cb ON s.bin = cb.bin
+                   LEFT JOIN cc ON s.bin = cc.bin),
+t AS (SELECT sum(nb) AS tnb, sum(nc) AS tnc FROM g),
+terms AS (
+  SELECT bin,
+         ((nc + 1.0) / (tnc + {_PSI_BINS})
+          - (nb + 1.0) / (tnb + {_PSI_BINS}))
+         * ln(((nc + 1.0) / (tnc + {_PSI_BINS}))
+              / ((nb + 1.0) / (tnb + {_PSI_BINS}))) AS x
+  FROM g, t
+)
+SELECT CAST(t.tnb AS BIGINT) AS n_base, CAST(t.tnc AS BIGINT) AS n_cur,
+       round(list_reduce(list_prepend(0.0, list(x ORDER BY bin)),
+                         (acc, v) -> acc + v), 6) AS psi
+FROM terms, t GROUP BY t.tnb, t.tnc
+"""
+
+
+SQL_PSI_DRIFT = _psi_sql()
 
 
 def q_funnel_latency(spark, sf_dir):
@@ -5945,6 +6255,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets_dist": q_perplexity_buckets_dist,
     "substring_clean": q_substring_clean,
     # --- (2) new in r5, never driver-verified ---
+    "classifier_auc": q_classifier_auc,
+    "calibration": q_calibration,
+    "embedding_stats": q_embedding_stats,
+    "novelty": q_novelty,
+    "pmi_collocations": q_pmi_collocations,
+    "psi_drift": q_psi_drift,
     "funnel_windowed": q_funnel_windowed,
     "entity_clusters": q_entity_clusters,
     "data_quality_drift": q_data_quality_drift,
@@ -6227,6 +6543,12 @@ ORACLE_SQL: dict[str, str] = {
     "data_quality": SQL_DATA_QUALITY,
     "data_quality_drift": SQL_DATA_QUALITY_DRIFT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "classifier_auc": SQL_CLASSIFIER_AUC,
+    "calibration": SQL_CALIBRATION,
+    "embedding_stats": SQL_EMBEDDING_STATS,
+    "novelty": SQL_NOVELTY,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "psi_drift": SQL_PSI_DRIFT,
 }
 
 
