@@ -157,6 +157,30 @@ def _zorder_probe(d):
                                          bits=8, n_files=64)
 
 
+def _auc_probe(d):
+    """ROC-AUC growth probe: label/score derived per-row from the doc
+    id (portable-hash score rounded to 4 decimals — the catalog's
+    probability granularity). The corpus collapses to ≤10⁴ score
+    groups before the single-partition window, so growth should track
+    the scan, never the window."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    scored = d.select(
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+        F.round(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 4), 16, 10).cast("double") / 65536.0,
+            4).alias("prob"),
+    )
+    return stats.roc_auc(scored)
+
+
+def _embedding_profile_probe(v):
+    from twitter_to_sqlite_spark.functions import stats
+
+    return stats.embedding_profile(v, "embedding")
+
+
 def _interval_probe(d):
     """Interval-join growth probe: ts = doc_id seconds (replica id
     offsets push each replica into a disjoint time range, so event
@@ -468,6 +492,14 @@ def main():
         "lpa_chain": lambda d, v: _lpa_chain(d),
         "incremental_agg": lambda d, v: _incremental_agg_probe(d),
         "zorder": lambda d, v: _zorder_probe(d),
+        # --- r5 eval/monitoring metrics ---
+        "novelty": lambda d, v: dedup.novelty_stats(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0), k=3),
+        "pmi": lambda d, v: text.pmi_collocations(
+            d, "text", min_count=3, top_k=20),
+        "roc_auc": lambda d, v: _auc_probe(d),
+        "embedding_profile": lambda d, v: _embedding_profile_probe(v),
     }
     out = {}
     for name, fn in OPS.items():
