@@ -1064,3 +1064,127 @@ def test_containment_prefix_is_always_one(spark, docs, frac):
             continue  # excerpt == whole doc handled by equal-size tie
         key = (100 + i, i)
         assert got.get(key) == 1.0, (i, toks, m, got)
+
+
+# ------------------------------------------------- r5 eval metrics
+
+SCORED = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1),     # label
+              st.integers(min_value=0, max_value=6)),    # score level
+    min_size=2, max_size=30,
+)
+
+
+@given(rows=SCORED)
+@SETTINGS
+def test_auc_matches_pairwise_spec(spark, rows):
+    """roc_auc == P(s+ > s-) + 0.5 P(s+ = s-) over ALL (pos, neg)
+    pairs — the defining pairwise probability, computed brutally."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    pairs = [(y, s / 6.0) for y, s in rows]
+    df = spark.createDataFrame(pairs, "y int, prob double")
+    got = stats.roc_auc(df).collect()[0]
+    pos = [s for y, s in pairs if y == 1]
+    neg = [s for y, s in pairs if y == 0]
+    if not pos or not neg:
+        assert got["auc"] is None
+        return
+    want = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg) \
+        / (len(pos) * len(neg))
+    assert got["auc"] == pytest.approx(want, abs=1e-6)
+
+
+@given(rows=SCORED, a=st.floats(min_value=0.1, max_value=0.4),
+       b=st.floats(min_value=0.0, max_value=0.3))
+@SETTINGS
+def test_auc_invariant_under_monotone_score_transform(spark, rows, a, b):
+    """AUC is a pure function of the score RANKING: any strictly
+    increasing transform (here s -> a·s + b) leaves it unchanged —
+    the property that makes it comparable across calibrations."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    pairs = [(y, s / 6.0) for y, s in rows]
+    if not any(y == 1 for y, _ in pairs) or \
+            not any(y == 0 for y, _ in pairs):
+        return
+    d1 = spark.createDataFrame(pairs, "y int, prob double")
+    d2 = spark.createDataFrame([(y, a * s + b) for y, s in pairs],
+                               "y int, prob double")
+    assert stats.roc_auc(d1).collect()[0]["auc"] == \
+        stats.roc_auc(d2).collect()[0]["auc"]
+
+
+@given(rows=SCORED)
+@SETTINGS
+def test_calibration_bins_partition_the_corpus(spark, rows):
+    """Bin counts partition the scored rows, and the n-weighted mean
+    of pos_rate recovers the global positive rate (the law that makes
+    per-bin rates a decomposition of accuracy, i.e. ECE well-posed)."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    pairs = [(y, s / 6.0) for y, s in rows]
+    df = spark.createDataFrame(pairs, "y int, prob double")
+    got = stats.calibration_bins(df, n_bins=4).collect()
+    assert sum(r["n"] for r in got) == len(pairs)
+    global_rate = sum(y for y, _ in pairs) / len(pairs)
+    weighted = sum(r["n"] * r["pos_rate"] for r in got) / len(pairs)
+    assert weighted == pytest.approx(global_rate, abs=1e-4)
+
+
+PMI_DOCS = st.lists(
+    st.lists(st.integers(min_value=0, max_value=5),
+             min_size=2, max_size=10),
+    min_size=1, max_size=6)
+
+
+@given(docs=PMI_DOCS)
+@SETTINGS
+def test_pmi_invariant_under_corpus_replication(spark, docs):
+    """Duplicating every document doubles every count (c_ab, c_a,
+    c_b, N, B), which cancels in the PMI ratio — collocation scores
+    measure association strength, not corpus size."""
+    from twitter_to_sqlite_spark.functions import text as T
+
+    rows = [(" ".join(f"t{t}" for t in d),) for d in docs]
+    d1 = spark.createDataFrame(rows, "text string")
+    d2 = spark.createDataFrame(rows + rows, "text string")
+    g1 = {(r["w1"], r["w2"]): r["pmi"] for r in
+          T.pmi_collocations(d1, min_count=1, top_k=1000).collect()}
+    g2 = {(r["w1"], r["w2"]): r["pmi"] for r in
+          T.pmi_collocations(d2, min_count=1, top_k=1000).collect()}
+    assert g1 == g2
+
+
+NOV_DOCS = st.lists(
+    st.lists(st.integers(min_value=0, max_value=8),
+             min_size=3, max_size=10),
+    min_size=1, max_size=5)
+
+
+@given(new=NOV_DOCS, stored=NOV_DOCS, extra=NOV_DOCS)
+@SETTINGS
+def test_novelty_bounds_and_monotone_in_store(spark, new, stored, extra):
+    """0 <= novelty <= 1 with exact shingle accounting, and GROWING
+    the stored corpus never increases any doc's novelty (more store
+    can only explain more shingles) — the law that makes novelty a
+    valid shard-ordering signal as the corpus accretes."""
+    from twitter_to_sqlite_spark.functions import dedup as D
+
+    def df(docs, base):
+        rows = [(base + i, " ".join(f"t{t}" for t in d))
+                for i, d in enumerate(docs)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    new_df = df(new, 1000)
+    s1 = df(stored, 0)
+    s2 = df(stored, 0).unionByName(df(extra, 500))
+    g1 = {r["doc_id"]: r for r in
+          D.novelty_stats(new_df, s1, k=3).collect()}
+    g2 = {r["doc_id"]: r for r in
+          D.novelty_stats(new_df, s2, k=3).collect()}
+    assert set(g1) == set(g2)
+    for k in g1:
+        assert 0.0 <= g1[k]["novelty"] <= 1.0
+        assert g1[k]["n_novel"] <= g1[k]["n_shingles"]
+        assert g2[k]["n_novel"] <= g1[k]["n_novel"]
