@@ -429,3 +429,65 @@ def test_ewma_and_anomaly_windows_are_partitioned(spark):
             assert " ASC" not in first and " DESC" not in first, (
                 f"{name}: global window {spec}"
             )
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    """The top-k collocation cut must compile to
+    TakeOrderedAndProject (never a global sort of the full pair
+    table), and the scalar totals must broadcast onto the pair
+    table, not shuffle it."""
+    plan = plan_of(spark, "pmi_collocations")
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_novelty_join_is_equi_never_nested(spark):
+    """Novelty's store lookup must be an equi-join on the shingle —
+    any nested-loop/cartesian node would be quadratic in the corpus."""
+    plan = plan_of(spark, "novelty")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (count_nodes(plan, "SortMergeJoin")
+            + count_nodes(plan, "ShuffledHashJoin")
+            + count_nodes(plan, "BroadcastHashJoin")) >= 1
+
+
+def test_roc_auc_window_runs_after_aggregation(spark):
+    """roc_auc's single-partition rank window may only see the
+    score-grouped aggregate (<= |distinct scores| rows), never corpus
+    rows: the plan must place a HashAggregate strictly before the
+    Window node."""
+    import re
+
+    from twitter_to_sqlite_spark.functions import stats
+
+    df = stats.roc_auc(
+        catalog.QUERIES["quality_classifier"](spark, SF), "y", "prob")
+    plan = plan_of_df(spark, df)
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.MULTILINE)
+    assert "Window" in nodes
+    win = nodes.index("Window")
+    # formatted plans list downstream nodes first: an aggregate that
+    # FEEDS the window appears after it in the listing
+    assert "HashAggregate" in nodes[win:], nodes
+
+
+def test_embedding_stats_single_agg_no_join(spark):
+    """The per-dimension profile is one exploded scan + one grouped
+    aggregate: no join of any kind, exactly one exchange (the <= dim
+    sized partial-agg shuffle)."""
+    plan = plan_of(spark, "embedding_stats")
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert count_nodes(plan, node) == 0, node
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_psi_bin_tables_broadcast_onto_spine(spark):
+    """PSI's per-side bin counts (<= 10 rows each) and scalar totals
+    must broadcast; the only shuffles allowed are the two bin-count
+    aggregations."""
+    plan = plan_of(spark, "psi_drift")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
