@@ -452,3 +452,66 @@ def test_maintain_rollup_matches_batch_recompute(spark, tmp_path):
         if want[k][2] is None:
             continue
         assert got[k][2] == want[k][2]
+
+
+def test_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """Streaming drift maintenance: after N micro-batches the
+    maintained histogram equals the one-shot batch histogram of
+    everything streamed, and psi_vs_baseline equals the PSI computed
+    directly from the one-shot counts — the streaming twin of the
+    batch psi_drift query."""
+    import json as _json
+    import math
+
+    from twitter_to_sqlite_spark.streaming.analytics import (
+        drift_monitor, psi_vs_baseline, score_bin_counts)
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    counts = str(tmp_path / "counts")
+    baseline = str(tmp_path / "baseline")
+
+    base_vals = [0.05, 0.15, 0.15, 0.85, 0.95, 0.95]
+    rows1 = [{"quality": v} for v in (0.05, 0.42, 0.42, 0.87)]
+    rows2 = [{"quality": v} for v in (0.42, 0.42, 0.99, 1.0)]
+
+    score_bin_counts(
+        spark.createDataFrame([(v,) for v in base_vals],
+                              "quality double")).write.parquet(baseline)
+    (spool / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1))
+
+    schema = "quality double"
+    on_batch = drift_monitor(spark, counts, "quality")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).json(str(spool))
+    for extra in (None, rows2):
+        if extra is not None:
+            (spool / "b2.json").write_text(
+                "\n".join(_json.dumps(r) for r in extra))
+        q = stream.writeStream.foreachBatch(on_batch) \
+            .option("checkpointLocation", str(tmp_path / "ck")) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    # maintained histogram == one-shot histogram of the whole stream
+    all_vals = [r["quality"] for r in rows1 + rows2]
+    want_bins = {r["bin"]: r["n"] for r in score_bin_counts(
+        spark.createDataFrame([(v,) for v in all_vals],
+                              "quality double")).collect()}
+    got_bins = {r["bin"]: r["n"]
+                for r in spark.read.parquet(counts).collect()}
+    assert got_bins == want_bins
+
+    # streaming PSI == PSI computed from the one-shot counts
+    base_bins = {r["bin"]: r["n"]
+                 for r in spark.read.parquet(baseline).collect()}
+    tnb, tnc = sum(base_bins.values()), sum(want_bins.values())
+    want_psi = 0.0
+    for b in range(10):
+        pc = (want_bins.get(b, 0) + 1.0) / (tnc + 10)
+        pb = (base_bins.get(b, 0) + 1.0) / (tnb + 10)
+        want_psi += (pc - pb) * math.log(pc / pb)
+    got_psi = psi_vs_baseline(spark, counts, baseline)
+    assert got_psi == pytest.approx(want_psi, abs=1e-12)
+    assert got_psi > 0.0

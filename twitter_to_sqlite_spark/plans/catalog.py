@@ -5526,11 +5526,13 @@ def q_psi_drift(spark, sf_dir):
     cur = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
 
     def bin_counts(side, alias):
+        # shared histogram primitive — the streaming drift_monitor
+        # maintains exactly this frame incrementally
+        from twitter_to_sqlite_spark.streaming import analytics as A
+
         q = text.quality_score(side).select("quality")
-        b = F.least(F.floor(F.col("quality") * _PSI_BINS).cast("int"),
-                    F.lit(_PSI_BINS - 1))
-        return q.groupBy(b.alias("bin")).agg(
-            F.count(F.lit(1)).alias(alias))
+        return A.score_bin_counts(q, "quality", _PSI_BINS) \
+            .withColumnRenamed("n", alias)
 
     spine = spark.range(_PSI_BINS).select(
         F.col("id").cast("int").alias("bin"))

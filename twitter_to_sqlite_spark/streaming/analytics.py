@@ -25,6 +25,10 @@ no windowed aggregation — these are the Spark-native extensions a
                            ring buffer of the last W values in the
                            state store, each event scored BEFORE its
                            value is appended (leakage-free)
+  drift_monitor            foreachBatch maintenance of the current
+                           score histogram (twin of the batch
+                           psi_drift query); psi_vs_baseline prices
+                           the drift from the <= n_bins-row tables
 """
 
 from __future__ import annotations
@@ -398,6 +402,79 @@ def zscore_stream(stream: DataFrame, key_col: str = "user_id",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def score_bin_counts(df: DataFrame, value_col: str = "quality",
+                     n_bins: int = 10) -> DataFrame:
+    """Fixed-width bin counts of a [0, 1] score column — the shared
+    histogram primitive of the batch PSI query (plans/catalog.py
+    q_psi_drift) and the streaming drift monitor below. One map-side-
+    combined aggregate to <= n_bins rows."""
+    b = F.least(F.floor(F.col(value_col) * n_bins).cast("int"),
+                F.lit(n_bins - 1))
+    return df.filter(F.col(value_col).isNotNull()) \
+        .groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def drift_monitor(spark, counts_path: str, value_col: str = "quality",
+                  n_bins: int = 10):
+    """Streaming distribution-drift maintenance: a foreachBatch
+    callable keeping the CURRENT score histogram parquet up to date
+    under an append-only stream — the streaming face of the batch
+    psi_drift query. Each micro-batch folds only its own rows into a
+    <= n_bins-row delta and merges it with the stored counts under the
+    advisory table lock; the stream is never rescanned, so maintenance
+    is O(|batch|) at any history size. Bin counts are exact integers
+    and merge is associative, so the maintained histogram after N
+    batches equals the one-shot batch histogram of everything streamed
+    (the agreement the test pins); psi_vs_baseline then prices the
+    drift whenever the monitor asks.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            drift_monitor(spark, counts_path, "quality"))
+    """
+    from twitter_to_sqlite_spark.operators import sinks
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        import os
+
+        delta = score_bin_counts(batch_df, value_col, n_bins)
+        with sinks.table_lock(counts_path):
+            if os.path.exists(counts_path):
+                stored = spark.read.parquet(counts_path)
+                merged = stored.unionByName(delta).groupBy("bin").agg(
+                    F.sum("n").alias("n"))
+            else:
+                merged = delta
+            sinks.write_swap(merged, counts_path)
+
+    return on_batch
+
+
+def psi_vs_baseline(spark, counts_path: str, baseline_path: str,
+                    n_bins: int = 10) -> float:
+    """Population stability index of the maintained current histogram
+    against a stored baseline histogram (both <= n_bins rows — the
+    collects are bounded by construction, independent of stream
+    length). Same Laplace smoothing and bin-ordered summation as the
+    batch q_psi_drift oracle pair."""
+    import math
+
+    def load(path):
+        return {r["bin"]: r["n"]
+                for r in spark.read.parquet(path).collect()}
+
+    cur, base = load(counts_path), load(baseline_path)
+    tnc = sum(cur.values())
+    tnb = sum(base.values())
+    psi = 0.0
+    for b in range(n_bins):
+        pc = (cur.get(b, 0) + 1.0) / (tnc + n_bins)
+        pb = (base.get(b, 0) + 1.0) / (tnb + n_bins)
+        psi += (pc - pb) * math.log(pc / pb)
+    return psi
 
 
 def maintain_rollup(spark, path: str, key_cols: list[str],
