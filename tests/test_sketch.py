@@ -336,3 +336,45 @@ def test_kmv_merge_distinct_exact_below_k(spark):
     b = spark.createDataFrame([("q",), ("r",)], "v string")
     row = sketch.kmv_merge_distinct([a, b], ["v"], k=64).collect()[0]
     assert row["kmv_estimate"] == 3
+
+
+def test_join_size_estimate_exact_below_k(spark):
+    """Domain smaller than k: the whole domain is sampled, so the
+    'estimate' is exactly sum(cA*cB)."""
+    from twitter_to_sqlite_spark.functions import sketch
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3]], "k long")
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 4]], "k long")
+    r = sketch.join_size_estimate(a, b, "k", k=16).collect()[0]
+    # true join size: key1 3*1 + key2 2*3 = 9 (keys 3,4 one-sided)
+    assert r["est_join_rows"] == 9
+    assert r["n_sampled"] == 4 and r["d_est"] == 4
+    assert a.join(b, "k").count() == 9
+
+
+def test_join_size_estimate_sampled_within_tolerance(spark):
+    """Estimator path (domain >> k): planted uniform counts make the
+    truth computable; the domain-sampled estimate must land within a
+    loose relative band (it is deterministic given the hash, so this
+    is a regression pin, not a flaky statistical test)."""
+    from twitter_to_sqlite_spark.functions import sketch
+
+    # 2000 keys, c(k) = 1 + (k % 3) on both sides
+    rows = [(k,) for k in range(2000) for _ in range(1 + k % 3)]
+    df = spark.createDataFrame(rows, "k long")
+    r = sketch.join_size_estimate(df, df, "k", k=128).collect()[0]
+    exact = sum((1 + k % 3) ** 2 for k in range(2000))
+    assert r["n_sampled"] == 128
+    assert abs(r["est_join_rows"] - exact) / exact < 0.35
+    assert abs(r["d_est"] - 2000) / 2000 < 0.25
+
+
+def test_join_size_estimate_disjoint_keys_is_zero(spark):
+    from twitter_to_sqlite_spark.functions import sketch
+
+    a = spark.createDataFrame([(k,) for k in range(10)], "k long")
+    b = spark.createDataFrame([(k,) for k in range(100, 110)], "k long")
+    r = sketch.join_size_estimate(a, b, "k", k=8).collect()[0]
+    assert r["est_join_rows"] == 0

@@ -60,3 +60,38 @@ def test_layout_is_deterministic(spark):
     b = sorted(map(tuple, bucketing.zorder_layout_stats(
         df, "x", "y", bits=8, n_files=8).collect()))
     assert a == b
+
+
+def test_shard_move_stats_rendezvous_is_minimal(spark):
+    """Growing 8 -> 12 shards: rendezvous moves ~= 4/12 of keys (the
+    consistent-hashing guarantee), mod-hash moves far more; equal
+    shard counts move nothing under either strategy."""
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    df = spark.createDataFrame([(k,) for k in range(3000)], "k long")
+    got = {r["strategy"]: r for r in
+           bucketing.shard_move_stats(df, "k", 8, 12).collect()}
+    assert got["rendezvous"]["n_keys"] == 3000
+    # expectation 1/3; deterministic given the hash — loose band
+    assert 0.28 < got["rendezvous"]["move_frac"] < 0.39
+    assert got["mod"]["move_frac"] > 2 * got["rendezvous"]["move_frac"]
+
+    same = {r["strategy"]: r for r in
+            bucketing.shard_move_stats(df, "k", 12, 12).collect()}
+    assert same["mod"]["n_moved"] == 0
+    assert same["rendezvous"]["n_moved"] == 0
+
+
+def test_shard_move_stats_rendezvous_monotone_growth(spark):
+    """Rendezvous keys never move when the shard set is unchanged at
+    the front: growth n -> m only reassigns keys whose winner is a NEW
+    shard, so move fraction grows with (m - n)/m."""
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    df = spark.createDataFrame([(k,) for k in range(1500)], "k long")
+    f_1 = {r["strategy"]: r["move_frac"] for r in
+           bucketing.shard_move_stats(df, "k", 8, 9).collect()}
+    f_4 = {r["strategy"]: r["move_frac"] for r in
+           bucketing.shard_move_stats(df, "k", 8, 12).collect()}
+    assert f_1["rendezvous"] < f_4["rendezvous"]
+    assert 0.06 < f_1["rendezvous"] < 0.17      # ~1/9

@@ -370,3 +370,71 @@ def grouped_sample_quantiles(df: DataFrame, group_col: str,
         F.col("__g").alias(group_col), "q", "n_sample",
         F.element_at("__vs", idx).alias("est"),
     )
+
+
+def join_size_estimate(a: DataFrame, b: DataFrame, key_col: str,
+                       k: int = 256) -> DataFrame:
+    """Sketch-driven equi-join cardinality estimate — the number a
+    planner needs BEFORE running a 100 TB join (pick broadcast vs
+    shuffle vs salted, size shuffle partitions) without paying for it.
+
+    |A ⋈ B| = Σ_key cA(key)·cB(key); estimated from the deterministic
+    bottom-k portable-hash sample of the DISTINCT key domain of A ∪ B
+    (the sample_topk device): exact per-key counts for the ≤ k sampled
+    keys (broadcast joins — both sides only scan), scaled by D/k where
+    D is the KMV domain estimate read off the SAME k-min set. Sampling
+    the key DOMAIN (not rows) makes the estimator unbiased under skew:
+    a hot key contributes its exact cA·cB whenever sampled, and the
+    hash picks keys, not rows, so hot keys are not over-represented.
+
+    Deterministic by construction (hash sample + exact counts + one
+    rounded scale), so it cross-engine oracle-matches — unlike a
+    row-sampling estimator. Returns ONE row:
+    (n_sampled, d_est, est_join_rows).
+
+    Scale: one distinct on the key (partial-agg shuffle), one
+    TakeOrderedAndProject (k rows), two broadcast-semi count aggs.
+    Estimator state is k keys at any corpus size.
+    """
+    dom = (
+        a.select(F.col(key_col).alias("__k"))
+        .unionByName(b.select(F.col(key_col).alias("__k")))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .select("__k", _uniform_hash(F.col("__k")).alias("__u"))
+    )
+    sample = dom.orderBy("__u").limit(k)
+
+    def side_counts(df, alias):
+        return (
+            df.select(F.col(key_col).alias("__k"))
+            .join(F.broadcast(sample.select("__k")), "__k")
+            .groupBy("__k").agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    per_key = (
+        sample
+        .join(side_counts(a, "__ca"), "__k", "left")
+        .join(side_counts(b, "__cb"), "__k", "left")
+        .select(
+            "__u",
+            (F.coalesce("__ca", F.lit(0))
+             * F.coalesce("__cb", F.lit(0))).alias("__prod"),
+        )
+    )
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__u").alias("__umax"),
+        F.sum("__prod").alias("__sp"),
+    )
+    d_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("long")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) / F.col("__umax"), 0).cast("long"))
+    return agg.select(
+        F.col("n_kept").cast("long").alias("n_sampled"),
+        d_est.alias("d_est"),
+        F.round(
+            F.col("__sp").cast("double") * d_est.cast("double")
+            / F.col("n_kept"), 0).cast("long").alias("est_join_rows"),
+    )

@@ -111,3 +111,79 @@ def zorder_layout_stats(df: DataFrame, x_col: str, y_col: str,
             F.min("__y").alias("y_min"), F.max("__y").alias("y_max"),
         )
     )
+
+
+def shard_move_stats(df: DataFrame, key_col: str,
+                     n_old: int, n_new: int) -> DataFrame:
+    """Shard-rebalance planning: how many keys MOVE when the shard
+    count grows n_old → n_new, compared across the two assignment
+    strategies a 100 TB table actually chooses between:
+
+      mod         shard = hash(key) % n — the dataset_split /
+                  shard_manifest scheme. Cheap, but growing n
+                  reassigns ~(1 − 1/lcm-ish) of ALL keys: nearly the
+                  whole corpus re-shuffles on reshard.
+      rendezvous  shard = argmax_s hash(key, s) (highest-random-
+                  weight, Thaler & Ravishankar 1996). Growing n only
+                  moves keys whose NEW shards win the argmax —
+                  exactly (n_new − n_old)/n_new of keys in
+                  expectation, the provable minimum for a uniform
+                  balanced scheme.
+
+    Emitted as data — (strategy, n_keys, n_moved, move_frac) — so the
+    reshard decision is measured on the real key population, not
+    assumed. Both strategies use the portable md5 hash, so the row is
+    engine-reproducible and the moved set is deterministic.
+
+    Scale: one distinct on the key, then a narrow projection (the
+    argmax is an unrolled array_max over n_new struct literals — pure
+    codegen) and one map-side-combined agg. No join, no window.
+    """
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.col("__k").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keys = (
+        df.select(F.col(key_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .withColumn("__h", h)
+    )
+
+    def rdv(n):
+        # array_max over (hash, shard) structs → lexicographic max =
+        # highest hash; md5 collisions across (key, s) pairs are the
+        # only possible tie and are ~impossible
+        pairs = [
+            F.struct(
+                F.conv(F.substring(
+                    F.md5(F.concat(F.col("__k").cast("string"),
+                                   F.lit(f"|{s}"))), 1, 15), 16, 10)
+                .cast("long").alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n)
+        ]
+        return F.array_max(F.array(*pairs))["s"]
+
+    assigned = keys.select(
+        (F.col("__h") % n_old).alias("__mo"),
+        (F.col("__h") % n_new).alias("__mn"),
+        rdv(n_old).alias("__ro"),
+        rdv(n_new).alias("__rn"),
+    )
+
+    def stat(name, old, new):
+        moved = F.sum((F.col(old) != F.col(new)).cast("long"))
+        return assigned.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            moved.alias("n_moved"),
+        ).select(
+            F.lit(name).alias("strategy"), "n_keys", "n_moved",
+            F.round(F.col("n_moved").cast("double") / F.col("n_keys"),
+                    6).alias("move_frac"),
+        )
+
+    return stat("mod", "__mo", "__mn").unionByName(
+        stat("rendezvous", "__ro", "__rn"))

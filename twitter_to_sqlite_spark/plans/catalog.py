@@ -5610,6 +5610,128 @@ FROM terms, t GROUP BY t.tnb, t.tnc
 SQL_PSI_DRIFT = _psi_sql()
 
 
+# Key-domain sample size for the join-size estimator.
+_JSE_K = 256
+
+
+def q_join_size_estimate(spark, sf_dir):
+    """Sketch-driven join cardinality estimate vs truth
+    (functions/sketch.py::join_size_estimate) for the events⋈events
+    self-join on user_id — the activity-pairing join whose output
+    Σc(u)² is exactly what key_skew warns about. The estimate comes
+    from the bottom-{k} hash sample of the key domain + the KMV domain
+    size; the exact count comes from the per-key count aggregate
+    (never the materialized join). The committed (estimate, exact,
+    rel_err) row is the measure-don't-guess loop for join planning:
+    broadcast vs shuffle vs salt decided from k sampled keys."""
+    e = _t(spark, sf_dir, "events").select("user_id")
+    est = sketch.join_size_estimate(e, e, "user_id", k=_JSE_K)
+    exact = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.sum(F.col("__c") * F.col("__c")).alias("exact_join_rows"))
+    )
+    j = est.crossJoin(F.broadcast(exact))
+    return j.select(
+        "n_sampled", "d_est", "est_join_rows", "exact_join_rows",
+        F.round(
+            F.abs(F.col("est_join_rows").cast("double")
+                  - F.col("exact_join_rows").cast("double"))
+            / F.col("exact_join_rows").cast("double"), 4)
+        .alias("rel_err"),
+    )
+
+
+SQL_JOIN_SIZE_ESTIMATE = f"""
+WITH dom AS (
+  SELECT __k,
+         ('0x' || substring(md5(__k::VARCHAR), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM (SELECT DISTINCT user_id AS __k FROM events
+        WHERE user_id IS NOT NULL)
+),
+samp AS (SELECT __k, u FROM dom ORDER BY u LIMIT {_JSE_K}),
+cnt AS (
+  SELECT e.user_id AS __k, count(*) AS c
+  FROM events e JOIN samp s ON e.user_id = s.__k
+  GROUP BY e.user_id
+),
+agg AS (
+  SELECT count(*) AS n_kept, max(u) AS umax,
+         sum(coalesce(c, 0) * coalesce(c, 0)) AS sp
+  FROM samp LEFT JOIN cnt USING (__k)
+),
+est AS (
+  SELECT CAST(n_kept AS BIGINT) AS n_sampled,
+         CASE WHEN n_kept < {_JSE_K} THEN n_kept::BIGINT
+              ELSE CAST(round({float(_JSE_K - 1)!r} / umax, 0) AS BIGINT)
+         END AS d_est,
+         sp, n_kept
+  FROM agg
+),
+ex AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_rows
+  FROM (SELECT count(*) AS c FROM events
+        WHERE user_id IS NOT NULL GROUP BY user_id)
+)
+SELECT n_sampled, d_est,
+       CAST(round(sp::DOUBLE * d_est::DOUBLE / n_kept, 0) AS BIGINT)
+         AS est_join_rows,
+       exact_join_rows,
+       round(abs(CAST(round(sp::DOUBLE * d_est::DOUBLE / n_kept, 0)
+                      AS BIGINT)::DOUBLE - exact_join_rows::DOUBLE)
+             / exact_join_rows::DOUBLE, 4) AS rel_err
+FROM est, ex
+"""
+
+
+# Shard-rebalance scenario: 8 -> 12 shards.
+_SHARD_OLD, _SHARD_NEW = 8, 12
+
+
+def q_shard_rebalance(spark, sf_dir):
+    """Reshard move-fraction comparison (operators/bucketing.py::
+    shard_move_stats): growing events' user shards 8 → 12 under
+    mod-hash vs rendezvous hashing, measured on the real key
+    population. Rendezvous should move ≈ (12−8)/12 = 1/3 of keys (the
+    provable minimum); mod-hash nearly all — the committed number
+    that justifies consistent hashing before a 100 TB reshard."""
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    return bucketing.shard_move_stats(
+        e, "user_id", _SHARD_OLD, _SHARD_NEW)
+
+
+def _shard_rebalance_sql() -> str:
+    def rdv(n: int) -> str:
+        terms = ", ".join(
+            "{h: ('0x' || substring(md5(k::VARCHAR || '|%d'), 1, 15))"
+            "::BIGINT, s: %d}" % (s, s)
+            for s in range(n)
+        )
+        return f"list_max([{terms}]).s"
+
+    arms = []
+    for name, old, new in (
+        ("mod", f"hh % {_SHARD_OLD}", f"hh % {_SHARD_NEW}"),
+        ("rendezvous", rdv(_SHARD_OLD), rdv(_SHARD_NEW)),
+    ):
+        arms.append(f"""SELECT '{name}' AS strategy,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN ({old}) <> ({new}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved,
+       round(sum(CASE WHEN ({old}) <> ({new}) THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS move_frac
+FROM (SELECT k, ('0x' || substring(md5(k::VARCHAR), 1, 15))::BIGINT AS hh
+      FROM (SELECT DISTINCT user_id AS k FROM events
+            WHERE user_id IS NOT NULL))""")
+    return "\nUNION ALL\n".join(arms)
+
+
+SQL_SHARD_REBALANCE = _shard_rebalance_sql()
+
+
 def q_funnel_latency(spark, sf_dir):
     """Conversion-latency distribution for the view → click → purchase
     funnel: per converting user, the time from each step to the next
@@ -6300,6 +6422,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew": q_key_skew,
     "lateness_profile": q_lateness_profile,
     "chi_square": q_chi_square,
+    "join_size_estimate": q_join_size_estimate,
+    # --- staged for the r6 gate window (position > 50) ---
+    "shard_rebalance": q_shard_rebalance,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -6551,6 +6676,8 @@ ORACLE_SQL: dict[str, str] = {
     "novelty": SQL_NOVELTY,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "psi_drift": SQL_PSI_DRIFT,
+    "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
+    "shard_rebalance": SQL_SHARD_REBALANCE,
 }
 
 
