@@ -81,3 +81,71 @@ def test_extract_features_real_codec(spark):
     # and the default path keeps its original schema (oracle parity)
     default_cols = M.extract_features(media).columns
     assert default_cols == ["media_id", "n_bytes", "first_byte", "byte_checksum"]
+
+
+def _wav(rate=16000, ch=2, bits=16, n_samples=16000):
+    import struct
+
+    byte_rate = rate * ch * bits // 8
+    data = b"\x00" * (n_samples * ch * bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, byte_rate,
+                      ch * bits // 8, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _aiff(rate=44100, ch=1, frames=44100):
+    import struct
+
+    # 80-bit extended: rate = mant * 2^(exp-16383-63)
+    exp = 16383 + 63
+    mant = rate
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    comm = struct.pack(">hLh", ch, frames, 16) \
+        + struct.pack(">HQ", exp, mant)
+    body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def _flac(rate=48000, ch=2, total=96000):
+    si = bytearray(34)
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0x0F) << 4) | (((ch - 1) & 0x07) << 1)
+    si[13] = (total >> 32) & 0x0F
+    si[14:18] = ((total & 0xFFFFFFFF)).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si)
+
+
+def test_probe_audio_meta_wav_aiff_flac():
+    from twitter_to_sqlite_spark.functions import multimodal as M
+
+    # 1 second of 16 kHz stereo 16-bit -> 1000 ms
+    assert M.probe_audio_meta(_wav()) == (16000, 2, 1000)
+    # 1 second of 44.1 kHz mono
+    assert M.probe_audio_meta(_aiff()) == (44100, 1, 1000)
+    # 2 seconds of 48 kHz stereo
+    assert M.probe_audio_meta(_flac()) == (48000, 2, 2000)
+    assert M.probe_audio_meta(None) is None
+    assert M.probe_audio_meta(b"not audio") is None
+    assert M.probe_audio_meta(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_extract_features_fills_audio_meta(spark):
+    from twitter_to_sqlite_spark.functions import multimodal as M
+
+    rows = [(1, _wav()), (2, _flac()), (3, b"plain bytes")]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           M.extract_features(media, use_real_codec=True).collect()}
+    assert (got[1]["sample_rate"], got[1]["channels"],
+            got[1]["duration_ms"]) == (16000, 2, 1000)
+    assert got[2]["sample_rate"] == 48000
+    assert got[3]["sample_rate"] is None
+    # image dims stay NULL for audio; byte stats real for all
+    assert got[1]["width"] is None
+    assert all(got[m]["n_bytes"] > 0 for m in got)

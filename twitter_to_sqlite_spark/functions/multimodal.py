@@ -43,12 +43,15 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("byte_checksum", T.LongType(), False),
 ])
 
-# The use_real_codec=True output adds header-parsed dimensions (NULL
-# for payloads probe_image_dimensions doesn't recognize).
+# The use_real_codec=True output adds header-parsed image dimensions
+# and audio metadata (NULL for payloads neither probe recognizes).
 FEATURE_SCHEMA_CODEC = T.StructType(
     FEATURE_SCHEMA.fields + [
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
     ]
 )
 
@@ -103,6 +106,79 @@ def probe_image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
     return None
 
 
+def _ieee_extended80(b10: bytes) -> float:
+    """80-bit IEEE extended float (big-endian) → float — the AIFF
+    COMM sample-rate encoding, decoded with integer arithmetic."""
+    exp = ((b10[0] & 0x7F) << 8) | b10[1]
+    mant = int.from_bytes(b10[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if b10[0] & 0x80 else 1.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def probe_audio_meta(
+        payload: bytes | None) -> tuple[int, int, int | None] | None:
+    """Dependency-free (sample_rate, channels, duration_ms) from
+    common audio container headers: WAV/RIFF (fmt + data chunks),
+    AIFF/AIFC (COMM chunk, 80-bit extended sample rate), FLAC
+    (STREAMINFO bitfields). Returns None for anything unrecognized or
+    truncated — the audio companion of :func:`probe_image_dimensions`:
+    pure byte arithmetic, safe inside the Arrow-batched UDF, no audio
+    libraries needed. Sample DECODE stays env-stubbed like pixels.
+    """
+    b = bytes(payload) if payload is not None else b""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        rate = ch = byte_rate = data_size = None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            sz = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 8 + 16 <= len(b):
+                ch = int.from_bytes(b[i + 10:i + 12], "little")
+                rate = int.from_bytes(b[i + 12:i + 16], "little")
+                byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
+            elif cid == b"data":
+                data_size = sz
+            i += 8 + sz + (sz & 1)     # chunks are word-aligned
+        if not rate:
+            return None
+        dur = (int(data_size * 1000 / byte_rate)
+               if data_size and byte_rate else None)
+        return rate, ch or 0, dur
+    if len(b) >= 12 and b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            sz = int.from_bytes(b[i + 4:i + 8], "big")
+            if cid == b"COMM" and i + 8 + 18 <= len(b):
+                ch = int.from_bytes(b[i + 8:i + 10], "big")
+                frames = int.from_bytes(b[i + 10:i + 14], "big")
+                rate = _ieee_extended80(b[i + 16:i + 26])
+                if rate <= 0:
+                    return None
+                dur = int(frames * 1000 / rate) if frames else None
+                return int(rate), ch, dur
+            i += 8 + sz + (sz & 1)
+        return None
+    if len(b) >= 42 and b[:4] == b"fLaC":
+        # first metadata block must be STREAMINFO (type 0, 34 bytes);
+        # the 64-bit group at +10 packs rate(20) ch(3) bps(5) total(36)
+        if (b[4] & 0x7F) != 0:
+            return None
+        s = b[8:42]
+        rate = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4)
+        ch = ((s[12] >> 1) & 0x07) + 1
+        # total_samples(36) = low 4 bits of s[13] + s[14..17]; the
+        # bit below the channel field belongs to bits_per_sample
+        total = ((s[13] & 0x0F) << 32) | int.from_bytes(s[14:18], "big")
+        if rate == 0:
+            return None
+        dur = int(total * 1000 / rate) if total else None
+        return rate, ch, dur
+    return None
+
+
 def _fake_features(payload: bytes) -> tuple[int, int | None, int]:
     """Deterministic stand-in for decode: byte stats any engine can
     reproduce (length, first byte, additive checksum mod 2^31)."""
@@ -133,7 +209,9 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
                 if use_real_codec:
                     dims = probe_image_dimensions(payload)
                     w, h = dims if dims else (None, None)
-                    feats.append((mid, n, first, chk, w, h))
+                    audio = probe_audio_meta(payload)
+                    sr, ch, dur = audio if audio else (None, None, None)
+                    feats.append((mid, n, first, chk, w, h, sr, ch, dur))
                 else:
                     feats.append((mid, n, first, chk))
             yield pd.DataFrame(feats, columns=cols)
