@@ -149,3 +149,39 @@ def test_extract_features_fills_audio_meta(spark):
     # image dims stay NULL for audio; byte stats real for all
     assert got[1]["width"] is None
     assert all(got[m]["n_bytes"] > 0 for m in got)
+
+
+def _mp4(timescale=1000, duration=7500):
+    import struct
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd = bytes([0, 0, 0, 0]) \
+        + struct.pack(">II", 0, 0) \
+        + struct.pack(">II", timescale, duration) \
+        + b"\x00" * 80
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    moov = box(b"moov", box(b"mvhd", mvhd))
+    return ftyp + moov
+
+
+def test_probe_video_duration_mp4():
+    from twitter_to_sqlite_spark.functions import multimodal as M
+
+    assert M.probe_video_duration(_mp4()) == 7500
+    assert M.probe_video_duration(_mp4(timescale=600, duration=600)) == 1000
+    assert M.probe_video_duration(b"not a video") is None
+    assert M.probe_video_duration(None) is None
+    # truncated moov must bail, not crash
+    assert M.probe_video_duration(_mp4()[:20]) is None
+
+
+def test_extract_features_fills_video_duration(spark):
+    from twitter_to_sqlite_spark.functions import multimodal as M
+
+    media = spark.createDataFrame(
+        [(7, _mp4())], "media_id long, payload binary")
+    r = M.extract_features(media, use_real_codec=True).collect()[0]
+    assert r["duration_ms"] == 7500
+    assert r["sample_rate"] is None and r["width"] is None

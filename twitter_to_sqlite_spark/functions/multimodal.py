@@ -3,10 +3,14 @@
 Media payloads are opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side machinery — schema, partition sizing,
 Arrow-batched mapInPandas, deterministic output contract — is real and
-tested; the codec step itself (PIL/ffmpeg/librosa are not in this
-container) is STUBBED behind `_decode_image_real`, which raises
-NotImplementedError, with a deterministic fake used by default so the
-pipeline is end-to-end testable.
+tested, and HEADER-level metadata extraction is real across all three
+modalities with zero dependencies: image dimensions (PNG/GIF/JPEG/
+BMP), audio sample rate/channels/duration (WAV/AIFF/FLAC), and video
+duration (MP4/MOV mvhd). Only the pixel/sample/frame DECODE step
+(PIL/ffmpeg/librosa are not in this container) is STUBBED behind
+`_decode_image_real`, which raises NotImplementedError, with a
+deterministic fake used by default so the pipeline is end-to-end
+testable.
 
 Reference analogue: the media dimension (utils.py:442-446) stores
 URLs + size metadata; here we carry the bytes themselves, which is
@@ -179,6 +183,54 @@ def probe_audio_meta(
     return None
 
 
+def probe_video_duration(payload: bytes | None) -> int | None:
+    """Dependency-free duration_ms from MP4/MOV containers: walk the
+    top-level boxes to ``moov``, then its children to ``mvhd``, and
+    read timescale/duration (version 0: 32-bit, version 1: 64-bit).
+    The video companion of the image/audio probes — frame DECODE stays
+    env-stubbed; this is the metadata a frame-sample plan needs."""
+    b = bytes(payload) if payload is not None else b""
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            sz = int.from_bytes(b[i:i + 4], "big")
+            typ = b[i + 4:i + 8]
+            if sz == 1:           # 64-bit largesize
+                if i + 16 > hi:
+                    return
+                sz = int.from_bytes(b[i + 8:i + 16], "big")
+                body = i + 16
+            else:
+                body = i + 8
+            if sz < 8 or i + sz > hi:
+                return
+            yield typ, body, i + sz
+            i += sz
+
+    # MP4 files start with a box header whose type is ftyp/moov/...;
+    # require a plausible first box so arbitrary bytes bail out early
+    if len(b) < 16 or not b[4:8].isalnum() and b[4:8] != b"ftyp":
+        return None
+    for typ, body, end in boxes(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in boxes(body, end):
+            if t2 != b"mvhd" or b2 + 4 > e2:
+                continue
+            ver = b[b2]
+            if ver == 1 and b2 + 32 <= e2:
+                ts = int.from_bytes(b[b2 + 20:b2 + 24], "big")
+                dur = int.from_bytes(b[b2 + 24:b2 + 32], "big")
+            elif ver == 0 and b2 + 24 <= e2:
+                ts = int.from_bytes(b[b2 + 12:b2 + 16], "big")
+                dur = int.from_bytes(b[b2 + 16:b2 + 20], "big")
+            else:
+                return None
+            return int(dur * 1000 / ts) if ts else None
+    return None
+
+
 def _fake_features(payload: bytes) -> tuple[int, int | None, int]:
     """Deterministic stand-in for decode: byte stats any engine can
     reproduce (length, first byte, additive checksum mod 2^31)."""
@@ -211,6 +263,8 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
                     w, h = dims if dims else (None, None)
                     audio = probe_audio_meta(payload)
                     sr, ch, dur = audio if audio else (None, None, None)
+                    if audio is None:
+                        dur = probe_video_duration(payload)
                     feats.append((mid, n, first, chk, w, h, sr, ch, dur))
                 else:
                     feats.append((mid, n, first, chk))
