@@ -212,3 +212,51 @@ def test_semdedup_planted_pairs_and_cell_guard(spark):
     same = similarity.semdedup_pairs(
         corpus, cents, threshold=0.99, max_cell=10**9)
     assert {(r["id_a"], r["id_b"]) for r in same.collect()} == found
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """Every mined negative has a different label than its query, and
+    it is the CLOSEST such vector (planted: an identical-direction
+    same-label vector must be skipped in favor of a slightly-off
+    different-label one)."""
+    from twitter_to_sqlite_spark.functions import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0),    # query
+        (1, [1.0, 0.001], 0),  # near-identical but SAME label
+        (2, [0.9, 0.1], 1),    # best different-label
+        (3, [0.0, 1.0], 1),
+        (4, [0.5, 0.5], None),  # null label: excluded entirely
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = similarity.hard_negative_topk(
+        e, e.filter("vec_id = 0"), k=2).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [2, 3]
+    assert all(r["neighbor_id"] not in (1, 4) for r in got)
+
+
+def test_vocab_coverage_hand_case(spark):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    # replicate the catalog computation on a tiny corpus via the same
+    # operator shape: 'a' x5, 'b' x3, 'c' x1, 'd' x1 -> top-2 covers 8/10
+    from pyspark.sql import functions as F
+    from twitter_to_sqlite_spark.functions import text as T
+
+    d = spark.createDataFrame(
+        [("a a a a a b b",), ("b c d",)], "text string")
+    uni = (d.select(F.explode(T._tokens(F.col("text"))).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    top = uni.orderBy(F.col("c").desc(), "w").limit(2)
+    covered = top.agg(F.sum("c")).collect()[0][0]
+    total = uni.agg(F.sum("c")).collect()[0][0]
+    assert (covered, total) == (8, 10)
+    # and the registered catalog query returns one well-formed row
+    r = catalog.QUERIES["vocab_coverage"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["covered"] <= row["n_total"]
+    assert abs(row["coverage"] + row["oov_rate"] - 1.0) < 1e-9

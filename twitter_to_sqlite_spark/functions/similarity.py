@@ -79,6 +79,43 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     return _score_and_rank(pairs, k, decimals)
 
 
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label",
+                       decimals: int = 4) -> DataFrame:
+    """Hard-negative mining: for each query vector, the exact top-k
+    most-similar corpus vectors with a DIFFERENT label — the
+    contrastive-training data step (dense retrievers, embedding
+    fine-tuning) where the best negatives are the near-misses, not
+    random draws. Same scan-and-rank shape as brute_force_topk with
+    the label-mismatch predicate fused into the scan filter; for
+    corpus-scale mining, route the same predicate through the
+    LSH/IVF bucketed paths. NULL labels never match anything and are
+    excluded from both sides.
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    qv = _as_double(F.col(vec_col))
+    q = (
+        queries.filter(F.col(label_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), qv.alias("__qv"),
+                F.col(label_col).alias("__ql"))
+        .withColumn("__qn", _norm(F.col("__qv")))
+    )
+    c = (
+        corpus.filter(F.col(label_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), qv.alias("__cv"),
+                F.col(label_col).alias("__cl"))
+        .withColumn("__cn", _norm(F.col("__cv")))
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("__cl") != F.col("__ql"))
+    )
+    return _score_and_rank(pairs, k, decimals)
+
+
 def sign_bucket(vec_col, dims: list[int]):
     """Coordinate-hyperplane LSH bucket: one bit per listed dimension
     (sign of that coordinate). Deterministic and engine-portable; for

@@ -5732,6 +5732,92 @@ FROM (SELECT k, ('0x' || substring(md5(k::VARCHAR), 1, 15))::BIGINT AS hh
 SQL_SHARD_REBALANCE = _shard_rebalance_sql()
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining over the labeled embeddings
+    (functions/similarity.py::hard_negative_topk): for each query
+    vector, the exact top-3 nearest neighbors with a DIFFERENT label —
+    the contrastive-training negatives a retriever fine-tune wants
+    (near-misses, not random draws). Label-mismatch fused into the
+    scan predicate; everything else is the audited brute-force
+    scan-and-rank shape."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.hard_negative_topk(e, queries, k=3)
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a,
+                  label AS ql
+           FROM embeddings WHERE vec_id < 5 AND label IS NOT NULL),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
+             label AS cl
+      FROM embeddings WHERE label IS NOT NULL),
+scored AS (
+  SELECT query_id, neighbor_id, {{cos}} AS cosine
+  FROM c, q WHERE neighbor_id != query_id AND cl <> ql
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+""".replace("{cos}", _SQL_COS)
+
+
+# Vocabulary size for the coverage metric.
+_VOCAB_N = 500
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: what fraction of all token
+    OCCURRENCES the top-{N}-by-frequency vocabulary covers, and the
+    complementary OOV rate — the number that sizes a vocab before
+    training (Zipf makes it large for small N; the long tail is what
+    byte-fallback eats). One token-count agg, one TakeOrderedAndProject
+    for the vocab, exact integer sums, two final divisions."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    uni = (
+        d.select(F.explode(text._tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = uni.orderBy(F.col("c").desc(), "w").limit(_VOCAB_N)
+    tot = uni.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").alias("n_total"),
+    )
+    cov = top.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("covered"),
+    )
+    j = cov.crossJoin(F.broadcast(tot))
+    rate = F.col("covered").cast("double") / F.col("n_total")
+    return j.select(
+        "vocab_size", "n_distinct", "n_total", "covered",
+        F.round(rate, 6).alias("coverage"),
+        F.round(1.0 - rate, 6).alias("oov_rate"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+  GROUP BY w
+),
+top AS (SELECT * FROM uni ORDER BY c DESC, w LIMIT {_VOCAB_N}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+cov AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(c) AS BIGINT) AS covered FROM top)
+SELECT vocab_size, n_distinct, n_total, covered,
+       round(covered::DOUBLE / n_total, 6) AS coverage,
+       round(1.0 - covered::DOUBLE / n_total, 6) AS oov_rate
+FROM cov, tot
+"""
+
+
 def q_funnel_latency(spark, sf_dir):
     """Conversion-latency distribution for the view → click → purchase
     funnel: per converting user, the time from each step to the next
@@ -6425,6 +6511,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_size_estimate": q_join_size_estimate,
     # --- staged for the r6 gate window (position > 50) ---
     "shard_rebalance": q_shard_rebalance,
+    "hard_negatives": q_hard_negatives,
+    "vocab_coverage": q_vocab_coverage,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -6678,6 +6766,8 @@ ORACLE_SQL: dict[str, str] = {
     "psi_drift": SQL_PSI_DRIFT,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "shard_rebalance": SQL_SHARD_REBALANCE,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
 }
 
 
