@@ -181,6 +181,44 @@ def _embedding_profile_probe(v):
     return stats.embedding_profile(v, "embedding")
 
 
+def _join_size_probe(d):
+    """Key domain grows linearly with the corpus (doc_id div 4 — ~4
+    rows per key at every scale); estimator cost must track the scan,
+    never the domain (the sample stays k keys)."""
+    from twitter_to_sqlite_spark.functions import sketch
+
+    keyed = d.select(F.expr("doc_id div 4").alias("k"))
+    return sketch.join_size_estimate(keyed, keyed, "k", k=256)
+
+
+def _shard_probe(d):
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    return bucketing.shard_move_stats(d, "doc_id", 8, 12)
+
+
+def _hard_neg_probe(v):
+    """Query set fixed (5 vectors), corpus grows: the brute-force
+    scan-and-rank must grow linearly in the corpus."""
+    from twitter_to_sqlite_spark.functions import similarity
+
+    lab = v.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    return similarity.hard_negative_topk(
+        lab, lab.filter(F.col("vec_id") < 5), k=3)
+
+
+def _vocab_cov_probe(d):
+    from twitter_to_sqlite_spark.functions import text as T
+
+    uni = (d.select(F.explode(T._tokens(F.col("text"))).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    top = uni.orderBy(F.col("c").desc(), "w").limit(500)
+    tot = uni.agg(F.count(F.lit(1)).alias("n_distinct"),
+                  F.sum("c").alias("n_total"))
+    cov = top.agg(F.sum("c").alias("covered"))
+    return cov.crossJoin(F.broadcast(tot))
+
+
 def _interval_probe(d):
     """Interval-join growth probe: ts = doc_id seconds (replica id
     offsets push each replica into a disjoint time range, so event
@@ -500,6 +538,10 @@ def main():
             d, "text", min_count=3, top_k=20),
         "roc_auc": lambda d, v: _auc_probe(d),
         "embedding_profile": lambda d, v: _embedding_profile_probe(v),
+        "join_size_estimate": lambda d, v: _join_size_probe(d),
+        "shard_rebalance": lambda d, v: _shard_probe(d),
+        "hard_negatives": lambda d, v: _hard_neg_probe(v),
+        "vocab_coverage": lambda d, v: _vocab_cov_probe(d),
     }
     out = {}
     for name, fn in OPS.items():
