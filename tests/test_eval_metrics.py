@@ -197,3 +197,22 @@ def test_psi_catalog_query_flags_planted_drift(spark, sf_dir):
     assert r["n_cur"] > 0 and r["n_base"] > 0
     # planted spam docs shift the quality distribution measurably
     assert r["psi"] > 0.0
+
+
+# ---------------------------------------------------------- WoE / IV
+
+def test_woe_iv_separating_score_has_high_iv(spark, sf_dir):
+    """The classifier's own training labels must be separable by its
+    score (it fit them): high bins positive WoE, low bins negative,
+    headline IV well above the 0.02 'useless' floor; smoothing keeps
+    every term finite."""
+    from twitter_to_sqlite_spark.plans import catalog
+
+    rows = catalog.q_woe_iv(spark, sf_dir).collect()
+    assert rows
+    by_bin = sorted(rows, key=lambda r: r["bin"])
+    iv = sum(r["iv_term"] for r in rows)
+    assert iv > 0.02
+    assert all(r["iv_term"] >= 0 for r in rows)  # (p-n)·ln(p/n) >= 0
+    # monotone-ish separation: top bin more positive-heavy than bottom
+    assert by_bin[-1]["woe"] > by_bin[0]["woe"]

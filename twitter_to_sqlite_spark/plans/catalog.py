@@ -5800,6 +5800,61 @@ def q_vocab_coverage(spark, sf_dir):
     )
 
 
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence per score decile + the information-value
+    terms for the distilled classifier — the scorecard diagnostic that
+    complements calibration (probability honesty) and classifier_auc
+    (ranking power) with per-bin separation strength; Σ iv_term is the
+    headline IV a monitoring gate thresholds (<0.02 useless, >0.3
+    strong). Laplace +1 smoothing keeps one-class bins finite; shares
+    and the single ln() are derived from exact integer counts in a
+    fixed expression order. Shares the cached trained weights; one
+    ≤10-group agg over the scoring table."""
+    from twitter_to_sqlite_spark.functions import stats  # noqa: F401
+
+    scored = q_quality_classifier(spark, sf_dir)
+    b = F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9))
+    g = scored.groupBy(b.alias("bin")).agg(
+        F.sum(F.col("y").cast("long")).alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y").cast("long")).alias("n_neg"),
+    )
+    tot = g.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
+    j = g.crossJoin(F.broadcast(tot))
+    ps = (F.col("n_pos") + 1.0) / (F.col("tp") + 10)
+    ns = (F.col("n_neg") + 1.0) / (F.col("tn") + 10)
+    woe = F.log(ps / ns)
+    return j.select(
+        "bin", "n_pos", "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((ps - ns) * woe, 6).alias("iv_term"),
+    )
+
+
+def _woe_iv_sql() -> str:
+    joined, sig, final = _logreg_parts()
+    return f"""
+WITH {joined},
+scored AS (SELECT y, round({sig}, 4) AS prob FROM feat, {final}),
+g AS (
+  SELECT least(floor(prob * 10), 9)::INT AS bin,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY 1
+),
+t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM g)
+SELECT bin, n_pos, n_neg,
+       round(ln(((n_pos + 1.0) / (tp + 10))
+                / ((n_neg + 1.0) / (tn + 10))), 6) AS woe,
+       round(((n_pos + 1.0) / (tp + 10) - (n_neg + 1.0) / (tn + 10))
+             * ln(((n_pos + 1.0) / (tp + 10))
+                  / ((n_neg + 1.0) / (tn + 10))), 6) AS iv_term
+FROM g, t
+"""
+
+
+SQL_WOE_IV = _woe_iv_sql()
+
+
 SQL_VOCAB_COVERAGE = f"""
 WITH uni AS (
   SELECT w, count(*) AS c
@@ -6513,6 +6568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
     "vocab_coverage": q_vocab_coverage,
+    "woe_iv": q_woe_iv,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -6768,6 +6824,7 @@ ORACLE_SQL: dict[str, str] = {
     "shard_rebalance": SQL_SHARD_REBALANCE,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "woe_iv": SQL_WOE_IV,
 }
 
 
