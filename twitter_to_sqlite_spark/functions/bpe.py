@@ -1,0 +1,164 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+The canonical subword-vocabulary step of an LLM data pipeline, as a
+sequence of small Spark jobs over the WORD-FREQUENCY DICTIONARY — the
+insight that makes BPE tractable at 100 TB: the corpus is scanned ONCE
+(to count words); every merge round then operates on the distinct-word
+table (millions of rows at web scale, not trillions), exactly like
+entity resolution's dictionary reduction. Per round: one adjacent-pair
+aggregate (map-side combined), one TakeOrderedAndProject argmax, one
+narrow fold applying the merge — all JVM expressions, no UDF.
+
+Determinism contract (the DuckDB oracle replays the training): pair
+counts are exact integers; the winning pair breaks ties on
+(count DESC, left ASC, right ASC); the merge fold is the standard
+left-to-right non-overlapping pass, expressed as the SAME fold in both
+engines. Tokens come from the engine's \\w+ tokenizer, so symbol
+strings never contain spaces or quotes.
+
+Reference analogue: none in twitter-to-sqlite (no tokenizer surface);
+this is part of the beyond-reference LLM-pipeline layer, like
+functions/classifier.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (never produced by the \w+ tokenizer)
+EOW = "</w>"
+
+
+def _word_dictionary(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-wide scan."""
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    return (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__freq"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word frequency (overlapping
+    occurrences within a word each count, per the original algorithm).
+    """
+    pairs = words.filter(F.size("__syms") >= 2).select(
+        "__freq",
+        F.explode(F.expr(
+            "zip_with(slice(__syms, 1, size(__syms) - 1),"
+            " slice(__syms, 2, size(__syms) - 1),"
+            " (x, y) -> struct(x AS a, y AS b))"
+        )).alias("__p"),
+    )
+    return pairs.groupBy(F.col("__p.a").alias("a"),
+                         F.col("__p.b").alias("b")) \
+        .agg(F.sum("__freq").alias("cnt"))
+
+
+def _merge_fold(a: str, b: str):
+    """The left-to-right non-overlapping merge of adjacent (a, b) into
+    a+b, as a JVM aggregate fold over the symbol array — semantics
+    identical to the VARCHAR fold the oracle replays."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["pend"].eqNullSafe(F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.array_append(acc["out"], F.lit(a + b)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .when(acc["pend"].isNull(),
+                  F.struct(acc["out"].alias("out"), x.alias("pend")))
+            .otherwise(F.struct(
+                F.array_append(acc["out"], acc["pend"]).alias("out"),
+                x.alias("pend"),
+            ))
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]) \
+            .otherwise(F.array_append(acc["out"], acc["pend"]))
+
+    return F.aggregate("__syms", init, step, finish)
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              merges: int = 12) -> DataFrame:
+    """Train `merges` BPE merge rules on the corpus; returns the merge
+    table (rank, left, right, pair_count) — the artifact a tokenizer
+    ships. Words start as character symbols + the </w> end marker;
+    each round merges the globally most frequent adjacent pair.
+
+    Scale: one corpus scan builds the dictionary; each round is one
+    dictionary-sized aggregate + a 1-row argmax collect (bounded
+    driver pull, the classifier-gradient precedent) + a narrow
+    projection. Lineage is truncated with localCheckpoint every few
+    rounds so the plan never deepens past a handful of folds.
+    """
+    words = _word_dictionary(df, text_col).select(
+        "__freq",
+        F.array_append(F.split("__w", ""), F.lit(EOW)).alias("__syms"),
+    )
+    # the dictionary is orders of magnitude smaller than the corpus —
+    # right-size its partitioning once so each merge round schedules a
+    # handful of tasks, not the corpus scan's partition count
+    n_part = max(2, min(words.sparkSession.sparkContext.defaultParallelism,
+                        8))
+    words = words.coalesce(n_part)
+    out_rows = []
+    for rank in range(1, merges + 1):
+        # eager per-round checkpoint: the dictionary is small (distinct
+        # words), and without it round t re-executes all t-1 prior
+        # folds — O(merges²) work instead of O(merges)
+        words = words.localCheckpoint(eager=True)
+        best = (
+            _pair_counts(words)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        out_rows.append((rank, a, b, int(cnt)))
+        words = words.select("__freq", _merge_fold(a, b).alias("__syms"))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, "rank int, left string, right string, pair_count long")
+
+
+def bpe_segment(df: DataFrame, merge_rows: list[tuple],
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained merge table to a corpus: per document, the BPE
+    token count and mean symbols-per-word — the compression metric
+    that validates a vocab (lower = merges capture real structure).
+    Pure narrow projection: the merge table arrives as literals, each
+    merge is one fold — no shuffle, corpus-scan parallelism.
+    """
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("__w"),
+    ).select(
+        id_col,
+        F.array_append(F.split("__w", ""), F.lit(EOW)).alias("__syms"),
+    )
+    for _, a, b, _cnt in merge_rows:
+        d = d.select(id_col, _merge_fold(a, b).alias("__syms"))
+    return d.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("__syms")).alias("n_bpe_tokens"),
+        F.round(F.sum(F.size("__syms"))
+                / F.count(F.lit(1)).cast("double"), 4)
+        .alias("syms_per_word"),
+    )

@@ -5855,6 +5855,79 @@ FROM g, t
 SQL_WOE_IV = _woe_iv_sql()
 
 
+# BPE merge-round count (fixed, replayed by the oracle like the
+# classifier's 16 unrolled training iterations).
+_BPE_MERGES = 8
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (functions/bpe.py,
+    Sennrich et al. 2016): {n} merge rules learned on the document
+    corpus — one corpus scan to the word-frequency dictionary, then
+    per round one dictionary-sized pair aggregate + a 1-row argmax +
+    a JVM merge fold. The oracle replays the identical training as
+    {n} unrolled materialized rounds (the quality_classifier device),
+    so the learned merge table itself is cross-engine verified."""
+    from twitter_to_sqlite_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return bpe.bpe_train(d, "text", merges=_BPE_MERGES)
+
+
+def _bpe_sql(merges: int = _BPE_MERGES) -> str:
+    """DuckDB twin of bpe.bpe_train: same dictionary, same pair
+    weighting, same (cnt DESC, a, b) argmax, same left-to-right
+    non-overlapping merge — the fold carries (out, pend) state in one
+    VARCHAR because DuckDB 1.0's list_reduce drops struct-of-list
+    accumulator state (empirically verified)."""
+    rs = "chr(30)"
+    ctes = [f"""words0 AS MATERIALIZED (
+  SELECT freq, list_append(string_split(w, ''), '</w>') AS syms
+  FROM (SELECT w, count(*) AS freq
+        FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+        GROUP BY w)
+)"""]
+    for t in range(1, merges + 1):
+        prev = f"words{t - 1}"
+        ctes.append(f"""p{t} AS MATERIALIZED (
+  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+           i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p
+    FROM {prev} WHERE len(syms) >= 2)
+  GROUP BY p.a, p.b
+)""")
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT a, b, cnt FROM p{t} "
+            f"ORDER BY cnt DESC, a, b LIMIT 1)")
+        if t < merges:
+            ctes.append(f"""words{t} AS MATERIALIZED (
+  SELECT freq, string_split(ltrim(
+    split_part(folded, {rs}, 1) ||
+    CASE WHEN split_part(folded, {rs}, 2) = '' THEN ''
+         ELSE ' ' || split_part(folded, {rs}, 2) END), ' ') AS syms
+  FROM (
+    SELECT freq, list_reduce(list_prepend({rs}, syms),
+      (acc, x) -> CASE
+        WHEN split_part(acc, {rs}, 2) = m{t}.a AND x = m{t}.b
+          THEN split_part(acc, {rs}, 1) || ' ' || m{t}.a || m{t}.b || {rs}
+        WHEN split_part(acc, {rs}, 2) = ''
+          THEN split_part(acc, {rs}, 1) || {rs} || x
+        ELSE split_part(acc, {rs}, 1) || ' ' ||
+             split_part(acc, {rs}, 2) || {rs} || x
+      END) AS folded
+    FROM {prev}, m{t})
+)""")
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {t} AS rank, a AS "left", b AS "right", cnt AS pair_count '
+        f"FROM m{t}"
+        for t in range(1, merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+SQL_BPE_TRAIN = _bpe_sql()
+
+
 SQL_VOCAB_COVERAGE = f"""
 WITH uni AS (
   SELECT w, count(*) AS c
@@ -6569,6 +6642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "vocab_coverage": q_vocab_coverage,
     "woe_iv": q_woe_iv,
+    "bpe_train": q_bpe_train,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -6825,6 +6899,7 @@ ORACLE_SQL: dict[str, str] = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "woe_iv": SQL_WOE_IV,
+    "bpe_train": SQL_BPE_TRAIN,
 }
 
 
