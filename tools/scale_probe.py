@@ -207,6 +207,12 @@ def _hard_neg_probe(v):
         lab, lab.filter(F.col("vec_id") < 5), k=3)
 
 
+def _bpe_probe(d):
+    from twitter_to_sqlite_spark.functions import bpe
+
+    return bpe.bpe_train(d, "text", merges=4)
+
+
 def _vocab_cov_probe(d):
     from twitter_to_sqlite_spark.functions import text as T
 
@@ -542,6 +548,10 @@ def main():
         "shard_rebalance": lambda d, v: _shard_probe(d),
         "hard_negatives": lambda d, v: _hard_neg_probe(v),
         "vocab_coverage": lambda d, v: _vocab_cov_probe(d),
+        # BPE: corpus scan once, then rounds on the word DICTIONARY —
+        # with non-distinct replication the dictionary barely grows, so
+        # near-flat scaling is the bar; distinct replicas grow it ~n×
+        "bpe_train": lambda d, v: _bpe_probe(d),
     }
     out = {}
     for name, fn in OPS.items():
