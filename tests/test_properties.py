@@ -1188,3 +1188,53 @@ def test_novelty_bounds_and_monotone_in_store(spark, new, stored, extra):
         assert 0.0 <= g1[k]["novelty"] <= 1.0
         assert g1[k]["n_novel"] <= g1[k]["n_shingles"]
         assert g2[k]["n_novel"] <= g1[k]["n_novel"]
+
+
+JSE_KEYS = st.lists(st.integers(min_value=0, max_value=30),
+                    min_size=1, max_size=40)
+
+
+@given(a_keys=JSE_KEYS, b_keys=JSE_KEYS)
+@SETTINGS
+def test_join_size_estimate_exact_when_domain_sampled(spark, a_keys, b_keys):
+    """Whenever the key domain fits in the sample (k >= |domain|),
+    the 'estimate' IS the exact join size — the guarantee that makes
+    the estimator safe to trust blindly at small cardinality and a
+    principled extrapolation above it."""
+    from twitter_to_sqlite_spark.functions import sketch
+
+    a = spark.createDataFrame([(k,) for k in a_keys], "k long")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k long")
+    r = sketch.join_size_estimate(a, b, "k", k=64).collect()[0]
+    from collections import Counter
+
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    exact = sum(ca[k] * cb[k] for k in set(ca) | set(cb))
+    assert r["est_join_rows"] == exact
+    assert r["d_est"] == len(set(a_keys) | set(b_keys))
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10_000),
+                     min_size=5, max_size=60, unique=True),
+       n_old=st.integers(min_value=2, max_value=6),
+       grow=st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_rendezvous_never_moves_more_than_mod_shrinks_to_zero(
+        spark, keys, n_old, grow):
+    """Rendezvous reshard laws on arbitrary key sets: zero moves when
+    the shard count is unchanged, and every move fraction is within
+    [0, 1] with rendezvous bounded by the added-shard share in
+    expectation (asserted loosely: rendezvous <= mod + slack on any
+    non-trivial population; exactly 0 when grow' = 0)."""
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    same = {r["strategy"]: r["n_moved"] for r in
+            bucketing.shard_move_stats(df, "k", n_old, n_old).collect()}
+    assert same == {"mod": 0, "rendezvous": 0}
+    n_new = n_old + grow
+    got = {r["strategy"]: r for r in
+           bucketing.shard_move_stats(df, "k", n_old, n_new).collect()}
+    for s in ("mod", "rendezvous"):
+        assert 0 <= got[s]["n_moved"] <= got[s]["n_keys"]
+    assert got["rendezvous"]["n_keys"] == len(keys)
