@@ -656,3 +656,115 @@ def _partition_cols(path: str) -> list[str]:
             return cols
         cols.append(subs[0].split("=", 1)[0])
         cur = os.path.join(cur, subs[0])
+
+
+# ---------------------------------------------------------------------
+# Versioned tables: snapshot time travel over plain parquet.
+#
+# Delta/Iceberg are the production answer (the Delta MERGE fast-path
+# above is env-gated on delta-spark); this is the same COMMIT PROTOCOL
+# hand-rolled on a directory of immutable version snapshots + one
+# atomically-replaced manifest, so time travel, as-of reads, version
+# diffs (CDC between versions via relational.snapshot_diff) and
+# retention vacuum work on any POSIX/HDFS path with zero dependencies.
+#
+# Crash-safety invariants:
+#   * data is written BEFORE the manifest commit — readers resolve
+#     versions through the manifest only, so a crash mid-write leaves
+#     an invisible orphan directory, never a readable half-version;
+#   * vacuum commits the shrunk manifest BEFORE deleting directories —
+#     a crash leaves orphan dirs (cleanable), never a manifest entry
+#     pointing at deleted data;
+#   * all manifest mutations run under the advisory table_lock, so
+#     concurrent writers serialize and version numbers never collide.
+# ---------------------------------------------------------------------
+
+_MANIFEST = "_manifest.json"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST)
+
+
+def _read_manifest(path: str) -> dict:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return {"versions": []}
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(path: str, manifest: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = _manifest_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(path))
+
+
+def _version_dir(path: str, v: int) -> str:
+    return os.path.join(path, f"v{v:06d}")
+
+
+def write_version(df: DataFrame, path: str) -> int:
+    """Commit ``df`` as the next snapshot version of the table at
+    ``path``; returns the new version number. The snapshot itself is
+    immutable once committed — updates are new versions, which is what
+    makes as-of reads and version diffs exact."""
+    with table_lock(path):
+        manifest = _read_manifest(path)
+        v = (max(manifest["versions"]) + 1) if manifest["versions"] else 1
+        df.write.mode("overwrite").parquet(_version_dir(path, v))
+        manifest["versions"].append(v)
+        _commit_manifest(path, manifest)
+    return v
+
+
+def list_versions(path: str) -> list[int]:
+    return sorted(_read_manifest(path)["versions"])
+
+
+def read_version(spark, path: str, version: int | None = None) -> DataFrame:
+    """Time travel: the table as of ``version`` (default: latest
+    committed). Reading resolves through the manifest, so uncommitted
+    or vacuumed snapshots are never visible."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not available at {path}; "
+            f"committed: {versions}")
+    return spark.read.parquet(_version_dir(path, version))
+
+
+def vacuum_versions(path: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the last ``keep_last`` versions.
+    Manifest first, directories second — see the crash-safety notes."""
+    with table_lock(path):
+        manifest = _read_manifest(path)
+        versions = sorted(manifest["versions"])
+        drop = versions[:-keep_last] if keep_last > 0 else versions
+        if not drop:
+            return []
+        manifest["versions"] = versions[len(drop):]
+        _commit_manifest(path, manifest)
+        for v in drop:
+            shutil.rmtree(_version_dir(path, v), ignore_errors=True)
+    return drop
+
+
+def version_diff(spark, path: str, v_from: int, v_to: int,
+                 key_cols: list[str], compare_cols: list[str]) -> DataFrame:
+    """CDC between two committed versions: the changelog that replays
+    ``v_from`` into ``v_to`` (relational.snapshot_diff, whose
+    diff→apply round-trip is law-tested) — Delta's CDF surface on the
+    hand-rolled version store."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    return R.snapshot_diff(
+        read_version(spark, path, v_from),
+        read_version(spark, path, v_to),
+        key_cols, compare_cols)
