@@ -666,7 +666,10 @@ def _partition_cols(path: str) -> list[str]:
 # hand-rolled on a directory of immutable version snapshots + one
 # atomically-replaced manifest, so time travel, as-of reads, version
 # diffs (CDC between versions via relational.snapshot_diff) and
-# retention vacuum work on any POSIX/HDFS path with zero dependencies.
+# retention vacuum work on any POSIX path with zero dependencies (the
+# manifest swap uses os.replace, like the rest of this module's
+# rename-based commits; on HDFS/object stores substitute a
+# Delta/Iceberg commit — the protocol is the same).
 #
 # Crash-safety invariants:
 #   * data is written BEFORE the manifest commit — readers resolve

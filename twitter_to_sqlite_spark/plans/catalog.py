@@ -5810,8 +5810,6 @@ def q_woe_iv(spark, sf_dir):
     and the single ln() are derived from exact integer counts in a
     fixed expression order. Shares the cached trained weights; one
     ≤10-group agg over the scoring table."""
-    from twitter_to_sqlite_spark.functions import stats  # noqa: F401
-
     scored = q_quality_classifier(spark, sf_dir)
     b = F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9))
     g = scored.groupBy(b.alias("bin")).agg(
