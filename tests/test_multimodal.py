@@ -185,3 +185,32 @@ def test_extract_features_fills_video_duration(spark):
     r = M.extract_features(media, use_real_codec=True).collect()[0]
     assert r["duration_ms"] == 7500
     assert r["sample_rate"] is None and r["width"] is None
+
+
+def test_probes_clamp_absurd_durations_instead_of_crashing():
+    """Corrupt headers encoding >int32 durations must degrade to None
+    (the malformed-input contract), never crash the Arrow batch."""
+    import struct
+
+    from twitter_to_sqlite_spark.functions import multimodal as M
+
+    # WAV with byte_rate=1 and a 4 GB data chunk -> ~4e12 ms
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 1, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0xF0000000))
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = M.probe_audio_meta(wav)
+    assert got is not None and got[2] is None and got[0] == 8000
+
+    # mvhd v0 with the 0xFFFFFFFF "undefined duration" convention
+    mvhd = bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0) \
+        + struct.pack(">II", 1000, 0xFFFFFFFF) + b"\x00" * 80
+    box = lambda t, b_: struct.pack(">I", 8 + len(b_)) + t + b_
+    mp4 = box(b"ftyp", b"isom") + box(b"moov", box(b"mvhd", mvhd))
+    assert M.probe_video_duration(mp4) is None
+
+    # mvhd v0 with timescale=1 -> seconds-scale duration overflowing i32
+    mvhd2 = bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0) \
+        + struct.pack(">II", 1, 0x7FFFFFFF) + b"\x00" * 80
+    mp42 = box(b"ftyp", b"isom") + box(b"moov", box(b"mvhd", mvhd2))
+    assert M.probe_video_duration(mp42) is None

@@ -110,6 +110,17 @@ def probe_image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
     return None
 
 
+def _clamp_i32(v: int | None) -> int | None:
+    """Metadata fields surface as IntegerType; a corrupt header can
+    encode absurd durations (byte_rate=1, 64-bit mvhd, 0xFFFFFFFF
+    'undefined') which would crash the Arrow batch on int32
+    conversion. Out-of-range → None, per the probes' malformed-input
+    contract (never crash the UDF)."""
+    if v is None or not (0 <= v < 2 ** 31):
+        return None
+    return v
+
+
 def _ieee_extended80(b10: bytes) -> float:
     """80-bit IEEE extended float (big-endian) → float — the AIFF
     COMM sample-rate encoding, decoded with integer arithmetic."""
@@ -149,7 +160,7 @@ def probe_audio_meta(
             return None
         dur = (int(data_size * 1000 / byte_rate)
                if data_size and byte_rate else None)
-        return rate, ch or 0, dur
+        return rate, ch or 0, _clamp_i32(dur)
     if len(b) >= 12 and b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
         i = 12
         while i + 8 <= len(b):
@@ -162,7 +173,7 @@ def probe_audio_meta(
                 if rate <= 0:
                     return None
                 dur = int(frames * 1000 / rate) if frames else None
-                return int(rate), ch, dur
+                return int(rate), ch, _clamp_i32(dur)
             i += 8 + sz + (sz & 1)
         return None
     if len(b) >= 42 and b[:4] == b"fLaC":
@@ -179,7 +190,7 @@ def probe_audio_meta(
         if rate == 0:
             return None
         dur = int(total * 1000 / rate) if total else None
-        return rate, ch, dur
+        return rate, ch, _clamp_i32(dur)
     return None
 
 
@@ -209,8 +220,9 @@ def probe_video_duration(payload: bytes | None) -> int | None:
             i += sz
 
     # MP4 files start with a box header whose type is ftyp/moov/...;
-    # require a plausible first box so arbitrary bytes bail out early
-    if len(b) < 16 or not b[4:8].isalnum() and b[4:8] != b"ftyp":
+    # require a plausible (alphanumeric) first box type so arbitrary
+    # bytes bail out early
+    if len(b) < 16 or not b[4:8].isalnum():
         return None
     for typ, body, end in boxes(0, len(b)):
         if typ != b"moov":
@@ -222,12 +234,16 @@ def probe_video_duration(payload: bytes | None) -> int | None:
             if ver == 1 and b2 + 32 <= e2:
                 ts = int.from_bytes(b[b2 + 20:b2 + 24], "big")
                 dur = int.from_bytes(b[b2 + 24:b2 + 32], "big")
+                if dur == 0xFFFFFFFFFFFFFFFF:   # "undefined duration"
+                    return None
             elif ver == 0 and b2 + 24 <= e2:
                 ts = int.from_bytes(b[b2 + 12:b2 + 16], "big")
                 dur = int.from_bytes(b[b2 + 16:b2 + 20], "big")
+                if dur == 0xFFFFFFFF:           # "undefined duration"
+                    return None
             else:
                 return None
-            return int(dur * 1000 / ts) if ts else None
+            return _clamp_i32(int(dur * 1000 / ts)) if ts else None
     return None
 
 

@@ -39,10 +39,16 @@ def _as_double(col):
 
 
 def _side(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
-          vec_alias: str, norm_alias: str) -> DataFrame:
+          vec_alias: str, norm_alias: str,
+          extra: dict[str, str] | None = None) -> DataFrame:
+    """One side of a similarity join: aliased id, double vector, norm
+    — plus optional carried columns (source → alias), so variants like
+    hard-negative mining extend the SAME projection instead of
+    re-implementing the normalization."""
     v = _as_double(F.col(vec_col))
+    carried = [F.col(c).alias(a) for c, a in (extra or {}).items()]
     return df.select(
-        F.col(id_col).alias(id_alias), v.alias(vec_alias)
+        F.col(id_col).alias(id_alias), v.alias(vec_alias), *carried
     ).withColumn(norm_alias, _norm(F.col(vec_alias)))
 
 
@@ -96,19 +102,12 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
     Returns (query_id, neighbor_id, cosine, rank).
     """
-    qv = _as_double(F.col(vec_col))
-    q = (
-        queries.filter(F.col(label_col).isNotNull())
-        .select(F.col(id_col).alias("query_id"), qv.alias("__qv"),
-                F.col(label_col).alias("__ql"))
-        .withColumn("__qn", _norm(F.col("__qv")))
-    )
-    c = (
-        corpus.filter(F.col(label_col).isNotNull())
-        .select(F.col(id_col).alias("neighbor_id"), qv.alias("__cv"),
-                F.col(label_col).alias("__cl"))
-        .withColumn("__cn", _norm(F.col("__cv")))
-    )
+    q = _side(queries.filter(F.col(label_col).isNotNull()),
+              id_col, vec_col, "query_id", "__qv", "__qn",
+              extra={label_col: "__ql"})
+    c = _side(corpus.filter(F.col(label_col).isNotNull()),
+              id_col, vec_col, "neighbor_id", "__cv", "__cn",
+              extra={label_col: "__cl"})
     pairs = c.crossJoin(F.broadcast(q)).filter(
         (F.col("neighbor_id") != F.col("query_id"))
         & (F.col("__cl") != F.col("__ql"))

@@ -403,7 +403,11 @@ def join_size_estimate(a: DataFrame, b: DataFrame, key_col: str,
         .distinct()
         .select("__k", _uniform_hash(F.col("__k")).alias("__u"))
     )
-    sample = dom.orderBy("__u").limit(k)
+    # the k-row sample feeds three consumers (two count joins + the
+    # final left-join spine); materialize it once so the domain
+    # distinct + TakeOrderedAndProject — the dominant shuffle — runs
+    # once per action, not per consumer
+    sample = dom.orderBy("__u").limit(k).localCheckpoint(eager=False)
 
     def side_counts(df, alias):
         return (
@@ -427,14 +431,15 @@ def join_size_estimate(a: DataFrame, b: DataFrame, key_col: str,
         F.max("__u").alias("__umax"),
         F.sum("__prod").alias("__sp"),
     )
-    d_est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("long")
-    ).otherwise(
-        F.round(F.lit(float(k - 1)) / F.col("__umax"), 0).cast("long"))
-    return agg.select(
+    # d_est comes from THE shared estimator select (_kmv_estimate) —
+    # the (k−1)/u_(k), exact-below-k expression must stay bit-identical
+    # across every sketch form for cross-engine parity
+    est = _kmv_estimate(agg, k, F.col("__sp").alias("__sp"))
+    return est.select(
         F.col("n_kept").cast("long").alias("n_sampled"),
-        d_est.alias("d_est"),
+        F.col("kmv_estimate").alias("d_est"),
         F.round(
-            F.col("__sp").cast("double") * d_est.cast("double")
+            F.col("__sp").cast("double")
+            * F.col("kmv_estimate").cast("double")
             / F.col("n_kept"), 0).cast("long").alias("est_join_rows"),
     )

@@ -226,9 +226,12 @@ def roc_auc(df: DataFrame, label_col: str = "y",
         F.coalesce(F.sum("__n").over(w), F.lit(0).cast("long")))
     # Σ over positives of 2·avg_rank, where avg_rank of a tie group
     # starting after `before` rows with n members is before+(n+1)/2.
+    # Both FACTORS go to DECIMAL(38,0) before the multiply — a long
+    # product would overflow first on the trillion-row corpus the
+    # decimal sums exist for (the DuckDB twin multiplies in HUGEINT).
     agg = r.agg(
-        F.sum((F.col("__np")
-               * (2 * F.col("__before") + F.col("__n") + 1))
+        F.sum(F.col("__np").cast("decimal(38,0)")
+              * (2 * F.col("__before") + F.col("__n") + 1)
               .cast("decimal(38,0)")).alias("__r2"),
         F.sum("__np").alias("n_pos"),
         F.sum(F.col("__n") - F.col("__np")).alias("n_neg"),

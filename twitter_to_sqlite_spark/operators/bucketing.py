@@ -173,17 +173,29 @@ def shard_move_stats(df: DataFrame, key_col: str,
         rdv(n_old).alias("__ro"),
         rdv(n_new).alias("__rn"),
     )
-
-    def stat(name, old, new):
-        moved = F.sum((F.col(old) != F.col(new)).cast("long"))
-        return assigned.agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            moved.alias("n_moved"),
-        ).select(
-            F.lit(name).alias("strategy"), "n_keys", "n_moved",
-            F.round(F.col("n_moved").cast("double") / F.col("n_keys"),
-                    6).alias("move_frac"),
+    # ONE aggregate computes both strategies' moved-counts — a
+    # per-strategy agg would re-evaluate the key-distinct and the
+    # n_old+n_new md5 hashes per key twice (Spark does not CSE
+    # sibling aggregates), doubling the dominant cost on a large key
+    # population. The 1-row wide result then explodes to 2 rows.
+    wide = assigned.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col("__mo") != F.col("__mn")).cast("long"))
+        .alias("__mvm"),
+        F.sum((F.col("__ro") != F.col("__rn")).cast("long"))
+        .alias("__mvr"),
+    )
+    rows = [
+        F.struct(F.lit(name).alias("strategy"),
+                 F.col("__n").alias("n_keys"),
+                 F.col(mv).alias("n_moved"))
+        for name, mv in (("mod", "__mvm"), ("rendezvous", "__mvr"))
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("__s"))
+        .select(
+            "__s.strategy", "__s.n_keys", "__s.n_moved",
+            F.round(F.col("__s.n_moved").cast("double")
+                    / F.col("__s.n_keys"), 6).alias("move_frac"),
         )
-
-    return stat("mod", "__mo", "__mn").unionByName(
-        stat("rendezvous", "__ro", "__rn"))
+    )

@@ -713,13 +713,27 @@ def write_version(df: DataFrame, path: str) -> int:
     """Commit ``df`` as the next snapshot version of the table at
     ``path``; returns the new version number. The snapshot itself is
     immutable once committed — updates are new versions, which is what
-    makes as-of reads and version diffs exact."""
-    with table_lock(path):
-        manifest = _read_manifest(path)
-        v = (max(manifest["versions"]) + 1) if manifest["versions"] else 1
-        df.write.mode("overwrite").parquet(_version_dir(path, v))
-        manifest["versions"].append(v)
-        _commit_manifest(path, manifest)
+    makes as-of reads and version diffs exact.
+
+    The (possibly long) distributed write happens OUTSIDE the lock,
+    into a uuid staging directory — holding the advisory lock across a
+    multi-minute snapshot write would time concurrent writers out
+    instead of serializing them. The lock covers only version
+    allocation + one rename + the manifest commit."""
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(staging)
+    try:
+        with table_lock(path):
+            manifest = _read_manifest(path)
+            v = (max(manifest["versions"]) + 1) \
+                if manifest["versions"] else 1
+            os.rename(staging, _version_dir(path, v))
+            manifest["versions"].append(v)
+            _commit_manifest(path, manifest)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return v
 
 

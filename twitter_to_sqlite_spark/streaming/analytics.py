@@ -459,12 +459,18 @@ def psi_vs_baseline(spark, counts_path: str, baseline_path: str,
     against a stored baseline histogram (both <= n_bins rows — the
     collects are bounded by construction, independent of stream
     length). Same Laplace smoothing and bin-ordered summation as the
-    batch q_psi_drift oracle pair."""
+    batch q_psi_drift oracle pair. Each table is read under its
+    advisory lock — drift_monitor's write_swap momentarily unlinks the
+    path between its two renames, so an unlocked read can race into
+    PATH_NOT_FOUND mid-commit."""
     import math
 
+    from twitter_to_sqlite_spark.operators import sinks
+
     def load(path):
-        return {r["bin"]: r["n"]
-                for r in spark.read.parquet(path).collect()}
+        with sinks.table_lock(path):
+            return {r["bin"]: r["n"]
+                    for r in spark.read.parquet(path).collect()}
 
     cur, base = load(counts_path), load(baseline_path)
     tnc = sum(cur.values())
