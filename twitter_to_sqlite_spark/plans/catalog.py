@@ -5853,6 +5853,106 @@ FROM g, t
 SQL_WOE_IV = _woe_iv_sql()
 
 
+def q_contingency_stats(spark, sf_dir):
+    """Full association profile of the event_type × variant
+    contingency table: χ² (as in chi_square), Cramér's V
+    (χ²-normalized to [0,1] — comparable across table sizes) and
+    mutual information in nats (the information-theoretic effect
+    size) — one grid, one deterministic fold. Zero cells contribute
+    (0−E)²/E to χ² and 0 to MI (the standard 0·ln0 = 0 convention);
+    both statistics are summed in cell order so the float totals are
+    engine-identical."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    cells = e.groupBy(
+        F.col("event_type").alias("t"),
+        (F.col("user_id") % 2).alias("a"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_t = cells.groupBy("t").agg(F.sum("o").alias("rt"))
+    cols_a = cells.groupBy("a").agg(F.sum("o").alias("ca"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    dims = rows_t.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        F.broadcast(cols_a.agg(F.count(F.lit(1)).alias("c"))))
+    grid = rows_t.crossJoin(F.broadcast(cols_a))
+    j = (grid.join(cells, ["t", "a"], "left")
+         .withColumn("o", F.coalesce("o", F.lit(0)))
+         .crossJoin(F.broadcast(tot)))
+    od = F.col("o").cast("double")
+    nd = F.col("n").cast("double")
+    ex = F.col("rt").cast("double") * F.col("ca") / F.col("n")
+    chi = (od - ex) * (od - ex) / ex
+    mi = F.when(
+        F.col("o") > 0,
+        (od / nd) * F.log((od * nd)
+                          / (F.col("rt").cast("double") * F.col("ca"))),
+    ).otherwise(F.lit(0.0))
+    folded = (
+        j.select(F.struct(F.col("t"), F.col("a"), chi.alias("xc"),
+                          mi.alias("xm")).alias("s"),
+                 "n")
+        .agg(F.sort_array(F.collect_list("s")).alias("terms"),
+             F.max("n").alias("__n"),
+             F.count(F.lit(1)).alias("n_cells"))
+    )
+    chi2 = F.aggregate("terms", F.lit(0.0), lambda acc, s: acc + s["xc"])
+    mi_sum = F.aggregate("terms", F.lit(0.0), lambda acc, s: acc + s["xm"])
+    out = folded.crossJoin(F.broadcast(dims))
+    denom = F.col("__n").cast("double") \
+        * (F.least(F.col("r"), F.col("c")) - 1).cast("double")
+    return out.select(
+        F.col("__n").alias("n_obs"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(F.sqrt(chi2 / denom), 6).alias("cramers_v"),
+        F.round(mi_sum, 6).alias("mutual_info"),
+    )
+
+
+SQL_CONTINGENCY_STATS = """
+WITH d AS (
+  SELECT event_type AS t, (user_id % 2)::INT AS a
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+cells AS (SELECT t, a, count(*) AS o FROM d GROUP BY t, a),
+rt AS (SELECT t, sum(o) AS rt FROM cells GROUP BY t),
+ca AS (SELECT a, sum(o) AS ca FROM cells GROUP BY a),
+n AS (SELECT sum(o) AS n FROM cells),
+dims AS (SELECT (SELECT count(*) FROM rt) AS r,
+                (SELECT count(*) FROM ca) AS c),
+grid AS (
+  SELECT rt.t, ca.a, rt.rt, ca.ca, coalesce(cells.o, 0) AS o
+  FROM rt CROSS JOIN ca LEFT JOIN cells USING (t, a)
+),
+terms AS (
+  SELECT t, a,
+         (o - rt::DOUBLE * ca / n.n)
+           * (o - rt::DOUBLE * ca / n.n)
+           / (rt::DOUBLE * ca / n.n) AS xc,
+         CASE WHEN o > 0
+              THEN (o::DOUBLE / n.n)
+                   * ln((o::DOUBLE * n.n) / (rt::DOUBLE * ca))
+              ELSE 0.0 END AS xm,
+         n.n AS n
+  FROM grid, n
+),
+folded AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_obs,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         list_reduce(list_prepend(0.0,
+           list(xc ORDER BY t, a)), (acc, v) -> acc + v) AS chi2,
+         list_reduce(list_prepend(0.0,
+           list(xm ORDER BY t, a)), (acc, v) -> acc + v) AS mi
+  FROM terms
+)
+SELECT n_obs, n_cells, round(chi2, 4) AS chi2,
+       round(sqrt(chi2 / (n_obs::DOUBLE * (least(r, c) - 1))), 6)
+         AS cramers_v,
+       round(mi, 6) AS mutual_info
+FROM folded, dims
+"""
+
+
 # BPE merge-round count (fixed, replayed by the oracle like the
 # classifier's 16 unrolled training iterations).
 _BPE_MERGES = 8
@@ -6641,6 +6741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "woe_iv": q_woe_iv,
     "bpe_train": q_bpe_train,
+    "contingency_stats": q_contingency_stats,
     # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
@@ -6898,6 +6999,7 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "woe_iv": SQL_WOE_IV,
     "bpe_train": SQL_BPE_TRAIN,
+    "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
 
