@@ -6677,20 +6677,26 @@ FROM nodes, en, tri
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordered for the driver correctness pass, which truncates at 50
     # entries per round (registry order):
-    # (1) the 6 queries still lacking a driver-green row after r4 —
-    #     sessionize's latest driver row is r3's red (fixed since,
-    #     judge-green); the other five have never been sampled;
-    # (2) new in r5, never driver-verified;
-    # (3) the driver-green remainder (r1-r4 cumulative), roughly
-    #     cheapest first.
+    # (1) the 6 r5-staged queries that sat at positions 51-56 behind
+    #     the r5 gate cutoff — judge-verified at sf0.01 but never
+    #     driver-sampled; certify them first;
+    # (2) new in r6, never driver-verified;
+    # (3) the driver-green remainder (r1-r5 cumulative).
     # --- (1) carry-over: certify these six ---
+    "shard_rebalance": q_shard_rebalance,
+    "hard_negatives": q_hard_negatives,
+    "vocab_coverage": q_vocab_coverage,
+    "woe_iv": q_woe_iv,
+    "bpe_train": q_bpe_train,
+    "contingency_stats": q_contingency_stats,
+    # --- (2) new in r6, never driver-verified ---
+    # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
     "dedup_incremental": q_dedup_incremental,
     "perplexity_buckets": q_perplexity_buckets,
     "perplexity_buckets_dist": q_perplexity_buckets_dist,
     "substring_clean": q_substring_clean,
-    # --- (2) new in r5, never driver-verified ---
     "classifier_auc": q_classifier_auc,
     "calibration": q_calibration,
     "embedding_stats": q_embedding_stats,
@@ -6735,14 +6741,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateness_profile": q_lateness_profile,
     "chi_square": q_chi_square,
     "join_size_estimate": q_join_size_estimate,
-    # --- staged for the r6 gate window (position > 50) ---
-    "shard_rebalance": q_shard_rebalance,
-    "hard_negatives": q_hard_negatives,
-    "vocab_coverage": q_vocab_coverage,
-    "woe_iv": q_woe_iv,
-    "bpe_train": q_bpe_train,
-    "contingency_stats": q_contingency_stats,
-    # --- (3) driver-green in r1-r4 ---
     "funnel_latency": q_funnel_latency,
     "grouped_quantiles": q_grouped_quantiles,
     "retention_cohorts": q_retention_cohorts,
