@@ -214,3 +214,39 @@ def test_probes_clamp_absurd_durations_instead_of_crashing():
         + struct.pack(">II", 1, 0x7FFFFFFF) + b"\x00" * 80
     mp42 = box(b"ftyp", b"isom") + box(b"moov", box(b"mvhd", mvhd2))
     assert M.probe_video_duration(mp42) is None
+
+
+def test_hostile_audio_headers_degrade_to_none():
+    """ADVICE r5: an AIFF COMM chunk with exponent 0x7FFF must not
+    raise OverflowError, and >int32 sample rates/channels from corrupt
+    WAV/AIFF headers must clamp to None — the malformed-input contract
+    covers every IntegerType-bound field, not just duration."""
+    import struct
+
+    from twitter_to_sqlite_spark.functions import multimodal as M
+
+    # AIFF with a hostile max exponent (inf/NaN territory in real
+    # extended80): previously OverflowError, now 0.0 -> rejected.
+    comm = struct.pack(">hLh", 1, 44100, 16) \
+        + struct.pack(">HQ", 0x7FFF, 1 << 63)
+    body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+    assert M.probe_audio_meta(
+        b"FORM" + struct.pack(">I", len(body)) + body) is None
+
+    # AIFF whose decoded rate is finite but exceeds int32: rate field
+    # clamps to None instead of crashing the Arrow int32 conversion.
+    exp = 16383 + 63 + 33            # mant=1<<63 -> rate = 2^33
+    comm2 = struct.pack(">hLh", 1, 0, 16) \
+        + struct.pack(">HQ", exp, 1 << 63)
+    body2 = b"AIFF" + b"COMM" + struct.pack(">I", len(comm2)) + comm2
+    got = M.probe_audio_meta(
+        b"FORM" + struct.pack(">I", len(body2)) + body2)
+    assert got is not None and got[0] is None
+
+    # WAV fmt chunk with sample_rate = 0xF0000000 (reproduced in the
+    # advisory): clamps to None, channels/duration untouched.
+    fmt = struct.pack("<HHIIHH", 1, 2, 0xF0000000, 64000, 4, 16)
+    bodyw = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", 64000))
+    gotw = M.probe_audio_meta(b"RIFF" + struct.pack("<I", len(bodyw)) + bodyw)
+    assert gotw == (None, 2, 1000)

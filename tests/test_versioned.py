@@ -86,3 +86,27 @@ def test_concurrent_writers_get_distinct_versions(spark, tmp_path):
         t.join()
     assert sorted(got) == [1, 2, 3, 4]
     assert sinks.list_versions(p) == [1, 2, 3, 4]
+
+
+def test_crash_orphan_version_dir_never_blocks_next_writer(spark, tmp_path):
+    """ADVICE r5: a crash between the staging rename and the manifest
+    commit leaves a manifest-invisible vNNNNNN directory. The next
+    writer must skip past it (not re-allocate its number and die on
+    ENOTEMPTY), and the orphan must stay invisible to readers."""
+    import os
+
+    p = str(tmp_path / "tbl")
+    sinks.write_version(_df(spark, [(1, "a")]), p)
+    # Simulate the crash window: v000002 exists on disk but was never
+    # committed to the manifest.
+    orphan = os.path.join(p, "v000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-orphan.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+
+    v = sinks.write_version(_df(spark, [(1, "b")]), p)
+    assert v == 3                      # skipped the orphan's number
+    assert sinks.list_versions(p) == [1, 3]
+    latest = {r["id"]: r["val"]
+              for r in sinks.read_version(spark, p).collect()}
+    assert latest == {1: "b"}          # orphan never readable

@@ -128,12 +128,20 @@ def _ieee_extended80(b10: bytes) -> float:
     mant = int.from_bytes(b10[2:10], "big")
     if exp == 0 and mant == 0:
         return 0.0
+    # A hostile/corrupt COMM chunk can carry exp up to 0x7FFF
+    # (inf/NaN in real extended80, or garbage) — mant * 2**e would
+    # raise OverflowError past float64's 2**1024 ceiling and crash
+    # the Arrow batch. No audio rate is remotely near that; degrade
+    # to 0.0, which the caller maps to None like other bad headers.
+    if exp - 16383 - 63 + mant.bit_length() > 1023:
+        return 0.0
     sign = -1.0 if b10[0] & 0x80 else 1.0
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 
 def probe_audio_meta(
-        payload: bytes | None) -> tuple[int, int, int | None] | None:
+        payload: bytes | None
+) -> tuple[int | None, int | None, int | None] | None:
     """Dependency-free (sample_rate, channels, duration_ms) from
     common audio container headers: WAV/RIFF (fmt + data chunks),
     AIFF/AIFC (COMM chunk, 80-bit extended sample rate), FLAC
@@ -160,7 +168,10 @@ def probe_audio_meta(
             return None
         dur = (int(data_size * 1000 / byte_rate)
                if data_size and byte_rate else None)
-        return rate, ch or 0, _clamp_i32(dur)
+        # rate/ch come from raw little-endian fields — a corrupt fmt
+        # chunk can exceed int32 (observed: 4026531840); clamp every
+        # IntegerType-bound field, not just duration.
+        return _clamp_i32(rate), _clamp_i32(ch or 0), _clamp_i32(dur)
     if len(b) >= 12 and b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
         i = 12
         while i + 8 <= len(b):
@@ -173,7 +184,7 @@ def probe_audio_meta(
                 if rate <= 0:
                     return None
                 dur = int(frames * 1000 / rate) if frames else None
-                return int(rate), ch, _clamp_i32(dur)
+                return _clamp_i32(int(rate)), _clamp_i32(ch), _clamp_i32(dur)
             i += 8 + sz + (sz & 1)
         return None
     if len(b) >= 42 and b[:4] == b"fLaC":
@@ -190,7 +201,7 @@ def probe_audio_meta(
         if rate == 0:
             return None
         dur = int(total * 1000 / rate) if total else None
-        return rate, ch, _clamp_i32(dur)
+        return _clamp_i32(rate), _clamp_i32(ch), _clamp_i32(dur)
     return None
 
 

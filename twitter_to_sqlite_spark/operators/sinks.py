@@ -726,8 +726,17 @@ def write_version(df: DataFrame, path: str) -> int:
     try:
         with table_lock(path):
             manifest = _read_manifest(path)
-            v = (max(manifest["versions"]) + 1) \
-                if manifest["versions"] else 1
+            # Allocate past BOTH the manifest and any vNNNNNN
+            # directory already on disk: a crash between the rename
+            # below and _commit_manifest leaves a manifest-invisible
+            # orphan dir, and manifest-max+1 would re-allocate its
+            # number — os.rename then fails ENOTEMPTY forever. Orphans
+            # stay unreadable (readers resolve through the manifest);
+            # skipping their numbers keeps them harmless, as the
+            # crash-safety notes above promise.
+            on_disk = [int(d[1:]) for d in os.listdir(path)
+                       if d.startswith("v") and d[1:].isdigit()]
+            v = max(manifest["versions"] + on_disk, default=0) + 1
             os.rename(staging, _version_dir(path, v))
             manifest["versions"].append(v)
             _commit_manifest(path, manifest)
