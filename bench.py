@@ -93,24 +93,68 @@ def main() -> None:
     # single pass is hit. Pass 1 additionally absorbs plan compilation
     # and JIT warmup. A final third pass re-times only the heavy
     # queries (min still >1.5s), where absolute noise concentrates.
+    # Shared builds are billed to named "_build:" pseudo-entries so
+    # every published per-query number is a standalone cost (VERDICT
+    # r5 'What's wrong' #1: dedup_minhash reported 0.013s because
+    # dedup_recall had silently paid the MinHash pairs build first).
+    #   * SHARED_BUILDS (per-pass DataFrame caches) are re-timed every
+    #     pass and INCLUDED in the total — exactly the cost that the
+    #     old scheme charged to an arbitrary first consumer.
+    #   * INFRA_BUILDS (build-once-probe-many indexes/weights) are
+    #     timed once, cold, and reported in a separate "builds" dict,
+    #     EXCLUDED from the total — min-of-passes erased them from
+    #     every previous round's total, so adding them would break
+    #     round-over-round comparability.
+    shared_builds = dict(catalog.SHARED_BUILDS)
+    infra_builds = dict(catalog.INFRA_BUILDS)
+    if args.subset == "r2":
+        # Only the builds the r2 subset actually consumes
+        # (dedup_minhash -> pairs; ann_ivf -> centroids).
+        shared_builds = {"_build:minhash_pairs":
+                         shared_builds["_build:minhash_pairs"]}
+        infra_builds = {"_build:ivf_centroids":
+                        infra_builds["_build:ivf_centroids"]}
+
+    catalog.clear_caches(include_infra=True)
+    build_timings: dict[str, float] = {}
+    for name, build in infra_builds.items():
+        t0 = time.perf_counter()
+        build(spark, sf_dir)
+        build_timings[name] = round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
     for _pass in range(max(args.passes, 1)):
-        # Re-measure derived-data builds honestly each pass: without
-        # this, the second pass (and the heavy re-time below) would
-        # record a checkpoint-block re-scan for queries that share a
-        # process-level cache (the MinHash pairs trio), not the build.
+        # Re-measure per-pass derived-data builds honestly each pass:
+        # without this, the second pass would record a
+        # checkpoint-block re-scan, not the build. Consumers then ride
+        # the warm cache uniformly and report probe-only time.
         catalog.clear_caches()
+        for name, build in shared_builds.items():
+            t0 = time.perf_counter()
+            build(spark, sf_dir)
+            dt = time.perf_counter() - t0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
         for name, q in queries.items():
             t0 = time.perf_counter()
             force(q(spark, sf_dir))
             dt = time.perf_counter() - t0
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-    for name, q in queries.items():
-        if timings[name] > 1.5:
+    for name in [n for n, v in timings.items() if v > 1.5]:
+        if name in shared_builds:
+            # Re-time the build cold, then restore every warm cache so
+            # later query re-times keep probe-only semantics.
             catalog.clear_caches()
             t0 = time.perf_counter()
-            force(q(spark, sf_dir))
+            shared_builds[name](spark, sf_dir)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+            for other, build in shared_builds.items():
+                if other != name:
+                    build(spark, sf_dir)
+        else:
+            t0 = time.perf_counter()
+            force(queries[name](spark, sf_dir))
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {k: round(v, 4) for k, v in timings.items()}
 
@@ -129,6 +173,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "builds": build_timings,
         "sf": sf_num,
         "ingest_tweets_per_sec": ingest_rate,
     }))
@@ -145,6 +190,7 @@ def main() -> None:
         "sf": sf_num,
         "ingest_tweets_per_sec": ingest_rate,
         "n_queries": len(timings),
+        "infra_build_sec": round(sum(build_timings.values()), 2),
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "queries_truncated": True,
     }, separators=(",", ":")))

@@ -116,3 +116,53 @@ def test_bpe_catalog_query_shape(spark, sf_dir):
         assert r["pair_count"] > 0
         assert (r["left"], r["right"]) not in seen
         seen.add((r["left"], r["right"]))
+
+
+def _ref_segment(texts: list[str], merge_rows) -> dict[int, int]:
+    """Executable spec of bpe_segment: apply the merges in rank order
+    to every word, count final symbols per document."""
+    import re
+
+    def fold(syms, a, b):
+        merged, pend = [], None
+        for x in syms:
+            if pend == a and x == b:
+                merged.append(a + b)
+                pend = None
+            else:
+                if pend is not None:
+                    merged.append(pend)
+                pend = x
+        if pend is not None:
+            merged.append(pend)
+        return merged
+
+    out = {}
+    for i, t in enumerate(texts):
+        n = 0
+        any_word = False
+        for w in re.split(r"\W+", t.lower()):
+            if not w:
+                continue
+            any_word = True
+            syms = list(w) + [bpe.EOW]
+            for _rank, a, b, _cnt in merge_rows:
+                syms = fold(syms, a, b)
+            n += len(syms)
+        if any_word:
+            out[i] = n
+    return out
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=5))
+@SETTINGS
+def test_bpe_segment_matches_reference_after_training(spark, docs):
+    """Law (VERDICT r5 task 4): segment(train(corpus)) per-doc token
+    counts equal the textbook greedy-merge result on the same corpus."""
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = _ref_bpe(texts, 4)
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe.bpe_segment(df, merges).collect()}
+    assert got == _ref_segment(texts, merges)

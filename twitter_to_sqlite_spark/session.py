@@ -54,7 +54,8 @@ def get_spark(app_name: str = "twitter_to_sqlite_spark", cpus: str | None = None
         # vs 2.3s for the MinHash build whose 16-hash projection is
         # expensive to generate. 2000 entries keeps one full catalog
         # (plus oracle twins) resident; class metadata is a few MB.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Some driver rounds generated events.parquet as
