@@ -55,3 +55,43 @@ def test_occurrence_fraction_accounts_occurrences(spark, corpus):
     # boundary bigram + 2 footer bigrams each
     total_occ = 3 * 10 + 6 * 3
     assert a["boiler_occ_frac"] == pytest.approx(12 / total_occ, abs=1e-6)
+
+
+# ---------------------------------------------------------------------
+# paragraph_dedup (r6): corpus-wide repeated-paragraph removal
+# ---------------------------------------------------------------------
+
+FOOTER = "subscribe to our newsletter"
+
+
+@pytest.fixture(scope="module")
+def para_corpus(spark):
+    rows = [
+        (1, "unique intro one\n\n" + FOOTER + "\n\nunique body one"),
+        (2, "unique intro two\n\n" + FOOTER),
+        (3, FOOTER + "\n\nunique body three"),
+        (4, "all unique here\n\nand here too"),
+        (5, FOOTER),          # footer-only doc -> everything dropped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_drops_planted_shared_paragraph(spark, para_corpus):
+    got = {r["doc_id"]: r for r in dedup.paragraph_dedup(
+        para_corpus, "doc_id", "text", min_count=2).collect()}
+    assert got[1]["clean_text"] == "unique intro one\n\nunique body one"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 2)
+    assert got[2]["clean_text"] == "unique intro two"
+    assert got[3]["clean_text"] == "unique body three"
+    # untouched doc round-trips byte-exact
+    assert got[4]["clean_text"] == "all unique here\n\nand here too"
+    assert got[4]["n_kept"] == 2
+    # a doc that was ALL boilerplate stays present with empty text
+    assert got[5]["clean_text"] == "" and got[5]["n_kept"] == 0
+
+
+def test_paragraph_dedup_respects_count_floor(spark, para_corpus):
+    # floor of 5: the footer appears only 4 times -> nothing dropped
+    got = {r["doc_id"]: r["n_kept"] for r in dedup.paragraph_dedup(
+        para_corpus, "doc_id", "text", min_count=5).collect()}
+    assert got == {1: 3, 2: 2, 3: 2, 4: 2, 5: 1}

@@ -1058,3 +1058,53 @@ def remove_spans(docs: DataFrame, spans: DataFrame,
         (F.size("__t") - F.size("__keep")).cast("long")
         .alias("n_removed_tokens"),
     )
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n\n",
+                    min_count: int = 2) -> DataFrame:
+    """Paragraph-granularity dedup (RefinedWeb / Penedo et al. 2023):
+    drop every paragraph whose exact content repeats >= ``min_count``
+    times corpus-wide (boilerplate headers/footers, licence blocks,
+    navigation chrome), reassemble the surviving paragraphs in
+    document order. Returns (id, n_paras, n_kept, clean_text).
+
+    Sits between dedup at whole-doc granularity (exact_dedup) and
+    token-window granularity (duplicate_spans): one explode, one
+    corpus-wide count, one per-doc re-agg — zero pair joins, so it
+    scales linearly like the substring pass.
+
+    Scale notes: the corpus-wide paragraph count is a groupBy on the
+    md5 of the paragraph (fixed-width shuffle key) rather than a
+    count-over-window, deliberately — boilerplate paragraphs are by
+    definition HOT keys (a footer can appear in half the corpus), and
+    a window would move every instance of the hot paragraph into one
+    task with no recourse, while the aggregate gets map-side partial
+    combine and the count-side join gets AQE skew splitting. The
+    per-doc re-agg state is bounded by document size.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).withColumn("__h", F.md5(F.col("__para")))
+    counts = paras.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    keep = F.col("__cnt") < F.lit(min_count)
+    return (
+        paras.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.when(keep, F.struct(
+                            F.col("__pos").alias("pos"),
+                            F.col("__para").alias("para"),
+                        )))),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )

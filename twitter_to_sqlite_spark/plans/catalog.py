@@ -6753,6 +6753,95 @@ FROM nodes, en, tri
 """
 
 
+# ---------------------------------------------------------------------
+# Paragraph-granularity dedup (VERDICT r5 task 5)
+# ---------------------------------------------------------------------
+
+# The synthetic documents carry no newline structure, so the query
+# derives a deterministic paragraph corpus first: each doc's tokens in
+# 20-token chunks joined by blank lines, plus a boilerplate footer
+# appended to every third doc — the classic repeated-paragraph target
+# (RefinedWeb removes exactly this shape). Both engines construct the
+# identical corpus, so the dedup itself is cross-engine verified.
+_PARA_CHUNK = 20
+_PARA_BOILER = "subscribe to our newsletter for updates"
+
+
+def _para_corpus(spark, sf_dir) -> DataFrame:
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("__toks"))
+    paras = F.expr(f"""
+        transform(sequence(0,
+            int(greatest(ceil(size(__toks) / {_PARA_CHUNK}.0), 1)) - 1),
+          i -> array_join(slice(__toks, i * {_PARA_CHUNK} + 1,
+                                {_PARA_CHUNK}), ' '))
+    """)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.array_join(paras, "\n\n"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\n\n" + _PARA_BOILER)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_dedup_paragraph(spark, sf_dir):
+    """Paragraph-level dedup (functions/dedup.py::paragraph_dedup,
+    RefinedWeb-style): drop paragraphs repeated >=2 times corpus-wide
+    (the planted boilerplate footer plus any naturally colliding
+    chunk), reassemble documents in order. One explode + one md5-keyed
+    count aggregate + one bounded per-doc re-agg — no pair join, so
+    the pass is linear at 100 TB; the hot boilerplate key is handled
+    by map-side combine, not a single window task."""
+    from twitter_to_sqlite_spark.functions import dedup
+
+    return dedup.paragraph_dedup(
+        _para_corpus(spark, sf_dir), "doc_id", "text", min_count=2)
+
+
+SQL_DEDUP_PARAGRAPH = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             generate_series(0,
+               CAST(greatest(ceil(len(t) / {_PARA_CHUNK}.0), 1) AS INT) - 1),
+             i -> array_to_string(
+                    t[(i * {_PARA_CHUNK} + 1):(i * {_PARA_CHUNK}
+                      + {_PARA_CHUNK})], ' ')), chr(10) || chr(10))
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || chr(10) || '{_PARA_BOILER}'
+                 ELSE '' END AS text
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+),
+paras AS (
+  SELECT doc_id, pp['pos'] AS pos, pp['para'] AS para
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(parts)),
+        i -> {{'pos': i, 'para': parts[i]}})) AS pp
+    FROM (SELECT doc_id,
+                 string_split(text, chr(10) || chr(10)) AS parts
+          FROM corpus)
+  )
+),
+counted AS (
+  SELECT doc_id, pos, para,
+         count(*) OVER (PARTITION BY para) AS cnt
+  FROM paras
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(count(*) FILTER (WHERE cnt < 2) AS BIGINT) AS n_kept,
+       coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                FILTER (WHERE cnt < 2), '') AS clean_text
+FROM counted
+GROUP BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6810,6 +6899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contingency_stats": q_contingency_stats,
     # --- (2) new in r6, never driver-verified ---
     "bpe_segment": q_bpe_segment,
+    "dedup_paragraph": q_dedup_paragraph,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7118,6 +7208,7 @@ ORACLE_SQL: dict[str, str] = {
     "woe_iv": SQL_WOE_IV,
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_segment": SQL_BPE_SEGMENT,
+    "dedup_paragraph": SQL_DEDUP_PARAGRAPH,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
