@@ -83,6 +83,44 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
 
 
+def training_order(df: DataFrame, key_col: str, n_shards: int,
+                   salt: str = "", order_salt: str = "ord") -> DataFrame:
+    """Deterministic global training order: (key, shard, position) —
+    the reproducible shuffle a dataloader consumes, the missing last
+    step after write_training_shards proves membership. shard =
+    hash(key) % n_shards (same portable md5 as every sampler); within
+    a shard, examples are ranked by an INDEPENDENTLY-salted hash of
+    the key (tie-broken by the key itself), so the reading order is a
+    pure function of the data: re-running the pipeline, changing the
+    partition count, or re-sharding upstream never changes which
+    example is read when — the property that makes a resumed training
+    run exactly reproducible.
+
+    Scale: per-shard rank goes through the two-phase range-split
+    prefix sum (operators/relational.py::_range_split_prefix), NOT a
+    window partitioned by shard — with few shards a window would sort
+    corpus/n_shards rows in single tasks; the prefix sum bounds every
+    task at corpus/parallelism and moves only |ranges|x|shards| counts
+    through the driver.
+    """
+    from twitter_to_sqlite_spark.operators.relational import \
+        _range_split_prefix
+
+    keyed = df.select(
+        F.col(key_col),
+        (_key_hash(F.col(key_col), salt) % n_shards).cast("int")
+        .alias("shard"),
+        _key_hash(F.col(key_col), order_salt).alias("__ord"),
+    )
+    ranked = _range_split_prefix(
+        keyed, "__ord", tie_cols=[key_col], group_cols=["shard"])
+    return ranked.select(
+        key_col, "shard",
+        (F.col("__off") + F.col("__lval") - 1).cast("long")
+        .alias("position"),
+    )
+
+
 def mix_corpora(df: DataFrame, strata_col: str, weights: dict[str, float],
                 key_col: str, token_col: str, salt: str = "",
                 distributed: bool = False) -> DataFrame:

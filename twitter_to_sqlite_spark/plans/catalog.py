@@ -6842,6 +6842,41 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------
+# Deterministic training order (VERDICT r5 task 6)
+# ---------------------------------------------------------------------
+
+def q_training_order(spark, sf_dir):
+    """Reproducible global training order
+    (functions/sampling.py::training_order): every document's
+    (shard, position) under the deterministic hash shuffle — shard =
+    md5(doc_id) % {n}, position = rank of an independently-salted md5
+    within the shard, tie-broken by doc_id. A pure function of the
+    data (partition-count invariant, law-tested), ranked through the
+    two-phase range-split prefix sum so no task ever sorts a whole
+    shard."""
+    from twitter_to_sqlite_spark.functions.sampling import training_order
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return training_order(d, "doc_id", _MANIFEST_SHARDS)
+
+
+SQL_TRAINING_ORDER = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_MANIFEST_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+            - 1 AS BIGINT) AS position
+FROM h
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6900,6 +6935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (2) new in r6, never driver-verified ---
     "bpe_segment": q_bpe_segment,
     "dedup_paragraph": q_dedup_paragraph,
+    "training_order": q_training_order,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7209,6 +7245,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_segment": SQL_BPE_SEGMENT,
     "dedup_paragraph": SQL_DEDUP_PARAGRAPH,
+    "training_order": SQL_TRAINING_ORDER,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
