@@ -6877,6 +6877,77 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------
+# Versioned-table CDC surface (VERDICT r5 task 7)
+# ---------------------------------------------------------------------
+
+def q_version_diff(spark, sf_dir):
+    """End-to-end versioned-table CDC (operators/sinks.py
+    write_version/read_version/version_diff): commit two deterministic
+    snapshots of orders as v1/v2 of a fresh version store — v1 drops
+    keys ≡4 (mod 5), v2 drops keys ≡0 (mod 7) and flips the status of
+    keys ≡0 (mod 3) — then read both back THROUGH the manifest and
+    diff them. The oracle recomputes the identical changelog
+    relationally from orders, so the whole commit→time-travel→diff
+    protocol is cross-engine verified, not just the diff algebra
+    (whose diff→apply round-trip is separately law-tested)."""
+    import tempfile
+
+    from twitter_to_sqlite_spark.operators import sinks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    v1 = o.filter(F.col("o_orderkey") % 5 != 4)
+    v2 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    path = tempfile.mkdtemp(prefix="verdiff-") + "/tbl"
+    sinks.write_version(v1, path)
+    sinks.write_version(v2, path)
+    return sinks.version_diff(
+        spark, path, 1, 2,
+        ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+
+SQL_VERSION_DIFF = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 4
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_orderstatus AS old_o_orderstatus,
+         a.o_totalprice AS old_o_totalprice,
+         b.o_orderstatus AS new_o_orderstatus,
+         b.o_totalprice AS new_o_totalprice,
+         a.o_orderkey IS NOT NULL AS in_old,
+         b.o_orderkey IS NOT NULL AS in_new
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey, old_o_orderstatus, old_o_totalprice,
+       new_o_orderstatus, new_o_totalprice,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+              OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+              THEN 'changed' END AS change_type
+FROM j
+WHERE (NOT in_old) OR (NOT in_new)
+   OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+   OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6936,6 +7007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_segment": q_bpe_segment,
     "dedup_paragraph": q_dedup_paragraph,
     "training_order": q_training_order,
+    "version_diff": q_version_diff,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7246,6 +7318,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_segment": SQL_BPE_SEGMENT,
     "dedup_paragraph": SQL_DEDUP_PARAGRAPH,
     "training_order": SQL_TRAINING_ORDER,
+    "version_diff": SQL_VERSION_DIFF,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
