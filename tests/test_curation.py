@@ -773,3 +773,50 @@ class TestTrainingOrder:
             base, "doc_id", 1, order_salt="epoch2").collect()}
         assert a != b                      # a different epoch order
         assert sorted(a.values()) == sorted(b.values())
+
+
+class TestSequencePack:
+    """sequence_pack (r6): concat-and-chunk packing over the
+    deterministic training order."""
+
+    def _base(self, spark, n=60, parts=5):
+        # token counts 1..7, deterministic per key
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7 + 1).cast("long").alias("n_toks"),
+        ).repartition(parts)
+
+    def test_stream_tiles_exactly(self, spark):
+        got = sampling.sequence_pack(
+            self._base(spark), "doc_id", "n_toks", 3, 16).collect()
+        by_shard: dict = {}
+        for r in got:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rows in by_shard.items():
+            # reconstruct the stream: sort by global token offset
+            rows.sort(key=lambda r: (r["start_seq"] * 16
+                                     + r["offset_in_seq"]))
+            pos = 0
+            for r in rows:
+                off = r["start_seq"] * 16 + r["offset_in_seq"]
+                assert off == pos, (shard, r)
+                assert r["end_seq"] == (pos + r["n_tokens"] - 1) // 16
+                pos += r["n_tokens"]
+
+    def test_partition_count_invariant(self, spark):
+        a = {r["doc_id"]: (r["shard"], r["start_seq"], r["offset_in_seq"])
+             for r in sampling.sequence_pack(
+                 self._base(spark, parts=1), "doc_id", "n_toks",
+                 3, 16).collect()}
+        b = {r["doc_id"]: (r["shard"], r["start_seq"], r["offset_in_seq"])
+             for r in sampling.sequence_pack(
+                 self._base(spark, parts=11), "doc_id", "n_toks",
+                 3, 16).collect()}
+        assert a == b
+
+    def test_zero_token_docs_are_skipped(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, 3)], "doc_id long, n_toks long")
+        got = sampling.sequence_pack(df, "doc_id", "n_toks", 1, 4)
+        ids = [r["doc_id"] for r in got.collect()]
+        assert 2 not in ids and sorted(ids) == [1, 3]

@@ -1108,3 +1108,4 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
             ).alias("clean_text"),
         )
     )
+

@@ -121,6 +121,48 @@ def training_order(df: DataFrame, key_col: str, n_shards: int,
     )
 
 
+def sequence_pack(df: DataFrame, key_col: str, token_col: str,
+                  n_shards: int, seq_len: int,
+                  salt: str = "", order_salt: str = "ord") -> DataFrame:
+    """Concat-and-chunk sequence packing: place every document in the
+    deterministic training order (:func:`training_order`'s shard +
+    salted-hash rank) and chunk the concatenated token stream into
+    fixed ``seq_len`` sequences — the GPT-style packing step that maps
+    each doc to its (start_seq, end_seq, offset_in_seq) so a
+    dataloader can materialize any sequence without replaying the
+    corpus. Zero-token documents are skipped (they occupy no stream
+    positions). Returns (key, shard, n_tokens, start_seq, end_seq,
+    offset_in_seq).
+
+    Scale: the per-shard running token total goes through the
+    two-phase grouped prefix sum (grouped_cumsum_dist) — with few
+    shards a window would sort corpus/n_shards rows in one task.
+    Sequence ids use integer DIV on the exact BIGINT cumsum (not
+    float floor, which loses exactness past 2^53 total tokens).
+    """
+    from twitter_to_sqlite_spark.operators.relational import \
+        grouped_cumsum_dist
+
+    keyed = df.filter(F.col(token_col) > 0).select(
+        F.col(key_col),
+        (_key_hash(F.col(key_col), salt) % n_shards).cast("int")
+        .alias("shard"),
+        _key_hash(F.col(key_col), order_salt).alias("__ord"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    c = grouped_cumsum_dist(keyed, "shard", "__ord", key_col,
+                            "n_tokens", out_col="__cum")
+    return c.select(
+        key_col, "shard", "n_tokens",
+        F.expr(f"CAST((__cum - n_tokens) DIV {seq_len} AS BIGINT)")
+        .alias("start_seq"),
+        F.expr(f"CAST((__cum - 1) DIV {seq_len} AS BIGINT)")
+        .alias("end_seq"),
+        F.expr(f"CAST((__cum - n_tokens) % {seq_len} AS BIGINT)")
+        .alias("offset_in_seq"),
+    )
+
+
 def mix_corpora(df: DataFrame, strata_col: str, weights: dict[str, float],
                 key_col: str, token_col: str, salt: str = "",
                 distributed: bool = False) -> DataFrame:

@@ -6948,6 +6948,55 @@ WHERE (NOT in_old) OR (NOT in_new)
 """
 
 
+# ---------------------------------------------------------------------
+# Sequence packing (r6 extension)
+# ---------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 128
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing
+    (functions/sampling.py::sequence_pack): every document's
+    (start_seq, end_seq, offset_in_seq) when the corpus is laid out in
+    the deterministic training order and chunked into {L}-token
+    sequences — the dataloader-facing complement of training_order.
+    Token counts use the engine tokenizer; the per-shard running total
+    is the two-phase grouped prefix sum, never a per-shard window."""
+    from twitter_to_sqlite_spark.functions.sampling import sequence_pack
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_toks"))
+    return sequence_pack(d, "doc_id", "n_toks",
+                         _MANIFEST_SHARDS, _PACK_SEQ_LEN)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_MANIFEST_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len({_SQL_TOKS}) > 0
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+)
+SELECT doc_id, shard, n_tokens,
+       CAST((cum - n_tokens) // {_PACK_SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST((cum - 1) // {_PACK_SEQ_LEN} AS BIGINT) AS end_seq,
+       CAST((cum - n_tokens) % {_PACK_SEQ_LEN} AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7008,6 +7057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraph": q_dedup_paragraph,
     "training_order": q_training_order,
     "version_diff": q_version_diff,
+    "sequence_pack": q_sequence_pack,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7319,6 +7369,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_paragraph": SQL_DEDUP_PARAGRAPH,
     "training_order": SQL_TRAINING_ORDER,
     "version_diff": SQL_VERSION_DIFF,
+    "sequence_pack": SQL_SEQUENCE_PACK,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
