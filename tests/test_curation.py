@@ -820,3 +820,29 @@ class TestSequencePack:
         got = sampling.sequence_pack(df, "doc_id", "n_toks", 1, 4)
         ids = [r["doc_id"] for r in got.collect()]
         assert 2 not in ids and sorted(ids) == [1, 3]
+
+
+class TestSplitDedupSafe:
+    """split_dedup_safe (r6): near-dup clusters never straddle splits."""
+
+    def test_no_cross_split_pairs(self, spark, sf_dir):
+        from twitter_to_sqlite_spark.plans import catalog
+
+        split = {r["doc_id"]: r["split"]
+                 for r in catalog.q_split_dedup_safe(spark, sf_dir).collect()}
+        pairs = catalog._minhash_pairs(spark, sf_dir).collect()
+        assert pairs, "planted dups must produce pairs"
+        for p in pairs:
+            assert split[p["id_a"]] == split[p["id_b"]], p
+
+    def test_split_is_component_constant_and_covers_all_docs(
+            self, spark, sf_dir):
+        from twitter_to_sqlite_spark.plans import catalog
+
+        rows = catalog.q_split_dedup_safe(spark, sf_dir).collect()
+        n_docs = catalog._docs_with_planted_dups(spark, sf_dir).count()
+        assert len(rows) == n_docs
+        by_group: dict = {}
+        for r in rows:
+            by_group.setdefault(r["group_key"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in by_group.values())

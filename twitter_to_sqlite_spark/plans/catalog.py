@@ -6997,6 +6997,72 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------
+# Dedup-aware (leakage-safe) dataset split (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_split_dedup_safe(spark, sf_dir):
+    """Leakage-SAFE train/val/test split: the fix for what
+    split_leakage audits. Every document is assigned by the hash of
+    its near-dup COMPONENT representative (min-label over the shared
+    MinHash pairs; singletons use their own id), so an entire cluster
+    of near-duplicates lands in ONE split and a val example can never
+    have a train-side near-copy — the eval-hygiene guarantee an
+    exact-key split cannot give. Plan: the bounded components frame
+    left-joined onto the corpus keys, then the shuffle-free
+    hash-bucket CASE; costs one join beyond the dedup sweep the
+    pipeline already ran. Law-tested: zero cross-split pairs."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _docs_with_planted_dups(spark, sf_dir).select("doc_id")
+    comp = dedup.near_dup_components(
+        _minhash_pairs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+    g = d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("group_key"),
+    )
+    return sampling.assign_splits(g, _SPLITS, key_col="group_key")
+
+
+def _split_dedup_safe_sql() -> str:
+    total = sum(_SPLITS.values())
+    cases, lo = [], 0
+    for name, wt in _SPLITS.items():
+        cases.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    return f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, component) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.component FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id AS doc_id, min(component) AS component
+         FROM walk GROUP BY id),
+alldocs AS ({_SQL_DOCS_PLANTED}),
+g AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+  FROM alldocs d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, group_key, CASE {' '.join(cases)} END AS split
+FROM (
+  SELECT doc_id, group_key,
+         ('0x' || substring(md5(group_key::VARCHAR || ''), 1, 15))::BIGINT
+           % {total} AS b
+  FROM g
+)
+"""
+
+
+SQL_SPLIT_DEDUP_SAFE = _split_dedup_safe_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7058,6 +7124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_order": q_training_order,
     "version_diff": q_version_diff,
     "sequence_pack": q_sequence_pack,
+    "split_dedup_safe": q_split_dedup_safe,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7370,6 +7437,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_order": SQL_TRAINING_ORDER,
     "version_diff": SQL_VERSION_DIFF,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "split_dedup_safe": SQL_SPLIT_DEDUP_SAFE,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
