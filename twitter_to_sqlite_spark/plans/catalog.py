@@ -7067,48 +7067,6 @@ SQL_SPLIT_DEDUP_SAFE = _split_dedup_safe_sql()
 # CUBE grouping-sets surface + binary media dedup (r6 extensions)
 # ---------------------------------------------------------------------
 
-def q_cube_revenue(spark, sf_dir):
-    """Full CUBE over (region, nation): every grouping-set slice —
-    (r,n), per-region, per-nation, grand total — in one pass
-    (Catalyst expands the sets, one shuffle); the grouping-sets
-    companion of q_rollup_revenue's hierarchy. Subtotal keys surface
-    as 'ALL' in both engines. Exact DECIMAL sums cast to double."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = _t(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey")
-    r = _t(spark, sf_dir, "region")
-    joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
-    )
-    out = joined.cube("r_name", "n_name").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-        .cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-    return out.select(
-        F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
-        F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
-        "revenue",
-        "n_orders",
-    )
-
-
-SQL_CUBE_REVENUE = """
-SELECT coalesce(r_name, 'ALL') AS r_name,
-       coalesce(n_name, 'ALL') AS n_name,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-       count(*) AS n_orders
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY CUBE (r_name, n_name)
-"""
-
-
 def q_media_dedup(spark, sf_dir):
     """Exact dedup over an opaque BINARY payload column — the
     multimodal face of dedup_exact: group media by md5 of the raw
@@ -7214,7 +7172,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "version_diff": q_version_diff,
     "sequence_pack": q_sequence_pack,
     "split_dedup_safe": q_split_dedup_safe,
-    "cube_revenue": q_cube_revenue,
     "media_dedup": q_media_dedup,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
@@ -7529,7 +7486,6 @@ ORACLE_SQL: dict[str, str] = {
     "version_diff": SQL_VERSION_DIFF,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "split_dedup_safe": SQL_SPLIT_DEDUP_SAFE,
-    "cube_revenue": SQL_CUBE_REVENUE,
     "media_dedup": SQL_MEDIA_DEDUP,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
