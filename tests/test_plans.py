@@ -491,3 +491,49 @@ def test_psi_bin_tables_broadcast_onto_spine(spark):
     plan = plan_of(spark, "psi_drift")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_paragraph_no_pair_join_no_window(spark):
+    """Paragraph dedup must be explode + aggregate + one equi-join —
+    never a pair join (no self-join blowup) and never a window over
+    the paragraph hash (a hot boilerplate key would serialize into
+    one task; the aggregate gets map-side combine instead)."""
+    plan = plan_of(spark, "dedup_paragraph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "Window") == 0
+
+
+def test_training_order_offsets_join_is_broadcast(spark):
+    """The per-(range, shard) offset frame is |ranges|x|shards| rows —
+    it must come back as a broadcast, never a shuffle join, and the
+    local-rank window must be partitioned (range, shard), not global."""
+    plan = plan_of(spark, "training_order")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_pack_offsets_join_is_broadcast(spark):
+    plan = plan_of(spark, "sequence_pack")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_media_dedup_single_agg_never_decodes(spark):
+    """Binary dedup is one hash aggregate over md5(payload) — no join,
+    no window, no Python/Arrow stage (payloads never leave the JVM)."""
+    plan = plan_of(spark, "media_dedup")
+    assert count_nodes(plan, "HashAggregate") == 2   # partial + final
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_split_dedup_safe_split_case_is_shuffle_free_after_join(spark):
+    """Assignment = components left-join + a CASE over the hash: the
+    only exchanges allowed are the components iteration's own and the
+    final join — no extra shuffle for the split label itself and no
+    nested-loop anywhere."""
+    plan = plan_of(spark, "split_dedup_safe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -451,6 +451,28 @@ def capstone(n: int, sf_dir: str) -> None:
     print(json.dumps(out))
 
 
+def _training_order_probe(d):
+    from twitter_to_sqlite_spark.functions import sampling
+
+    return sampling.training_order(d.select("doc_id"), "doc_id", 8)
+
+
+def _sequence_pack_probe(d):
+    from twitter_to_sqlite_spark.functions import sampling
+
+    toks = d.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+    return sampling.sequence_pack(toks, "doc_id", "n_toks", 8, 128)
+
+
+def _bpe_segment_probe(d):
+    from twitter_to_sqlite_spark.functions import bpe
+
+    merges = [(i + 1, a, b, 1) for i, (a, b) in enumerate(
+        [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+         ("i", "n"), ("o", "r"), ("e", "r"), ("s", "t")])]
+    return bpe.bpe_segment(d, merges, "text", "doc_id")
+
+
 def main():
     only = None
     for a in list(sys.argv[1:]):
@@ -552,6 +574,16 @@ def main():
         # with non-distinct replication the dictionary barely grows, so
         # near-flat scaling is the bar; distinct replicas grow it ~n×
         "bpe_train": lambda d, v: _bpe_probe(d),
+        # --- r6 operators ---
+        # word-granularity paragraphs: the finest (adversarial) split,
+        # one count key per token occurrence
+        "paragraph_dedup": lambda d, v: dedup.paragraph_dedup(
+            d, "doc_id", "text", sep=" ", min_count=2),
+        "training_order": lambda d, v: _training_order_probe(d),
+        "sequence_pack": lambda d, v: _sequence_pack_probe(d),
+        # segment with a fixed literal merge table: pure narrow folds,
+        # per-row cost must stay flat
+        "bpe_segment": lambda d, v: _bpe_segment_probe(d),
     }
     out = {}
     for name, fn in OPS.items():
