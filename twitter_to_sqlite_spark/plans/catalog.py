@@ -6961,8 +6961,13 @@ def q_sequence_pack(spark, sf_dir):
     (start_seq, end_seq, offset_in_seq) when the corpus is laid out in
     the deterministic training order and chunked into {L}-token
     sequences — the dataloader-facing complement of training_order.
-    Token counts use the engine tokenizer; the per-shard running total
-    is the two-phase grouped prefix sum, never a per-shard window."""
+    Relation to pack_sequences (r4): that query bins per LANGUAGE with
+    one partitioned window and emits only (bin_id, bin_offset); this
+    is its scale twin in the perplexity_buckets→_dist sense — shard-
+    keyed, per-shard running totals through the two-phase grouped
+    prefix sum (never a per-shard window), and the full sequence-span
+    mapping (start/end/offset) a loader needs to materialize any
+    fixed-length sequence, including docs spanning a boundary."""
     from twitter_to_sqlite_spark.functions.sampling import sequence_pack
     from twitter_to_sqlite_spark.functions.text import _tokens
 
