@@ -257,3 +257,62 @@ def test_contingency_perfect_dependence_saturates(spark):
     v = math.sqrt(chi2 / (n * (2 - 1)))
     assert v == pytest.approx(1.0, abs=1e-12)
     assert mi == pytest.approx(math.log(2), abs=1e-12)
+
+
+# ---------------------------------------------------------------------
+# auc_bootstrap (r6): deterministic Poisson-bootstrap AUC band
+# ---------------------------------------------------------------------
+
+def _boot_rows(n=60):
+    # noisy scorer with overlapping classes: positives get +0.15 on a
+    # hash-spread base, so AUC is informative but far from 1 and the
+    # bootstrap band is non-degenerate
+    return [(i, 1 if i % 3 == 0 else 0,
+             round((((i * 37) % 100) / 100.0
+                    + (0.15 if i % 3 == 0 else 0.0)) % 1.0, 4))
+            for i in range(n)]
+
+
+def test_auc_bootstrap_perfect_separation_every_replica_one(spark):
+    rows = [(i, 1, 0.9) for i in range(20)] + \
+           [(100 + i, 0, 0.1) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, y int, prob double")
+    got = stats.auc_bootstrap(df, n_resamples=6).collect()
+    assert len(got) == 6
+    for r in got:
+        # a replica could in principle draw weight 0 for a whole class
+        # (prob ~ e^-20); with these sizes every replica must be 1.0
+        assert r["auc"] == 1.0, r
+
+
+def test_auc_bootstrap_is_deterministic_and_partition_invariant(spark):
+    rows = _boot_rows()
+    df1 = spark.createDataFrame(
+        rows, "doc_id long, y int, prob double").repartition(1)
+    df7 = spark.createDataFrame(
+        rows, "doc_id long, y int, prob double").repartition(7)
+    a = {r["b"]: (r["w_pos"], r["w_neg"], r["auc"])
+         for r in stats.auc_bootstrap(df1).collect()}
+    b = {r["b"]: (r["w_pos"], r["w_neg"], r["auc"])
+         for r in stats.auc_bootstrap(df7).collect()}
+    assert a == b and len(a) == 8
+    # band is non-degenerate: replicas genuinely differ
+    assert len({v[2] for v in a.values()}) > 1
+
+
+def test_auc_bootstrap_unit_weights_reduce_to_roc_auc(spark):
+    """With the Poisson draw forced to 1, every replica must equal the
+    exact tie-aware roc_auc of the unresampled data — pins the
+    weighted Mann-Whitney algebra to the certified unweighted form."""
+    import twitter_to_sqlite_spark.functions.stats as S
+
+    rows = _boot_rows()
+    df = spark.createDataFrame(rows, "doc_id long, y int, prob double")
+    want = S.roc_auc(df, "y", "prob").collect()[0]["auc"]
+    orig = S._poisson1_weight
+    S._poisson1_weight = lambda u: F.lit(1).cast("long")
+    try:
+        got = S.auc_bootstrap(df, n_resamples=3).collect()
+    finally:
+        S._poisson1_weight = orig
+    assert all(r["auc"] == want for r in got)

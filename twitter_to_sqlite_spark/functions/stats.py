@@ -385,3 +385,93 @@ def grouped_trend(df: DataFrame, group_col: str, x_col: str,
         F.when(fit & (vy > 0),
                F.round(b * b * vx / vy, decimals)).alias("r2"),
     )
+
+
+# Poisson(1) CDF thresholds scaled to parts-per-million, so the
+# bootstrap draw is a pure INTEGER comparison on the portable hash —
+# no float CDF evaluation to diverge between engines. P(W<=k) for
+# k=0..6; draws above the last threshold get weight 7.
+POISSON1_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917]
+
+
+def _poisson1_weight(u):
+    """Inverse-CDF Poisson(1) draw from an integer u uniform on
+    [0, 1e6): the per-(row, resample) weight of the Poisson bootstrap
+    (each bootstrap replica includes a row W ~ Poisson(1) times —
+    the streaming-friendly stand-in for multinomial resampling)."""
+    expr = None
+    for k, t in enumerate(POISSON1_PPM):
+        cond = u < F.lit(t)
+        expr = F.when(cond, F.lit(k)) if expr is None else \
+            expr.when(cond, F.lit(k))
+    return expr.otherwise(F.lit(len(POISSON1_PPM))).cast("long")
+
+
+def auc_bootstrap(df: DataFrame, label_col: str = "y",
+                  score_col: str = "prob", id_col: str = "doc_id",
+                  n_resamples: int = 8, salt: str = "boot",
+                  decimals: int = 6) -> DataFrame:
+    """Deterministic Poisson-bootstrap uncertainty for the exact AUC:
+    ``n_resamples`` replicas, each reweighting every row by an
+    independent Poisson(1) draw derived from md5(id, salt, replica) —
+    a pure function of the data, so the whole confidence band is
+    reproducible across runs, engines, and retries (the property a
+    committed eval number needs; random resampling can never
+    cross-check). Returns one row per replica: (b, w_pos, w_neg, auc).
+
+    The per-replica AUC is the weighted tie-aware Mann-Whitney
+    statistic: with W1(s)/W0(s) the positive/negative weight at score
+    s, AUC_b = Σ_s W1(s)·(cumW0(<s) + ½·W0(s)) / (W1·W0) — identical
+    to :func:`roc_auc` at unit weights. Halves are avoided by carrying
+    2·cumW0+W0; both factors go to DECIMAL(38,0) before the multiply,
+    one double division at the end.
+
+    Scale: the corpus explodes ×B but immediately collapses to
+    ≤ B·|distinct scores| rows in one map-side-combined aggregate; the
+    only window is partitioned by replica and bounded by score
+    CARDINALITY, not corpus size — the roc_auc plan, B times in one
+    pass.
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("long")
+    base = df.filter(
+        F.col(score_col).isNotNull() & y.isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        y.alias("__y"),
+        F.col(score_col).alias("__s"),
+        F.explode(F.array(*[F.lit(b) for b in
+                            range(1, n_resamples + 1)])).alias("b"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "#", F.col("__id").cast("string"), F.lit(salt),
+            F.col("b").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    wtd = base.withColumn("__w", _poisson1_weight(u))
+    g = wtd.groupBy("b", "__s").agg(
+        F.sum(F.col("__w") * F.col("__y")).alias("__w1"),
+        F.sum(F.col("__w") * (1 - F.col("__y"))).alias("__w0"),
+    )
+    w = (
+        Window.partitionBy("b").orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn(
+        "__w0bef",
+        F.coalesce(F.sum("__w0").over(w), F.lit(0).cast("long")))
+    agg = r.groupBy("b").agg(
+        F.sum(F.col("__w1").cast("decimal(38,0)")
+              * (2 * F.col("__w0bef") + F.col("__w0"))
+              .cast("decimal(38,0)")).alias("__num2"),
+        F.sum("__w1").alias("w_pos"),
+        F.sum("__w0").alias("w_neg"),
+    )
+    wp = F.col("w_pos").cast("double")
+    wn = F.col("w_neg").cast("double")
+    auc = F.when(
+        (F.col("w_pos") > 0) & (F.col("w_neg") > 0),
+        F.round(F.col("__num2").cast("double") / (2 * wp * wn), decimals),
+    )
+    return agg.select("b", "w_pos", "w_neg", auc.alias("auc"))

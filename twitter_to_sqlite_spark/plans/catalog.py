@@ -7115,6 +7115,79 @@ HAVING count(*) >= 2
 """
 
 
+# ---------------------------------------------------------------------
+# Bootstrap AUC confidence band (r6 extension)
+# ---------------------------------------------------------------------
+
+_BOOT_B = 8
+
+
+def q_auc_bootstrap(spark, sf_dir):
+    """Deterministic Poisson-bootstrap band for the classifier's AUC
+    (functions/stats.py::auc_bootstrap): {B} replicas, every row
+    reweighted by a Poisson(1) draw that is a pure function of
+    (doc_id, replica) via the portable md5 — so the uncertainty
+    estimate itself is reproducible and cross-engine verified, which
+    random resampling can never be. One exploded pass collapses to
+    ≤ B·|distinct scores| rows before the replica-partitioned window;
+    DECIMAL rank products, one division per replica. Shares the
+    cached trained weights with quality_classifier."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    return stats.auc_bootstrap(
+        q_quality_classifier(spark, sf_dir), "y", "prob", "doc_id",
+        n_resamples=_BOOT_B)
+
+
+def _auc_bootstrap_sql(n_resamples: int = _BOOT_B) -> str:
+    from twitter_to_sqlite_spark.functions.stats import POISSON1_PPM
+
+    joined, sig, final = _logreg_parts()
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_PPM))
+    return f"""
+WITH {joined},
+scored AS (SELECT doc_id, y, round({sig}, 4) AS prob
+           FROM feat, {final}),
+rep AS (SELECT unnest(generate_series(1, {n_resamples})) AS b),
+wtd AS (
+  SELECT b, prob, y,
+         CASE {cases} ELSE {len(POISSON1_PPM)} END AS w
+  FROM (
+    SELECT s.doc_id, s.y, s.prob, r.b,
+           ('0x' || substring(md5(s.doc_id::VARCHAR || '#boot#'
+                                  || r.b::VARCHAR), 1, 15))::BIGINT
+             % 1000000 AS u
+    FROM scored s CROSS JOIN rep r)
+),
+g AS (
+  SELECT b, prob,
+         sum(w * y) AS w1, sum(w * (1 - y)) AS w0
+  FROM wtd GROUP BY b, prob
+),
+r2 AS (
+  SELECT b, w1, w0,
+         coalesce(sum(w0) OVER (PARTITION BY b ORDER BY prob
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS w0bef
+  FROM g
+)
+SELECT b,
+       CAST(sum(w1) AS BIGINT) AS w_pos,
+       CAST(sum(w0) AS BIGINT) AS w_neg,
+       CASE WHEN sum(w1) > 0 AND sum(w0) > 0 THEN
+         round(CAST(sum(CAST(w1 AS HUGEINT) * (2 * w0bef + w0))
+                    AS DOUBLE)
+               / (2.0 * CAST(sum(w1) AS DOUBLE)
+                  * CAST(sum(w0) AS DOUBLE)), 6)
+       END AS auc
+FROM r2 GROUP BY b
+"""
+
+
+SQL_AUC_BOOTSTRAP = _auc_bootstrap_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7178,6 +7251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "split_dedup_safe": q_split_dedup_safe,
     "media_dedup": q_media_dedup,
+    "auc_bootstrap": q_auc_bootstrap,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7492,6 +7566,7 @@ ORACLE_SQL: dict[str, str] = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "split_dedup_safe": SQL_SPLIT_DEDUP_SAFE,
     "media_dedup": SQL_MEDIA_DEDUP,
+    "auc_bootstrap": SQL_AUC_BOOTSTRAP,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
