@@ -846,3 +846,50 @@ class TestSplitDedupSafe:
         for r in rows:
             by_group.setdefault(r["group_key"], set()).add(r["split"])
         assert all(len(s) == 1 for s in by_group.values())
+
+
+class TestCurriculumOrder:
+    """curriculum_order (r6): staged difficulty, shuffled within stage."""
+
+    def _base(self, spark, n=80, parts=6):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("bucket"),
+        ).repartition(parts)
+
+    def test_buckets_are_contiguous_and_positions_dense(self, spark):
+        got = sampling.curriculum_order(
+            self._base(spark), "doc_id", "bucket", 3).collect()
+        by_shard: dict = {}
+        for r in got:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r["position"])
+            assert [r["position"] for r in rows] == list(range(len(rows)))
+            # walking positions never decreases the bucket: staged
+            assert [r["bucket"] for r in rows] == \
+                sorted(r["bucket"] for r in rows)
+
+    def test_partition_count_invariant(self, spark):
+        a = {r["doc_id"]: (r["shard"], r["position"])
+             for r in sampling.curriculum_order(
+                 self._base(spark, parts=1), "doc_id", "bucket",
+                 3).collect()}
+        b = {r["doc_id"]: (r["shard"], r["position"])
+             for r in sampling.curriculum_order(
+                 self._base(spark, parts=13), "doc_id", "bucket",
+                 3).collect()}
+        assert a == b
+
+    def test_within_bucket_order_matches_training_order_shuffle(self, spark):
+        """Inside one bucket the relative order must be the plain
+        salted-hash shuffle — curriculum staging must not bias it."""
+        one_bucket = spark.range(50).select(
+            F.col("id").alias("doc_id"), F.lit(0).alias("bucket"))
+        plain = {r["doc_id"]: r["position"]
+                 for r in sampling.training_order(
+                     one_bucket.select("doc_id"), "doc_id", 2).collect()}
+        curr = {r["doc_id"]: r["position"]
+                for r in sampling.curriculum_order(
+                    one_bucket, "doc_id", "bucket", 2).collect()}
+        assert curr == plain

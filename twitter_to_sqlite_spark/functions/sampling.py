@@ -121,6 +121,55 @@ def training_order(df: DataFrame, key_col: str, n_shards: int,
     )
 
 
+def curriculum_order(df: DataFrame, key_col: str, bucket_col: str,
+                     n_shards: int, salt: str = "",
+                     order_salt: str = "ord") -> DataFrame:
+    """Curriculum training order: like :func:`training_order`, but
+    examples are staged by a difficulty bucket FIRST — within each
+    shard, position ranks by (bucket ASC, salted-hash, key), so a
+    dataloader walks easy buckets before hard ones while the order
+    inside a bucket stays an unbiased deterministic shuffle (the
+    standard curriculum-learning layout: staged difficulty, shuffled
+    within stage). Still a pure function of the data. Returns
+    (key, shard, bucket, position).
+
+    Scale: per-(shard, bucket) local ranks via the two-phase
+    range-split prefix sum; bucket base offsets come from the
+    |shards|x|buckets| size table — bounded by design parameters —
+    cumulated over bucket order and broadcast back. No task ever
+    sorts a shard, let alone the corpus.
+    """
+    from pyspark.sql import Window
+
+    from twitter_to_sqlite_spark.operators.relational import \
+        _range_split_prefix
+
+    keyed = df.select(
+        F.col(key_col),
+        F.col(bucket_col).cast("int").alias("__bkt"),
+        (_key_hash(F.col(key_col), salt) % n_shards).cast("int")
+        .alias("shard"),
+        _key_hash(F.col(key_col), order_salt).alias("__ord"),
+    )
+    ranked = _range_split_prefix(
+        keyed, "__ord", tie_cols=[key_col], group_cols=["shard", "__bkt"],
+        with_totals=True)
+    sizes = ranked.select("shard", "__bkt", "__n").distinct()
+    wb = (
+        Window.partitionBy("shard").orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = F.broadcast(sizes.withColumn(
+        "__boff", F.coalesce(F.sum("__n").over(wb),
+                             F.lit(0).cast("long"))).drop("__n"))
+    out = ranked.join(offs, ["shard", "__bkt"])
+    return out.select(
+        key_col, "shard", F.col("__bkt").alias("bucket"),
+        (F.col("__boff") + F.col("__off") + F.col("__lval") - 1)
+        .cast("long").alias("position"),
+    )
+
+
 def sequence_pack(df: DataFrame, key_col: str, token_col: str,
                   n_shards: int, seq_len: int,
                   salt: str = "", order_salt: str = "ord") -> DataFrame:

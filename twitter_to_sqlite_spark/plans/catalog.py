@@ -7188,6 +7188,58 @@ FROM r2 GROUP BY b
 SQL_AUC_BOOTSTRAP = _auc_bootstrap_sql()
 
 
+# ---------------------------------------------------------------------
+# Curriculum training order (r6 extension)
+# ---------------------------------------------------------------------
+
+_CURR_BUCKET_TOKENS = 20   # bucket = min(n_tokens DIV 20, 5): short->long
+_CURR_MAX_BUCKET = 5
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum training order
+    (functions/sampling.py::curriculum_order): training_order staged
+    by a length-based difficulty bucket — within each shard, short
+    documents come first, and inside a bucket the order is the same
+    unbiased salted-hash shuffle. Per-(shard, bucket) ranks through
+    the range-split prefix sum; bucket base offsets from the bounded
+    |shards|x|buckets| size table, broadcast back."""
+    from twitter_to_sqlite_spark.functions.sampling import curriculum_order
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        # floor-div explicitly: DuckDB's CAST(double AS INT) rounds to
+        # nearest while Spark's truncates — floor() agrees everywhere
+        F.least(
+            F.floor(F.size(_tokens(F.col("text")))
+                    / F.lit(float(_CURR_BUCKET_TOKENS))).cast("int"),
+            F.lit(_CURR_MAX_BUCKET),
+        ).alias("bucket"),
+    )
+    return curriculum_order(d, "doc_id", "bucket", _MANIFEST_SHARDS)
+
+
+SQL_CURRICULUM_ORDER = f"""
+WITH h AS (
+  SELECT doc_id,
+         least(CAST(floor(len({_SQL_TOKS}) / {_CURR_BUCKET_TOKENS}.0)
+                    AS INT),
+               {_CURR_MAX_BUCKET}) AS bucket,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_MANIFEST_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord
+  FROM documents
+)
+SELECT doc_id, shard, bucket,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY bucket, ord, doc_id)
+            - 1 AS BIGINT) AS position
+FROM h
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7252,6 +7304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_dedup_safe": q_split_dedup_safe,
     "media_dedup": q_media_dedup,
     "auc_bootstrap": q_auc_bootstrap,
+    "curriculum_order": q_curriculum_order,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7567,6 +7620,7 @@ ORACLE_SQL: dict[str, str] = {
     "split_dedup_safe": SQL_SPLIT_DEDUP_SAFE,
     "media_dedup": SQL_MEDIA_DEDUP,
     "auc_bootstrap": SQL_AUC_BOOTSTRAP,
+    "curriculum_order": SQL_CURRICULUM_ORDER,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
