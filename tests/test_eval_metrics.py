@@ -316,3 +316,29 @@ def test_auc_bootstrap_unit_weights_reduce_to_roc_auc(spark):
     finally:
         S._poisson1_weight = orig
     assert all(r["auc"] == want for r in got)
+
+
+def test_grouped_auc_matches_global_per_group(spark):
+    """Per-group AUC must equal roc_auc run on each group alone."""
+    rows = [(i, "a" if i % 2 == 0 else "b",
+             1 if i % 3 == 0 else 0,
+             round(((i * 31) % 100) / 100.0
+                   + (0.2 if i % 3 == 0 else 0.0), 4))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, y int, prob double")
+    got = {r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+           for r in stats.grouped_roc_auc(df, "g").collect()}
+    for gname in ("a", "b"):
+        sub = df.filter(F.col("g") == gname)
+        want = stats.roc_auc(sub).collect()[0]
+        assert got[gname] == (want["n_pos"], want["n_neg"], want["auc"])
+
+
+def test_grouped_auc_single_class_group_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, 0.9), (2, "a", 0, 0.1),
+         (3, "b", 1, 0.9), (4, "b", 1, 0.8)],
+        "doc_id long, g string, y int, prob double")
+    got = {r["g"]: r["auc"]
+           for r in stats.grouped_roc_auc(df, "g").collect()}
+    assert got["a"] == 1.0 and got["b"] is None

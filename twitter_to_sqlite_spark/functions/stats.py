@@ -475,3 +475,54 @@ def auc_bootstrap(df: DataFrame, label_col: str = "y",
         F.round(F.col("__num2").cast("double") / (2 * wp * wn), decimals),
     )
     return agg.select("b", "w_pos", "w_neg", auc.alias("auc"))
+
+
+def grouped_roc_auc(df: DataFrame, group_col: str, label_col: str = "y",
+                    score_col: str = "prob",
+                    decimals: int = 6) -> DataFrame:
+    """Exact tie-aware ROC-AUC per group — :func:`roc_auc`'s algebra
+    with every stage keyed by the group: does the scorer rank well in
+    EVERY stratum (language, source, shard), not just on average? The
+    Simpson's-paradox check a gating classifier needs before its
+    threshold is applied corpus-wide.
+
+    Same scale shape as the global form: the corpus collapses to
+    ≤ |groups|·|distinct scores| rows in one map-side-combined
+    aggregate; the cumulative window partitions by GROUP (bounded by
+    per-group score cardinality, never corpus size). Returns one row
+    per group: (group, n_pos, n_neg, auc).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    y = F.col(label_col).cast("long")
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull()
+                  & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"), s.alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(y).alias("__np"))
+    )
+    w = (
+        Window.partitionBy("__g").orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn(
+        "__before",
+        F.coalesce(F.sum("__n").over(w), F.lit(0).cast("long")))
+    agg = r.groupBy("__g").agg(
+        F.sum(F.col("__np").cast("decimal(38,0)")
+              * (2 * F.col("__before") + F.col("__n") + 1)
+              .cast("decimal(38,0)")).alias("__r2"),
+        F.sum("__np").alias("n_pos"),
+        F.sum(F.col("__n") - F.col("__np")).alias("n_neg"),
+    )
+    npd = F.col("n_pos").cast("double")
+    nnd = F.col("n_neg").cast("double")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            (F.col("__r2").cast("double") - npd * (npd + 1))
+            / (2 * npd * nnd), decimals),
+    )
+    return agg.select(F.col("__g").alias(group_col),
+                      "n_pos", "n_neg", auc.alias("auc"))

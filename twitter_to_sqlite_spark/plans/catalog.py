@@ -7240,6 +7240,57 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------
+# Per-language classifier AUC (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_grouped_auc(spark, sf_dir):
+    """Per-language ROC-AUC of the distilled classifier
+    (functions/stats.py::grouped_roc_auc) — classifier_auc's
+    Simpson's-paradox check: a scorer can rank well on the pooled
+    corpus while failing inside a stratum, and a corpus-wide keep
+    threshold then silently skews that stratum. Same exact tie-aware
+    rank-sum algebra per group; the window partitions by language, so
+    it is bounded by per-group score cardinality at any corpus size.
+    Shares the cached trained weights with quality_classifier."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    scored = q_quality_classifier(spark, sf_dir)
+    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stats.grouped_roc_auc(
+        scored.join(lang, "doc_id"), "lang", "y", "prob")
+
+
+def _grouped_auc_sql() -> str:
+    joined, sig, final = _logreg_parts()
+    return f"""
+WITH {joined},
+scored AS (SELECT f.doc_id, d.lang AS lang, f.y,
+                  round({sig}, 4) AS prob
+           FROM feat f JOIN documents d ON f.doc_id = d.doc_id, {final}),
+g AS (SELECT lang, prob, count(*) AS n, sum(y) AS np
+      FROM scored GROUP BY lang, prob),
+r AS (SELECT lang, n, np,
+             coalesce(sum(n) OVER (PARTITION BY lang ORDER BY prob
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM g),
+s AS (SELECT lang, sum(np * (2 * before + n + 1)) AS r2,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(n - np) AS BIGINT) AS n_neg
+      FROM r GROUP BY lang)
+SELECT lang, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((r2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1))
+               / (2 * n_pos::DOUBLE * n_neg::DOUBLE), 6)
+       END AS auc
+FROM s
+"""
+
+
+SQL_GROUPED_AUC = _grouped_auc_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7305,6 +7356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_dedup": q_media_dedup,
     "auc_bootstrap": q_auc_bootstrap,
     "curriculum_order": q_curriculum_order,
+    "grouped_auc": q_grouped_auc,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7621,6 +7673,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_dedup": SQL_MEDIA_DEDUP,
     "auc_bootstrap": SQL_AUC_BOOTSTRAP,
     "curriculum_order": SQL_CURRICULUM_ORDER,
+    "grouped_auc": SQL_GROUPED_AUC,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
