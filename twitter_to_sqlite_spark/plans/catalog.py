@@ -6802,8 +6802,9 @@ def q_dedup_paragraph(spark, sf_dir):
         _para_corpus(spark, sf_dir), "doc_id", "text", min_count=2)
 
 
-SQL_DEDUP_PARAGRAPH = f"""
-WITH corpus AS (
+# CTE chain shared by dedup_paragraph and pipeline_curate (which
+# composes it with the quality gate, the split, and training_order).
+_SQL_PARA_CTES = f"""corpus AS (
   SELECT doc_id,
          array_to_string(list_transform(
              generate_series(0,
@@ -6831,14 +6832,20 @@ counted AS (
   SELECT doc_id, pos, para,
          count(*) OVER (PARTITION BY para) AS cnt
   FROM paras
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_paras,
-       CAST(count(*) FILTER (WHERE cnt < 2) AS BIGINT) AS n_kept,
-       coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
-                FILTER (WHERE cnt < 2), '') AS clean_text
-FROM counted
-GROUP BY doc_id
+),
+para_clean AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_paras,
+         CAST(count(*) FILTER (WHERE cnt < 2) AS BIGINT) AS n_kept,
+         coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                  FILTER (WHERE cnt < 2), '') AS clean_text
+  FROM counted
+  GROUP BY doc_id
+)"""
+
+SQL_DEDUP_PARAGRAPH = f"""
+WITH {_SQL_PARA_CTES}
+SELECT doc_id, n_paras, n_kept, clean_text FROM para_clean
 """
 
 
@@ -7291,6 +7298,83 @@ FROM s
 SQL_GROUPED_AUC = _grouped_auc_sql()
 
 
+# ---------------------------------------------------------------------
+# Composed curation pipeline v2 (r6 capstone)
+# ---------------------------------------------------------------------
+
+_CURATE_MIN_TOKENS = 10
+_CURATE_SHARDS = 4
+
+
+def q_pipeline_curate(spark, sf_dir):
+    """The r6 operators composed end-to-end, the way a pipeline runs
+    them: paragraph-dedup the corpus (boilerplate out) → gate on
+    surviving token mass → hash-split → deterministic training order
+    over the train split. Emits the train-side loading manifest
+    (doc_id, shard, position, n_kept) — pipeline_clean's successor
+    with layout, not just cleaning. Everything stays one declarative
+    composition; the only materialization is the prefix sum's bounded
+    range/offset stage inside training_order. Filters compose BEFORE
+    the ordering, so the expensive rank runs on the curated subset
+    only."""
+    from twitter_to_sqlite_spark.functions import dedup, sampling
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    cleaned = dedup.paragraph_dedup(
+        _para_corpus(spark, sf_dir), "doc_id", "text", min_count=2)
+    gated = cleaned.filter(
+        (F.col("n_kept") >= 1)
+        & (F.size(_tokens(F.col("clean_text"))) >= _CURATE_MIN_TOKENS)
+    ).select("doc_id", "n_kept")
+    split = sampling.assign_splits(gated, _SPLITS, key_col="doc_id")
+    train = split.filter(F.col("split") == "train")
+    ordered = sampling.training_order(
+        train.select("doc_id"), "doc_id", _CURATE_SHARDS)
+    return ordered.join(train.select("doc_id", "n_kept"), "doc_id")
+
+
+def _pipeline_curate_sql() -> str:
+    total = sum(_SPLITS.values())
+    cases, lo = [], 0
+    for name, wt in _SPLITS.items():
+        cases.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    return f"""
+WITH {_SQL_PARA_CTES},
+gated AS (
+  SELECT doc_id, n_kept FROM para_clean
+  WHERE n_kept >= 1
+    AND len(list_filter(string_split_regex(lower(clean_text), '\\W+'),
+                        x -> x <> '')) >= {_CURATE_MIN_TOKENS}
+),
+sp AS (
+  SELECT doc_id, n_kept, CASE {" ".join(cases)} END AS split
+  FROM (
+    SELECT doc_id, n_kept,
+           ('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+             % {total} AS b
+    FROM gated)
+),
+train AS (SELECT doc_id, n_kept FROM sp WHERE split = 'train'),
+h AS (
+  SELECT doc_id, n_kept,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_CURATE_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord
+  FROM train
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+            - 1 AS BIGINT) AS position,
+       n_kept
+FROM h
+"""
+
+
+SQL_PIPELINE_CURATE = _pipeline_curate_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7357,6 +7441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "auc_bootstrap": q_auc_bootstrap,
     "curriculum_order": q_curriculum_order,
     "grouped_auc": q_grouped_auc,
+    "pipeline_curate": q_pipeline_curate,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7674,6 +7759,7 @@ ORACLE_SQL: dict[str, str] = {
     "auc_bootstrap": SQL_AUC_BOOTSTRAP,
     "curriculum_order": SQL_CURRICULUM_ORDER,
     "grouped_auc": SQL_GROUPED_AUC,
+    "pipeline_curate": SQL_PIPELINE_CURATE,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
