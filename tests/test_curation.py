@@ -893,3 +893,39 @@ class TestCurriculumOrder:
                 for r in sampling.curriculum_order(
                     one_bucket, "doc_id", "bucket", 2).collect()}
         assert curr == plain
+
+
+class TestShuffleAudit:
+    """shuffle_audit (r6): the shuffle must decorrelate adjacent docs."""
+
+    def test_hash_order_decorrelates_but_sorted_does_not(self, spark, sf_dir):
+        from twitter_to_sqlite_spark.plans import catalog
+
+        got = catalog.q_shuffle_audit(spark, sf_dir).collect()
+        assert got, "every shard must report"
+        for r in got:
+            assert r["lag1_corr"] is not None
+            assert abs(r["lag1_corr"]) < 0.5, r   # hash order ~0
+        # contrast: walk the SAME docs in length-sorted order -> corr ~1
+        from twitter_to_sqlite_spark.functions.text import _tokens
+        d = catalog._t(spark, sf_dir, "documents").select(
+            "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("x"))
+        from pyspark.sql import Window
+        w = Window.orderBy("x", "doc_id")
+        o = d.withColumn("position", F.row_number().over(w) - 1)
+        nxt = o.select((F.col("position") - 1).alias("position"),
+                       F.col("x").alias("y"))
+        p = o.join(nxt, "position")
+        m = p.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        ).collect()[0]
+        n, sx, sy = m["n"], float(m["sx"]), float(m["sy"])
+        num = n * float(m["sxy"]) - sx * sy
+        vx = n * float(m["sxx"]) - sx * sx
+        vy = n * float(m["syy"]) - sy * sy
+        sorted_corr = num / (vx ** 0.5) / (vy ** 0.5)
+        assert sorted_corr > 0.9

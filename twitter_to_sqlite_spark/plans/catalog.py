@@ -7375,6 +7375,95 @@ FROM h
 SQL_PIPELINE_CURATE = _pipeline_curate_sql()
 
 
+# ---------------------------------------------------------------------
+# Shuffle-quality audit (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_shuffle_audit(spark, sf_dir):
+    """Shuffle-quality audit of training_order — measure, don't
+    guess, that the deterministic shuffle actually decorrelates: per
+    shard, the lag-1 Pearson correlation of document token counts
+    along the reading order (a good shuffle gives ≈0; a sorted or
+    source-clustered layout shows up immediately as |corr| >> 0 —
+    exactly the gradient-bias a training run would silently absorb).
+    Adjacency comes from an equi-join on (shard, position+1) — exact
+    keys, never a per-shard window sort — and the correlation from
+    exact integer moments (DECIMAL sums), one division chain at the
+    end in the corr_matrix operation order."""
+    from twitter_to_sqlite_spark.functions.sampling import training_order
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("x"))
+    o = training_order(d.select("doc_id"), "doc_id", _MANIFEST_SHARDS)
+    j = o.join(d, "doc_id").select("shard", "position", "x")
+    nxt = j.select(
+        "shard", (F.col("position") - 1).alias("position"),
+        F.col("x").alias("y"))
+    p = j.join(nxt, ["shard", "position"])
+    dec = lambda c: c.cast("decimal(38,0)")
+    m = p.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(dec(F.col("x"))).alias("__sx"),
+        F.sum(dec(F.col("y"))).alias("__sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("__sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("__sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        F.round((n * sxy - sx * sy) / F.sqrt(vx) / F.sqrt(vy), 4))
+    return m.select("shard", "n_pairs", corr.alias("lag1_corr"))
+
+
+SQL_SHUFFLE_AUDIT = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_MANIFEST_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS x
+  FROM documents
+),
+o AS (
+  SELECT shard, x,
+         row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+           AS position
+  FROM h
+),
+p AS (
+  SELECT a.shard, a.x AS x, b.x AS y
+  FROM o a JOIN o b ON a.shard = b.shard AND b.position = a.position + 1
+),
+m AS (
+  SELECT shard,
+         count(*) AS n_pairs,
+         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x * y)::DOUBLE AS sxy,
+         sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy
+  FROM p GROUP BY shard
+)
+SELECT shard, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN n_pairs >= 2
+                 AND n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+            THEN round((n_pairs * sxy - sx * sy)
+                       / sqrt(n_pairs * sxx - sx * sx)
+                       / sqrt(n_pairs * syy - sy * sy), 4)
+       END AS lag1_corr
+FROM m
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7442,6 +7531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_order": q_curriculum_order,
     "grouped_auc": q_grouped_auc,
     "pipeline_curate": q_pipeline_curate,
+    "shuffle_audit": q_shuffle_audit,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7760,6 +7850,7 @@ ORACLE_SQL: dict[str, str] = {
     "curriculum_order": SQL_CURRICULUM_ORDER,
     "grouped_auc": SQL_GROUPED_AUC,
     "pipeline_curate": SQL_PIPELINE_CURATE,
+    "shuffle_audit": SQL_SHUFFLE_AUDIT,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
