@@ -537,3 +537,40 @@ def test_split_dedup_safe_split_case_is_shuffle_free_after_join(spark):
     plan = plan_of(spark, "split_dedup_safe")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curriculum_order_offsets_join_is_broadcast(spark):
+    """Both the range offsets and the bucket base offsets are bounded
+    frames — every join in the plan must broadcast; the local-rank
+    window stays partitioned (range, shard, bucket)."""
+    plan = plan_of(spark, "curriculum_order")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_auc_bootstrap_window_is_replica_partitioned(spark):
+    """The only window runs AFTER the score-group collapse and is
+    partitioned by replica — bounded by B x |distinct scores|, never
+    corpus size (roc_auc's guarantee, B-fold)."""
+    import re
+
+    plan = plan_of(spark, "auc_bootstrap")
+    assert count_nodes(plan, "Window") == 1
+    # the exchange feeding the window partitions on the replica key
+    # alone — the window never sees more than one replica's groups
+    assert re.search(r"hashpartitioning\(b#\d+, \d+\)", plan)
+
+
+def test_grouped_auc_window_is_group_partitioned(spark):
+    plan = plan_of(spark, "grouped_auc")
+    assert count_nodes(plan, "Window") == 1
+    # never the WindowExec warning shape: the window carries a
+    # partition spec (group), not a global order
+    assert "partitionBy" not in plan or "partitionBy: []" not in plan
+
+
+def test_shuffle_audit_adjacency_is_equi_join(spark):
+    plan = plan_of(spark, "shuffle_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
