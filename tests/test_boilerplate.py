@@ -95,3 +95,32 @@ def test_paragraph_dedup_respects_count_floor(spark, para_corpus):
     got = {r["doc_id"]: r["n_kept"] for r in dedup.paragraph_dedup(
         para_corpus, "doc_id", "text", min_count=5).collect()}
     assert got == {1: 3, 2: 2, 3: 2, 4: 2, 5: 1}
+
+
+def test_paragraph_incremental_equals_batch_on_union(spark, para_corpus):
+    """maintain ≡ recompute: cleaning a new batch against the stored
+    counts must equal the batch operator over stored ∪ new, restricted
+    to the new ids."""
+    stored_docs = para_corpus.filter("doc_id <= 3")
+    new_docs = para_corpus.filter("doc_id > 3")
+    stored = dedup.paragraph_hash_counts(stored_docs)
+    inc = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+           for r in dedup.paragraph_dedup_incremental(
+               new_docs, stored, min_count=2).collect()}
+    full = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+            for r in dedup.paragraph_dedup(
+                para_corpus, min_count=2).collect()
+            if r["doc_id"] > 3}
+    assert inc == full
+
+
+def test_paragraph_hash_counts_merge_by_addition(spark, para_corpus):
+    a = dedup.paragraph_hash_counts(para_corpus.filter("doc_id <= 2"))
+    b = dedup.paragraph_hash_counts(para_corpus.filter("doc_id > 2"))
+    from pyspark.sql import functions as F
+    merged = {r["para_hash"]: r["n"] for r in
+              a.unionByName(b).groupBy("para_hash")
+              .agg(F.sum("n").alias("n")).collect()}
+    whole = {r["para_hash"]: r["n"] for r in
+             dedup.paragraph_hash_counts(para_corpus).collect()}
+    assert merged == whole

@@ -1109,3 +1109,72 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         )
     )
 
+
+
+def paragraph_hash_counts(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          sep: str = "\n\n") -> DataFrame:
+    """The stored artifact of incremental paragraph dedup: corpus-wide
+    (para_hash, n) counts — what a pipeline persists after each batch
+    so the corpus itself is never rescanned (the paragraph analogue of
+    the MinHash band store). Mergeable: counts from two batches add.
+    """
+    return (
+        df.select(F.explode(F.split(F.col(text_col), sep)).alias("__para"))
+        .groupBy(F.md5(F.col("__para")).alias("para_hash"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def paragraph_dedup_incremental(new_docs: DataFrame,
+                                stored_counts: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                sep: str = "\n\n",
+                                min_count: int = 2) -> DataFrame:
+    """Incremental paragraph dedup: clean a NEW batch against the
+    stored corpus without rescanning it — a paragraph is dropped when
+    its total occurrence count (stored + within-batch) reaches
+    ``min_count``, so results equal :func:`paragraph_dedup` run over
+    stored ∪ new, restricted to the new ids (the maintain ≡ recompute
+    contract, tested). ``stored_counts`` is a
+    :func:`paragraph_hash_counts` frame (para_hash, n).
+
+    Scale: the stored corpus participates only as its pre-aggregated
+    hash-count table — one equi-join on the fixed-width hash; the
+    batch side is the same explode + count + bounded re-agg as the
+    batch operator. Update the store by unioning the batch's own
+    counts and re-aggregating (counts add), never by re-reading text.
+    """
+    paras = new_docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).withColumn("__h", F.md5(F.col("__para")))
+    batch = paras.groupBy("__h").agg(F.count(F.lit(1)).alias("__bn"))
+    stored = stored_counts.select(
+        F.col("para_hash").alias("__h"), F.col("n").alias("__sn"))
+    totals = batch.join(stored, "__h", "left").select(
+        "__h",
+        (F.col("__bn") + F.coalesce("__sn", F.lit(0).cast("long")))
+        .alias("__cnt"),
+    )
+    keep = F.col("__cnt") < F.lit(min_count)
+    return (
+        paras.join(totals, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.when(keep, F.struct(
+                            F.col("__pos").alias("pos"),
+                            F.col("__para").alias("para"),
+                        )))),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )

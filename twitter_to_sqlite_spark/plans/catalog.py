@@ -6849,6 +6849,48 @@ SELECT doc_id, n_paras, n_kept, clean_text FROM para_clean
 """
 
 
+def q_dedup_paragraph_incremental(spark, sf_dir):
+    """Incremental paragraph dedup
+    (functions/dedup.py::paragraph_dedup_incremental): clean the NEW
+    half of the paragraph corpus (odd doc_ids) against the stored
+    half's persisted hash-count table (paragraph_hash_counts over even
+    doc_ids) — the stored corpus participates only as pre-aggregated
+    (hash, n) rows, never rescanned, the paragraph analogue of
+    dedup_incremental's band store. Equal to the batch operator over
+    stored ∪ new restricted to new ids (maintain ≡ recompute,
+    law-tested)."""
+    from twitter_to_sqlite_spark.functions import dedup
+
+    corpus = _para_corpus(spark, sf_dir)
+    stored = dedup.paragraph_hash_counts(
+        corpus.filter(F.col("doc_id") % 2 == 0))
+    return dedup.paragraph_dedup_incremental(
+        corpus.filter(F.col("doc_id") % 2 == 1), stored,
+        "doc_id", "text", min_count=2)
+
+
+SQL_DEDUP_PARAGRAPH_INCR = f"""
+WITH {_SQL_PARA_CTES.replace('para_clean AS (', 'para_clean_unused AS (')},
+stored AS (
+  SELECT para, count(*) AS sn FROM paras
+  WHERE doc_id % 2 = 0 GROUP BY para
+),
+newp AS (SELECT doc_id, pos, para FROM paras WHERE doc_id % 2 = 1),
+batch AS (SELECT para, count(*) AS bn FROM newp GROUP BY para),
+tot AS (
+  SELECT b.para, b.bn + coalesce(s.sn, 0) AS cnt
+  FROM batch b LEFT JOIN stored s ON b.para = s.para
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(count(*) FILTER (WHERE cnt < 2) AS BIGINT) AS n_kept,
+       coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                FILTER (WHERE cnt < 2), '') AS clean_text
+FROM newp JOIN tot USING (para)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # Deterministic training order (VERDICT r5 task 6)
 # ---------------------------------------------------------------------
@@ -7532,6 +7574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_auc": q_grouped_auc,
     "pipeline_curate": q_pipeline_curate,
     "shuffle_audit": q_shuffle_audit,
+    "dedup_paragraph_incremental": q_dedup_paragraph_incremental,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7851,6 +7894,7 @@ ORACLE_SQL: dict[str, str] = {
     "grouped_auc": SQL_GROUPED_AUC,
     "pipeline_curate": SQL_PIPELINE_CURATE,
     "shuffle_audit": SQL_SHUFFLE_AUDIT,
+    "dedup_paragraph_incremental": SQL_DEDUP_PARAGRAPH_INCR,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
