@@ -141,24 +141,35 @@ def bpe_segment(df: DataFrame, merge_rows: list[tuple],
     """Apply a trained merge table to a corpus: per document, the BPE
     token count and mean symbols-per-word — the compression metric
     that validates a vocab (lower = merges capture real structure).
-    Pure narrow projection: the merge table arrives as literals, each
-    merge is one fold — no shuffle, corpus-scan parallelism.
+
+    Segmentation is per-WORD, so the folds run over the distinct-word
+    DICTIONARY, not the token stream — the same reduction that makes
+    bpe_train tractable (measured 15.1s → dictionary-bounded at
+    sf0.1; at web scale the dictionary is millions of rows against a
+    trillion-token stream). Per-doc word multiplicities then join to
+    the dictionary's symbol counts on the word key: one fold pipeline
+    over |vocab| rows + one equi-join + one per-doc aggregate.
     """
     from twitter_to_sqlite_spark.functions.text import _tokens
 
-    d = df.select(
-        F.col(id_col),
-        F.explode(_tokens(F.col(text_col))).alias("__w"),
-    ).select(
-        id_col,
+    per_doc = (
+        df.select(F.col(id_col),
+                  F.explode(_tokens(F.col(text_col))).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    dic = per_doc.select("__w").distinct().select(
+        "__w",
         F.array_append(F.split("__w", ""), F.lit(EOW)).alias("__syms"),
     )
     for _, a, b, _cnt in merge_rows:
-        d = d.select(id_col, _merge_fold(a, b).alias("__syms"))
-    return d.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.size("__syms")).alias("n_bpe_tokens"),
-        F.round(F.sum(F.size("__syms"))
-                / F.count(F.lit(1)).cast("double"), 4)
+        dic = dic.select("__w", _merge_fold(a, b).alias("__syms"))
+    dic = dic.select("__w", F.size("__syms").cast("long").alias("__nsym"))
+    j = per_doc.join(dic, "__w")
+    return j.groupBy(id_col).agg(
+        F.sum("__c").alias("n_words"),
+        F.sum(F.col("__c") * F.col("__nsym")).alias("n_bpe_tokens"),
+        F.round(F.sum(F.col("__c") * F.col("__nsym"))
+                / F.sum("__c").cast("double"), 4)
         .alias("syms_per_word"),
     )
