@@ -473,6 +473,33 @@ def _bpe_segment_probe(d):
     return bpe.bpe_segment(d, merges, "text", "doc_id")
 
 
+def _curriculum_probe(d):
+    from twitter_to_sqlite_spark.functions import sampling
+
+    b = d.select("doc_id", (F.col("doc_id") % 4).cast("int").alias("bucket"))
+    return sampling.curriculum_order(b, "doc_id", "bucket", 8)
+
+
+def _paragraph_incr_probe(d):
+    from twitter_to_sqlite_spark.functions import dedup
+
+    stored = dedup.paragraph_hash_counts(
+        d.filter(F.col("doc_id") % 2 == 0), sep=" ")
+    return dedup.paragraph_dedup_incremental(
+        d.filter(F.col("doc_id") % 2 == 1), stored, sep=" ", min_count=2)
+
+
+def _auc_bootstrap_probe(d):
+    from twitter_to_sqlite_spark.functions import stats
+
+    scored = d.select(
+        "doc_id",
+        ((F.col("doc_id") % 3) == 0).cast("int").alias("y"),
+        (F.round((F.col("doc_id") % 97) / 97.0, 4)).alias("prob"),
+    )
+    return stats.auc_bootstrap(scored)
+
+
 def main():
     only = None
     for a in list(sys.argv[1:]):
@@ -581,9 +608,13 @@ def main():
             d, "doc_id", "text", sep=" ", min_count=2),
         "training_order": lambda d, v: _training_order_probe(d),
         "sequence_pack": lambda d, v: _sequence_pack_probe(d),
-        # segment with a fixed literal merge table: pure narrow folds,
-        # per-row cost must stay flat
+        # segment with a fixed literal merge table: dictionary-sized
+        # folds + one word-key join — near-flat under non-distinct
+        # replication (the dictionary barely grows)
         "bpe_segment": lambda d, v: _bpe_segment_probe(d),
+        "curriculum_order": lambda d, v: _curriculum_probe(d),
+        "paragraph_incr": lambda d, v: _paragraph_incr_probe(d),
+        "auc_bootstrap": lambda d, v: _auc_bootstrap_probe(d),
     }
     out = {}
     for name, fn in OPS.items():
