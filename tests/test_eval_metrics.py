@@ -342,3 +342,39 @@ def test_grouped_auc_single_class_group_is_null(spark):
     got = {r["g"]: r["auc"]
            for r in stats.grouped_roc_auc(df, "g").collect()}
     assert got["a"] == 1.0 and got["b"] is None
+
+
+# ------------------------------------------------------------ KS drift
+
+def test_ks_identical_distributions_is_zero_and_shift_is_large(spark):
+    """Pin the KS construction on hand values: identical samples give
+    D = 0; disjoint supports give D = 1; a half-shift gives D = 0.5."""
+    from pyspark.sql import Window
+
+    def ks(a_vals, b_vals):
+        a = spark.createDataFrame(
+            [(v, 1, 0) for v in a_vals], "quality double, b int, c int")
+        b = spark.createDataFrame(
+            [(v, 0, 1) for v in b_vals], "quality double, b int, c int")
+        g = a.unionByName(b).groupBy("quality").agg(
+            F.sum("b").alias("nb"), F.sum("c").alias("nc"))
+        w = Window.orderBy("quality").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        c = g.select(F.sum("nb").over(w).alias("cb"),
+                     F.sum("nc").over(w).alias("cc"))
+        tb, tc = len(a_vals), len(b_vals)
+        rows = c.collect()
+        return max(abs(r["cb"] / tb - r["cc"] / tc) for r in rows)
+
+    assert ks([0.1, 0.2, 0.3], [0.1, 0.2, 0.3]) == 0.0
+    assert ks([0.1, 0.2], [0.8, 0.9]) == 1.0
+    assert ks([0.1, 0.2, 0.3, 0.4], [0.3, 0.4, 0.5, 0.6]) == 0.5
+
+
+def test_ks_drift_catalog_detects_planted_spam(spark, sf_dir):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    r = catalog.q_ks_drift(spark, sf_dir).collect()[0]
+    assert r["n_base"] > 0 and r["n_cur"] > r["n_base"] // 2
+    assert r["ks"] > 0.05          # the planted spam shard must show
+    assert r["ks"] <= 1.0

@@ -7506,6 +7506,91 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------
+# Kolmogorov-Smirnov drift (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic of the quality
+    distribution, stored corpus vs incoming shard (same planted-spam
+    split as psi_drift) — PSI's binning-free companion: D = sup over
+    the score domain of |F_base − F_cur|, sensitive to shifts PSI's
+    10 fixed bins can wash out. EXACT, not sampled: the corpus
+    collapses to one row per distinct ROUNDED score (≤10⁴ rows for a
+    4-decimal score — the roc_auc device) before the only window, so
+    the sup runs over score cardinality at any corpus size; integer
+    cumulative counts, per-row double division, one max."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    planted = d.filter(
+        (F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.lit(("spam " * 40).strip()).alias("text"))
+    cur = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    def side(df_side, b, c):
+        return text.quality_score(df_side).select(
+            "quality", F.lit(b).alias("__b"), F.lit(c).alias("__c"))
+
+    u = side(base, 1, 0).unionByName(side(cur, 0, 1))
+    g = u.groupBy("quality").agg(
+        F.sum("__b").alias("__nb"), F.sum("__c").alias("__nc"))
+    w = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        "quality",
+        F.sum("__nb").over(w).alias("__cb"),
+        F.sum("__nc").over(w).alias("__cc"),
+    )
+    t = g.agg(F.sum("__nb").alias("n_base"),
+              F.sum("__nc").alias("n_cur"))
+    j = c.crossJoin(F.broadcast(t))
+    gap = F.abs(
+        F.col("__cb").cast("double") / F.col("n_base").cast("double")
+        - F.col("__cc").cast("double") / F.col("n_cur").cast("double"))
+    return j.groupBy("n_base", "n_cur").agg(
+        F.round(F.max(gap), 6).alias("ks"))
+
+
+def _ks_sql() -> str:
+    quality = SQL_QUALITY_SCORE.replace("FROM documents", "FROM {src}")
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+cur AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id,
+         '{("spam " * 40).strip()}' AS text
+  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+),
+qb AS ({quality.replace("{src}", "base")}),
+qc AS ({quality.replace("{src}", "cur")}),
+u AS (
+  SELECT quality, count(*) AS nb, 0 AS nc FROM qb GROUP BY quality
+  UNION ALL
+  SELECT quality, 0 AS nb, count(*) AS nc FROM qc GROUP BY quality
+),
+g AS (SELECT quality, sum(nb) AS nb, sum(nc) AS nc FROM u GROUP BY quality),
+c AS (
+  SELECT quality,
+         sum(nb) OVER (ORDER BY quality
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         sum(nc) OVER (ORDER BY quality
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM g
+),
+t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM g)
+SELECT CAST(t.tb AS BIGINT) AS n_base, CAST(t.tc AS BIGINT) AS n_cur,
+       round(max(abs(cb::DOUBLE / t.tb - cc::DOUBLE / t.tc)), 6) AS ks
+FROM c, t GROUP BY t.tb, t.tc
+"""
+
+
+SQL_KS_DRIFT = _ks_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7575,6 +7660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_curate": q_pipeline_curate,
     "shuffle_audit": q_shuffle_audit,
     "dedup_paragraph_incremental": q_dedup_paragraph_incremental,
+    "ks_drift": q_ks_drift,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7895,6 +7981,7 @@ ORACLE_SQL: dict[str, str] = {
     "pipeline_curate": SQL_PIPELINE_CURATE,
     "shuffle_audit": SQL_SHUFFLE_AUDIT,
     "dedup_paragraph_incremental": SQL_DEDUP_PARAGRAPH_INCR,
+    "ks_drift": SQL_KS_DRIFT,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
