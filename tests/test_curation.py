@@ -929,3 +929,25 @@ class TestShuffleAudit:
         vy = n * float(m["syy"]) - sy * sy
         sorted_corr = num / (vx ** 0.5) / (vy ** 0.5)
         assert sorted_corr > 0.9
+
+
+class TestSoftDedupWeights:
+    def test_cluster_mass_sums_to_one_and_singletons_weigh_one(
+            self, spark, sf_dir):
+        from twitter_to_sqlite_spark.plans import catalog
+
+        rows = catalog.q_dedup_soft_weights(spark, sf_dir).collect()
+        n_docs = catalog._docs_with_planted_dups(spark, sf_dir).count()
+        assert len(rows) == n_docs
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        multi = [c for c, rs in by_cluster.items() if len(rs) > 1]
+        assert multi, "planted dups must form clusters"
+        for c, rs in by_cluster.items():
+            assert all(r["cluster_size"] == len(rs) for r in rs)
+            # each cluster contributes ~1 doc of training mass
+            assert sum(r["weight"] for r in rs) == \
+                pytest.approx(1.0, abs=1e-4)
+        singles = [r for r in rows if r["cluster_size"] == 1]
+        assert singles and all(r["weight"] == 1.0 for r in singles)

@@ -7507,6 +7507,63 @@ FROM m
 
 
 # ---------------------------------------------------------------------
+# Soft-dedup sampling weights (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_dedup_soft_weights(spark, sf_dir):
+    """Soft dedup: instead of dropping near-duplicates, weight every
+    document by 1/|its near-dup cluster| so each cluster contributes
+    one document's worth of training mass (the downweight-don't-delete
+    alternative — D4/SemDeDup-era pipelines use it when duplicates
+    carry signal). Clusters are the shared MinHash components;
+    singletons weigh 1. One bounded components frame + one count
+    aggregate + one left join onto the corpus keys; weights feed
+    importance_sample directly. Weight emitted as round(1/n, 6) —
+    exact in both engines for integer n."""
+    d = _docs_with_planted_dups(spark, sf_dir).select("doc_id")
+    comp = dedup.near_dup_components(
+        _minhash_pairs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__n"))
+    labeled = comp.join(sizes, "component")
+    out = d.join(labeled, "doc_id", "left")
+    n = F.coalesce(F.col("__n"), F.lit(1).cast("long"))
+    return out.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster"),
+        n.alias("cluster_size"),
+        F.round(F.lit(1.0) / n.cast("double"), 6).alias("weight"),
+    )
+
+
+SQL_DEDUP_SOFT_WEIGHTS = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, component) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.component FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id AS doc_id, min(component) AS component
+         FROM walk GROUP BY id),
+sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component),
+alldocs AS ({_SQL_DOCS_PLANTED})
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster,
+       coalesce(s.n, 1) AS cluster_size,
+       round(CAST(1.0 AS DOUBLE) / coalesce(s.n, 1), 6) AS weight
+FROM alldocs d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.component = c.component
+"""
+
+
+# ---------------------------------------------------------------------
 # Kolmogorov-Smirnov drift (r6 extension)
 # ---------------------------------------------------------------------
 
@@ -7661,6 +7718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_audit": q_shuffle_audit,
     "dedup_paragraph_incremental": q_dedup_paragraph_incremental,
     "ks_drift": q_ks_drift,
+    "dedup_soft_weights": q_dedup_soft_weights,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -7982,6 +8040,7 @@ ORACLE_SQL: dict[str, str] = {
     "shuffle_audit": SQL_SHUFFLE_AUDIT,
     "dedup_paragraph_incremental": SQL_DEDUP_PARAGRAPH_INCR,
     "ks_drift": SQL_KS_DRIFT,
+    "dedup_soft_weights": SQL_DEDUP_SOFT_WEIGHTS,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
