@@ -515,3 +515,59 @@ def test_drift_monitor_matches_batch_psi(spark, tmp_path):
     got_psi = psi_vs_baseline(spark, counts, baseline)
     assert got_psi == pytest.approx(want_psi, abs=1e-12)
     assert got_psi > 0.0
+
+
+def test_value_monitor_matches_batch_ks(spark, tmp_path):
+    """Streaming KS maintenance: after N micro-batches the maintained
+    score-count table equals the one-shot counts of everything
+    streamed, and ks_vs_baseline equals the KS computed directly —
+    the streaming twin of the batch ks_drift query."""
+    import json as _json
+
+    from twitter_to_sqlite_spark.streaming.analytics import (
+        ks_vs_baseline, score_value_counts, value_monitor)
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    counts = str(tmp_path / "counts")
+    baseline = str(tmp_path / "baseline")
+
+    base_vals = [0.1, 0.1, 0.2, 0.8, 0.9]
+    rows1 = [{"quality": v} for v in (0.1, 0.4, 0.4)]
+    rows2 = [{"quality": v} for v in (0.4, 0.9, 1.0)]
+
+    score_value_counts(
+        spark.createDataFrame([(v,) for v in base_vals],
+                              "quality double")).write.parquet(baseline)
+    (spool / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows1))
+
+    on_batch = value_monitor(spark, counts, "quality")
+    stream = spark.readStream.schema("quality double").option(
+        "maxFilesPerTrigger", 1).json(str(spool))
+    for extra in (None, rows2):
+        if extra is not None:
+            (spool / "b2.json").write_text(
+                "\n".join(_json.dumps(r) for r in extra))
+        q = stream.writeStream.foreachBatch(on_batch) \
+            .option("checkpointLocation", str(tmp_path / "ck")) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    all_vals = [r["quality"] for r in rows1 + rows2]
+    want = {r["val"]: r["n"] for r in score_value_counts(
+        spark.createDataFrame([(v,) for v in all_vals],
+                              "quality double")).collect()}
+    got = {r["val"]: r["n"]
+           for r in spark.read.parquet(counts).collect()}
+    assert got == want
+
+    # streaming statistic == hand-computed KS of the two samples
+    tb, tc = len(base_vals), len(all_vals)
+    d = 0.0
+    cb = cc = 0
+    for v in sorted(set(base_vals) | set(all_vals)):
+        cb += base_vals.count(v)
+        cc += all_vals.count(v)
+        d = max(d, abs(cb / tb - cc / tc))
+    assert ks_vs_baseline(spark, counts, baseline) == pytest.approx(d)

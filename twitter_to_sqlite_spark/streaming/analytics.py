@@ -483,6 +483,71 @@ def psi_vs_baseline(spark, counts_path: str, baseline_path: str,
     return psi
 
 
+def score_value_counts(df: DataFrame,
+                       value_col: str = "quality") -> DataFrame:
+    """Exact per-distinct-ROUNDED-score counts — the finer-grained
+    sibling of :func:`score_bin_counts` that KS needs (the sup runs
+    over the score domain, not fixed bins). Cardinality is bounded by
+    the score's rounding (≤10⁴ rows for 4 decimals), so the table is
+    as maintainable as the histogram: counts are exact integers and
+    merge by addition."""
+    return df.filter(F.col(value_col).isNotNull()) \
+        .groupBy(F.col(value_col).alias("val")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+
+
+def value_monitor(spark, counts_path: str, value_col: str = "quality"):
+    """foreachBatch maintenance of the exact score-count table — the
+    KS companion of :func:`drift_monitor` (same lock-merge-swap
+    protocol, value-keyed instead of bin-keyed). N maintained batches
+    equal the one-shot counts of everything streamed (agreement
+    tested), so :func:`ks_vs_baseline` prices drift at any time
+    without rescanning the stream."""
+    from twitter_to_sqlite_spark.operators import sinks
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        import os
+
+        delta = score_value_counts(batch_df, value_col)
+        with sinks.table_lock(counts_path):
+            if os.path.exists(counts_path):
+                stored = spark.read.parquet(counts_path)
+                merged = stored.unionByName(delta).groupBy("val").agg(
+                    F.sum("n").alias("n"))
+            else:
+                merged = delta
+            sinks.write_swap(merged, counts_path)
+
+    return on_batch
+
+
+def ks_vs_baseline(spark, counts_path: str, baseline_path: str) -> float:
+    """Two-sample Kolmogorov-Smirnov statistic of the maintained
+    score-count table against a stored baseline table — the streaming
+    face of the batch ks_drift query: D = sup over the merged score
+    domain of |F_current − F_baseline|. Both tables are bounded by
+    score cardinality (collects bounded by construction); reads take
+    each table's advisory lock because write_swap momentarily unlinks
+    the path between its renames."""
+    from twitter_to_sqlite_spark.operators import sinks
+
+    def load(path):
+        with sinks.table_lock(path):
+            return {r["val"]: r["n"]
+                    for r in spark.read.parquet(path).collect()}
+
+    cur, base = load(counts_path), load(baseline_path)
+    tc = sum(cur.values())
+    tb = sum(base.values())
+    cb = cc = 0
+    d = 0.0
+    for v in sorted(set(cur) | set(base)):
+        cb += base.get(v, 0)
+        cc += cur.get(v, 0)
+        d = max(d, abs(cb / tb - cc / tc))
+    return d
+
+
 def maintain_rollup(spark, path: str, key_cols: list[str],
                     value_col: str):
     """Streaming materialized-view maintenance: a foreachBatch
