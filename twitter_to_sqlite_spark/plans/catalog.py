@@ -7507,6 +7507,49 @@ FROM m
 
 
 # ---------------------------------------------------------------------
+# Corpus-derived stopword discovery (r6 extension)
+# ---------------------------------------------------------------------
+
+_STOPDISC_MIN_RATIO = 0.5
+
+
+def q_stopword_discovery(spark, sf_dir):
+    """Corpus-derived stoplist: tokens whose document-frequency ratio
+    ≥ {r} — how a pipeline builds the stopword set for a new language
+    or domain where no curated list exists (the input every
+    quality/stopword-ratio heuristic upstream assumes). One distinct
+    (doc, token) projection, one token-keyed count, one broadcast of
+    the 1-row corpus size; emits (token, df, df_ratio) for the tokens
+    above the floor."""
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).distinct()
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    j = dfreq.crossJoin(F.broadcast(n))
+    ratio = F.col("df").cast("double") / F.col("__n").cast("double")
+    return (
+        j.filter(ratio >= _STOPDISC_MIN_RATIO)
+        .select("token", "df", F.round(ratio, 4).alias("df_ratio"))
+    )
+
+
+SQL_STOPWORD_DISCOVERY = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+),
+n AS (SELECT count(*) AS nn FROM documents),
+g AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY token)
+SELECT token, df, round(df::DOUBLE / nn, 4) AS df_ratio
+FROM g, n
+WHERE df::DOUBLE / nn >= {_STOPDISC_MIN_RATIO}
+"""
+
+
+# ---------------------------------------------------------------------
 # Soft-dedup sampling weights (r6 extension)
 # ---------------------------------------------------------------------
 
@@ -7719,6 +7762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraph_incremental": q_dedup_paragraph_incremental,
     "ks_drift": q_ks_drift,
     "dedup_soft_weights": q_dedup_soft_weights,
+    "stopword_discovery": q_stopword_discovery,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -8041,6 +8085,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_paragraph_incremental": SQL_DEDUP_PARAGRAPH_INCR,
     "ks_drift": SQL_KS_DRIFT,
     "dedup_soft_weights": SQL_DEDUP_SOFT_WEIGHTS,
+    "stopword_discovery": SQL_STOPWORD_DISCOVERY,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
