@@ -7507,6 +7507,88 @@ FROM m
 
 
 # ---------------------------------------------------------------------
+# Dedup threshold sweep (r6 extension)
+# ---------------------------------------------------------------------
+
+_SWEEP_TAUS = [0.3, 0.5, 0.8]
+
+
+def q_dedup_sweep(spark, sf_dir):
+    """Dedup threshold sweep — ann_tuning's measure-don't-guess loop
+    for the Jaccard cutoff: from ONE pairs frame (computed once at the
+    loosest threshold), how many documents the greedy
+    drop-the-later-duplicate rule removes at each candidate τ, with
+    the corpus fraction. The τ explode touches only the bounded PAIRS
+    frame, never the corpus; a spine keeps zero-removal thresholds
+    visible. The committed number a pipeline reads before fixing its
+    dedup cutoff."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3,
+        threshold=min(_SWEEP_TAUS), max_df=_JACCARD_MAX_DF)
+    t = pairs.select(
+        "id_b", "jaccard",
+        F.explode(F.array(*[F.lit(x) for x in _SWEEP_TAUS]))
+        .alias("threshold"),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    rem = t.groupBy("threshold").agg(
+        F.countDistinct("id_b").alias("__rm"))
+    spine = spark.createDataFrame(
+        [(x,) for x in _SWEEP_TAUS], "threshold double")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    out = (
+        spine.join(rem, "threshold", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "threshold",
+            F.coalesce("__rm", F.lit(0).cast("long")).alias("n_removed"),
+            "n_docs",
+            F.round(
+                F.coalesce("__rm", F.lit(0).cast("long")).cast("double")
+                / F.col("n_docs").cast("double"), 4).alias("frac_removed"),
+        )
+    )
+    return out
+
+
+SQL_DEDUP_SWEEP = f"""
+WITH docs AS ({_SQL_DOCS_PLANTED}),
+sh AS ({_SQL_SHINGLES}),
+shf AS (
+  SELECT id, shingle FROM (
+    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+  ) WHERE df <= {_JACCARD_MAX_DF}
+),
+sz AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pr AS (
+  SELECT id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS j
+  FROM inter
+  JOIN sz sa ON sa.id = id_a
+  JOIN sz sb ON sb.id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {min(_SWEEP_TAUS)}
+),
+taus AS (SELECT unnest([{", ".join(str(x) for x in _SWEEP_TAUS)}])
+           AS threshold),
+rem AS (
+  SELECT threshold, count(DISTINCT id_b) AS rm
+  FROM taus JOIN pr ON pr.j >= taus.threshold
+  GROUP BY threshold
+),
+n AS (SELECT count(*) AS n_docs FROM docs)
+SELECT t.threshold,
+       CAST(coalesce(rem.rm, 0) AS BIGINT) AS n_removed,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       round(coalesce(rem.rm, 0)::DOUBLE / n.n_docs, 4) AS frac_removed
+FROM taus t LEFT JOIN rem ON t.threshold = rem.threshold, n
+"""
+
+
+# ---------------------------------------------------------------------
 # Corpus-derived stopword discovery (r6 extension)
 # ---------------------------------------------------------------------
 
@@ -7763,6 +7845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift": q_ks_drift,
     "dedup_soft_weights": q_dedup_soft_weights,
     "stopword_discovery": q_stopword_discovery,
+    "dedup_sweep": q_dedup_sweep,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -8086,6 +8169,7 @@ ORACLE_SQL: dict[str, str] = {
     "ks_drift": SQL_KS_DRIFT,
     "dedup_soft_weights": SQL_DEDUP_SOFT_WEIGHTS,
     "stopword_discovery": SQL_STOPWORD_DISCOVERY,
+    "dedup_sweep": SQL_DEDUP_SWEEP,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
