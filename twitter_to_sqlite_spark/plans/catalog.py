@@ -7507,6 +7507,81 @@ FROM m
 
 
 # ---------------------------------------------------------------------
+# Embedding norm outliers (r6 extension)
+# ---------------------------------------------------------------------
+
+_NORM_SCALE = 1 << 24     # embedding_stats' 2^-24 quantization device
+_NORM_Q = 0.99
+_NORM_K = 1024
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding L2-norm outliers — vector-pipeline hygiene: vectors
+    with extreme norms (an unnormalized batch, a zeroed upload, a
+    model swap) poison cosine retrieval quietly; flag everything above
+    the corpus p99. Norms are EXACT: per-element floor(v·2²⁴) integer
+    squares summed JVM-side (float64 multiply by a power of two is
+    lossless — the embedding_stats device), one sqrt + round at the
+    end, so both engines rank identical norms. The cutoff is the
+    deterministic bottom-k-hash sample's order statistic
+    (sketch.sample_quantiles — engine-portable where t-digest never
+    is), broadcast back as one row. Returns flagged (vec_id, norm,
+    cutoff)."""
+    from twitter_to_sqlite_spark.functions import sketch
+
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.expr(f"""
+        aggregate(embedding, CAST(0 AS BIGINT),
+          (acc, v) -> acc
+            + CAST(floor(v * {_NORM_SCALE}.0) AS BIGINT)
+              * CAST(floor(v * {_NORM_SCALE}.0) AS BIGINT))
+    """)
+    norms = e.select(
+        "vec_id",
+        F.round(F.sqrt(sq.cast("double")) / F.lit(float(_NORM_SCALE)), 6)
+        .alias("norm"),
+    )
+    cut = sketch.sample_quantiles(
+        norms, "norm", "vec_id", qs=(_NORM_Q,), k=_NORM_K
+    ).select(F.col("est").alias("cutoff"))
+    return (
+        norms.crossJoin(F.broadcast(cut))
+        .filter(F.col("norm") > F.col("cutoff"))
+        .select("vec_id", "norm", "cutoff")
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH norms AS (
+  SELECT vec_id,
+         round(sqrt(CAST(list_sum(list_transform(embedding,
+                 v -> (floor(v * {_NORM_SCALE}.0))::BIGINT
+                      * (floor(v * {_NORM_SCALE}.0))::BIGINT))
+               AS DOUBLE)) / {_NORM_SCALE}.0, 6) AS norm
+  FROM embeddings
+),
+s AS (
+  SELECT norm AS val,
+         ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM norms WHERE norm IS NOT NULL AND vec_id IS NOT NULL
+  ORDER BY h, val LIMIT {_NORM_K}
+),
+o AS (
+  SELECT val, row_number() OVER (ORDER BY val) AS rn,
+         count(*) OVER () AS n
+  FROM s
+),
+cut AS (
+  SELECT val AS cutoff FROM o
+  WHERE rn = CAST(floor({_NORM_Q} * (n - 1)) AS BIGINT) + 1
+)
+SELECT vec_id, norm, cutoff
+FROM norms, cut
+WHERE norm > cutoff
+"""
+
+
+# ---------------------------------------------------------------------
 # Dedup threshold sweep (r6 extension)
 # ---------------------------------------------------------------------
 
@@ -7846,6 +7921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_soft_weights": q_dedup_soft_weights,
     "stopword_discovery": q_stopword_discovery,
     "dedup_sweep": q_dedup_sweep,
+    "embedding_outliers": q_embedding_outliers,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -8170,6 +8246,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_soft_weights": SQL_DEDUP_SOFT_WEIGHTS,
     "stopword_discovery": SQL_STOPWORD_DISCOVERY,
     "dedup_sweep": SQL_DEDUP_SWEEP,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
