@@ -7507,6 +7507,73 @@ FROM m
 
 
 # ---------------------------------------------------------------------
+# RAG chunk retrieval (r6 extension)
+# ---------------------------------------------------------------------
+
+_RAG_K = 10
+
+
+def q_chunk_search(spark, sf_dir):
+    """RAG retrieval composed from existing pieces: chunk the corpus
+    (chunk_documents' overlapping token windows), BM25-rank the CHUNKS
+    for a conjunctive query, return the top-{k} with their
+    (doc_id, chunk_id) provenance — retrieval at the granularity a
+    context window actually consumes, where whole-doc BM25 (fts_bm25)
+    buries the matching passage. One composed plan: the chunker is a
+    narrow pass, the ranker reuses the inverted-index machinery with
+    the composite chunk key, the top-k is TakeOrderedAndProject with a
+    deterministic key tie-break."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = text.chunk_documents(
+        d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE).select(
+        F.concat_ws("#", "doc_id", "chunk_id").alias("ck"),
+        F.col("chunk_text"))
+    idx = R.build_inverted_index(chunks, "ck", "chunk_text")
+    dl = R.doc_lengths(chunks, "ck", "chunk_text")
+    bm = R.fts_bm25(idx, "ck", ["spark", "join"], mode="all",
+                    doc_lens=dl)
+    top = bm.orderBy(F.col("score").desc(), "ck").limit(_RAG_K)
+    return top.select(
+        F.split("ck", "#")[0].cast("long").alias("doc_id"),
+        F.split("ck", "#")[1].cast("long").alias("chunk_id"),
+        "score",
+    )
+
+
+SQL_CHUNK_SEARCH = f"""
+WITH t0 AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+d0 AS (
+  SELECT doc_id, t,
+         1 + CAST(ceil(greatest(len(t) - {_CHUNK_SIZE}, 0)::DOUBLE
+                       / {_CHUNK_STRIDE}) AS INT) AS n_chunks
+  FROM t0 WHERE len(t) > 0
+),
+c0 AS (
+  SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM d0
+),
+chunks AS (
+  SELECT doc_id || '#' || chunk_id AS doc_id,
+         array_to_string(
+           list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                      chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')
+           AS text
+  FROM c0
+),
+{_SQL_BM25_CTES.replace("FROM documents", "FROM chunks")},
+top AS (
+  SELECT doc_id AS ck, score FROM bm
+  ORDER BY score DESC, ck
+  LIMIT {_RAG_K}
+)
+SELECT split_part(ck, '#', 1)::BIGINT AS doc_id,
+       split_part(ck, '#', 2)::BIGINT AS chunk_id,
+       score
+FROM top
+"""
+
+
+# ---------------------------------------------------------------------
 # Embedding norm outliers (r6 extension)
 # ---------------------------------------------------------------------
 
@@ -7922,6 +7989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stopword_discovery": q_stopword_discovery,
     "dedup_sweep": q_dedup_sweep,
     "embedding_outliers": q_embedding_outliers,
+    "chunk_search": q_chunk_search,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -8247,6 +8315,7 @@ ORACLE_SQL: dict[str, str] = {
     "stopword_discovery": SQL_STOPWORD_DISCOVERY,
     "dedup_sweep": SQL_DEDUP_SWEEP,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "chunk_search": SQL_CHUNK_SEARCH,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
