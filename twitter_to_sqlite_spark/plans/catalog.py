@@ -7507,6 +7507,70 @@ FROM m
 
 
 # ---------------------------------------------------------------------
+# Corpus duplication profile (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_dedup_cluster_profile(spark, sf_dir):
+    """Corpus duplication profile: the near-dup cluster-size histogram
+    (cluster_size, n_clusters, n_docs), singletons included — the
+    one-table answer to 'how duplicated is this corpus?' that decides
+    whether dedup is worth a full pass and which granularity to run.
+    Multi-doc rows come from the shared MinHash components (bounded
+    frame, two tiny aggregates); the singleton row is corpus size
+    minus clustered size, two 1-row aggregates crossed broadcast."""
+    d = _docs_with_planted_dups(spark, sf_dir).select("doc_id")
+    comp = dedup.near_dup_components(
+        _minhash_pairs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__sz"))
+    multi = sizes.groupBy(F.col("__sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"))
+    multi = multi.select(
+        "cluster_size", "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("__t"))
+    clustered = comp.agg(F.count(F.lit(1)).alias("__c"))
+    single = total.crossJoin(clustered).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("__t") - F.col("__c")).alias("n_clusters"),
+        (F.col("__t") - F.col("__c")).alias("n_docs"),
+    )
+    return multi.unionByName(single)
+
+
+SQL_DEDUP_CLUSTER_PROFILE = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, component) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.component FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id AS doc_id, min(component) AS component
+         FROM walk GROUP BY id),
+sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+multi AS (
+  SELECT CAST(sz AS BIGINT) AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sz * count(*) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY sz
+),
+alldocs AS ({_SQL_DOCS_PLANTED}),
+tot AS (SELECT count(*) AS t FROM alldocs),
+clu AS (SELECT count(*) AS c FROM comp)
+SELECT cluster_size, n_clusters, n_docs FROM multi
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(t - c AS BIGINT), CAST(t - c AS BIGINT)
+FROM tot, clu
+"""
+
+
+# ---------------------------------------------------------------------
 # RAG chunk retrieval (r6 extension)
 # ---------------------------------------------------------------------
 
@@ -7990,6 +8054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_sweep": q_dedup_sweep,
     "embedding_outliers": q_embedding_outliers,
     "chunk_search": q_chunk_search,
+    "dedup_cluster_profile": q_dedup_cluster_profile,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -8316,6 +8381,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_sweep": SQL_DEDUP_SWEEP,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "chunk_search": SQL_CHUNK_SEARCH,
+    "dedup_cluster_profile": SQL_DEDUP_CLUSTER_PROFILE,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
