@@ -7778,8 +7778,8 @@ pr AS (
   JOIN sz sb ON sb.id = id_b
   WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {min(_SWEEP_TAUS)}
 ),
-taus AS (SELECT unnest([{", ".join(str(x) for x in _SWEEP_TAUS)}])
-           AS threshold),
+taus AS (SELECT CAST(unnest([{", ".join(str(x) for x in _SWEEP_TAUS)}])
+           AS DOUBLE) AS threshold),
 rem AS (
   SELECT threshold, count(DISTINCT id_b) AS rm
   FROM taus JOIN pr ON pr.j >= taus.threshold
