@@ -951,3 +951,34 @@ class TestSoftDedupWeights:
                 pytest.approx(1.0, abs=1e-4)
         singles = [r for r in rows if r["cluster_size"] == 1]
         assert singles and all(r["weight"] == 1.0 for r in singles)
+
+
+class TestMixtureOrder:
+    """mixture_order (r6): every stratum advances proportionally."""
+
+    def _base(self, spark, parts=5):
+        # stratum 'a': 60 docs, 'b': 20, 'c': 20
+        return spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 60, "a")
+            .when(F.col("id") < 80, "b").otherwise("c").alias("lang"),
+        ).repartition(parts)
+
+    def test_prefixes_are_proportionally_mixed(self, spark):
+        rows = sampling.mixture_order(
+            self._base(spark), "doc_id", "lang").collect()
+        rows.sort(key=lambda r: r["position"])
+        assert [r["position"] for r in rows] == list(range(100))
+        # any prefix holds each stratum in ~corpus proportion: after
+        # k docs, stratum s contributes round(k * n_s/100) +- 1
+        for k in (10, 25, 50, 75):
+            seen = [r["lang"] for r in rows[:k]]
+            for s, share in (("a", 0.6), ("b", 0.2), ("c", 0.2)):
+                assert abs(seen.count(s) - k * share) <= 1, (k, s)
+
+    def test_partition_count_invariant(self, spark):
+        a = {r["doc_id"]: r["position"] for r in sampling.mixture_order(
+            self._base(spark, parts=1), "doc_id", "lang").collect()}
+        b = {r["doc_id"]: r["position"] for r in sampling.mixture_order(
+            self._base(spark, parts=13), "doc_id", "lang").collect()}
+        assert a == b

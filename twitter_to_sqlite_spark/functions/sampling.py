@@ -170,6 +170,50 @@ def curriculum_order(df: DataFrame, key_col: str, bucket_col: str,
     )
 
 
+def mixture_order(df: DataFrame, key_col: str, strata_col: str,
+                  salt: str = "", order_salt: str = "ord") -> DataFrame:
+    """Proportional stratified interleave: a deterministic global
+    reading order in which every stratum (language, source) advances
+    at a rate proportional to its size — so any contiguous batch of
+    the order is mixed like the corpus, never a run of one source
+    (the gradient-diversity property plain concatenation destroys and
+    training_order only gives in expectation). Within a stratum the
+    order is the salted-hash shuffle; globally, documents sort by
+    per-stratum PROGRESS (rank+1)/|stratum| — exact in doubles for any
+    realistic stratum size — with a (progress, stratum, key)
+    tie-break. A pure function of the data. Returns
+    (key, stratum, position).
+
+    Scale: two chained range-split prefix sums (per-stratum rank,
+    then the global rank over progress); bounded offset frames
+    broadcast back, no task ever sorts the corpus.
+    """
+    from twitter_to_sqlite_spark.operators.relational import \
+        _range_split_prefix
+
+    keyed = df.select(
+        F.col(key_col),
+        F.col(strata_col).alias("__st"),
+        _key_hash(F.col(key_col), order_salt).alias("__ord"),
+    )
+    ranked = _range_split_prefix(
+        keyed, "__ord", tie_cols=[key_col], group_cols=["__st"],
+        with_totals=True)
+    staged = ranked.select(
+        key_col, "__st",
+        ((F.col("__off") + F.col("__lval")).cast("double")
+         / F.col("__n").cast("double")).alias("__prog"),
+    )
+    g = _range_split_prefix(
+        staged, "__prog", tie_cols=["__st", key_col], group_cols=[])
+    return g.select(
+        key_col,
+        F.col("__st").alias(strata_col),
+        (F.col("__off") + F.col("__lval") - 1).cast("long")
+        .alias("position"),
+    )
+
+
 def sequence_pack(df: DataFrame, key_col: str, token_col: str,
                   n_shards: int, seq_len: int,
                   salt: str = "", order_salt: str = "ord") -> DataFrame:

@@ -7507,6 +7507,45 @@ FROM m
 
 
 # ---------------------------------------------------------------------
+# Proportional stratified interleave (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_mixture_order(spark, sf_dir):
+    """Proportional stratified interleave
+    (functions/sampling.py::mixture_order): the deterministic reading
+    order in which every language advances at a rate proportional to
+    its size, so any contiguous batch is mixed like the corpus — the
+    batch-diversity guarantee plain concatenation destroys. Two
+    chained range-split prefix sums (per-stratum rank, then the
+    global rank over per-stratum progress); the oracle replays both
+    ranks as windows."""
+    from twitter_to_sqlite_spark.functions.sampling import mixture_order
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_order(d, "doc_id", "lang")
+
+
+SQL_MIXTURE_ORDER = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY ord, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY rk::DOUBLE / n, lang, doc_id)
+            - 1 AS BIGINT) AS position
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------
 # Corpus duplication profile (r6 extension)
 # ---------------------------------------------------------------------
 
@@ -8055,6 +8094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "chunk_search": q_chunk_search,
     "dedup_cluster_profile": q_dedup_cluster_profile,
+    "mixture_order": q_mixture_order,
     # --- (3) driver-green in r1-r5 ---
     "sessionize": q_sessionize,
     "lm_bigram_score": q_lm_bigram_score,
@@ -8382,6 +8422,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "chunk_search": SQL_CHUNK_SEARCH,
     "dedup_cluster_profile": SQL_DEDUP_CLUSTER_PROFILE,
+    "mixture_order": SQL_MIXTURE_ORDER,
     "contingency_stats": SQL_CONTINGENCY_STATS,
 }
 
