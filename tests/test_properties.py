@@ -11,7 +11,7 @@ algebraic laws the SQLite pk-constraints gave it for free:
 from __future__ import annotations
 
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from twitter_to_sqlite_spark.functions import dedup
 from twitter_to_sqlite_spark.operators import sinks
@@ -1043,6 +1043,7 @@ CONT_DOCS = st.lists(
 
 
 @given(docs=CONT_DOCS, frac=st.floats(min_value=0.3, max_value=0.9))
+@example(docs=[[0, 0, 0, 0]], frac=0.5)  # r6 falsifier: shingle-set tie
 @SETTINGS
 def test_containment_prefix_is_always_one(spark, docs, frac):
     """A doc's token-prefix excerpt (>= k tokens) is ALWAYS flagged
@@ -1062,6 +1063,19 @@ def test_containment_prefix_is_always_one(spark, docs, frac):
         m = max(3, int(len(toks) * frac))
         if m >= len(toks):
             continue  # excerpt == whole doc handled by equal-size tie
+        # With repeated tokens the excerpt's DISTINCT shingle set can
+        # equal the base doc's even when m < len(toks) (e.g. the cached
+        # falsifying example docs=[[0,0,0,0]], frac=0.5: one trigram
+        # either way).  containment_pairs' documented tie-break
+        # (functions/dedup.py: "Equal-size identical sets report the
+        # lesser id as the contained one") then orients the pair the
+        # other way — accept either orientation for shingle-set ties.
+        base_sh = {tuple(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        exc_sh = {tuple(toks[j:j + 3]) for j in range(m - 2)}
+        if exc_sh == base_sh:
+            assert (got.get((100 + i, i)) == 1.0
+                    or got.get((i, 100 + i)) == 1.0), (i, toks, m, got)
+            continue
         key = (100 + i, i)
         assert got.get(key) == 1.0, (i, toks, m, got)
 
