@@ -571,3 +571,23 @@ def test_value_monitor_matches_batch_ks(spark, tmp_path):
         cc += all_vals.count(v)
         d = max(d, abs(cb / tb - cc / tc))
     assert ks_vs_baseline(spark, counts, baseline) == pytest.approx(d)
+
+
+def test_ks_vs_baseline_empty_table_raises(spark, tmp_path):
+    """ADVICE r6: an empty counts table (monitor only ever saw
+    null-score batches) must raise a clear ValueError, not
+    ZeroDivisionError — drift against nothing is undefined."""
+    from twitter_to_sqlite_spark.streaming.analytics import (
+        ks_vs_baseline, score_value_counts)
+
+    full = str(tmp_path / "full")
+    empty = str(tmp_path / "empty")
+    score_value_counts(
+        spark.createDataFrame([(0.1,), (0.9,)],
+                              "quality double")).write.parquet(full)
+    score_value_counts(
+        spark.createDataFrame([], "quality double")).write.parquet(empty)
+
+    for counts, baseline in ((empty, full), (full, empty)):
+        with pytest.raises(ValueError, match="empty counts table"):
+            ks_vs_baseline(spark, counts, baseline)

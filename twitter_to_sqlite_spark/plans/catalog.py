@@ -6939,7 +6939,14 @@ def q_version_diff(spark, sf_dir):
     diff them. The oracle recomputes the identical changelog
     relationally from orders, so the whole commit→time-travel→diff
     protocol is cross-engine verified, not just the diff algebra
-    (whose diff→apply round-trip is separately law-tested)."""
+    (whose diff→apply round-trip is separately law-tested).
+
+    The version store is a per-call tempdir removed before returning
+    (bench/gate harnesses invoke each query several times per run —
+    leaving verdiff-* snapshot pairs in /tmp would accumulate
+    unboundedly); the diff is localCheckpoint-materialized first so
+    the returned frame no longer reads the deleted parquet."""
+    import shutil
     import tempfile
 
     from twitter_to_sqlite_spark.operators import sinks
@@ -6953,12 +6960,17 @@ def q_version_diff(spark, sf_dir):
         .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
         "o_totalprice",
     )
-    path = tempfile.mkdtemp(prefix="verdiff-") + "/tbl"
-    sinks.write_version(v1, path)
-    sinks.write_version(v2, path)
-    return sinks.version_diff(
-        spark, path, 1, 2,
-        ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+    root = tempfile.mkdtemp(prefix="verdiff-")
+    try:
+        path = root + "/tbl"
+        sinks.write_version(v1, path)
+        sinks.write_version(v2, path)
+        diff = sinks.version_diff(
+            spark, path, 1, 2,
+            ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+        return diff.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 SQL_VERSION_DIFF = """

@@ -539,6 +539,13 @@ def ks_vs_baseline(spark, counts_path: str, baseline_path: str) -> float:
     cur, base = load(counts_path), load(baseline_path)
     tc = sum(cur.values())
     tb = sum(base.values())
+    if tb == 0 or tc == 0:
+        # An empty side has no CDF; D is undefined rather than 0
+        # (a monitor fed only null-score batches should fail loudly,
+        # not report "no drift").
+        raise ValueError(
+            "ks_vs_baseline: empty counts table "
+            f"(baseline_total={tb}, current_total={tc})")
     cb = cc = 0
     d = 0.0
     for v in sorted(set(cur) | set(base)):
