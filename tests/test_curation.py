@@ -982,3 +982,62 @@ class TestMixtureOrder:
         b = {r["doc_id"]: r["position"] for r in sampling.mixture_order(
             self._base(spark, parts=13), "doc_id", "lang").collect()}
         assert a == b
+
+
+class TestDomainCaps:
+    """domain_caps: the RefinedWeb max-N-per-domain quota via the
+    equidepth hash-slice refinement — exact vs the brute-force
+    per-domain window, planted hot domain actually capped."""
+
+    @staticmethod
+    def _hash60(key, salt=""):
+        import hashlib
+
+        return int(hashlib.md5(f"{key}{salt}".encode())
+                   .hexdigest()[:15], 16)
+
+    def _brute(self, rows, cap, salt=""):
+        by_dom: dict = {}
+        for dom, key in rows:
+            by_dom.setdefault(dom, []).append(key)
+        want = {}
+        for dom, keys in by_dom.items():
+            keys.sort(key=lambda k: (self._hash60(k, salt), k))
+            for rank, k in enumerate(keys[:cap], start=1):
+                want[(dom, k)] = rank
+        return want
+
+    def test_hot_domain_is_capped_cold_passes(self, spark):
+        rows = [("hot", i) for i in range(2000)] + \
+               [("cold", 10_000 + i) for i in range(5)]
+        df = spark.createDataFrame(rows, "source string, doc_id long")
+        got = {(r["source"], r["doc_id"]): r["domain_rank"]
+               for r in sampling.domain_caps(
+                   df, "source", cap=7, key_col="doc_id").collect()}
+        from collections import Counter
+
+        per_dom = Counter(dom for dom, _ in got)
+        assert per_dom == {"hot": 7, "cold": 5}
+        assert got == self._brute(rows, cap=7)
+
+    def test_matches_brute_force_window_across_slice_widths(self, spark):
+        # slices=4 forces multi-row slices (take-all AND boundary legs
+        # both populated); slices=1024 puts ~every row in its own slice
+        rows = [(f"d{i % 7}", i * 31 + 5) for i in range(400)]
+        df = spark.createDataFrame(rows, "source string, doc_id long")
+        want = self._brute(rows, cap=13, salt="s")
+        for slices in (4, 64, 1024):
+            got = {(r["source"], r["doc_id"]): r["domain_rank"]
+                   for r in sampling.domain_caps(
+                       df, "source", cap=13, key_col="doc_id",
+                       salt="s", slices=slices).collect()}
+            assert got == want, slices
+
+    def test_null_domain_and_key_excluded_and_under_cap_kept(self, spark):
+        rows = [("a", 1), ("a", 2), (None, 3), ("b", None), ("b", 4)]
+        df = spark.createDataFrame(rows, "source string, doc_id long")
+        got = sampling.domain_caps(df, "source", cap=10,
+                                   key_col="doc_id").collect()
+        assert {(r["source"], r["doc_id"]) for r in got} == \
+            {("a", 1), ("a", 2), ("b", 4)}
+        assert all(r["domain_rank"] <= 2 for r in got)

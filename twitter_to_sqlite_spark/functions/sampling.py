@@ -475,3 +475,75 @@ def weighted_sample_by(df: DataFrame, group_col: str, k: int,
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def domain_caps(df: DataFrame, domain_col: str, cap: int,
+                key_col: str, salt: str = "",
+                slices: int = 1024) -> DataFrame:
+    """Per-domain document quota (RefinedWeb §3's "max N docs per
+    domain"): keep the ``cap`` docs per domain ranked first by the
+    deterministic salted hash of the row key — the standard guard
+    against one crawler trap / mirror farm owning the training
+    mixture. The selection is a pure function of (key, salt): stable
+    across runs, engines, and retries, and uniform within each domain.
+
+    Scale — the hot-domain problem is the whole point, so the obvious
+    per-domain ``row_number() <= cap`` window (which SORTS every row
+    of a 10⁹-doc trap domain in one partition) is replaced by an
+    equidepth hash-slice refinement, exact and bounded:
+
+    1. Bucket rows by the top bits of the 60-bit hash into ``slices``
+       equal hash-range slices; aggregate (domain, slice) counts — a
+       frame bounded by |domains| x slices, with full map-side combine.
+    2. A running count over each domain's <= ``slices`` rows finds the
+       BOUNDARY slice where the cumulative count crosses ``cap``.
+       Slices wholly below it pass outright; slices past it drop.
+    3. Only boundary-slice rows — ~n_domain/slices of the domain, 10⁶
+       of 10⁹ at the default — enter the exact (hash, key) rank
+       window, offset by the count below.
+
+    Every row's final ``domain_rank`` equals the naive per-domain
+    row_number over (hash, key) — the refinement changes the plan,
+    never the answer (law-tested against the brute-force window).
+    Under-cap domains never touch a sort at all. NULL domains/keys are
+    excluded. Returns the kept rows + their ``domain_rank``.
+    """
+    from pyspark.sql import Window
+
+    width = (1 << 60) // slices  # _key_hash is 15 hex digits = 60 bits
+    d = (
+        df.filter(F.col(domain_col).isNotNull()
+                  & F.col(key_col).isNotNull())
+        .withColumn("__h", _key_hash(F.col(key_col), salt))
+        .withColumn("__qb", F.floor(F.col("__h") / F.lit(width))
+                    .cast("int"))
+    )
+    counts = d.groupBy(domain_col, "__qb").agg(
+        F.count(F.lit(1)).alias("__n"))
+    wc = (Window.partitionBy(domain_col).orderBy("__qb")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    marked = (
+        counts
+        .withColumn("__before",
+                    F.coalesce(F.sum("__n").over(wc), F.lit(0)))
+        .select(
+            domain_col, "__qb", "__before",
+            (F.col("__before") + F.col("__n") <= cap).alias("__all"),
+            ((F.col("__before") < cap)
+             & (F.col("__before") + F.col("__n") > cap))
+            .alias("__bnd"),
+        )
+        .filter(F.col("__all") | F.col("__bnd"))
+    )
+    j = d.join(marked, [domain_col, "__qb"])
+    # rank within the slice, offset by the exact count below it —
+    # groups are (domain, slice): a hot domain spreads across slices
+    wq = Window.partitionBy(domain_col, "__qb").orderBy("__h", key_col)
+    ranked = j.withColumn(
+        "domain_rank",
+        (F.col("__before") + F.row_number().over(wq)).cast("long"))
+    return (
+        ranked
+        .filter(F.col("__all") | (F.col("domain_rank") <= cap))
+        .drop("__h", "__qb", "__before", "__all", "__bnd")
+    )

@@ -8030,6 +8030,50 @@ FROM c, t GROUP BY t.tb, t.tc
 SQL_KS_DRIFT = _ks_sql()
 
 
+# ---------------------------------------------------------------------
+# Per-domain cap curation (r7 extension)
+# ---------------------------------------------------------------------
+
+_DOMAIN_CAP = 18
+
+
+def q_domain_caps(spark, sf_dir):
+    """Per-domain document quota (functions/sampling.py::domain_caps,
+    RefinedWeb §3's "max N docs per domain"): at most {cap} docs kept
+    per source, ranked by the deterministic salted hash of doc_id —
+    the guard that stops one crawler trap from owning the mixture.
+    The Spark side runs the equidepth hash-slice refinement (bounded
+    (domain, slice) counts pick each over-cap domain's boundary
+    slice; only that slice's ~n/slices rows enter a sort); the oracle
+    is the semantic spec itself — the naive per-domain row_number
+    over (hash, key) — so the refinement is certified to change the
+    plan, never the answer."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.domain_caps(
+        d, "source", cap=_DOMAIN_CAP, key_col="doc_id", salt="dc")
+
+
+SQL_DOMAIN_CAPS = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'dc'), 1, 15))::BIGINT
+           AS h
+  FROM documents
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+           AS domain_rank
+  FROM h
+)
+SELECT doc_id, source, CAST(domain_rank AS BIGINT) AS domain_rank
+FROM r WHERE domain_rank <= {_DOMAIN_CAP}
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8078,6 +8122,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     driver-sampled; certify them first;
     # (2) new in r6, never driver-verified;
     # (3) the driver-green remainder (r1-r5 cumulative).
+    # --- (0) new in r7, never driver-verified ---
+    "domain_caps": q_domain_caps,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -8436,6 +8482,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_cluster_profile": SQL_DEDUP_CLUSTER_PROFILE,
     "mixture_order": SQL_MIXTURE_ORDER,
     "contingency_stats": SQL_CONTINGENCY_STATS,
+    "domain_caps": SQL_DOMAIN_CAPS,
 }
 
 
