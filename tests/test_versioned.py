@@ -110,3 +110,31 @@ def test_crash_orphan_version_dir_never_blocks_next_writer(spark, tmp_path):
     latest = {r["id"]: r["val"]
               for r in sinks.read_version(spark, p).collect()}
     assert latest == {1: "b"}          # orphan never readable
+
+
+def test_learned_artifact_roundtrip_loaded_equals_trained(spark, tmp_path):
+    """An artifact committed via write_version and read back through
+    the manifest is the trained table, row for row — and applying the
+    LOADED copy gives the same segmentation as applying the in-memory
+    one (the q_artifact_roundtrip law, pinned off-catalog)."""
+    from twitter_to_sqlite_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (1 + i % 3)) for i in range(6)],
+        "doc_id long, text string")
+    trained_df = bpe.bpe_train(docs, "text", merges=5)
+    trained = sorted(
+        ((r["rank"], r["left"], r["right"], r["pair_count"])
+         for r in trained_df.collect()))
+
+    store = str(tmp_path / "bpe_merges")
+    v = sinks.write_version(trained_df, store)
+    loaded = sorted(
+        ((r["rank"], r["left"], r["right"], r["pair_count"])
+         for r in sinks.read_version(spark, store, v).collect()))
+    assert loaded == trained
+
+    seg = lambda rows: {  # noqa: E731
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["syms_per_word"])
+        for r in bpe.bpe_segment(docs, rows, "text", "doc_id").collect()}
+    assert seg(loaded) == seg(trained)

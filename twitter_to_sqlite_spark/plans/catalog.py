@@ -8074,6 +8074,69 @@ FROM r WHERE domain_rank <= {_DOMAIN_CAP}
 """
 
 
+# ---------------------------------------------------------------------
+# Learned-artifact export/import through the versioned store (r7)
+# ---------------------------------------------------------------------
+
+def q_artifact_roundtrip(spark, sf_dir):
+    """Ship a learned artifact between jobs through the versioned-table
+    layer (operators/sinks.py write_version/read_version) and APPLY the
+    loaded copy: commit the trained BPE merge table as two artifact
+    versions (v1 = the greedy prefix with the last 2 merges dropped —
+    a genuinely smaller vocab, since BPE merge tables are prefix-
+    closed; v2 = the full table), time-travel-read the LATEST through
+    the manifest, and segment the corpus with the LOADED rules. Output
+    is bpe_segment's per-doc compression frame stamped with the
+    artifact version it was segmented with; the oracle retrains the
+    tokenizer from scratch relationally, so loaded == trained is
+    cross-engine certified end-to-end (train → commit → manifest read
+    → apply), not assumed. The per-call store is removed before
+    returning (the version_diff tempdir discipline); the artifact rows
+    themselves ride through createDataFrame, so nothing downstream
+    reads the deleted parquet."""
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.operators import sinks
+
+    merges = _bpe_merges(spark, sf_dir)
+    schema = "rank int, left string, right string, pair_count long"
+    root = tempfile.mkdtemp(prefix="artifact-")
+    try:
+        store = root + "/bpe_merges"
+        sinks.write_version(
+            spark.createDataFrame(merges[:-2], schema), store)
+        v = sinks.write_version(
+            spark.createDataFrame(merges, schema), store)
+        loaded = sorted(
+            ((r["rank"], r["left"], r["right"], r["pair_count"])
+             for r in sinks.read_version(spark, store).collect()),
+            key=lambda t: t[0])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    from twitter_to_sqlite_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe.bpe_segment(d, loaded, "text", "doc_id") \
+        .withColumn("artifact_version", F.lit(int(v)))
+
+
+def _artifact_roundtrip_sql() -> str:
+    # stamp the version column onto the segment oracle's FINAL select
+    # ("SELECT doc_id," alone would hit the docw CTE first)
+    marker = "SELECT doc_id,\n       CAST(sum(c) AS BIGINT) AS n_words"
+    assert marker in SQL_BPE_SEGMENT, \
+        "bpe segment oracle tail changed; update the marker"
+    return SQL_BPE_SEGMENT.replace(
+        marker,
+        "SELECT doc_id, CAST(2 AS INT) AS artifact_version,\n"
+        "       CAST(sum(c) AS BIGINT) AS n_words", 1)
+
+
+SQL_ARTIFACT_ROUNDTRIP = _artifact_roundtrip_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8124,6 +8187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (3) the driver-green remainder (r1-r5 cumulative).
     # --- (0) new in r7, never driver-verified ---
     "domain_caps": q_domain_caps,
+    "artifact_roundtrip": q_artifact_roundtrip,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -8483,6 +8547,7 @@ ORACLE_SQL: dict[str, str] = {
     "mixture_order": SQL_MIXTURE_ORDER,
     "contingency_stats": SQL_CONTINGENCY_STATS,
     "domain_caps": SQL_DOMAIN_CAPS,
+    "artifact_roundtrip": SQL_ARTIFACT_ROUNDTRIP,
 }
 
 
