@@ -8137,6 +8137,264 @@ def _artifact_roundtrip_sql() -> str:
 SQL_ARTIFACT_ROUNDTRIP = _artifact_roundtrip_sql()
 
 
+# ---------------------------------------------------------------------
+# Stream/batch agreement certification (r7)
+# ---------------------------------------------------------------------
+
+_SBA_EVENTS = 4000       # fixture bound: constant cost at any sf
+_SBA_DOCS = 1000
+_SBA_MOD = 1_000_000_007
+_SBA_STEPS = ("view", "click", "purchase")
+_SBA_WIN, _SBA_MINPTS = 8, 4
+
+
+def _sba_checksum(ingredients) -> int:
+    """Σ hash60(row) mod p — the portable relational checksum (same
+    md5-prefix hash as sampling._key_hash; DuckDB twin inline in
+    SQL_STREAM_BATCH_AGREEMENT). Order-insensitive, so it certifies
+    table CONTENT without imposing an order."""
+    import hashlib
+
+    return sum(
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _SBA_MOD
+        for s in ingredients)
+
+
+def q_stream_batch_agreement(spark, sf_dir):
+    """Put the streaming layer itself under the driver gate: run all
+    five streaming twins (funnel automaton, trailing-zscore ring
+    buffer, rollup maintenance, PSI bin counts, KS value counts —
+    streaming/analytics.py) over a bounded deterministic fixture split
+    into three time-ordered micro-batches, then emit one row per twin
+    with the MAINTAINED/STREAMED result's row count and content
+    checksum. The oracle recomputes both numbers ONE-SHOT from the
+    base tables, so any divergence between N-batch maintenance and the
+    batch semantics — automaton state restoration, ring-buffer
+    trimming, read-merge-swap count algebra — hash-fails the gate.
+    All checksum ingredients are exact integers (decimal sums scaled
+    e4, scores at their rounded-4 grain), so there is no float-parity
+    surface at all; the float statistics stay pinned by the pytest
+    agreement tests.
+
+    The stateful twins (funnel, zscore) run through the REAL engine —
+    a json spool + availableNow + applyInPandasWithState, mtime-ordered
+    files so per-key arrival stays time-ordered across batches (their
+    documented contract); the foreachBatch twins' maintenance
+    callables are driven directly with the same three batches. Every
+    collect is bounded by the fixture constant; spool/checkpoint/
+    maintained tables live in a per-call tempdir removed before
+    returning (the version_diff discipline — the output frame is built
+    from plain driver values, so nothing reads the deleted paths)."""
+    import datetime as dt
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    schema = ("user_id long, ts timestamp_ntz, event_type string, "
+              "value double")
+    epoch = dt.datetime(1970, 1, 1)
+
+    def us(ts):
+        return (ts - epoch) // dt.timedelta(microseconds=1)
+
+    # --- fixture: bounded slice, one row per (user_id, ts) ---
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < _SBA_EVENTS)
+        & F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull())
+    wd = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    fx = (e.withColumn("__rn", F.row_number().over(wd))
+          .filter(F.col("__rn") == 1)
+          .select("event_id", "user_id", "ts", "event_type", "value"))
+    rows = sorted(fx.collect(),
+                  key=lambda r: (r["ts"], r["event_id"]))  # ≤ _SBA_EVENTS
+    n = len(rows)
+    parts = [rows[:n // 3], rows[n // 3:2 * n // 3], rows[2 * n // 3:]]
+
+    def bdf(part):
+        return spark.createDataFrame(
+            [(r["user_id"], r["ts"], r["event_type"], r["value"])
+             for r in part], schema)
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SBA_DOCS).select("doc_id", "text")
+
+    out = []
+    root = tempfile.mkdtemp(prefix="sba-")
+    try:
+        # --- foreachBatch maintenance twins, driven directly ---
+        on_roll = SA.maintain_rollup(
+            spark, root + "/rollup", ["event_type"], "value")
+        on_psi = SA.drift_monitor(spark, root + "/psi", "quality")
+        on_ks = SA.value_monitor(spark, root + "/ks", "quality")
+        for b, part in enumerate(parts):
+            on_roll(bdf(part), b)
+            dq = text.quality_score(
+                docs.filter(F.col("doc_id") % 3 == b)).select("quality")
+            on_psi(dq, b)
+            on_ks(dq, b)
+
+        roll = spark.read.parquet(root + "/rollup").collect()
+        out.append(("rollup", len(roll), _sba_checksum(
+            f"{r['event_type']}|{r['n_rows']}|{r['n_vals']}"
+            f"|{int(r['v_sum'] * 10000)}" for r in roll)))
+        bins = spark.read.parquet(root + "/psi").collect()
+        out.append(("psi_bins", len(bins), _sba_checksum(
+            f"{r['bin']}|{r['n']}" for r in bins)))
+        vals = spark.read.parquet(root + "/ks").collect()
+        out.append(("ks_counts", len(vals), _sba_checksum(
+            f"{int(round(r['val'] * 10000))}|{r['n']}" for r in vals)))
+
+        # --- stateful twins through the real engine ---
+        spool = root + "/spool"
+        os.makedirs(spool)
+        for b, part in enumerate(parts):
+            p = os.path.join(spool, f"b{b}.json")
+            with open(p, "w") as fh:
+                for r in part:
+                    fh.write(_json.dumps({
+                        "user_id": r["user_id"],
+                        "ts": r["ts"].isoformat(),
+                        "event_type": r["event_type"],
+                        "value": r["value"]}) + "\n")
+            t = 1_000_000_000 + 100 * b   # mtime order = batch order
+            os.utime(p, (t, t))
+
+        def stream():
+            return (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).json(spool))
+
+        latest: dict = {}
+        q = (SA.funnel_stages(stream(), list(_SBA_STEPS))
+             .writeStream.foreachBatch(
+                 lambda batch, bid: latest.update(
+                     {r["user_id"]: r["stage"] for r in batch.collect()}))
+             .outputMode("update")
+             .option("checkpointLocation", root + "/ck_funnel")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out.append(("funnel", len(latest), _sba_checksum(
+            f"{uid}|{stage}" for uid, stage in latest.items())))
+
+        scored: dict = {}
+        q = (SA.zscore_stream(stream(), "user_id", "ts", "value",
+                              window=_SBA_WIN, min_points=_SBA_MINPTS,
+                              threshold=3.0)
+             .writeStream.foreachBatch(
+                 lambda batch, bid: scored.update(
+                     {(r["user_id"], r["ts"]): r["zscore"]
+                      for r in batch.collect()}))
+             .outputMode("update")
+             .option("checkpointLocation", root + "/ck_zscore")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        zkeys = [k for k, z in scored.items() if z is not None]
+        out.append(("zscore", len(zkeys), _sba_checksum(
+            f"{uid}|{us(ts)}" for uid, ts in zkeys)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        sorted(out), "twin string, n_rows long, checksum long")
+
+
+def _sba_sql() -> str:
+    quality = SQL_QUALITY_SCORE.replace(
+        "FROM documents",
+        f"FROM (SELECT doc_id, text FROM documents"
+        f" WHERE doc_id < {_SBA_DOCS})")
+    h = ("('0x' || substring(md5({ingr}), 1, 15))::BIGINT"
+         f" % {_SBA_MOD}")
+
+    def ck(name, ingr, src):
+        return f"""{name} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(coalesce(sum({h.format(ingr=ingr)}), 0) AS BIGINT)
+           AS checksum
+  FROM {src}
+)"""
+
+    steps = _SBA_STEPS
+    return f"""
+WITH fx AS (
+  SELECT user_id, ts, event_type, value FROM (
+    SELECT user_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id) AS rn
+    FROM events
+    WHERE event_id < {_SBA_EVENTS} AND user_id IS NOT NULL
+      AND ts IS NOT NULL AND value IS NOT NULL
+  ) WHERE rn = 1
+),
+qf AS ({quality}),
+ru AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nr,
+         CAST(count(value) AS BIGINT) AS nv,
+         sum(CAST(value AS DECIMAL(18,4))) AS vs
+  FROM fx GROUP BY event_type
+),
+{ck("ru_ck",
+    "event_type || '|' || nr::VARCHAR || '|' || nv::VARCHAR || '|' "
+    "|| CAST(vs * 10000 AS BIGINT)::VARCHAR", "ru")},
+pb AS (
+  SELECT least(floor(quality * 10), 9)::INT AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qf WHERE quality IS NOT NULL GROUP BY 1
+),
+{ck("pb_ck", "bin::VARCHAR || '|' || n::VARCHAR", "pb")},
+kc AS (
+  SELECT CAST(round(quality * 10000, 0) AS BIGINT) AS v4,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qf WHERE quality IS NOT NULL GROUP BY 1
+),
+{ck("kc_ck", "v4::VARCHAR || '|' || n::VARCHAR", "kc")},
+fu AS (SELECT DISTINCT user_id FROM fx
+       WHERE event_type IN ('{steps[0]}', '{steps[1]}', '{steps[2]}')),
+s1 AS (SELECT user_id, min(ts) AS t FROM fx
+       WHERE event_type = '{steps[0]}' GROUP BY user_id),
+s2 AS (SELECT f.user_id, min(f.ts) AS t FROM fx f
+       JOIN s1 ON f.user_id = s1.user_id AND f.ts > s1.t
+       WHERE f.event_type = '{steps[1]}' GROUP BY f.user_id),
+s3 AS (SELECT f.user_id, min(f.ts) AS t FROM fx f
+       JOIN s2 ON f.user_id = s2.user_id AND f.ts > s2.t
+       WHERE f.event_type = '{steps[2]}' GROUP BY f.user_id),
+st AS (
+  SELECT fu.user_id,
+         CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM fu LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+          LEFT JOIN s3 USING (user_id)
+),
+{ck("fu_ck", "user_id::VARCHAR || '|' || stage::VARCHAR", "st")},
+zr AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         stddev_samp(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN {_SBA_WIN} PRECEDING AND 1 PRECEDING) AS sd
+  FROM fx
+),
+zs AS (SELECT user_id, epoch_us(ts) AS eus FROM zr
+       WHERE rn > {_SBA_MINPTS} AND sd > 0),
+{ck("zs_ck", "user_id::VARCHAR || '|' || eus::VARCHAR", "zs")}
+SELECT 'funnel' AS twin, n_rows, checksum FROM fu_ck
+UNION ALL SELECT 'ks_counts', n_rows, checksum FROM kc_ck
+UNION ALL SELECT 'psi_bins', n_rows, checksum FROM pb_ck
+UNION ALL SELECT 'rollup', n_rows, checksum FROM ru_ck
+UNION ALL SELECT 'zscore', n_rows, checksum FROM zs_ck
+"""
+
+
+SQL_STREAM_BATCH_AGREEMENT = _sba_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8188,6 +8446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (0) new in r7, never driver-verified ---
     "domain_caps": q_domain_caps,
     "artifact_roundtrip": q_artifact_roundtrip,
+    "stream_batch_agreement": q_stream_batch_agreement,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -8548,6 +8807,7 @@ ORACLE_SQL: dict[str, str] = {
     "contingency_stats": SQL_CONTINGENCY_STATS,
     "domain_caps": SQL_DOMAIN_CAPS,
     "artifact_roundtrip": SQL_ARTIFACT_ROUNDTRIP,
+    "stream_batch_agreement": SQL_STREAM_BATCH_AGREEMENT,
 }
 
 
