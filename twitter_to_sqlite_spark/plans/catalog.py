@@ -8435,15 +8435,11 @@ INFRA_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
 }
 
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Ordered for the driver correctness pass, which truncates at 50
-    # entries per round (registry order):
-    # (1) the 6 r5-staged queries that sat at positions 51-56 behind
-    #     the r5 gate cutoff — judge-verified at sf0.01 but never
-    #     driver-sampled; certify them first;
-    # (2) new in r6, never driver-verified;
-    # (3) the driver-green remainder (r1-r5 cumulative).
-    # --- (0) new in r7, never driver-verified ---
+# Implementation registry, insertion-ordered by family; the
+# driver-facing QUERIES order is DERIVED below from LAST_VERIFIED
+# (VERDICT r6 task 2: rotate the 50-entry gate window by staleness).
+_QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in r7, never driver-verified ---
     "domain_caps": q_domain_caps,
     "artifact_roundtrip": q_artifact_roundtrip,
     "stream_batch_agreement": q_stream_batch_agreement,
@@ -8627,6 +8623,200 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
 }
+
+# Most recent round in which each query got a driver CORRECTNESS row
+# (0 = never driver-verified). Refresh each round from the new
+# CORRECTNESS_r{N}.json with tools/rotate_registry.py — the QUERIES
+# order below is derived from this map, so the rotation is mechanical.
+LAST_VERIFIED: dict[str, int] = {
+    "domain_caps": 0,
+    "artifact_roundtrip": 0,
+    "stream_batch_agreement": 0,
+    "shard_rebalance": 6,
+    "hard_negatives": 6,
+    "vocab_coverage": 6,
+    "woe_iv": 6,
+    "bpe_train": 6,
+    "contingency_stats": 6,
+    "bpe_segment": 6,
+    "dedup_paragraph": 6,
+    "training_order": 6,
+    "version_diff": 6,
+    "sequence_pack": 6,
+    "split_dedup_safe": 6,
+    "media_dedup": 6,
+    "auc_bootstrap": 6,
+    "curriculum_order": 6,
+    "grouped_auc": 6,
+    "pipeline_curate": 6,
+    "shuffle_audit": 6,
+    "dedup_paragraph_incremental": 6,
+    "ks_drift": 6,
+    "dedup_soft_weights": 6,
+    "stopword_discovery": 6,
+    "dedup_sweep": 6,
+    "embedding_outliers": 6,
+    "chunk_search": 6,
+    "dedup_cluster_profile": 6,
+    "mixture_order": 6,
+    "sessionize": 6,
+    "lm_bigram_score": 6,
+    "dedup_incremental": 6,
+    "perplexity_buckets": 6,
+    "perplexity_buckets_dist": 6,
+    "substring_clean": 6,
+    "classifier_auc": 6,
+    "calibration": 6,
+    "embedding_stats": 6,
+    "novelty": 6,
+    "pmi_collocations": 6,
+    "psi_drift": 6,
+    "funnel_windowed": 6,
+    "entity_clusters": 6,
+    "data_quality_drift": 6,
+    "sketch_topk": 6,
+    "ann_tuning": 6,
+    "scd2_history": 6,
+    "sketch_profile_by": 6,
+    "sketch_merge": 6,
+    "ewma": 6,
+    "winsorize": 6,
+    "skew_join_salted": 6,
+    "weighted_sample_by": 5,
+    "unpivot": 5,
+    "sliding_counts": 5,
+    "anomaly_zscore": 5,
+    "split_leakage": 5,
+    "snapshot_diff": 5,
+    "apply_changelog": 5,
+    "equidepth_histogram": 5,
+    "bloom_prune": 5,
+    "boilerplate": 5,
+    "kcore": 5,
+    "containment": 5,
+    "incremental_agg": 5,
+    "corr_matrix": 5,
+    "ab_test": 5,
+    "event_paths": 5,
+    "lpa_communities": 5,
+    "zorder_layout": 5,
+    "describe": 5,
+    "grouped_trend": 5,
+    "attribution": 5,
+    "dedup_recall": 5,
+    "window_sketch_error": 5,
+    "key_skew": 5,
+    "lateness_profile": 5,
+    "chi_square": 5,
+    "join_size_estimate": 5,
+    "funnel_latency": 4,
+    "grouped_quantiles": 4,
+    "retention_cohorts": 4,
+    "transition_matrix": 4,
+    "resample_fill": 4,
+    "rolling_window": 4,
+    "sketch_quantiles": 4,
+    "interval_join": 4,
+    "funnel": 4,
+    "entity_match": 4,
+    "graph_triangles": 4,
+    "hybrid_search": 4,
+    "ann_recall": 4,
+    "ann_sq8": 4,
+    "dup_ngram_frac": 4,
+    "pagerank": 4,
+    "sketch_profile": 4,
+    "sketch_overlap": 4,
+    "data_quality": 4,
+    "weighted_sample": 4,
+    "stratified_sample": 4,
+    "multimodal_frames": 4,
+    "dataset_split": 4,
+    "value_histogram": 4,
+    "pack_sequences": 4,
+    "corpus_stats": 4,
+    "shard_manifest": 4,
+    "fingerprint": 4,
+    "chunk_documents": 4,
+    "lang_id": 4,
+    "running_total": 4,
+    "mix_temperature": 4,
+    "mix_corpora": 4,
+    "pii_scrub": 4,
+    "cube_revenue": 4,
+    "importance_sample": 4,
+    "token_budget_select": 4,
+    "topk_per_group": 4,
+    "gopher_filter": 4,
+    "repetition_stats": 4,
+    "vocab_stats": 4,
+    "quality_classifier": 4,
+    "multimodal_features": 4,
+    "tfidf_terms": 4,
+    "mix_corpora_dist": 4,
+    "substring_dedup": 4,
+    "dedup_incremental_indexed": 4,
+    "token_budget_select_dist": 4,
+    "pipeline_clean": 4,
+    "decontaminate": 4,
+    "ci_in_list": 3,
+    "source_regex": 3,
+    "html_unescape": 3,
+    "timestamp_iso": 3,
+    "hash_id": 3,
+    "page_minmax": 3,
+    "distinct": 3,
+    "dedup_exact": 3,
+    "token_count": 3,
+    "keyword_track": 3,
+    "watermark_filter": 3,
+    "entity_expansion": 3,
+    "json_extract": 3,
+    "insert_if_absent": 3,
+    "batch_chunks": 3,
+    "pivot_status": 3,
+    "tumbling_counts": 3,
+    "union_dedup": 3,
+    "graph_mutual": 3,
+    "fts_search": 3,
+    "facet_count": 3,
+    "facet_count_salted": 3,
+    "latest_per_key": 3,
+    "change_detection": 3,
+    "top_k": 3,
+    "anti_join": 3,
+    "semi_join": 3,
+    "star_join": 3,
+    "asof_join": 3,
+    "quality_score": 3,
+    "upsert_lww": 3,
+    "ann_lsh": 3,
+    "ann_brute_force": 3,
+    "ann_lsh_indexed": 3,
+    "text_terms": 3,
+    "self_join": 3,
+    "fts_bm25": 3,
+    "rollup_revenue": 3,
+    "ann_ivf_indexed": 3,
+    "m2m_bridge": 3,
+    "embed_near_dup": 3,
+    "ann_ivf": 3,
+    "batch_chunks_dist": 3,
+    "dedup_minhash": 3,
+    "dedup_keep_best": 3,
+    "dedup_components": 3,
+    "semdedup": 3,
+    "dedup_simhash": 3,
+    "dedup_jaccard": 3,
+}
+
+# Driver-facing registry: the driver's correctness pass truncates at
+# the first 50 entries per round, so order never-verified first, then
+# stalest (lowest last-verified round) first; ties keep the
+# implementation registry's insertion order (sorted() is stable).
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(
+    sorted(_QUERY_IMPLS.items(),
+           key=lambda kv: LAST_VERIFIED.get(kv[0], 0)))
 
 ORACLE_SQL: dict[str, str] = {
     "funnel_latency": SQL_FUNNEL_LATENCY,
