@@ -554,6 +554,10 @@ def main():
             d, "doc_id", "text", k=3),
         "sq8_topk": lambda d, v: similarity.sq8_topk(
             v, v.filter(F.col("vec_id") < 5), k=3, candidates=10),
+        # ann_tuning's exact leg: fixed query set, corpus-linear
+        # broadcast-scan-and-rank — the 100 TB recall yardstick
+        "ann_exact": lambda d, v: similarity.brute_force_topk(
+            v, v.filter(F.col("vec_id") < 5), k=10),
         # symmetrized doc->doc edge list from shared rare shingles is
         # data-dependent; for a pure growth probe use a synthetic ring
         # over the doc ids (|E| = 2|V| exactly, at both scales)
