@@ -574,3 +574,18 @@ def test_shuffle_audit_adjacency_is_equi_join(spark):
     plan = plan_of(spark, "shuffle_audit")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_caps_broadcasts_slice_marks_and_pushes_filters(spark):
+    """domain_caps' scale contract: the bounded (domain, slice) counts
+    frame joins back BROADCAST (the corpus never shuffles for the
+    join), NULL filters reach the scan, and the only corpus-wide sort
+    is the (domain, slice)-partitioned rank window — never a global or
+    whole-domain-in-one-partition sort."""
+    plan = plan_of(spark, "domain_caps")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "IsNotNull(source)" in plan and "IsNotNull(doc_id)" in plan
+    # two Window nodes total: the bounded cumulative-count window over
+    # the counts frame + the slice-rank window; none global
+    assert count_nodes(plan, "Window") == 2
