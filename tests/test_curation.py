@@ -1041,3 +1041,96 @@ class TestDomainCaps:
         assert {(r["source"], r["doc_id"]) for r in got} == \
             {("a", 1), ("a", 2), ("b", 4)}
         assert all(r["domain_rank"] <= 2 for r in got)
+
+
+class TestDistributionMatch:
+    """distribution_match: exact integer-ppm acceptance rates,
+    deterministic keep set, under-represented bins untouched."""
+
+    def _frames(self, spark):
+        # incoming: 60 rows in bin 0, 20 in bin 5; target: uniform
+        # 20/20 over the same two bins
+        inc = [(i, 0.05) for i in range(60)] + \
+              [(100 + i, 0.55) for i in range(20)]
+        tgt = [(0.05,)] * 20 + [(0.55,)] * 20
+        return (spark.createDataFrame(inc, "doc_id long, quality double"),
+                spark.createDataFrame(tgt, "quality double"))
+
+    def test_rates_are_exact_integer_ppm(self, spark):
+        inc, tgt = self._frames(spark)
+        rates = {r["bin"]: r for r in sampling.distribution_match_rates(
+            inc, tgt, "quality", n_bins=10).collect()}
+        # bin 0: target share 1/2, incoming share 3/4 -> rate 2/3
+        assert rates[0]["rate_ppm"] == (1_000_000 * 20 * 80) // (40 * 60)
+        # bin 5: target share 1/2, incoming share 1/4 -> clipped at 1
+        assert rates[5]["rate_ppm"] == 1_000_000
+        # empty bins: rate 0, zero counts
+        assert rates[3]["rate_ppm"] == 0
+        assert rates[3]["n_target"] == 0 and rates[3]["n_in"] == 0
+
+    def test_kept_set_matches_brute_force_hash_rule(self, spark):
+        import hashlib
+
+        inc, tgt = self._frames(spark)
+        kept = {r["doc_id"] for r in sampling.distribution_match(
+            inc, tgt, "quality", "doc_id", n_bins=10,
+            salt="s").collect()}
+        rates = {r["bin"]: r["rate_ppm"]
+                 for r in sampling.distribution_match_rates(
+                     inc, tgt, "quality", n_bins=10).collect()}
+
+        def ppm(doc_id):
+            return int(hashlib.md5(f"{doc_id}s".encode())
+                       .hexdigest()[:15], 16) % 1_000_000
+
+        want = {d for d, q in
+                ([(i, 0.05) for i in range(60)]
+                 + [(100 + i, 0.55) for i in range(20)])
+                if ppm(d) < rates[int(q * 10)]}
+        assert kept == want
+        # the under-represented bin keeps everything
+        assert {100 + i for i in range(20)} <= kept
+
+
+class TestNormalizedDedup:
+    def test_decorated_variants_collapse(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup as D
+
+        rows = [(1, "Hello, World!"), (2, "hello world"),
+                (3, "HELLO   world!!"), (4, "a different doc"),
+                (5, "hello worlds")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["keep_id"]: r["n_dups"]
+               for r in D.normalized_dedup(df).collect()}
+        assert got == {1: 3, 4: 1, 5: 1}
+
+    def test_digits_and_punct_stripped(self, spark):
+        from twitter_to_sqlite_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame([("Ab3 ,c  d4!",)], "text string")
+        assert df.select(normalize_text("text").alias("n")) \
+            .collect()[0]["n"] == "ab c d"
+
+
+def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
+    """A corpus whose token frequencies are exactly c_r = floor(1000 /
+    r^0.8) must fit slope ≈ -0.8 (log-log least squares on the exact
+    planted spectrum — only floor() noise separates fit from truth)."""
+    import math
+
+    from twitter_to_sqlite_spark.plans import catalog
+
+    rows = []
+    did = 0
+    for r in range(1, 101):
+        c = int(1000 / r ** 0.8)
+        for _ in range(c):
+            rows.append((did, f"tok{r:03d}"))
+            did += 1
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = catalog.q_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert got["n_terms"] == 100
+    assert abs(got["slope"] - (-0.8)) < 0.02
+    # sanity: intercept ~ ln(1000)
+    assert abs(got["intercept"] - math.log(1000)) < 0.1

@@ -1178,3 +1178,26 @@ def paragraph_dedup_incremental(new_docs: DataFrame,
             ).alias("clean_text"),
         )
     )
+
+
+def normalized_dedup(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup over NORMALIZED text (text.normalize_text): the
+    standard "fuzzy exact" pass that catches case/punctuation/
+    whitespace variants exact_dedup misses while staying one
+    fixed-width-key aggregate — run it between exact and MinHash
+    passes, where it removes most mirror chrome for hash-agg cost.
+    Returns (content_hash, keep_id, n_dups), exact_dedup's shape.
+    Scale: identical to exact_dedup — one partial-agg shuffle on a
+    uniform 128-bit key; normalization is a narrow JVM projection.
+    """
+    from twitter_to_sqlite_spark.functions.text import normalize_text
+
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col)))
+                   .alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

@@ -547,3 +547,85 @@ def domain_caps(df: DataFrame, domain_col: str, cap: int,
         .filter(F.col("__all") | (F.col("domain_rank") <= cap))
         .drop("__h", "__qb", "__before", "__all", "__bnd")
     )
+
+
+def distribution_match_rates(incoming: DataFrame, target: DataFrame,
+                             value_col: str, n_bins: int = 10,
+                             resolution: int = 1_000_000) -> DataFrame:
+    """Per-bin acceptance rates that reshape `incoming`'s [0,1]-score
+    distribution toward `target`'s (the importance-clipped matcher:
+    rate(b) = min(1, target_share(b) / incoming_share(b)) — bins the
+    incoming corpus over-represents are thinned, under-represented
+    bins keep everything; no upsampling). Rates are EXACT integer
+    arithmetic at ppm grain — rate_ppm = min(res, res·t_b·N div
+    (T·n_b)) — so the plan is engine-reproducible with no float
+    division anywhere. Returns the bounded n_bins-row frame
+    (bin, n_target, n_in, rate_ppm). Products stay in BIGINT: fine to
+    ~10⁹ rows per side at ppm grain; lift the expression to
+    DECIMAL(38,0) beyond that.
+
+    Scale: two histogram aggregates (full map-side combine) + 1-row
+    totals broadcast onto the n_bins-row spine — nothing here scales
+    with the corpus.
+    """
+
+    def bins(df):
+        b = F.least(F.floor(F.col(value_col) * n_bins).cast("int"),
+                    F.lit(n_bins - 1))
+        return (df.filter(F.col(value_col).isNotNull())
+                .groupBy(b.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    spark = incoming.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    t = bins(target).withColumnRenamed("n", "__t")
+    c = bins(incoming).withColumnRenamed("n", "__n")
+    g = (spine.join(t, "bin", "left").join(c, "bin", "left")
+         .select("bin",
+                 F.coalesce("__t", F.lit(0)).alias("n_target"),
+                 F.coalesce("__n", F.lit(0)).alias("n_in")))
+    tot = g.agg(F.sum("n_target").alias("__T"), F.sum("n_in").alias("__N"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate_ppm",
+            F.when(
+                (F.col("n_in") > 0) & (F.col("__T") > 0),
+                F.least(
+                    F.lit(int(resolution)).cast("long"),
+                    F.expr(f"({int(resolution)}L * n_target * __N) "
+                           "div (__T * n_in)"),
+                ),
+            ).otherwise(F.lit(0).cast("long")))
+        .select("bin", "n_target", "n_in", "rate_ppm")
+    )
+
+
+def distribution_match(incoming: DataFrame, target: DataFrame,
+                       value_col: str, key_col: str, n_bins: int = 10,
+                       salt: str = "", resolution: int = 1_000_000
+                       ) -> DataFrame:
+    """Deterministic distribution-matching subsample: keep each
+    incoming row iff hash(key, salt) falls under its bin's acceptance
+    rate from :func:`distribution_match_rates`. The draw is a pure
+    function of the row key — reproducible across runs/engines/
+    retries — and kept bin counts are ∝ the target's shares in
+    expectation (clipped at 1). Returns the kept rows + (bin,
+    rate_ppm).
+
+    Scale: the bounded rates frame broadcasts onto the corpus scan;
+    acceptance is one hash-compare filter — a sample is a filter, not
+    a job (the hash_sample contract).
+    """
+    rates = distribution_match_rates(incoming, target, value_col,
+                                     n_bins, resolution)
+    b = F.least(F.floor(F.col(value_col) * n_bins).cast("int"),
+                F.lit(n_bins - 1))
+    keyed = (incoming.filter(F.col(value_col).isNotNull()
+                             & F.col(key_col).isNotNull())
+             .withColumn("bin", b))
+    return (
+        keyed.join(F.broadcast(rates.select("bin", "rate_ppm")), "bin")
+        .filter(_key_hash(F.col(key_col), salt) % resolution
+                < F.col("rate_ppm"))
+    )

@@ -528,3 +528,18 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
         id_col, group_col, "n_bigrams", "avg_logp",
         b.cast("long").alias("bucket"), label.alias("bucket_name"),
     )
+
+
+def normalize_text(text_col):
+    """Aggressive dedup normalization (C4/RefinedWeb "fuzzy exact"
+    recipe): lowercase, strip everything but [a-z ] (punctuation,
+    digits, casing and decoration vanish), squeeze runs of spaces,
+    trim. Near-exact duplicates that differ only in chrome collapse to
+    one canonical string; pure JVM column expression (DuckDB twin uses
+    the same two character classes, which mean the same thing in RE2
+    and in DuckDB's regex engine)."""
+    x = F.lower(text_col if not isinstance(text_col, str)
+                else F.col(text_col))
+    x = F.regexp_replace(x, "[^a-z ]", "")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)

@@ -8234,8 +8234,10 @@ def q_stream_batch_agreement(spark, sf_dir):
         on_ks = SA.value_monitor(spark, root + "/ks", "quality")
         for b, part in enumerate(parts):
             on_roll(bdf(part), b)
+            # one quality evaluation per batch, shared by both monitors
             dq = text.quality_score(
-                docs.filter(F.col("doc_id") % 3 == b)).select("quality")
+                docs.filter(F.col("doc_id") % 3 == b)) \
+                .select("quality").localCheckpoint(eager=True)
             on_psi(dq, b)
             on_ks(dq, b)
 
@@ -8395,6 +8397,300 @@ UNION ALL SELECT 'zscore', n_rows, checksum FROM zs_ck
 SQL_STREAM_BATCH_AGREEMENT = _sba_sql()
 
 
+# ---------------------------------------------------------------------
+# Distribution matching, EMD drift, normalized dedup, Zipf fit (r7)
+# ---------------------------------------------------------------------
+
+def _drift_sides(spark, sf_dir):
+    """The shared drift fixture (q_psi_drift's): base = even doc_ids,
+    cur = odd doc_ids + planted low-quality spam — a guaranteed real
+    shift for every drift/matching query to price."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    planted = d.filter(
+        (F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.lit(("spam " * 40).strip()).alias("text"))
+    cur = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    return base, cur
+
+
+_DRIFT_SIDES_SQL = f"""base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+),
+cur AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id,
+         '{("spam " * 40).strip()}' AS text
+  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+)"""
+
+
+def q_distribution_match(spark, sf_dir):
+    """Distribution-matching subsample report
+    (functions/sampling.py::distribution_match): reshape the incoming
+    (drifted) shard's quality distribution toward the stored corpus's
+    by per-bin deterministic acceptance — rate(b) = min(1,
+    target_share/incoming_share) computed in EXACT integer ppm
+    arithmetic, accept iff hash(doc_id) ppm < rate. The answer to what
+    psi_drift/ks_drift detect: don't just alarm on the spam-shifted
+    shard, thin its over-represented bins back to the reference shape.
+    Emits per bin (n_target, n_in, rate_ppm, n_kept); the kept rows
+    themselves are one broadcast-join filter (the hash_sample
+    contract: a sample is a filter, not a job)."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    base, cur = _drift_sides(spark, sf_dir)
+    tq = text.quality_score(base).select("quality")
+    cq = text.quality_score(cur).select("doc_id", "quality")
+    rates = sampling.distribution_match_rates(cq, tq, "quality",
+                                              _PSI_BINS)
+    kept = sampling.distribution_match(cq, tq, "quality", "doc_id",
+                                       _PSI_BINS, salt="dm")
+    nk = kept.groupBy("bin").agg(F.count(F.lit(1)).alias("__k"))
+    return (rates.join(nk, "bin", "left")
+            .select("bin", "n_target", "n_in", "rate_ppm",
+                    F.coalesce("__k", F.lit(0)).alias("n_kept")))
+
+
+def _distribution_match_sql() -> str:
+    quality = SQL_QUALITY_SCORE.replace("FROM documents", "FROM {src}")
+    return f"""
+WITH {_DRIFT_SIDES_SQL},
+qb AS ({quality.replace("{src}", "base")}),
+qc AS ({quality.replace("{src}", "cur")}),
+tb AS (SELECT least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+         AS bin, count(*) AS t FROM qb GROUP BY 1),
+nb AS (SELECT least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+         AS bin, count(*) AS n FROM qc GROUP BY 1),
+spine AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1}))::INT AS bin),
+g AS (SELECT s.bin, coalesce(t, 0) AS n_target, coalesce(n, 0) AS n_in
+      FROM spine s LEFT JOIN tb ON s.bin = tb.bin
+                   LEFT JOIN nb ON s.bin = nb.bin),
+tot AS (SELECT sum(n_target) AS T, sum(n_in) AS N FROM g),
+rates AS (
+  SELECT bin, CAST(n_target AS BIGINT) AS n_target,
+         CAST(n_in AS BIGINT) AS n_in,
+         CAST(CASE WHEN n_in > 0 AND T > 0
+              THEN least(1000000, (1000000 * n_target * N) // (T * n_in))
+              ELSE 0 END AS BIGINT) AS rate_ppm
+  FROM g, tot
+),
+kept AS (
+  SELECT least(floor(q.quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+           AS bin, count(*) AS k
+  FROM qc q
+  JOIN rates r
+    ON least(floor(q.quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT = r.bin
+  WHERE ('0x' || substring(md5(q.doc_id::VARCHAR || 'dm'), 1, 15))::BIGINT
+          % 1000000 < r.rate_ppm
+  GROUP BY 1
+)
+SELECT r.bin, r.n_target, r.n_in, r.rate_ppm,
+       CAST(coalesce(k.k, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.bin = k.bin
+"""
+
+
+SQL_DISTRIBUTION_MATCH = _distribution_match_sql()
+
+
+def q_emd_drift(spark, sf_dir):
+    """Earth-mover (Wasserstein-1) drift of the binned quality
+    distribution, stored corpus vs incoming shard — PSI's
+    transport-metric companion (PSI blows up on empty bins, KS sees
+    only the single worst point; EMD prices HOW FAR the mass moved).
+    On the shared 10-bin histogram: EMD = Σ_b |F_base(b) − F_cur(b)| ·
+    binwidth. Cumulative diffs stay exact integers (|cb·Tc − cc·Tb|)
+    until ONE final division, so the statistic is engine-exact at the
+    rounded grain — no per-bin float folding at all (stronger than the
+    PSI pair's ordered-sum device)."""
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    base, cur = _drift_sides(spark, sf_dir)
+
+    def bins(side, alias):
+        q = text.quality_score(side).select("quality")
+        return SA.score_bin_counts(q, "quality", _PSI_BINS) \
+            .withColumnRenamed("n", alias)
+
+    from pyspark.sql import Window
+
+    spine = spark.range(_PSI_BINS).select(
+        F.col("id").cast("int").alias("bin"))
+    g = (spine.join(bins(base, "__nb"), "bin", "left")
+         .join(bins(cur, "__nc"), "bin", "left")
+         .select("bin",
+                 F.coalesce("__nb", F.lit(0)).alias("nb"),
+                 F.coalesce("__nc", F.lit(0)).alias("nc")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "bin",
+        F.sum("nb").over(w).alias("cb"),
+        F.sum("nc").over(w).alias("cc"))
+    tot = g.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(F.max("tb").alias("n_base"), F.max("tc").alias("n_cur"),
+             F.sum(F.abs(F.col("cb") * F.col("tc")
+                         - F.col("cc") * F.col("tb"))).alias("__s"))
+        .select(
+            "n_base", "n_cur",
+            F.round(F.col("__s").cast("double")
+                    / (F.col("n_base") * F.col("n_cur") * _PSI_BINS)
+                    .cast("double"), 6).alias("emd"))
+    )
+
+
+def _emd_sql() -> str:
+    quality = SQL_QUALITY_SCORE.replace("FROM documents", "FROM {src}")
+    return f"""
+WITH {_DRIFT_SIDES_SQL},
+qb AS ({quality.replace("{src}", "base")}),
+qc AS ({quality.replace("{src}", "cur")}),
+cb AS (SELECT least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+         AS bin, count(*) AS nb FROM qb GROUP BY 1),
+cc AS (SELECT least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+         AS bin, count(*) AS nc FROM qc GROUP BY 1),
+spine AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1}))::INT AS bin),
+g AS (SELECT s.bin, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      FROM spine s LEFT JOIN cb ON s.bin = cb.bin
+                   LEFT JOIN cc ON s.bin = cc.bin),
+c AS (
+  SELECT bin,
+         sum(nb) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cb,
+         sum(nc) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cc
+  FROM g
+),
+t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM g)
+SELECT CAST(t.tb AS BIGINT) AS n_base, CAST(t.tc AS BIGINT) AS n_cur,
+       round(sum(abs(cb * t.tc - cc * t.tb))::DOUBLE
+             / (t.tb * t.tc * {_PSI_BINS})::DOUBLE, 6) AS emd
+FROM c, t GROUP BY t.tb, t.tc
+"""
+
+
+SQL_EMD_DRIFT = _emd_sql()
+
+
+_NORM_PLANT = 9_000_000
+
+
+def q_dedup_normalized(spark, sf_dir):
+    """"Fuzzy exact" dedup (functions/dedup.py::normalized_dedup):
+    exact_dedup over aggressively NORMALIZED text (lowercase, strip
+    non-[a-z ], squeeze spaces — the C4/RefinedWeb recipe), catching
+    the case/punctuation/decoration mirror variants a raw content
+    hash misses at plain hash-agg cost. Planted decorated copies
+    (uppercased + trailing chrome) of the low-id docs guarantee
+    non-trivial groups; same (content_hash, keep_id, n_dups) shape as
+    dedup_exact, so the two passes compose."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + _NORM_PLANT).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  !!")).alias("text"))
+    return dedup.normalized_dedup(d.unionByName(planted))
+
+
+SQL_DEDUP_NORMALIZED = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_NORM_PLANT} AS doc_id, upper(text) || '  !!' AS text
+  FROM documents WHERE doc_id < 30
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS nt
+  FROM d
+)
+SELECT md5(nt) AS content_hash, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM n GROUP BY md5(nt)
+"""
+
+
+_ZIPF_K = 500
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit of the token frequency spectrum: least-
+    squares slope/intercept of ln(freq) on ln(rank) over the top-{k}
+    tokens — the corpus-health number (natural text ≈ −1; generated/
+    templated text flattens, boilerplate floods steepen). Rank comes
+    from a TakeOrderedAndProject top-k (never a global vocabulary
+    sort); the regression sums fold in RANK ORDER over the collected
+    ≤{k}-row frame (the psi_drift ordered-fold device), so the float
+    statistic is engine-identical at the rounded grain."""
+    from pyspark.sql import Window
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(text._tokens(F.col("text"))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), "w").limit(_ZIPF_K)
+    w = Window.orderBy(F.col("c").desc(), "w")   # ≤ _ZIPF_K rows
+    ranked = top.withColumn("r", F.row_number().over(w)).select(
+        "r",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"))
+    terms = ranked.agg(
+        F.sort_array(F.collect_list(F.struct("r", "x", "y")))
+        .alias("ts"),
+        F.count(F.lit(1)).cast("double").alias("n"))
+
+    def fold(expr):
+        return F.aggregate("ts", F.lit(0.0), lambda acc, s: acc + expr(s))
+
+    s = terms.select(
+        "n",
+        fold(lambda s: s["x"]).alias("sx"),
+        fold(lambda s: s["y"]).alias("sy"),
+        fold(lambda s: s["x"] * s["y"]).alias("sxy"),
+        fold(lambda s: s["x"] * s["x"]).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"))
+
+
+SQL_ZIPF_FIT = f"""
+WITH u AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
+c AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT {_ZIPF_K}),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM top),
+t AS (
+  SELECT count(*)::DOUBLE AS n,
+         list(ln(r::DOUBLE) ORDER BY r) AS xs,
+         list(ln(c::DOUBLE) ORDER BY r) AS ys,
+         list(ln(r::DOUBLE) * ln(c::DOUBLE) ORDER BY r) AS xys,
+         list(ln(r::DOUBLE) * ln(r::DOUBLE) ORDER BY r) AS xxs
+  FROM rk
+),
+s AS (
+  SELECT n,
+         list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) AS sx,
+         list_reduce(list_prepend(0.0, ys), (a, b) -> a + b) AS sy,
+         list_reduce(list_prepend(0.0, xys), (a, b) -> a + b) AS sxy,
+         list_reduce(list_prepend(0.0, xxs), (a, b) -> a + b) AS sxx
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept
+FROM s
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8443,6 +8739,10 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_caps": q_domain_caps,
     "artifact_roundtrip": q_artifact_roundtrip,
     "stream_batch_agreement": q_stream_batch_agreement,
+    "distribution_match": q_distribution_match,
+    "emd_drift": q_emd_drift,
+    "dedup_normalized": q_dedup_normalized,
+    "zipf_fit": q_zipf_fit,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -8632,6 +8932,10 @@ LAST_VERIFIED: dict[str, int] = {
     "domain_caps": 0,
     "artifact_roundtrip": 0,
     "stream_batch_agreement": 0,
+    "distribution_match": 0,
+    "emd_drift": 0,
+    "dedup_normalized": 0,
+    "zipf_fit": 0,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -8998,6 +9302,10 @@ ORACLE_SQL: dict[str, str] = {
     "domain_caps": SQL_DOMAIN_CAPS,
     "artifact_roundtrip": SQL_ARTIFACT_ROUNDTRIP,
     "stream_batch_agreement": SQL_STREAM_BATCH_AGREEMENT,
+    "distribution_match": SQL_DISTRIBUTION_MATCH,
+    "emd_drift": SQL_EMD_DRIFT,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "zipf_fit": SQL_ZIPF_FIT,
 }
 
 
