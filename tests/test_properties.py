@@ -1252,3 +1252,44 @@ def test_rendezvous_never_moves_more_than_mod_shrinks_to_zero(
     for s in ("mod", "rendezvous"):
         assert 0 <= got[s]["n_moved"] <= got[s]["n_keys"]
     assert got["rendezvous"]["n_keys"] == len(keys)
+
+
+# ------------------------------------------------- r7 domain caps
+
+DC_ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),      # domain
+              st.integers(min_value=0, max_value=10_000)),  # key
+    min_size=1, max_size=60, unique_by=lambda t: t[1])
+
+
+@given(rows=DC_ROWS, cap=st.integers(min_value=1, max_value=8),
+       slices=st.sampled_from([2, 16, 1024]))
+@SETTINGS
+def test_domain_caps_equals_brute_force_window(spark, rows, cap, slices):
+    """The equidepth hash-slice refinement IS the naive per-domain
+    row_number over (hash, key) <= cap — for any domain mix, cap, and
+    slice width (the boundary/take-all split must never change the
+    answer, only the plan)."""
+    import hashlib
+
+    from twitter_to_sqlite_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(f"d{d}", k) for d, k in rows], "source string, doc_id long")
+    got = {(r["source"], r["doc_id"]): r["domain_rank"]
+           for r in sampling.domain_caps(
+               df, "source", cap=cap, key_col="doc_id",
+               slices=slices).collect()}
+
+    def h(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+
+    by_dom: dict = {}
+    for d, k in rows:
+        by_dom.setdefault(f"d{d}", []).append(k)
+    want = {}
+    for dom, keys in by_dom.items():
+        keys.sort(key=lambda k: (h(k), k))
+        for rank, k in enumerate(keys[:cap], start=1):
+            want[(dom, k)] = rank
+    assert got == want

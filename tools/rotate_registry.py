@@ -53,14 +53,31 @@ def main() -> None:
     src = open(CATALOG).read()
     names = registry_names(src)
     last = last_verified()
-    body = "\n".join(f'    "{n}": {last.get(n, 0)},' for n in names)
+    # --stage a,b,c: park never-verified entries BEHIND the window
+    # this round (sentinel 99); the next round's plain rotation
+    # recomputes them to 0 from the CORRECTNESS files, putting them at
+    # the top of that round's window (the r5-staged-queries protocol —
+    # used when the current window is reserved for re-certification).
+    staged: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--stage="):
+            staged = set(a.split("=", 1)[1].split(","))
+    unknown = staged - set(names)
+    if unknown:
+        raise SystemExit(f"--stage names not in registry: {unknown}")
+
+    def key(n):
+        return 99 if n in staged else last.get(n, 0)
+
+    body = "\n".join(f'    "{n}": {key(n)},' for n in names)
     literal = "LAST_VERIFIED: dict[str, int] = {\n" + body + "\n}"
-    stale = sorted(names, key=lambda n: last.get(n, 0))[:50]
+    stale = sorted(names, key=key)[:50]
     print(literal)
     print(f"\n# gate window (first 50): "
-          f"{sum(1 for n in stale if last.get(n, 0) == 0)} never-verified, "
+          f"{sum(1 for n in stale if key(n) == 0)} never-verified, "
           f"stalest round = "
-          f"{min((last.get(n, 0) for n in stale if last.get(n, 0)), default=0)}",
+          f"{min((key(n) for n in stale if key(n)), default=0)}"
+          + (f", staged for next round: {sorted(staged)}" if staged else ""),
           file=sys.stderr)
     if "--write" in sys.argv:
         new_src, n = re.subn(

@@ -8925,17 +8925,21 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # Most recent round in which each query got a driver CORRECTNESS row
-# (0 = never driver-verified). Refresh each round from the new
-# CORRECTNESS_r{N}.json with tools/rotate_registry.py — the QUERIES
-# order below is derived from this map, so the rotation is mechanical.
+# (0 = never driver-verified; 99 = STAGED — locally certified this
+# round with the window reserved for re-certification, parked behind
+# it; the next round's plain rotation recomputes it to 0, promoting it
+# to the top of that round's window — the r5-staged-queries protocol).
+# Refresh each round from the new CORRECTNESS_r{N}.json with
+# tools/rotate_registry.py — the QUERIES order below is derived from
+# this map, so the rotation is mechanical.
 LAST_VERIFIED: dict[str, int] = {
     "domain_caps": 0,
     "artifact_roundtrip": 0,
     "stream_batch_agreement": 0,
-    "distribution_match": 0,
-    "emd_drift": 0,
-    "dedup_normalized": 0,
-    "zipf_fit": 0,
+    "distribution_match": 99,
+    "emd_drift": 99,
+    "dedup_normalized": 99,
+    "zipf_fit": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
