@@ -661,3 +661,99 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int,
         .filter(F.col("__ar") <= candidates)
     )
     return _score_and_rank(cand, k, decimals)
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 4, ksub: int = 16,
+                 iters: int = 1, dim: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 decimals: int | None = 4,
+                 sample_mod: int | None = None) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    ``dim``-dim space into ``m`` contiguous subspaces and train one
+    ``ksub``-centroid codebook per subspace with the SAME deterministic
+    Lloyd's as the IVF coarse quantizer (:func:`kmeans_centroids` on
+    the sliced subvectors — first-k init by id, max-dot assignment,
+    rounded means, hash-sampled iterations at scale). A PQ code is m
+    bytes at ksub<=256 vs dim floats: 64-dim float32 compresses 64x,
+    the memory tier below SQ8's 4x.
+
+    Scale: m bounded passes over the corpus (each one assignment +
+    one (cell, dim) partial-agg mean per iteration); only
+    m*ksub*(dim/m) = ksub*dim doubles reach the driver.
+    """
+    subdim = dim // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias(id_col),
+            F.slice(_as_double(F.col(vec_col)),
+                    s * subdim + 1, subdim).alias("__sub"))
+        books.append(kmeans_centroids(
+            sub, ksub, iters=iters, id_col=id_col, vec_col="__sub",
+            decimals=decimals, sample_mod=sample_mod))
+    return books
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame,
+            codebooks: list[list[list[float]]], k: int,
+            candidates: int = 10, id_col: str = "vec_id",
+            vec_col: str = "embedding", decimals: int = 4) -> DataFrame:
+    """PQ asymmetric-distance top-k: encode each corpus vector as m
+    subspace codes (max-dot argmax against its codebook — the
+    ivf_assign rule), score candidates by the ADC table sum
+    approx(q, x) = Σ_s table_s[code_s] where table_s[j] =
+    <q_s, c_{s,j}>, then rescore only the top ``candidates`` with
+    exact cosine. Table entries are rounded to e4 BIGINTs, so the
+    candidate ranking is an EXACT integer sum — engine-reproducible
+    with no float-order surface at all (one step stronger than SQ8's
+    rounded-double approx). Returns (query_id, neighbor_id, cosine,
+    rank) — brute_force_topk's shape, so recall_at_k prices the
+    quantization loss directly.
+
+    Scale: like SQ8 the query side broadcasts and the corpus never
+    shuffles; the hot loop reads m small ints per vector (the codes
+    can be precomputed and stored — 64x smaller than the vectors);
+    exact vectors are touched only for |queries|*candidates rescores.
+    """
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+
+    def sub(v, s):
+        return F.slice(v, s * subdim + 1, subdim)
+
+    cv = _as_double(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), cv.alias("__cv"),
+        *[ivf_assign(sub(cv, s), codebooks[s]).alias(f"__c{s}")
+          for s in range(m)],
+    ).withColumn("__cn", _norm(F.col("__cv")))
+
+    def qtab(qv, s):
+        # per-subspace ADC lookup table as exact e4 BIGINTs
+        return F.array(*[
+            F.round(_dot(sub(qv, s),
+                         F.array(*[F.lit(float(x)) for x in cent]))
+                    * 10000, 0).cast("long")
+            for cent in codebooks[s]
+        ])
+
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("__qv"),
+        *[qtab(qv, s).alias(f"__t{s}") for s in range(m)],
+    ).withColumn("__qn", _norm(F.col("__qv")))
+
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    approx = None
+    for s in range(m):
+        term = F.element_at(f"__t{s}", F.col(f"__c{s}").cast("int") + 1)
+        approx = term if approx is None else approx + term
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").desc(), F.col("neighbor_id").asc())
+    cand = (
+        pairs.withColumn("__approx", approx)
+        .withColumn("__ar", F.row_number().over(wa))
+        .filter(F.col("__ar") <= candidates)
+    )
+    return _score_and_rank(cand, k, decimals)

@@ -1373,12 +1373,21 @@ def q_ann_ivf(spark, sf_dir):
         e, queries, _ivf_centroids(spark, sf_dir), k=3, n_probe=1)
 
 
-def _kmeans_ctes(iters: int, sample_mod: int | None) -> tuple[str, str]:
+def _kmeans_ctes(iters: int, sample_mod: int | None,
+                 k: int | None = None, dim: int | None = None,
+                 vexpr: str = "embedding::DOUBLE[]",
+                 prefix: str = "") -> tuple[str, str]:
     """DuckDB CTE chain reproducing similarity.kmeans_centroids exactly
     (first-k init, assign→round(mean,4) per iteration, empty cell keeps
     its centroid). Returns (joined CTE SQL, final-centroid CTE name);
-    shared by the IVF ANN and SemDeDup oracles so the k-means twin can
-    never fork into divergeable copies."""
+    shared by the IVF ANN, SemDeDup, and PQ oracles so the k-means twin
+    can never fork into divergeable copies. ``vexpr``/``k``/``dim``/
+    ``prefix`` let the PQ oracle train per-subspace codebooks over
+    SLICED vectors with namespaced CTEs; the defaults are the IVF
+    coarse-quantizer configuration."""
+    k = _IVF_CELLS if k is None else k
+    dim = _EMB_DIM if dim is None else dim
+    p = prefix
     samp_where = (
         f"WHERE ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT"
         f" % {sample_mod} = 0" if sample_mod else ""
@@ -1388,26 +1397,27 @@ def _kmeans_ctes(iters: int, sample_mod: int | None) -> tuple[str, str]:
         " list_dot_product({row}.v, cv) DESC, cell LIMIT 1)"
     )
     ctes = [
-        f"samp AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        f"{p}samp AS (SELECT vec_id, {vexpr} AS v"
         f" FROM embeddings {samp_where})",
-        f"cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
-        f" v AS cv FROM (SELECT vec_id, v FROM samp ORDER BY vec_id"
-        f" LIMIT {_IVF_CELLS}))",
+        f"{p}cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS cell, v AS cv FROM (SELECT vec_id, v FROM {p}samp"
+        f" ORDER BY vec_id LIMIT {k}))",
     ]
     for i in range(1, iters + 1):
-        prev = f"cents{i - 1}"
+        prev = f"{p}cents{i - 1}"
         ctes += [
-            f"a{i} AS (SELECT s.vec_id, s.v,"
-            f" {assign.format(cents=prev, row='s')} AS cell FROM samp s)",
-            f"dims{i} AS (SELECT cell, i, round(avg(v[i]), 4) AS m"
-            f" FROM a{i}, generate_series(1, {_EMB_DIM}) AS t(i)"
+            f"{p}a{i} AS (SELECT s.vec_id, s.v,"
+            f" {assign.format(cents=prev, row='s')} AS cell"
+            f" FROM {p}samp s)",
+            f"{p}dims{i} AS (SELECT cell, i, round(avg(v[i]), 4) AS m"
+            f" FROM {p}a{i}, generate_series(1, {dim}) AS t(i)"
             f" GROUP BY cell, i)",
-            f"upd{i} AS (SELECT cell, list(m ORDER BY i) AS cv"
-            f" FROM dims{i} GROUP BY cell)",
-            f"cents{i} AS (SELECT c.cell, coalesce(u.cv, c.cv) AS cv"
-            f" FROM {prev} c LEFT JOIN upd{i} u USING (cell))",
+            f"{p}upd{i} AS (SELECT cell, list(m ORDER BY i) AS cv"
+            f" FROM {p}dims{i} GROUP BY cell)",
+            f"{p}cents{i} AS (SELECT c.cell, coalesce(u.cv, c.cv) AS cv"
+            f" FROM {prev} c LEFT JOIN {p}upd{i} u USING (cell))",
         ]
-    return ",\n".join(ctes), f"cents{iters}"
+    return ",\n".join(ctes), f"{p}cents{iters}"
 
 
 def _ivf_sql(iters: int = _IVF_ITERS,
@@ -8691,6 +8701,106 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------
+# Product-quantized ANN (r7)
+# ---------------------------------------------------------------------
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS = 4, 16, 1
+_PQ_CANDS = 10
+
+
+def _pq_codebooks(spark, sf_dir) -> list[list[list[float]]]:
+    key = ("pq", sf_dir, _PQ_M, _PQ_KSUB, _PQ_ITERS)
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = similarity.pq_codebooks(
+            _t(spark, sf_dir, "embeddings"), m=_PQ_M, ksub=_PQ_KSUB,
+            iters=_PQ_ITERS, dim=_EMB_DIM)
+    return _CENTROID_CACHE[key]
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantized ANN (similarity.pq_topk, Jégou et al. 2011):
+    {m} subspace codebooks of {k} centroids each (trained by the SAME
+    deterministic Lloyd's as the IVF coarse quantizer), corpus encoded
+    as {m} small codes (64× less memory than float32 — the tier below
+    SQ8's 4×), candidates ranked by the asymmetric-distance table sum
+    as an EXACT e4-integer — no float-order surface in candidate
+    selection at all — then top-{c} rescored with exact cosine. Same
+    output shape as ann_brute_force, so ann_recall-style evals price
+    the quantization loss directly; the oracle replays all {m}
+    codebook trainings relationally through the shared k-means CTE
+    generator."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(e, q, _pq_codebooks(spark, sf_dir),
+                              k=3, candidates=_PQ_CANDS)
+
+
+def _pq_sql() -> str:
+    subdim = _EMB_DIM // _PQ_M
+    chains, finals = [], []
+    for s in range(_PQ_M):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        joined, final = _kmeans_ctes(
+            _PQ_ITERS, None, k=_PQ_KSUB, dim=subdim,
+            vexpr=f"(embedding::DOUBLE[])[{lo}:{hi}]", prefix=f"p{s}")
+        chains.append(joined)
+        finals.append(final)
+
+    def code(vec, s):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        return (f"(SELECT cell FROM {finals[s]} ORDER BY"
+                f" list_dot_product({vec}[{lo}:{hi}], cv) DESC,"
+                f" cell LIMIT 1)")
+
+    def table(vec, s):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        return (f"(SELECT list(CAST(round(list_dot_product("
+                f"{vec}[{lo}:{hi}], cv) * 10000, 0) AS BIGINT)"
+                f" ORDER BY cell) FROM {finals[s]})")
+
+    ev = "(e.embedding::DOUBLE[])"
+    codes = ",\n         ".join(
+        f"{code(ev, s)} AS c{s}" for s in range(_PQ_M))
+    tables = ",\n         ".join(
+        f"{table(ev, s)} AS t{s}" for s in range(_PQ_M))
+    approx = " + ".join(f"t{s}[c{s} + 1]" for s in range(_PQ_M))
+    return f"""
+WITH {",".join(chains)},
+cx AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
+         {codes}
+  FROM embeddings e
+),
+qx AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS a,
+         {tables}
+  FROM embeddings e WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, neighbor_id, a, b, {approx} AS approx
+  FROM cx, qx WHERE neighbor_id != query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, a, b FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, neighbor_id) AS ar
+    FROM scored
+  ) WHERE ar <= {_PQ_CANDS}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_SQL_COS} DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+SQL_ANN_PQ = _pq_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8728,6 +8838,7 @@ INFRA_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
     "_build:drift_baseline": lambda s, d: (_drift_baseline(s, d), None)[1],
     "_build:quality_lr": lambda s, d: (_quality_lr(s, d), None)[1],
     "_build:bpe_merges": lambda s, d: (_bpe_merges(s, d), None)[1],
+    "_build:pq_codebooks": lambda s, d: (_pq_codebooks(s, d), None)[1],
 }
 
 
@@ -8743,6 +8854,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emd_drift": q_emd_drift,
     "dedup_normalized": q_dedup_normalized,
     "zipf_fit": q_zipf_fit,
+    "ann_pq": q_ann_pq,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -8940,6 +9052,7 @@ LAST_VERIFIED: dict[str, int] = {
     "emd_drift": 99,
     "dedup_normalized": 99,
     "zipf_fit": 99,
+    "ann_pq": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -9310,6 +9423,7 @@ ORACLE_SQL: dict[str, str] = {
     "emd_drift": SQL_EMD_DRIFT,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "zipf_fit": SQL_ZIPF_FIT,
+    "ann_pq": SQL_ANN_PQ,
 }
 
 
