@@ -591,3 +591,49 @@ def test_ks_vs_baseline_empty_table_raises(spark, tmp_path):
     for counts, baseline in ((empty, full), (full, empty)):
         with pytest.raises(ValueError, match="empty counts table"):
             ks_vs_baseline(spark, counts, baseline)
+
+
+def test_decay_monitor_matches_batch_decay_exactly(spark, tmp_path):
+    """Decayed heavy hitters: N maintained batches (stored' = stored/2
+    + counts) equal the one-shot sum of per-batch counts x (1/2)^age
+    BIT-FOR-BIT (dyadic decay x integer counts is exact in doubles),
+    through a real availableNow stream, and pruned keys vanish."""
+    import json as _json
+
+    from twitter_to_sqlite_spark.streaming.analytics import decay_monitor
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    store = str(tmp_path / "store")
+    batches = [[1, 1, 1, 2], [1, 3], [2, 2, 3, 3, 3]]
+    for b, users in enumerate(batches):
+        p = spool / f"b{b}.json"
+        p.write_text("\n".join(
+            _json.dumps({"user_id": u}) for u in users))
+        import os
+        os.utime(p, (1_000_000_000 + 100 * b,) * 2)
+
+    on_batch = decay_monitor(spark, store, "user_id", decay=0.5)
+    q = (spark.readStream.schema("user_id long")
+         .option("maxFilesPerTrigger", 1).json(str(spool))
+         .writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["user_id"]: r["decayed"]
+           for r in spark.read.parquet(store).collect()}
+    want = {}
+    for age, users in enumerate(reversed(batches)):
+        for u in users:
+            want[u] = want.get(u, 0.0) + 0.5 ** age
+    assert got == want  # exact equality, no approx
+
+    # forgetting: a key seen once long ago decays below the prune
+    # floor and is dropped from the table
+    for b in range(3, 25):
+        on_batch(spark.createDataFrame([(99,)], "user_id long"), b)
+    final = {r["user_id"]: r["decayed"]
+             for r in spark.read.parquet(store).collect()}
+    assert 99 in final
+    assert 1 not in final and 2 not in final and 3 not in final

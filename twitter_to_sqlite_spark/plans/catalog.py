@@ -8801,6 +8801,94 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 SQL_ANN_PQ = _pq_sql()
 
 
+# ---------------------------------------------------------------------
+# Exponentially-decayed heavy hitters (r7)
+# ---------------------------------------------------------------------
+
+_DECAY_TOPK = 10
+
+
+def q_decay_topk(spark, sf_dir):
+    """Exponentially-decayed per-user activity top-{k}
+    (streaming/analytics.py::decay_monitor): the bounded SBA events
+    fixture split into three time-ordered micro-batches, the decayed
+    count table maintained batch by batch (stored' = stored·½ +
+    counts), then the top users by decayed weight. λ = ½ is dyadic, so
+    with integer batch counts every maintained double is EXACT and the
+    oracle's one-shot Σ_b counts_b·½^(2−b) matches bit-for-bit — the
+    decayed weight ships as ×4-scaled BIGINT, no float column at all.
+    The forgetting (decay + prune) is what keeps trending state finite
+    on an unbounded key domain; rank is a {k}-row
+    TakeOrderedAndProject shape on the bounded maintained table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < _SBA_EVENTS) & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull())
+    rows = sorted(e.select("event_id", "user_id", "ts").collect(),
+                  key=lambda r: (r["ts"], r["event_id"]))  # bounded
+    # k = n//3 twice, NOT (2n)//3: the oracle's CASE uses 2*(n//3) and
+    # the two differ when n % 3 == 2
+    k3 = len(rows) // 3
+    parts = [rows[:k3], rows[k3:2 * k3], rows[2 * k3:]]
+
+    root = tempfile.mkdtemp(prefix="decay-")
+    try:
+        on_b = SA.decay_monitor(spark, root + "/store", "user_id",
+                                decay=0.5)
+        for b, part in enumerate(parts):
+            on_b(spark.createDataFrame(
+                [(r["user_id"],) for r in part], "user_id long"), b)
+        stored = [(r["user_id"], int(r["decayed"] * 4))
+                  for r in spark.read.parquet(root + "/store").collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    out = spark.createDataFrame(stored, "user_id long, decayed_x4 long")
+    w = Window.orderBy(F.col("decayed_x4").desc(), F.col("user_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _DECAY_TOPK))
+
+
+SQL_DECAY_TOPK = f"""
+WITH fx AS (
+  SELECT user_id,
+         row_number() OVER (ORDER BY ts, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM events
+  WHERE event_id < {_SBA_EVENTS} AND user_id IS NOT NULL
+    AND ts IS NOT NULL
+),
+b AS (
+  SELECT user_id,
+         CASE WHEN rn <= n // 3 THEN 0
+              WHEN rn <= 2 * (n // 3) THEN 1
+              ELSE 2 END AS batch
+  FROM fx
+),
+-- one-shot decayed weight, x4-scaled to stay integer:
+-- c0*(1/4) + c1*(1/2) + c2  ->  c0 + 2*c1 + 4*c2
+d AS (
+  SELECT user_id,
+         CAST(sum(CASE batch WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)
+              AS BIGINT) AS decayed_x4
+  FROM b GROUP BY user_id
+),
+r AS (
+  SELECT user_id, decayed_x4,
+         row_number() OVER (ORDER BY decayed_x4 DESC, user_id) AS rank
+  FROM d
+)
+SELECT user_id, decayed_x4, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_DECAY_TOPK}
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8855,6 +8943,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_normalized": q_dedup_normalized,
     "zipf_fit": q_zipf_fit,
     "ann_pq": q_ann_pq,
+    "decay_topk": q_decay_topk,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9053,6 +9142,7 @@ LAST_VERIFIED: dict[str, int] = {
     "dedup_normalized": 99,
     "zipf_fit": 99,
     "ann_pq": 99,
+    "decay_topk": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -9424,6 +9514,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "zipf_fit": SQL_ZIPF_FIT,
     "ann_pq": SQL_ANN_PQ,
+    "decay_topk": SQL_DECAY_TOPK,
 }
 
 

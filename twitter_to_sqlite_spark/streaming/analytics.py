@@ -596,3 +596,49 @@ def maintain_rollup(spark, path: str, key_cols: list[str],
             sinks.write_swap(merged, path)
 
     return on_batch
+
+
+def decay_monitor(spark, path: str, key_col: str = "user_id",
+                  decay: float = 0.5):
+    """foreachBatch maintenance of exponentially-decayed per-key
+    counts — the trending / heavy-hitters-with-forgetting primitive:
+    each micro-batch the stored table decays by ``decay`` and the
+    batch's own counts are added (stored' = stored·λ + counts). Recent
+    activity dominates, old keys fade instead of accumulating forever,
+    and the table stays bounded by the live key set (rows decayed
+    under ``prune_below`` = 2⁻²⁰ are dropped — the forgetting that
+    makes the state finite on an unbounded key domain).
+
+    With a DYADIC ``decay`` (the 0.5 default: multiplication by a
+    power of two is exact in IEEE doubles) and integer batch counts,
+    every maintained value is exactly representable, so N maintained
+    batches equal the one-shot Σ_b counts_b · λ^(N−1−b) bit-for-bit —
+    the same maintain ≡ recompute law as the rollup/drift monitors,
+    here without even a rounding grain. Same lock/read-merge-swap
+    protocol as maintain_rollup (single-writer by construction).
+    """
+    from twitter_to_sqlite_spark.operators import sinks
+
+    prune_below = 2.0 ** -20
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        import os
+
+        delta = (batch_df.filter(F.col(key_col).isNotNull())
+                 .groupBy(key_col)
+                 .agg(F.count(F.lit(1)).cast("double").alias("decayed")))
+        with sinks.table_lock(path):
+            if os.path.exists(path):
+                stored = spark.read.parquet(path).select(
+                    key_col,
+                    (F.col("decayed") * F.lit(float(decay)))
+                    .alias("decayed"))
+                merged = (stored.unionByName(delta)
+                          .groupBy(key_col)
+                          .agg(F.sum("decayed").alias("decayed"))
+                          .filter(F.col("decayed") >= prune_below))
+            else:
+                merged = delta
+            sinks.write_swap(merged, path)
+
+    return on_batch
