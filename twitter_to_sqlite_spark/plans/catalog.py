@@ -8736,7 +8736,11 @@ def q_ann_pq(spark, sf_dir):
                               k=3, candidates=_PQ_CANDS)
 
 
-def _pq_sql() -> str:
+def _pq_core() -> str:
+    """Shared WITH-body of the PQ oracle (codebook trainings → codes →
+    ADC tables → integer-exact candidate ranking → exact-cosine
+    `ranked`), reused by SQL_ANN_PQ and SQL_PQ_RECALL so the replayed
+    quantizer can never fork."""
     subdim = _EMB_DIM // _PQ_M
     chains, finals = [], []
     for s in range(_PQ_M):
@@ -8765,8 +8769,7 @@ def _pq_sql() -> str:
     tables = ",\n         ".join(
         f"{table(ev, s)} AS t{s}" for s in range(_PQ_M))
     approx = " + ".join(f"t{s}[c{s} + 1]" for s in range(_PQ_M))
-    return f"""
-WITH {",".join(chains)},
+    return f"""{",".join(chains)},
 cx AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
          {codes}
@@ -8793,12 +8796,54 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY {_SQL_COS} DESC, neighbor_id) AS rank
   FROM cand
+)"""
+
+
+SQL_ANN_PQ = (
+    "WITH " + _pq_core()
+    + "\nSELECT query_id, neighbor_id, cosine, rank"
+      " FROM ranked WHERE rank <= 3\n")
+
+
+def q_pq_recall(spark, sf_dir):
+    """Recall@3 of the product-quantized ANN against exact brute force
+    (similarity.recall_at_k) — the measurement that prices what 64×
+    compression costs in retrieval quality, completing the
+    measure-don't-guess loop for the PQ tier exactly as ann_recall
+    does for LSH. Both legs are top-k result frames; the eval join
+    never touches the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=3)
+    approx = similarity.pq_topk(e, q, _pq_codebooks(spark, sf_dir),
+                                k=3, candidates=_PQ_CANDS)
+    return similarity.recall_at_k(exact, approx, k=3)
+
+
+SQL_PQ_RECALL = (
+    "WITH " + _pq_core() + f""",
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_SQL_COS} DESC, neighbor_id) AS r
+    FROM (SELECT neighbor_id, b FROM cx) c,
+         (SELECT query_id, a FROM qx) q
+    WHERE neighbor_id != query_id
+  ) WHERE r <= 3
+),
+ap AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),
+hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM ap JOIN ex USING (query_id, neighbor_id)
+  GROUP BY query_id
 )
-SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
-"""
-
-
-SQL_ANN_PQ = _pq_sql()
+SELECT qq.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 3, 4) AS recall
+FROM (SELECT DISTINCT query_id FROM ex) qq
+LEFT JOIN hits h USING (query_id)
+""")
 
 
 # ---------------------------------------------------------------------
@@ -8889,6 +8934,130 @@ FROM r WHERE rank <= {_DECAY_TOPK}
 """
 
 
+# ---------------------------------------------------------------------
+# Grouped PSI drift (r7)
+# ---------------------------------------------------------------------
+
+def q_psi_drift_by(spark, sf_dir):
+    """PER-SOURCE population stability index — psi_drift's grouped
+    twin: the aggregate PSI can look calm while one source's
+    distribution collapses (the Simpson's-paradox failure grouped_auc
+    guards against on the eval side, here on the drift side). Same
+    Laplace-smoothed bin shares and bin-ordered float fold as the
+    global pair, per source over a (source × bin) dense spine; the
+    planted spam rides its original source column, so the sources that
+    received plants alarm and the others stay flat. Scale: everything
+    is bounded by |sources| × bins after two histogram aggregates
+    with full map-side combine."""
+    from pyspark.sql import Window  # noqa: F401  (parity with q_psi_drift)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    planted = d.filter(
+        (F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.lit(("spam " * 40).strip()).alias("text"),
+        "source")
+    cur = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    def bin_counts(side, alias):
+        q = text.quality_score(side).select("source", "quality")
+        b = F.least(F.floor(F.col("quality") * _PSI_BINS).cast("int"),
+                    F.lit(_PSI_BINS - 1))
+        return (q.filter(F.col("quality").isNotNull())
+                .groupBy("source", b.alias("bin"))
+                .agg(F.count(F.lit(1)).alias(alias)))
+
+    spine = d.select("source").distinct().crossJoin(
+        spark.range(_PSI_BINS).select(
+            F.col("id").cast("int").alias("bin")))
+    g = (spine
+         .join(bin_counts(base, "__nb"), ["source", "bin"], "left")
+         .join(bin_counts(cur, "__nc"), ["source", "bin"], "left")
+         .select("source", "bin",
+                 F.coalesce("__nb", F.lit(0)).alias("nb"),
+                 F.coalesce("__nc", F.lit(0)).alias("nc")))
+    tot = g.groupBy("source").agg(
+        F.sum("nb").alias("tnb"), F.sum("nc").alias("tnc"))
+    gt = g.join(tot, "source")
+    pb = (F.col("nb") + 1.0) / (F.col("tnb") + _PSI_BINS)
+    pc = (F.col("nc") + 1.0) / (F.col("tnc") + _PSI_BINS)
+    terms = gt.select(
+        "source", "tnb", "tnc",
+        F.struct(F.col("bin"),
+                 ((pc - pb) * F.log(pc / pb)).alias("x")).alias("s"))
+    return (
+        terms.groupBy("source")
+        .agg(F.sort_array(F.collect_list("s")).alias("terms"),
+             F.max("tnb").alias("n_base"),
+             F.max("tnc").alias("n_cur"))
+        .select(
+            "source", "n_base", "n_cur",
+            F.round(F.aggregate(
+                "terms", F.lit(0.0), lambda acc, s: acc + s["x"]), 6)
+            .alias("psi"))
+    )
+
+
+def _psi_by_sql() -> str:
+    quality = SQL_QUALITY_SCORE.replace(
+        "SELECT doc_id, text,", "SELECT doc_id, source, text,"
+    ).replace("SELECT doc_id,\n", "SELECT doc_id, source,\n").replace(
+        "FROM documents", "FROM {src}")
+    # source must ride through all three SELECTs (f, m, final) of the
+    # quality CTE chain — fail loudly if the shared oracle's shape moves
+    assert quality.count("source") == 3, \
+        "SQL_QUALITY_SCORE shape changed; update _psi_by_sql markers"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0
+),
+cur AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id,
+         '{("spam " * 40).strip()}' AS text, source
+  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+),
+qb AS ({quality.replace("{src}", "base")}),
+qc AS ({quality.replace("{src}", "cur")}),
+cb AS (SELECT source,
+              least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+                AS bin, count(*) AS nb
+       FROM qb GROUP BY 1, 2),
+cc AS (SELECT source,
+              least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+                AS bin, count(*) AS nc
+       FROM qc GROUP BY 1, 2),
+spine AS (
+  SELECT source, bin FROM (SELECT DISTINCT source FROM documents),
+       (SELECT unnest(generate_series(0, {_PSI_BINS - 1}))::INT AS bin)
+),
+g AS (SELECT s.source, s.bin, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      FROM spine s
+      LEFT JOIN cb ON s.source = cb.source AND s.bin = cb.bin
+      LEFT JOIN cc ON s.source = cc.source AND s.bin = cc.bin),
+t AS (SELECT source, sum(nb) AS tnb, sum(nc) AS tnc FROM g
+      GROUP BY source),
+terms AS (
+  SELECT g.source, g.bin,
+         ((nc + 1.0) / (tnc + {_PSI_BINS})
+          - (nb + 1.0) / (tnb + {_PSI_BINS}))
+         * ln(((nc + 1.0) / (tnc + {_PSI_BINS}))
+              / ((nb + 1.0) / (tnb + {_PSI_BINS}))) AS x,
+         t.tnb, t.tnc
+  FROM g JOIN t ON g.source = t.source
+)
+SELECT source, CAST(tnb AS BIGINT) AS n_base, CAST(tnc AS BIGINT) AS n_cur,
+       round(list_reduce(list_prepend(0.0, list(x ORDER BY bin)),
+                         (acc, v) -> acc + v), 6) AS psi
+FROM terms GROUP BY source, tnb, tnc
+"""
+
+
+SQL_PSI_DRIFT_BY = _psi_by_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8944,6 +9113,8 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "ann_pq": q_ann_pq,
     "decay_topk": q_decay_topk,
+    "pq_recall": q_pq_recall,
+    "psi_drift_by": q_psi_drift_by,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9143,6 +9314,8 @@ LAST_VERIFIED: dict[str, int] = {
     "zipf_fit": 99,
     "ann_pq": 99,
     "decay_topk": 99,
+    "pq_recall": 99,
+    "psi_drift_by": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -9515,6 +9688,8 @@ ORACLE_SQL: dict[str, str] = {
     "zipf_fit": SQL_ZIPF_FIT,
     "ann_pq": SQL_ANN_PQ,
     "decay_topk": SQL_DECAY_TOPK,
+    "pq_recall": SQL_PQ_RECALL,
+    "psi_drift_by": SQL_PSI_DRIFT_BY,
 }
 
 
