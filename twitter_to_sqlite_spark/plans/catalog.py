@@ -9058,6 +9058,114 @@ FROM terms GROUP BY source, tnb, tnc
 SQL_PSI_DRIFT_BY = _psi_by_sql()
 
 
+# ---------------------------------------------------------------------
+# Tokenizer fertility + length-threshold sweep (r7)
+# ---------------------------------------------------------------------
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-LANGUAGE tokenizer fertility (BPE symbols per word) — the
+    multilingual-fairness number: a vocab trained on a mixed corpus
+    over-segments under-represented languages, silently taxing their
+    token budget (mBERT/XLM-R literature's fertility metric).
+    Recomputed from bpe_segment's exact integer sums (never averaged
+    from the per-doc rounded ratios), so one division per language is
+    the only float. Shares the trained merge table and the segment
+    oracle wholesale — the fertility twin cannot fork from the
+    segmenter."""
+    from twitter_to_sqlite_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    seg = bpe.bpe_segment(d, _bpe_merges(spark, sf_dir), "text", "doc_id")
+    return (
+        seg.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_words").alias("n_words"),
+             F.sum("n_bpe_tokens").alias("n_bpe_tokens"))
+        .select(
+            "lang", "n_words", "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens").cast("double")
+                    / F.col("n_words").cast("double"), 4)
+            .alias("fertility"))
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH seg AS ({SQL_BPE_SEGMENT})
+SELECT d.lang,
+       CAST(sum(s.n_words) AS BIGINT) AS n_words,
+       CAST(sum(s.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       round(sum(s.n_bpe_tokens)::DOUBLE / sum(s.n_words)::DOUBLE, 4)
+         AS fertility
+FROM seg s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+_LEN_TAUS = (5, 10, 20, 40, 80, 160)
+
+
+def q_length_sweep(spark, sf_dir):
+    """Minimum-token-length threshold sweep: docs and token mass
+    surviving at each candidate cutoff τ — the tuning curve for the
+    Gopher min-length gate (dedup_sweep's sibling for the cheapest
+    filter knob). The corpus reduces to ONE per-token-count histogram
+    (bounded by the distinct length domain); the τ explode and the
+    suffix sums run on that bounded frame only, never the corpus —
+    the same touch-the-small-frame discipline as dedup_sweep's
+    pairs-only explode."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = (d.select(F.size(text._tokens(F.col("text"))).alias("len"))
+            .groupBy("len")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("len").alias("toks")))
+    taus = spark.createDataFrame([(t,) for t in _LEN_TAUS], "tau int")
+    tot = hist.agg(F.sum("n").alias("n_total"),
+                   F.sum("toks").alias("toks_total"))
+    kept = (taus.crossJoin(hist)
+            .filter(F.col("len") >= F.col("tau"))
+            .groupBy("tau")
+            .agg(F.sum("n").alias("n_kept"),
+                 F.sum("toks").alias("toks_kept")))
+    return (
+        taus.join(kept, "tau", "left").crossJoin(F.broadcast(tot))
+        .select(
+            "tau",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("toks_kept", F.lit(0)).alias("toks_kept"),
+            F.round(F.coalesce("n_kept", F.lit(0)).cast("double")
+                    / F.col("n_total").cast("double"), 6)
+            .alias("doc_frac"),
+            F.round(F.coalesce("toks_kept", F.lit(0)).cast("double")
+                    / F.col("toks_total").cast("double"), 6)
+            .alias("token_frac"))
+    )
+
+
+SQL_LENGTH_SWEEP = f"""
+WITH hist AS (
+  SELECT len({_SQL_TOKS}) AS len, count(*) AS n,
+         sum(len({_SQL_TOKS})) AS toks
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n) AS n_total, sum(toks) AS toks_total FROM hist),
+taus AS (SELECT unnest([{", ".join(str(t) for t in _LEN_TAUS)}])::INT
+           AS tau),
+kept AS (
+  SELECT tau, sum(n) AS n_kept, sum(toks) AS toks_kept
+  FROM taus JOIN hist ON hist.len >= taus.tau
+  GROUP BY tau
+)
+SELECT t.tau,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.toks_kept, 0) AS BIGINT) AS toks_kept,
+       round(coalesce(k.n_kept, 0)::DOUBLE / tot.n_total::DOUBLE, 6)
+         AS doc_frac,
+       round(coalesce(k.toks_kept, 0)::DOUBLE / tot.toks_total::DOUBLE, 6)
+         AS token_frac
+FROM taus t LEFT JOIN kept k ON t.tau = k.tau, tot
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9115,6 +9223,8 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decay_topk": q_decay_topk,
     "pq_recall": q_pq_recall,
     "psi_drift_by": q_psi_drift_by,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "length_sweep": q_length_sweep,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9316,6 +9426,8 @@ LAST_VERIFIED: dict[str, int] = {
     "decay_topk": 99,
     "pq_recall": 99,
     "psi_drift_by": 99,
+    "tokenizer_fertility": 99,
+    "length_sweep": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -9690,6 +9802,8 @@ ORACLE_SQL: dict[str, str] = {
     "decay_topk": SQL_DECAY_TOPK,
     "pq_recall": SQL_PQ_RECALL,
     "psi_drift_by": SQL_PSI_DRIFT_BY,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "length_sweep": SQL_LENGTH_SWEEP,
 }
 
 
