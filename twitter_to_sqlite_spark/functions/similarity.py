@@ -715,36 +715,57 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     can be precomputed and stored — 64x smaller than the vectors);
     exact vectors are touched only for |queries|*candidates rescores.
     """
-    m = len(codebooks)
-    subdim = len(codebooks[0][0])
+    c = _pq_corpus_side(corpus, codebooks, id_col, vec_col)
+    q = _pq_query_side(queries, codebooks, id_col, vec_col)
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    return _pq_rank_and_rescore(pairs, len(codebooks), candidates, k,
+                                decimals)
 
-    def sub(v, s):
-        return F.slice(v, s * subdim + 1, subdim)
 
+def _pq_sub(v, s: int, subdim: int):
+    return F.slice(v, s * subdim + 1, subdim)
+
+
+def _pq_corpus_side(corpus: DataFrame, codebooks, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """Corpus projection shared by the PQ paths: (neighbor_id, exact
+    vector + norm for the rescore, one code per subspace — the
+    ivf_assign argmax against that subspace's codebook)."""
+    m, subdim = len(codebooks), len(codebooks[0][0])
     cv = _as_double(F.col(vec_col))
-    c = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"), cv.alias("__cv"),
-        *[ivf_assign(sub(cv, s), codebooks[s]).alias(f"__c{s}")
-          for s in range(m)],
+        *[ivf_assign(_pq_sub(cv, s, subdim), codebooks[s])
+          .alias(f"__c{s}") for s in range(m)],
     ).withColumn("__cn", _norm(F.col("__cv")))
 
+
+def _pq_query_side(queries: DataFrame, codebooks, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """Query projection shared by the PQ paths: per-subspace ADC
+    lookup tables as exact e4 BIGINTs + the exact vector/norm."""
+    m, subdim = len(codebooks), len(codebooks[0][0])
+
     def qtab(qv, s):
-        # per-subspace ADC lookup table as exact e4 BIGINTs
         return F.array(*[
-            F.round(_dot(sub(qv, s),
+            F.round(_dot(_pq_sub(qv, s, subdim),
                          F.array(*[F.lit(float(x)) for x in cent]))
                     * 10000, 0).cast("long")
             for cent in codebooks[s]
         ])
 
     qv = _as_double(F.col(vec_col))
-    q = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"), qv.alias("__qv"),
         *[qtab(qv, s).alias(f"__t{s}") for s in range(m)],
     ).withColumn("__qn", _norm(F.col("__qv")))
 
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id"))
+
+def _pq_rank_and_rescore(pairs: DataFrame, m: int, candidates: int,
+                         k: int, decimals: int) -> DataFrame:
+    """Integer-exact ADC candidate ranking + exact-cosine rescore —
+    the common tail of pq_topk and ivfpq_topk."""
     approx = None
     for s in range(m):
         term = F.element_at(f"__t{s}", F.col(f"__c{s}").cast("int") + 1)
@@ -757,3 +778,34 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("__ar") <= candidates)
     )
     return _score_and_rank(cand, k, decimals)
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
+               centroids: list[list[float]],
+               codebooks: list[list[list[float]]], k: int,
+               n_probe: int = 1, candidates: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               decimals: int = 4) -> DataFrame:
+    """IVF+PQ composed index (the FAISS IVFPQ shape — the standard
+    billion-scale layout): the IVF coarse quantizer prunes the search
+    to each query's ``n_probe`` cells, PQ's integer-exact ADC table
+    sum ranks candidates WITHIN the probed cells, and only the top
+    ``candidates`` get the exact-cosine rescore. Shares the coarse
+    centroids with the IVF family and the codebooks with pq_topk
+    verbatim, so all three tiers quantize identically.
+
+    Scale: this is the composition that makes both halves pay off —
+    the scan reads ~n_probe/|cells| of the corpus (partition-pruned
+    when stored cell-partitioned, as build_ivf_index does) AND each
+    row read is m small codes instead of the float vector; exact
+    vectors are touched only for |queries|·candidates rescores.
+    """
+    c = _pq_corpus_side(corpus, codebooks, id_col, vec_col) \
+        .withColumn("cell", ivf_assign(F.col("__cv"), centroids))
+    q = _pq_query_side(queries, codebooks, id_col, vec_col) \
+        .withColumn("cell",
+                    _probe_cells(F.col("__qv"), centroids, n_probe))
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    return _pq_rank_and_rescore(pairs, len(codebooks), candidates, k,
+                                decimals)

@@ -8736,11 +8736,12 @@ def q_ann_pq(spark, sf_dir):
                               k=3, candidates=_PQ_CANDS)
 
 
-def _pq_core() -> str:
-    """Shared WITH-body of the PQ oracle (codebook trainings → codes →
-    ADC tables → integer-exact candidate ranking → exact-cosine
-    `ranked`), reused by SQL_ANN_PQ and SQL_PQ_RECALL so the replayed
-    quantizer can never fork."""
+def _pq_pieces():
+    """PQ oracle building blocks shared by every PQ-family oracle
+    (SQL_ANN_PQ, SQL_PQ_RECALL, SQL_ANN_IVFPQ): the m codebook-
+    training CTE chains, and the per-subspace code-assign / ADC-table
+    expression builders over those chains' final centroids — one
+    definition, so the replayed quantizer can never fork."""
     subdim = _EMB_DIM // _PQ_M
     chains, finals = [], []
     for s in range(_PQ_M):
@@ -8763,13 +8764,22 @@ def _pq_core() -> str:
                 f"{vec}[{lo}:{hi}], cv) * 10000, 0) AS BIGINT)"
                 f" ORDER BY cell) FROM {finals[s]})")
 
+    return ",".join(chains), code, table
+
+
+def _pq_core() -> str:
+    """Shared WITH-body of the flat-PQ oracle (codebook trainings →
+    codes → ADC tables → integer-exact candidate ranking →
+    exact-cosine `ranked`), reused by SQL_ANN_PQ and SQL_PQ_RECALL."""
+    chains, code, table = _pq_pieces()
+
     ev = "(e.embedding::DOUBLE[])"
     codes = ",\n         ".join(
         f"{code(ev, s)} AS c{s}" for s in range(_PQ_M))
     tables = ",\n         ".join(
         f"{table(ev, s)} AS t{s}" for s in range(_PQ_M))
     approx = " + ".join(f"t{s}[c{s} + 1]" for s in range(_PQ_M))
-    return f"""{",".join(chains)},
+    return f"""{chains},
 cx AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
          {codes}
@@ -8932,6 +8942,95 @@ r AS (
 SELECT user_id, decayed_x4, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {_DECAY_TOPK}
 """
+
+
+# ---------------------------------------------------------------------
+# IVF+PQ composed index (r7)
+# ---------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composed ANN (similarity.ivfpq_topk — the FAISS IVFPQ
+    shape, the standard billion-scale index): the IVF coarse quantizer
+    prunes to each query's {n_probe} best cells, PQ's integer-exact
+    ADC sum ranks candidates within them, exact cosine rescores the
+    top-{c}. Shares the coarse centroids with ann_ivf and the
+    codebooks with ann_pq VERBATIM (both `_build:` artifacts), so the
+    whole quantization stack is trained once; the oracle replays the
+    IVF k-means AND all four codebook trainings through the one shared
+    CTE generator. Probe-cell ranking ties mirror `_probe_cells`
+    (score DESC, cell DESC)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk(
+        e, q, _ivf_centroids(spark, sf_dir),
+        _pq_codebooks(spark, sf_dir), k=3, n_probe=_IVFPQ_NPROBE,
+        candidates=_PQ_CANDS)
+
+
+def _ivfpq_sql() -> str:
+    ivf_chain, ivf_final = _kmeans_ctes(_IVF_ITERS, _IVF_SAMPLE_MOD)
+    pq_chains, code, table = _pq_pieces()
+    ev = "(e.embedding::DOUBLE[])"
+    codes = ",\n         ".join(
+        f"{code(ev, s)} AS c{s}" for s in range(_PQ_M))
+    tables = ",\n         ".join(
+        f"{table(ev, s)} AS t{s}" for s in range(_PQ_M))
+    approx = " + ".join(f"q.t{s}[x.c{s} + 1]" for s in range(_PQ_M))
+    return f"""
+WITH {ivf_chain},
+{pq_chains},
+cx AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
+         (SELECT cell FROM {ivf_final}
+          ORDER BY list_dot_product({ev}, cv) DESC, cell LIMIT 1)
+           AS cell,
+         {codes}
+  FROM embeddings e
+),
+qx AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS a,
+         {tables}
+  FROM embeddings e WHERE vec_id < 5
+),
+-- top-n_probe cells per query; ties mirror _probe_cells' reversed
+-- ascending sort (score DESC, cell DESC)
+qcell AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.a, c.cv) DESC,
+                                       c.cell DESC) AS r
+    FROM qx q, {ivf_final} c
+  ) WHERE r <= {_IVFPQ_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, x.neighbor_id, q.a, x.b, {approx} AS approx
+  FROM cx x
+  JOIN qcell qc ON x.cell = qc.cell
+  JOIN qx q ON q.query_id = qc.query_id
+  WHERE x.neighbor_id != q.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, a, b FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, neighbor_id) AS ar
+    FROM scored
+  ) WHERE ar <= {_PQ_CANDS}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, {_SQL_COS} AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_SQL_COS} DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
+SQL_ANN_IVFPQ = _ivfpq_sql()
 
 
 # ---------------------------------------------------------------------
@@ -9225,6 +9324,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift_by": q_psi_drift_by,
     "tokenizer_fertility": q_tokenizer_fertility,
     "length_sweep": q_length_sweep,
+    "ann_ivfpq": q_ann_ivfpq,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9428,6 +9528,7 @@ LAST_VERIFIED: dict[str, int] = {
     "psi_drift_by": 99,
     "tokenizer_fertility": 99,
     "length_sweep": 99,
+    "ann_ivfpq": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -9804,6 +9905,7 @@ ORACLE_SQL: dict[str, str] = {
     "psi_drift_by": SQL_PSI_DRIFT_BY,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "length_sweep": SQL_LENGTH_SWEEP,
+    "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
 
