@@ -1134,3 +1134,29 @@ def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
     assert abs(got["slope"] - (-0.8)) < 0.02
     # sanity: intercept ~ ln(1000)
     assert abs(got["intercept"] - math.log(1000)) < 0.1
+
+
+def test_dsir_logweights_prefer_target_like_docs(spark):
+    """DSIR law: a raw doc written in the TARGET slice's vocabulary
+    must score a positive log-weight (keep), a doc in the off-target
+    vocabulary a negative one — regardless of its own lang label
+    (the score reads the text, not the label)."""
+    from twitter_to_sqlite_spark.functions import sampling
+    from pyspark.sql import functions as F
+
+    en = "alpha beta gamma delta epsilon"
+    de = "zork blub quux narf snarf"
+    rows = ([(i, en, "en") for i in range(1, 5)]
+            + [(i + 10, de, "de") for i in range(1, 5)]
+            # raw-only probes: English-styled text labeled de, and
+            # off-target-styled text labeled de
+            + [(100, en, "de"), (101, de, "de")])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in sampling.dsir_logweights(
+        df, F.col("lang") == "en").collect()}
+    assert got[100]["logweight"] > 0 and got[100]["keep"]
+    assert got[101]["logweight"] < 0 and not got[101]["keep"]
+    # same text ⇒ same weight, target membership notwithstanding
+    assert got[100]["logweight"] == got[1]["logweight"]
+    assert got[101]["logweight"] == got[11]["logweight"]
+    assert got[1]["n_feats"] == 4

@@ -629,3 +629,74 @@ def distribution_match(incoming: DataFrame, target: DataFrame,
         .filter(_key_hash(F.col(key_col), salt) % resolution
                 < F.col("rate_ppm"))
     )
+
+
+def dsir_logweights(df: DataFrame, is_target: Column,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    buckets: int = 64, decimals: int = 6) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is, as the
+    log-likelihood ratio log p_target(doc) − log p_raw(doc) under two
+    multinomial bag-of-features models estimated on hashed word
+    bigrams.
+
+    Features are word bigrams hashed into `buckets` buckets with the
+    portable 60-bit md5 hash, add-1 smoothed:
+
+        lr_b  = ln((tc_b + 1) / (T + B)) − ln((rc_b + 1) / (R + B))
+        w(d)  = Σ_b  n_db · lr_b       (folded in bucket order)
+
+    where tc/rc are per-bucket bigram counts over the target slice /
+    whole corpus and T/R their totals. `keep` marks docs whose rounded
+    log-weight is ≥ 0 — more target-like than raw — the selection
+    DSIR resamples from.
+
+    Scale: two bounded aggregations over the bigram stream (bucket
+    domain = B rows) produce a ≤B-row log-ratio table that BROADCASTS
+    onto the per-doc bucket counts; the only corpus-sized shuffles are
+    the (doc, bucket) and doc-keyed aggs, both map-side combinable.
+    The per-doc float sum folds over the ≤B collected buckets in
+    bucket order, so the statistic is engine-identical at the rounded
+    grain (the zipf_fit ordered-fold device). No driver-side state.
+    """
+    from twitter_to_sqlite_spark.functions.text import _bigram_explode
+
+    bg = _bigram_explode(df, id_col, text_col)
+    flags = df.select(F.col(id_col), is_target.alias("__tgt"))
+    b = bg.select(
+        F.col(id_col),
+        (_key_hash(F.col("__bg")) % buckets).cast("int").alias("bucket"),
+    )
+    # Three consumers (per-doc terms, raw counts, target counts) hang
+    # off this frame; the lazy local checkpoint pins it so the bigram
+    # explode + first agg run ONCE, not three times (Catalyst does not
+    # exchange-reuse across the differing downstream joins).
+    n = (b.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n"))
+         .localCheckpoint(eager=False))
+    rc = n.groupBy("bucket").agg(F.sum("n").alias("rc"))
+    tc = (n.join(flags.filter(F.col("__tgt")).select(id_col), id_col)
+          .groupBy("bucket").agg(F.sum("n").alias("tc")))
+    tot_r = rc.agg(F.sum("rc").alias("R"))
+    tot_t = tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("T"))
+    lr = (rc.join(tc, "bucket", "left")
+          .crossJoin(F.broadcast(tot_r)).crossJoin(F.broadcast(tot_t))
+          .select(
+              "bucket",
+              (F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                     .cast("double") / (F.col("T") + buckets))
+               - F.log((F.col("rc") + 1).cast("double")
+                       / (F.col("R") + buckets))).alias("lr")))
+    terms = (n.join(F.broadcast(lr), "bucket")
+             .groupBy(id_col)
+             .agg(F.sum("n").alias("n_feats"),
+                  F.sort_array(F.collect_list(F.struct(
+                      "bucket",
+                      (F.col("n").cast("double") * F.col("lr"))
+                      .alias("term")))).alias("ts")))
+    w = F.round(
+        F.aggregate("ts", F.lit(0.0), lambda acc, s: acc + s["term"]),
+        decimals)
+    return terms.select(
+        F.col(id_col), F.col("n_feats"),
+        w.alias("logweight"), (w >= 0.0).alias("keep"))

@@ -9265,6 +9265,71 @@ FROM taus t LEFT JOIN kept k ON t.tau = k.tau, tot
 """
 
 
+# ---------------------------------------------------------------------
+# DSIR importance weights (r7)
+# ---------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    log-weight = log-likelihood ratio of the doc's hashed-bigram
+    profile under a target model (the English slice) vs the raw-corpus
+    model, add-1 smoothed over 64 hash buckets; `keep` marks docs
+    more target-like than raw. The pretraining-scale alternative to
+    classifier-based selection: no labels, no training, two streaming
+    count aggs + a 64-row broadcast. sampling.dsir_logweights."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return sampling.dsir_logweights(
+        d, F.col("lang") == "en", buckets=_DSIR_BUCKETS)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH bg AS ({_SQL_BIGRAMS}),
+b AS (
+  SELECT doc_id,
+         (('0x' || substring(md5(bg), 1, 15))::BIGINT
+          % {_DSIR_BUCKETS})::INT AS bucket
+  FROM bg
+),
+n AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+rc AS (SELECT bucket, sum(n) AS rc FROM n GROUP BY 1),
+tc AS (
+  SELECT bucket, sum(n) AS tc
+  FROM n JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(rc) FROM rc) AS r_total,
+         (SELECT coalesce(sum(tc), 0) FROM tc) AS t_total
+),
+lr AS (
+  SELECT rc.bucket,
+         ln((coalesce(tc.tc, 0) + 1)::DOUBLE
+            / (tot.t_total + {_DSIR_BUCKETS}))
+         - ln((rc.rc + 1)::DOUBLE / (tot.r_total + {_DSIR_BUCKETS}))
+           AS lr
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+),
+terms AS (
+  SELECT doc_id, sum(n)::BIGINT AS n_feats,
+         list(n::DOUBLE * lr ORDER BY bucket) AS ts
+  FROM n JOIN lr USING (bucket)
+  GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id, n_feats,
+         round(list_reduce(list_prepend(0.0, ts), (a, x) -> a + x),
+               6) AS logweight
+  FROM terms
+)
+SELECT doc_id, n_feats, logweight, logweight >= 0.0 AS keep FROM w
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9325,6 +9390,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "length_sweep": q_length_sweep,
     "ann_ivfpq": q_ann_ivfpq,
+    "dsir_weights": q_dsir_weights,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9529,6 +9595,7 @@ LAST_VERIFIED: dict[str, int] = {
     "tokenizer_fertility": 99,
     "length_sweep": 99,
     "ann_ivfpq": 99,
+    "dsir_weights": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -9905,6 +9972,7 @@ ORACLE_SQL: dict[str, str] = {
     "psi_drift_by": SQL_PSI_DRIFT_BY,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "length_sweep": SQL_LENGTH_SWEEP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
