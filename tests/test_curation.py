@@ -1160,3 +1160,21 @@ def test_dsir_logweights_prefer_target_like_docs(spark):
     assert got[100]["logweight"] == got[1]["logweight"]
     assert got[101]["logweight"] == got[11]["logweight"]
     assert got[1]["n_feats"] == 4
+
+
+def test_compaction_plan_packs_small_keeps_large(spark):
+    """Planner law: files ≥ target are 'keep' (never grouped); small
+    files pack greedily in key order with exact BIGINT prefix-sum
+    groups, and every group's byte total is the sum of its members."""
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    rows = [(1, 400), (2, 400), (3, 300), (4, 1000),  # 4 is large
+            (5, 250), (6, 50)]
+    m = spark.createDataFrame(rows, "shard long, n_bytes long")
+    got = {r["shard"]: r for r in bucketing.compaction_plan(
+        m, "shard", "n_bytes", 1000).collect()}
+    assert got[4]["action"] == "keep" and got[4]["out_group"] is None
+    # prefix sums (before each): 0,400,800,1100,1350 -> groups 0,0,0,1,1
+    assert [got[i]["out_group"] for i in (1, 2, 3, 5, 6)] == [0, 0, 0, 1, 1]
+    assert got[1]["group_bytes"] == 1100 and got[1]["n_in_group"] == 3
+    assert got[5]["group_bytes"] == 300 and got[5]["n_in_group"] == 2

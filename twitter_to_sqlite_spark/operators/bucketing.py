@@ -199,3 +199,50 @@ def shard_move_stats(df: DataFrame, key_col: str,
                     / F.col("__s.n_keys"), 6).alias("move_frac"),
         )
     )
+
+
+def compaction_plan(manifest: DataFrame, key_col: str, size_col: str,
+                    target_bytes: int) -> DataFrame:
+    """Small-file compaction planner (the Delta/Iceberg OPTIMIZE
+    bin-packing step): files already at/above `target_bytes` are left
+    in place (`action='keep'`, rewriting them would churn data for no
+    layout gain); smaller files are packed into output groups of
+    ≈`target_bytes` by an exact integer prefix sum in key order —
+    `out_group = floor(bytes_before / target)` — so every group except
+    possibly the last lands within one file of the target. Returns one
+    row per input file: (key, size, action, out_group, group_bytes,
+    n_in_group); the actual rewrite is then a repartition keyed on
+    out_group, reading ONLY the 'rewrite' files.
+
+    Scale: runs over the MANIFEST (one row per file), never the data —
+    the planner for a 100 TB table with 1e6 files is a 1e6-row frame.
+    The ordered prefix sum is a single global window over that
+    manifest, the same bounded-frame device as shard_move_stats; all
+    arithmetic is BIGINT-exact, so the plan is engine-reproducible
+    (retrying the planner cannot shuffle files between groups).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    small = manifest.filter(F.col(size_col) < target_bytes)
+    w = (Window.orderBy(key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    gw = Window.partitionBy("out_group")
+    packed = (
+        small.withColumn("__cum", F.sum(size_col).over(w))
+        .withColumn("out_group", F.expr(
+            f"CAST((__cum - {size_col}) DIV {target_bytes} AS BIGINT)"))
+        .select(
+            key_col, size_col, F.lit("rewrite").alias("action"),
+            "out_group",
+            F.sum(size_col).over(gw).cast("long").alias("group_bytes"),
+            F.count(F.lit(1)).over(gw).cast("long").alias("n_in_group"),
+        )
+    )
+    kept = manifest.filter(F.col(size_col) >= target_bytes).select(
+        key_col, size_col, F.lit("keep").alias("action"),
+        F.lit(None).cast("long").alias("out_group"),
+        F.lit(None).cast("long").alias("group_bytes"),
+        F.lit(None).cast("long").alias("n_in_group"),
+    )
+    return packed.unionByName(kept)

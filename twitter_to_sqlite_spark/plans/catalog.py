@@ -9330,6 +9330,71 @@ SELECT doc_id, n_feats, logweight, logweight >= 0.0 AS keep FROM w
 """
 
 
+# ---------------------------------------------------------------------
+# Small-file compaction planner (r7)
+# ---------------------------------------------------------------------
+
+_COMPACT_TARGET = 6000     # bytes per output file
+_COMPACT_SHARDS = 37       # manifest grain: md5(doc_id) % 37
+_COMPACT_PLANT = 1000      # planted already-large file ids
+
+
+def q_compaction_plan(spark, sf_dir):
+    """OPTIMIZE-style compaction plan over a file manifest: documents
+    hashed into 37 shard files (the shard_manifest grain), plus three
+    planted files already ≥ the 6000-byte target; the planner keeps
+    the large files in place and bin-packs the rest into ≈target
+    output groups via an exact BIGINT prefix sum
+    (operators/bucketing.py compaction_plan). Planner cost is
+    manifest-sized — one row per FILE — never data-sized."""
+    from twitter_to_sqlite_spark.functions.sampling import _key_hash
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    manifest = (
+        d.select(
+            (_key_hash(F.col("doc_id")) % _COMPACT_SHARDS).cast("long")
+            .alias("shard"),
+            F.length("text").cast("long").alias("__b"))
+        .groupBy("shard").agg(F.sum("__b").alias("n_bytes")))
+    planted = spark.range(3).select(
+        (F.col("id") + _COMPACT_PLANT).alias("shard"),
+        (F.col("id") + 2 * _COMPACT_TARGET).alias("n_bytes"))
+    return bucketing.compaction_plan(
+        manifest.unionByName(planted), "shard", "n_bytes",
+        _COMPACT_TARGET)
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH m AS (
+  SELECT (('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+          % {_COMPACT_SHARDS})::BIGINT AS shard,
+         sum(length(text))::BIGINT AS n_bytes
+  FROM documents GROUP BY 1
+  UNION ALL
+  SELECT ({_COMPACT_PLANT} + i)::BIGINT,
+         ({2 * _COMPACT_TARGET} + i)::BIGINT
+  FROM (SELECT unnest([0, 1, 2]) AS i)
+),
+packed AS (
+  SELECT shard, n_bytes,
+         (sum(n_bytes) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING)
+          - n_bytes) // {_COMPACT_TARGET} AS out_group
+  FROM m WHERE n_bytes < {_COMPACT_TARGET}
+),
+g AS (
+  SELECT shard, n_bytes, 'rewrite' AS action, out_group::BIGINT AS out_group,
+         (sum(n_bytes) OVER (PARTITION BY out_group))::BIGINT AS group_bytes,
+         (count(*) OVER (PARTITION BY out_group))::BIGINT AS n_in_group
+  FROM packed
+)
+SELECT * FROM g
+UNION ALL
+SELECT shard, n_bytes, 'keep', NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+FROM m WHERE n_bytes >= {_COMPACT_TARGET}
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9391,6 +9456,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_sweep": q_length_sweep,
     "ann_ivfpq": q_ann_ivfpq,
     "dsir_weights": q_dsir_weights,
+    "compaction_plan": q_compaction_plan,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9596,6 +9662,7 @@ LAST_VERIFIED: dict[str, int] = {
     "length_sweep": 99,
     "ann_ivfpq": 99,
     "dsir_weights": 99,
+    "compaction_plan": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -9973,6 +10040,7 @@ ORACLE_SQL: dict[str, str] = {
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "length_sweep": SQL_LENGTH_SWEEP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "compaction_plan": SQL_COMPACTION_PLAN,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
