@@ -1178,3 +1178,39 @@ def test_compaction_plan_packs_small_keeps_large(spark):
     assert [got[i]["out_group"] for i in (1, 2, 3, 5, 6)] == [0, 0, 0, 1, 1]
     assert got[1]["group_bytes"] == 1100 and got[1]["n_in_group"] == 3
     assert got[5]["group_bytes"] == 300 and got[5]["n_in_group"] == 2
+
+
+def test_lsh_band_plan_formula_and_choice(spark):
+    """Planner law vs a hand-computed spectrum: per-leg fn/fp equal
+    the repeated-squaring formula floored to ppm, and `chosen` is the
+    (cost, r)-argmin. Pairs: one exact dup (s=1, never missed), one
+    true pair at s=0.5, one false pair at s=1/7."""
+    import math
+
+    from twitter_to_sqlite_spark.functions import dedup as D
+
+    def p2(x, e):
+        for _ in range(e.bit_length() - 1):
+            x = x * x
+        return x
+
+    rows = [(1, 2, 4, 4, 4),    # s=1.0, true
+            (3, 4, 2, 3, 3),    # s=0.5, true (2*2 >= 4)
+            (5, 6, 1, 4, 4)]    # s=1/7, false
+    pairs = spark.createDataFrame(
+        rows, "id_a long, id_b long, inter long, size_a long, size_b long")
+    got = {(r["b"], r["r"]): r
+           for r in D.lsh_band_plan(pairs, num_hashes=16).collect()}
+    assert len(got) == 5 and sum(r["chosen"] for r in got.values()) == 1
+
+    legs = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+    exp = {}
+    for b, r in legs:
+        fn = (math.floor(p2(1.0 - p2(1.0, r), b) * 1e6)
+              + math.floor(p2(1.0 - p2(0.5, r), b) * 1e6))
+        fp = math.floor((1.0 - p2(1.0 - p2(1.0 / 7.0, r), b)) * 1e6)
+        exp[(b, r)] = (fn, fp)
+    for leg, (fn, fp) in exp.items():
+        assert (got[leg]["fn_ppm"], got[leg]["fp_ppm"]) == (fn, fp), leg
+    want = min(legs, key=lambda br: (sum(exp[br]), br[1]))
+    assert got[want]["chosen"]

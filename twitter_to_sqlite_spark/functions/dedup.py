@@ -1201,3 +1201,90 @@ def normalized_dedup(df: DataFrame, id_col: str = "doc_id",
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+def lsh_band_plan(pairs: DataFrame, num_hashes: int = 16,
+                  tau_num: int = 1, tau_den: int = 2,
+                  ppm: int = 1_000_000) -> DataFrame:
+    """MinHash banding-parameter planner: for every (bands b, rows r)
+    factorization of the signature budget (r a power of two,
+    b = num_hashes / r), the EMPIRICAL expected error of banded LSH
+    over the observed candidate-pair similarity spectrum — the
+    measure-don't-guess step before fixing (b, r), instead of reading
+    the (1/b)^(1/r) knee off the S-curve and hoping the corpus
+    cooperates.
+
+    For a pair with exact Jaccard s, banded LSH detects it with
+    p = 1 − (1 − s^r)^b. Pairs at/above the target threshold
+    (tau_num/tau_den, compared EXACTLY as inter·den ≥ union·num)
+    contribute their miss probability to fn_ppm; pairs below it
+    contribute their detection probability to fp_ppm; chosen marks
+    the minimum-total-error leg (ties → smaller r = cheaper bands).
+
+    Engine-exact floats: s is a ratio of exact integers, s^r and
+    (1−s^r)^b are evaluated by REPEATED SQUARING (identical
+    multiplication trees in Spark and the oracle — no libm pow), and
+    each pair's contribution is floored to integer ppm before the
+    sum, so the aggregate is BIGINT-exact in any partition order.
+
+    Scale: a handful of multiply columns over the bounded PAIRS frame
+    (already capped by max_df at generation), one global 1-row agg
+    (map-side combined), a ≤log₂(num_hashes)+1-row output. The
+    planner costs one scan of the pairs a dedup run computes anyway.
+
+    Expects the ngram_jaccard_pairs output shape (inter, size_a,
+    size_b). Reference scope: parameter planning for dedup has no
+    counterpart in twitter-to-sqlite (pipeline-scale extension);
+    the S-curve math is MMDS ch.3 (public).
+    """
+    import math
+
+    def _p2(col, e: int):
+        # col**e for e a power of two, by squaring (e=1 → identity)
+        for _ in range(e.bit_length() - 1):
+            col = col * col
+        return col
+
+    legs = []
+    r = 1
+    while r <= num_hashes:
+        legs.append((num_hashes // r, r))
+        r *= 2
+
+    union = (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    s = F.col("inter").cast("double") / union
+    istrue = (F.col("inter") * tau_den) >= (union * tau_num)
+
+    aggs = []
+    for b, r in legs:
+        miss = _p2(F.lit(1.0) - _p2(s, r), b)
+        aggs.append(F.coalesce(F.sum(
+            F.when(istrue, F.floor(miss * F.lit(float(ppm))))
+            .otherwise(F.lit(0))
+        ), F.lit(0)).alias(f"fn_{b}_{r}"))
+        aggs.append(F.coalesce(F.sum(
+            F.when(istrue, F.lit(0))
+            .otherwise(F.floor((F.lit(1.0) - miss) * F.lit(float(ppm))))
+        ), F.lit(0)).alias(f"fp_{b}_{r}"))
+    wide = pairs.agg(*aggs)
+
+    rows = []
+    for b, r in legs:
+        knee = round(math.exp(math.log(1.0 / b) / r), 6)
+        rows.append(F.struct(
+            F.lit(b).cast("long").alias("b"),
+            F.lit(r).cast("long").alias("r"),
+            F.lit(knee).alias("s_knee"),
+            F.col(f"fn_{b}_{r}").alias("fn_ppm"),
+            F.col(f"fp_{b}_{r}").alias("fp_ppm"),
+        ))
+    from pyspark.sql import Window
+
+    long = (wide.select(F.explode(F.array(*rows)).alias("__l"))
+            .select("__l.b", "__l.r", "__l.s_knee", "__l.fn_ppm",
+                    "__l.fp_ppm",
+                    (F.col("__l.fn_ppm") + F.col("__l.fp_ppm"))
+                    .alias("cost_ppm")))
+    w = Window.orderBy("cost_ppm", "r")   # ≤ log2(H)+1 rows
+    return long.withColumn(
+        "chosen", F.row_number().over(w) == 1)

@@ -9395,6 +9395,98 @@ FROM m WHERE n_bytes >= {_COMPACT_TARGET}
 """
 
 
+# ---------------------------------------------------------------------
+# LSH banding-parameter planner (r7)
+# ---------------------------------------------------------------------
+
+_LSH_PLAN_H = 16   # signature budget: the dedup_minhash family's n
+
+
+def q_lsh_planner(spark, sf_dir):
+    """Empirical MinHash banding planner (dedup.lsh_band_plan): for
+    every (b, r) split of the 16-hash budget, the expected false-
+    negative / false-positive mass of banded LSH over the corpus's
+    OWN candidate-pair Jaccard spectrum (the dedup_sweep pairs frame,
+    planted dups included), with the minimum-error leg marked chosen.
+    All pair math is repeated-squaring + integer-ppm floors, so the
+    aggregate is BIGINT-exact in any partition order."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3,
+        threshold=min(_SWEEP_TAUS), max_df=_JACCARD_MAX_DF)
+    return dedup.lsh_band_plan(pairs, num_hashes=_LSH_PLAN_H)
+
+
+def _sql_p2(expr: str, e: int) -> str:
+    # expr**e for e a power of two — the identical multiplication tree
+    # dedup.lsh_band_plan builds Spark-side (no libm pow anywhere).
+    for _ in range(e.bit_length() - 1):
+        expr = f"({expr} * {expr})"
+    return expr
+
+
+def _lsh_planner_sql() -> str:
+    import math
+
+    legs, r = [], 1
+    while r <= _LSH_PLAN_H:
+        legs.append((_LSH_PLAN_H // r, r))
+        r *= 2
+    agg_cols, leg_rows = [], []
+    for b, r in legs:
+        miss = _sql_p2(f"(1.0 - {_sql_p2('s', r)})", b)
+        agg_cols.append(
+            f"coalesce(sum(CASE WHEN istrue THEN"
+            f" CAST(floor({miss} * 1000000.0) AS BIGINT)"
+            f" ELSE 0 END), 0) AS fn_{b}_{r}")
+        agg_cols.append(
+            f"coalesce(sum(CASE WHEN istrue THEN 0 ELSE"
+            f" CAST(floor((1.0 - {miss}) * 1000000.0) AS BIGINT)"
+            f" END), 0) AS fp_{b}_{r}")
+        knee = round(math.exp(math.log(1.0 / b) / r), 6)
+        leg_rows.append(
+            f"SELECT {b}::BIGINT AS b, {r}::BIGINT AS r,"
+            f" CAST({knee!r} AS DOUBLE) AS s_knee,"
+            f" fn_{b}_{r} AS fn_ppm, fp_{b}_{r} AS fp_ppm FROM agg")
+    return f"""
+WITH docs AS ({_SQL_DOCS_PLANTED}),
+sh AS ({_SQL_SHINGLES}),
+shf AS (
+  SELECT id, shingle FROM (
+    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+  ) WHERE df <= {_JACCARD_MAX_DF}
+),
+sz AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+p AS (
+  SELECT inter::DOUBLE / (sa.sz + sb.sz - inter) AS s,
+         inter * 2 >= (sa.sz + sb.sz - inter) AS istrue
+  FROM inter
+  JOIN sz sa ON sa.id = id_a
+  JOIN sz sb ON sb.id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {min(_SWEEP_TAUS)}
+),
+agg AS (SELECT {", ".join(agg_cols)} FROM p),
+legs AS ({" UNION ALL ".join(leg_rows)}),
+c AS (
+  SELECT b, r, s_knee, CAST(fn_ppm AS BIGINT) AS fn_ppm,
+         CAST(fp_ppm AS BIGINT) AS fp_ppm,
+         CAST(fn_ppm + fp_ppm AS BIGINT) AS cost_ppm
+  FROM legs
+)
+SELECT b, r, s_knee, fn_ppm, fp_ppm, cost_ppm,
+       row_number() OVER (ORDER BY cost_ppm, r) = 1 AS chosen
+FROM c
+"""
+
+
+SQL_LSH_PLANNER = _lsh_planner_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9457,6 +9549,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,
     "dsir_weights": q_dsir_weights,
     "compaction_plan": q_compaction_plan,
+    "lsh_planner": q_lsh_planner,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9663,6 +9756,7 @@ LAST_VERIFIED: dict[str, int] = {
     "ann_ivfpq": 99,
     "dsir_weights": 99,
     "compaction_plan": 99,
+    "lsh_planner": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10041,6 +10135,7 @@ ORACLE_SQL: dict[str, str] = {
     "length_sweep": SQL_LENGTH_SWEEP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "compaction_plan": SQL_COMPACTION_PLAN,
+    "lsh_planner": SQL_LSH_PLANNER,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
