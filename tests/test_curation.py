@@ -1214,3 +1214,32 @@ def test_lsh_band_plan_formula_and_choice(spark):
         assert (got[leg]["fn_ppm"], got[leg]["fp_ppm"]) == (fn, fp), leg
     want = min(legs, key=lambda br: (sum(exp[br]), br[1]))
     assert got[want]["chosen"]
+
+
+def test_retrieval_eval_perfect_and_degraded_ranking(spark):
+    """NDCG law on a planted corpus: when BM25's ranking happens to
+    equal the ideal (every full-coverage doc outranks every partial
+    one) NDCG = 1 and MRR = 1; a query whose full-coverage doc is
+    longer (lower BM25) than single-term docs gets NDCG < 1 and
+    MRR = 1/rank of that doc."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    rows = [
+        # q1: doc 1 has both terms, docs 2-3 one term -> ideal order
+        (1, "apple banana"), (2, "apple pear plum"), (3, "banana kiwi"),
+        # q2: doc 4 has both terms but is LONG and term-sparse; docs
+        # 5-6 are short single-term docs that outscore it on BM25
+        (4, "cat dog " + "filler words here and more padding " * 8),
+        (5, "cat cat cat"), (6, "dog dog dog"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = R.build_inverted_index(d, "doc_id", "text")
+    qs = spark.createDataFrame(
+        [(1, "apple"), (1, "banana"), (2, "cat"), (2, "dog")],
+        "query_id long, term string")
+    got = {r["query_id"]: r
+           for r in R.retrieval_eval(idx, "doc_id", qs, k=10).collect()}
+    assert got[1]["n_cands"] == 3
+    assert got[1]["ndcg"] == 1.0 and got[1]["mrr"] == 1.0
+    assert got[2]["n_cands"] == 3
+    assert got[2]["ndcg"] < 1.0 and got[2]["mrr"] == round(1.0 / 3, 6)

@@ -1395,3 +1395,94 @@ def resample_fill(df: DataFrame, key_col: str, ts_col: str, val_col: str,
         F.coalesce("__s", F.lit(0.0)).alias("v_sum"),
         F.last("__s", ignorenulls=True).over(w).alias("level"),
     )
+
+
+def retrieval_eval(index: DataFrame, id_col: str, queries: DataFrame,
+                   k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Retrieval-quality metrics (NDCG@k + MRR@k) for query-keyed BM25
+    over the inverted index — the eval loop a RAG / search pipeline
+    runs after every index or ranker change.
+
+    ``queries`` is a (query_id, term) frame (tiny: broadcast). For
+    each query, every doc matching ≥1 term is scored with Okapi BM25
+    (same k1/b and integer-exact corpus stats as :func:`fts_bm25`) and
+    ranked by (round(score,4) DESC, id ASC). Graded relevance is TERM
+    COVERAGE: rel = #distinct query terms the doc contains, gain
+    2^rel − 1; NDCG@k divides the ranking's DCG by the ideal (rel-
+    sorted) DCG; MRR@k is 1/rank of the first full-coverage doc in
+    the top k (0.0 if none). Per-query float sums fold over the ≤k
+    collected rank rows IN RANK ORDER, so the metrics are engine-
+    identical at the rounded grain.
+
+    Scale: queries × df fan-out only on matching postings; dfreq and
+    the 1-row corpus stats broadcast; the per-(query, doc) and
+    per-query aggs are map-side combinable. With |queries| bounded
+    (an eval set), everything after the postings join is bounded by
+    |queries| × |matching docs|.
+    """
+    dl = index.groupBy(id_col).agg(
+        F.sum("tf").cast("double").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    qn = queries.groupBy("query_id").agg(
+        F.countDistinct("term").alias("__qn"))
+    hits = index.join(F.broadcast(queries.select("query_id", "term")),
+                      "term")
+    dfreq = hits.groupBy("query_id", "term").agg(
+        F.countDistinct(id_col).cast("double").alias("__df"))
+    tf = F.col("tf").cast("double")
+    idf = F.log((F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5) + 1)
+    score = (idf * tf * (k1 + 1)
+             / (tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))))
+    scored = (
+        hits.join(F.broadcast(dfreq), ["query_id", "term"])
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", score)
+    )
+    per_doc = scored.groupBy("query_id", id_col).agg(
+        F.round(F.sum("__s"), 4).alias("score"),
+        F.countDistinct("term").alias("rel"),
+    )
+    # 2^rel − 1 exactly (integer shift; F.shiftleft only takes a
+    # literal bit count, so route through the SQL form)
+    gain = (F.expr("shiftleft(1, cast(rel AS int))") - 1).cast("double")
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    iw = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col(id_col).asc())
+    ranked = (per_doc.withColumn("__r", F.row_number().over(rw))
+              .filter(F.col("__r") <= k))
+    ideal = (per_doc.withColumn("__r", F.row_number().over(iw))
+             .filter(F.col("__r") <= k))
+
+    def _dcg(frame, out):
+        terms = frame.select(
+            "query_id", "__r",
+            (gain / F.log2(F.col("__r") + 1)).alias("__t"))
+        return (terms.groupBy("query_id")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("__r", "__t"))).alias("__ts"))
+                .select("query_id", F.aggregate(
+                    "__ts", F.lit(0.0),
+                    lambda acc, s: acc + s["__t"]).alias(out)))
+
+    mrr = (ranked.join(F.broadcast(qn), "query_id")
+           .filter(F.col("rel") == F.col("__qn"))
+           .groupBy("query_id")
+           .agg(F.round(1.0 / F.min("__r"), 6).alias("__mrr")))
+    base = per_doc.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_cands"))
+    return (
+        base.join(_dcg(ranked, "__dcg"), "query_id")
+        .join(_dcg(ideal, "__idcg"), "query_id")
+        .join(mrr, "query_id", "left")
+        .select(
+            "query_id", "n_cands",
+            F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
+            F.coalesce("__mrr", F.lit(0.0)).alias("mrr"),
+        )
+    )

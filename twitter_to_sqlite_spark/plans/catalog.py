@@ -9487,6 +9487,107 @@ FROM c
 SQL_LSH_PLANNER = _lsh_planner_sql()
 
 
+# ---------------------------------------------------------------------
+# Retrieval-quality eval: NDCG@k + MRR@k (r7)
+# ---------------------------------------------------------------------
+
+_RETEVAL_K = 10
+_RETEVAL_QS = [(1, "spark"), (1, "join"), (2, "hash"), (2, "merge"),
+               (3, "window"), (3, "filter"), (4, "stream"), (4, "batch")]
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """Search/RAG eval harness (operators/relational.py
+    retrieval_eval): NDCG@10 and MRR@10 of query-keyed BM25 over the
+    corpus inverted index for a fixed 4-query eval set, with term-
+    coverage graded relevance (gain 2^rel − 1). The regression number
+    a pipeline reads after every ranker or index change; per-query
+    DCG folds run in rank order over ≤k rows, so the floats are
+    engine-identical at the rounded grain."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = R.build_inverted_index(d, "doc_id", "text")
+    qs = spark.createDataFrame(_RETEVAL_QS, "query_id long, term string")
+    return R.retrieval_eval(idx, "doc_id", qs, k=_RETEVAL_K)
+
+
+def _retrieval_eval_sql() -> str:
+    vals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in _RETEVAL_QS)
+    fold = "list_reduce(list_prepend(0.0, {c}), (a, x) -> a + x)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q AS (SELECT * FROM (VALUES {vals}) t(query_id, term)),
+qn AS (SELECT query_id, count(DISTINCT term) AS qn FROM q GROUP BY 1),
+hits AS (
+  SELECT q.query_id, tf.doc_id, tf.term, tf.tf FROM tf JOIN q USING (term)
+),
+dfreq AS (
+  SELECT query_id, term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM hits GROUP BY 1, 2
+),
+sc AS (
+  SELECT h.query_id, h.doc_id, h.term,
+         ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+           * h.tf * (1.2 + 1)
+           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM hits h
+  JOIN dfreq USING (query_id, term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+pd AS (
+  SELECT query_id, doc_id, round(sum(s), 4) AS score,
+         count(DISTINCT term) AS rel
+  FROM sc GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS r
+  FROM pd
+),
+ik AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS r
+  FROM pd
+),
+dcg AS (
+  SELECT query_id,
+         list(((1 << rel) - 1)::DOUBLE / log2(r + 1) ORDER BY r) AS ts
+  FROM rk WHERE r <= {_RETEVAL_K} GROUP BY 1
+),
+idcg AS (
+  SELECT query_id,
+         list(((1 << rel) - 1)::DOUBLE / log2(r + 1) ORDER BY r) AS ts
+  FROM ik WHERE r <= {_RETEVAL_K} GROUP BY 1
+),
+mrr AS (
+  SELECT rk.query_id, round(1.0 / min(r), 6) AS mrr
+  FROM rk JOIN qn USING (query_id)
+  WHERE r <= {_RETEVAL_K} AND rel = qn GROUP BY 1
+),
+base AS (SELECT query_id, count(*) AS n_cands FROM pd GROUP BY 1)
+SELECT base.query_id, base.n_cands,
+       round({fold.format(c="dcg.ts")} / {fold.format(c="idcg.ts")}, 6)
+         AS ndcg,
+       coalesce(mrr.mrr, 0.0) AS mrr
+FROM base
+JOIN dcg USING (query_id)
+JOIN idcg USING (query_id)
+LEFT JOIN mrr USING (query_id)
+"""
+
+
+SQL_RETRIEVAL_EVAL = _retrieval_eval_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9550,6 +9651,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "compaction_plan": q_compaction_plan,
     "lsh_planner": q_lsh_planner,
+    "retrieval_eval": q_retrieval_eval,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9757,6 +9859,7 @@ LAST_VERIFIED: dict[str, int] = {
     "dsir_weights": 99,
     "compaction_plan": 99,
     "lsh_planner": 99,
+    "retrieval_eval": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10136,6 +10239,7 @@ ORACLE_SQL: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "compaction_plan": SQL_COMPACTION_PLAN,
     "lsh_planner": SQL_LSH_PLANNER,
+    "retrieval_eval": SQL_RETRIEVAL_EVAL,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
