@@ -1243,3 +1243,24 @@ def test_retrieval_eval_perfect_and_degraded_ranking(spark):
     assert got[1]["ndcg"] == 1.0 and got[1]["mrr"] == 1.0
     assert got[2]["n_cands"] == 3
     assert got[2]["ndcg"] < 1.0 and got[2]["mrr"] == round(1.0 / 3, 6)
+
+
+def test_distinct_ngram_diversity_flags_templated_source(spark):
+    """A source of near-identical templated docs must score far lower
+    distinct-2 than a source of all-different docs; exact counts on a
+    hand-built corpus."""
+    from twitter_to_sqlite_spark.functions import text as T
+
+    rows = ([(i, "the same boilerplate sentence", "tmpl")
+             for i in range(10)]
+            + [(100 + i, f"unique words w{i}a w{i}b w{i}c", "var")
+               for i in range(10)])
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r
+           for r in T.distinct_ngram_diversity(d, "source").collect()}
+    t, v = got["tmpl"], got["var"]
+    assert (t["n_docs"], t["n_tokens"], t["n_types"]) == (10, 40, 4)
+    assert t["n_bigram_types"] == 3 and t["n_bigrams"] == 30
+    assert v["n_types"] == 32  # 'unique','words' + 30 distinct w-tokens
+    # 31 distinct of 40 bigrams ('unique words' repeats across docs)
+    assert v["distinct2"] == 0.775 and t["distinct2"] == 0.1

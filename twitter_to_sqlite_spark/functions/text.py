@@ -543,3 +543,47 @@ def normalize_text(text_col):
     x = F.regexp_replace(x, "[^a-z ]", "")
     x = F.regexp_replace(x, " +", " ")
     return F.trim(x)
+
+
+def distinct_ngram_diversity(df: DataFrame, group_col: str,
+                             text_col: str = "text",
+                             decimals: int = 6) -> DataFrame:
+    """Corpus diversity report per group: distinct-1 / distinct-2
+    ratios (distinct n-grams over total n-grams, Li et al. 2016's
+    generated-text diversity metrics) plus doc/token totals. Low
+    distinct-n flags templated, boilerplate-flooded, or synthetically
+    generated slices — the corpus-level complement of the per-doc
+    repetition_stats filter (a source can look fine doc-by-doc while
+    every doc is the SAME doc).
+
+    Scale: two exploded streams (unigrams, bigrams) into group-keyed
+    count + count-distinct aggs — all two-phase with map-side partial
+    aggregation; no windows, no driver state. Group cardinality =
+    |sources|, so the output is a bounded report frame.
+    """
+    t = df.select(F.col(group_col), _tokens(F.col(text_col)).alias("__t"))
+    uni = t.select(group_col, F.explode("__t").alias("__w"))
+    bg = t.filter(F.size("__t") >= 2).select(
+        F.col(group_col),
+        F.explode(F.expr(
+            "zip_with(slice(__t, 1, size(__t) - 1),"
+            " slice(__t, 2, size(__t) - 1),"
+            " (x, y) -> concat(x, ' ', y))")).alias("__bg"))
+    u = uni.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("__w").alias("n_types"))
+    b = bg.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("__bg").alias("n_bigram_types"))
+    nd = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        nd.join(u, group_col).join(b, group_col)
+        .select(
+            group_col, "n_docs", "n_tokens", "n_types",
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"),
+                    decimals).alias("distinct1"),
+            "n_bigrams", "n_bigram_types",
+            F.round(F.col("n_bigram_types").cast("double")
+                    / F.col("n_bigrams"), decimals).alias("distinct2"),
+        )
+    )

@@ -9588,6 +9588,47 @@ LEFT JOIN mrr USING (query_id)
 SQL_RETRIEVAL_EVAL = _retrieval_eval_sql()
 
 
+# ---------------------------------------------------------------------
+# Per-source diversity report (r7)
+# ---------------------------------------------------------------------
+
+
+def q_source_diversity(spark, sf_dir):
+    """Distinct-1 / distinct-2 diversity per source (text.
+    distinct_ngram_diversity): the corpus-level templatedness probe —
+    a source whose docs individually pass repetition filters but are
+    all near-identical shows up here as a collapsed distinct-2."""
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return text.distinct_ngram_diversity(d, "source")
+
+
+SQL_SOURCE_DIVERSITY = f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS t FROM documents),
+uni AS (SELECT source, unnest(t) AS w FROM t),
+bg AS (
+  SELECT source, unnest(list_transform(
+    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM t WHERE len(t) >= 2
+),
+u AS (
+  SELECT source, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT w)::BIGINT AS n_types
+  FROM uni GROUP BY 1
+),
+b AS (
+  SELECT source, count(*)::BIGINT AS n_bigrams,
+         count(DISTINCT bg)::BIGINT AS n_bigram_types
+  FROM bg GROUP BY 1
+),
+nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1)
+SELECT source, n_docs, n_tokens, n_types,
+       round(n_types::DOUBLE / n_tokens, 6) AS distinct1,
+       n_bigrams, n_bigram_types,
+       round(n_bigram_types::DOUBLE / n_bigrams, 6) AS distinct2
+FROM nd JOIN u USING (source) JOIN b USING (source)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9652,6 +9693,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction_plan": q_compaction_plan,
     "lsh_planner": q_lsh_planner,
     "retrieval_eval": q_retrieval_eval,
+    "source_diversity": q_source_diversity,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9860,6 +9902,7 @@ LAST_VERIFIED: dict[str, int] = {
     "compaction_plan": 99,
     "lsh_planner": 99,
     "retrieval_eval": 99,
+    "source_diversity": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10240,6 +10283,7 @@ ORACLE_SQL: dict[str, str] = {
     "compaction_plan": SQL_COMPACTION_PLAN,
     "lsh_planner": SQL_LSH_PLANNER,
     "retrieval_eval": SQL_RETRIEVAL_EVAL,
+    "source_diversity": SQL_SOURCE_DIVERSITY,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
