@@ -138,3 +138,21 @@ def test_learned_artifact_roundtrip_loaded_equals_trained(spark, tmp_path):
         r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["syms_per_word"])
         for r in bpe.bpe_segment(docs, rows, "text", "doc_id").collect()}
     assert seg(loaded) == seg(trained)
+
+
+def test_gc_plan_matches_vacuum_and_counts(spark, tmp_path):
+    """gc_plan's dry-run must agree with what vacuum_versions then
+    actually drops, and report exact per-version row counts."""
+    from twitter_to_sqlite_spark.operators import sinks
+
+    p = str(tmp_path / "tbl")
+    for n in (2, 5, 7):
+        sinks.write_version(spark.range(n), p)
+    plan = {r["version"]: r
+            for r in sinks.gc_plan(spark, p, keep_last=1).collect()}
+    assert [v for v, r in sorted(plan.items()) if r["expirable"]] == [1, 2]
+    assert [plan[v]["n_rows"] for v in (1, 2, 3)] == [2, 5, 7]
+    assert plan[1]["reclaim_frac"] == round(7 / 14, 6)
+    dropped = sinks.vacuum_versions(p, keep_last=1)
+    assert dropped == [1, 2]
+    assert sinks.list_versions(p) == [3]

@@ -794,3 +794,38 @@ def version_diff(spark, path: str, v_from: int, v_to: int,
         read_version(spark, path, v_from),
         read_version(spark, path, v_to),
         key_cols, compare_cols)
+
+
+def gc_plan(spark, path: str, keep_last: int = 2) -> DataFrame:
+    """Retention PLAN for the version store: one row per committed
+    version with its exact row count and whether a
+    ``vacuum_versions(keep_last)`` run would drop it — the dry-run a
+    pipeline reviews (and alerts on) before destructive GC, plus the
+    fraction of stored rows the vacuum would reclaim.
+
+    Read side is manifest-resolved like every reader, so orphan
+    staging/crash dirs are invisible to the plan exactly as they are
+    to queries. Scale: one metadata-cheap count aggregate per version
+    (parquet row counts come from footer statistics — no data scan);
+    the report is |versions| rows, unioned lazily, nothing collected.
+    """
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    cut = len(versions) - keep_last if keep_last > 0 else len(versions)
+    per = None
+    for i, v in enumerate(versions):
+        row = read_version(spark, path, v).agg(
+            F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(v).cast("long").alias("version"),
+            "n_rows",
+            F.lit(i < cut).alias("expirable"))
+        per = row if per is None else per.unionByName(row)
+    tot = per.agg(
+        F.sum("n_rows").alias("__tot"),
+        F.sum(F.when(F.col("expirable"), F.col("n_rows"))
+              .otherwise(F.lit(0))).alias("__exp"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "version", "n_rows", "expirable",
+        F.round(F.col("__exp").cast("double") / F.col("__tot"), 6)
+        .alias("reclaim_frac"))

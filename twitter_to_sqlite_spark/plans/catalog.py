@@ -9629,6 +9629,56 @@ FROM nd JOIN u USING (source) JOIN b USING (source)
 """
 
 
+# ---------------------------------------------------------------------
+# Version-store GC plan (r7)
+# ---------------------------------------------------------------------
+
+
+def q_version_gc(spark, sf_dir):
+    """Retention dry-run on the versioned-table layer (operators/
+    sinks.py gc_plan): commit four growing deterministic snapshots of
+    orders (version i = keys with o_orderkey % 4 < i), then plan a
+    keep-last-2 vacuum — versions 1-2 must be marked expirable with
+    exact per-version row counts and the reclaimable row fraction.
+    Store protocol (allocate→rename→manifest) is exercised end-to-end;
+    per-call tempdir removed before returning (the version_diff
+    hygiene), report localCheckpoint-materialized first."""
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.operators import sinks
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="vergc-")
+    try:
+        path = root + "/tbl"
+        for i in range(1, 5):
+            sinks.write_version(
+                o.filter(F.col("o_orderkey") % 4 < i), path)
+        return sinks.gc_plan(spark, path, keep_last=2) \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_VERSION_GC = """
+WITH v AS (
+  SELECT i AS version,
+         (SELECT count(*) FROM orders WHERE o_orderkey % 4 < i) AS n_rows
+  FROM (SELECT unnest([1, 2, 3, 4]) AS i)
+),
+t AS (
+  SELECT sum(n_rows) AS tot,
+         sum(CASE WHEN version <= 2 THEN n_rows ELSE 0 END) AS exp
+  FROM v
+)
+SELECT version::BIGINT AS version, n_rows::BIGINT AS n_rows,
+       version <= 2 AS expirable,
+       round(exp::DOUBLE / tot, 6) AS reclaim_frac
+FROM v, t
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9694,6 +9744,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_planner": q_lsh_planner,
     "retrieval_eval": q_retrieval_eval,
     "source_diversity": q_source_diversity,
+    "version_gc": q_version_gc,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9903,6 +9954,7 @@ LAST_VERIFIED: dict[str, int] = {
     "lsh_planner": 99,
     "retrieval_eval": 99,
     "source_diversity": 99,
+    "version_gc": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10284,6 +10336,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_planner": SQL_LSH_PLANNER,
     "retrieval_eval": SQL_RETRIEVAL_EVAL,
     "source_diversity": SQL_SOURCE_DIVERSITY,
+    "version_gc": SQL_VERSION_GC,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
