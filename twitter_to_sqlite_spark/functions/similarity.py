@@ -809,3 +809,57 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
         F.col("neighbor_id") != F.col("query_id"))
     return _pq_rank_and_rescore(pairs, len(codebooks), candidates, k,
                                 decimals)
+
+
+def knn_graph(corpus: DataFrame, centroids: list[list[float]],
+              k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding", decimals: int = 4,
+              max_cell: int | None = None) -> DataFrame:
+    """Cell-blocked k-nearest-neighbor graph: each vector's top-k
+    cosine neighbors WITHIN its k-means cell (the semdedup_pairs
+    blocking, kept as a ranked neighbor list instead of thresholded
+    pairs). The kNN graph is the substrate for graph-based corpus ops
+    — SemDeDup variants, label propagation over embeddings, kNN
+    classification, connectivity-based outlier pruning.
+
+    Directed: every node ranks its own neighbors, so (a→b) and (b→a)
+    both appear when they share a cell. Scale: neighbor generation
+    costs Σ cell², never n² (k-means k sized so cells ≈ n/k);
+    `max_cell` guards degenerate cells like semdedup_pairs. The
+    per-node top-k is a bounded rank window keyed on the node —
+    partition-count invariant, map-side combinable up to the window.
+    """
+    if not centroids:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "src long, nbr long, rank long, cosine double")
+    from pyspark.sql import Window
+
+    withc = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cell", ivf_assign(F.col("v"), centroids)) \
+     .withColumn("n", _norm(F.col("v")))
+    if max_cell is not None:
+        ok = (
+            withc.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
+            .filter(F.col("__cn") <= max_cell)
+            .select("cell")
+        )
+        withc = withc.join(F.broadcast(ok), "cell", "left_semi")
+    a = withc.select("cell", F.col("id").alias("src"),
+                     F.col("v").alias("__qv"), F.col("n").alias("__qn"))
+    b = withc.select("cell", F.col("id").alias("nbr"),
+                     F.col("v").alias("__cv"), F.col("n").alias("__cn"))
+    cand = a.join(b, "cell").filter(F.col("src") != F.col("nbr"))
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    # rank on the ROUNDED cosine (the _score_and_rank convention) so
+    # the ordering is engine-reproducible at the published grain
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("nbr").asc())
+    return (
+        cand.withColumn("cosine", F.round(cos, decimals))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "nbr", F.col("rank").cast("long").alias("rank"),
+                "cosine")
+    )

@@ -9679,6 +9679,61 @@ FROM v, t
 """
 
 
+# ---------------------------------------------------------------------
+# Cell-blocked kNN graph (r7)
+# ---------------------------------------------------------------------
+
+_KNNG_K = 5
+
+
+def q_knn_graph(spark, sf_dir):
+    """Approximate kNN graph over the embedding corpus (similarity.
+    knn_graph): each vector's top-5 cosine neighbors within its
+    k-means cell — the shared IVF centroids, so the graph costs
+    Σ cell² and reuses _build:ivf_centroids. The substrate for
+    SemDeDup-style clustering, embedding label propagation, and
+    connectivity outlier pruning."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    return similarity.knn_graph(base, centroids, k=_KNNG_K)
+
+
+def _knn_graph_sql() -> str:
+    ctes, final = _kmeans_ctes(_IVF_ITERS, _IVF_SAMPLE_MOD)
+    return f"""
+WITH {ctes},
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+wc AS (
+  SELECT vec_id, v,
+         (SELECT cell FROM {final}
+          ORDER BY list_dot_product(b.v, cv) DESC, cell LIMIT 1) AS cell
+  FROM base b
+),
+cand AS (
+  SELECT x.vec_id AS src, y.vec_id AS nbr,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
+  FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+)
+SELECT src, nbr, r::BIGINT AS rank, cosine
+FROM (
+  SELECT src, nbr, cosine,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, nbr) AS r
+  FROM cand
+)
+WHERE r <= {_KNNG_K}
+"""
+
+
+SQL_KNN_GRAPH = _knn_graph_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9745,6 +9800,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_eval": q_retrieval_eval,
     "source_diversity": q_source_diversity,
     "version_gc": q_version_gc,
+    "knn_graph": q_knn_graph,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -9955,6 +10011,7 @@ LAST_VERIFIED: dict[str, int] = {
     "retrieval_eval": 99,
     "source_diversity": 99,
     "version_gc": 99,
+    "knn_graph": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10337,6 +10394,7 @@ ORACLE_SQL: dict[str, str] = {
     "retrieval_eval": SQL_RETRIEVAL_EVAL,
     "source_diversity": SQL_SOURCE_DIVERSITY,
     "version_gc": SQL_VERSION_GC,
+    "knn_graph": SQL_KNN_GRAPH,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
