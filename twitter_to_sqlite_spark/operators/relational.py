@@ -1486,3 +1486,45 @@ def retrieval_eval(index: DataFrame, id_col: str, queries: DataFrame,
             F.coalesce("__mrr", F.lit(0.0)).alias("mrr"),
         )
     )
+
+
+def changelog_compact(changelog: DataFrame, key_cols: list[str],
+                      op_col: str, seq_col: str,
+                      payload_cols: list[str]) -> DataFrame:
+    """Squash a multi-event CDC changelog into its net per-key effect
+    (Kafka log-compaction / Debezium event-squash semantics): a key
+    INSERTED inside the window and later deleted cancels entirely; an
+    insert followed by updates compacts to ONE insert carrying the
+    final payload; updates/deletes of a pre-existing key compact to
+    the LAST op with the final payload. Replaying the compacted log
+    yields the same end state as replaying the full log — with one
+    row per surviving key instead of one per event.
+
+    The compaction a 100 TB pipeline runs before shipping a day of
+    CDC downstream: cost is one key-partitioned window pass (two
+    row_numbers over the same shuffle — Spark computes both in one
+    WindowExec), output bounded by |distinct keys|, plan shape
+    identical at any event:key ratio.
+    """
+    wf = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
+    wl = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    marked = changelog.select(
+        *key_cols, op_col, seq_col, *payload_cols,
+        F.row_number().over(wf).alias("__rf"),
+        F.row_number().over(wl).alias("__rl"),
+    )
+    first = marked.filter(F.col("__rf") == 1).select(
+        *key_cols, F.col(op_col).alias("__first_op"))
+    last = marked.filter(F.col("__rl") == 1).select(
+        *key_cols, F.col(op_col).alias("__last_op"), *payload_cols)
+    return (
+        first.join(last, key_cols)
+        .filter(~((F.col("__first_op") == "insert")
+                  & (F.col("__last_op") == "delete")))
+        .select(
+            *key_cols,
+            F.when(F.col("__first_op") == "insert", F.lit("insert"))
+            .otherwise(F.col("__last_op")).alias("net_op"),
+            *payload_cols,
+        )
+    )

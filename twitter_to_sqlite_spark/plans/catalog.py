@@ -9734,6 +9734,73 @@ WHERE r <= {_KNNG_K}
 SQL_KNN_GRAPH = _knn_graph_sql()
 
 
+# ---------------------------------------------------------------------
+# Changelog compaction (r7)
+# ---------------------------------------------------------------------
+
+
+def q_changelog_compact(spark, sf_dir):
+    """CDC log compaction (operators/relational.py changelog_compact)
+    over a synthetic multi-event changelog on orders: keys %5=0 are
+    inserted then updated (net: one insert, final payload), %3≠%5
+    keys get a bare update, %7=0 keys a trailing delete — so %35 keys
+    cancel entirely (insert→delete) and %21 keys net to a delete.
+    Replay-equivalent to the full log at one row per surviving key."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    ins = o.filter(k % 5 == 0).select(
+        "o_orderkey", F.lit("insert").alias("op"),
+        F.lit(1).alias("seq"), "o_totalprice")
+    up5 = o.filter(k % 5 == 0).select(
+        "o_orderkey", F.lit("update").alias("op"),
+        F.lit(2).alias("seq"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    up3 = o.filter((k % 3 == 0) & (k % 5 != 0)).select(
+        "o_orderkey", F.lit("update").alias("op"),
+        F.lit(2).alias("seq"),
+        (F.col("o_totalprice") + 1).alias("o_totalprice"))
+    dels = o.filter(k % 7 == 0).select(
+        "o_orderkey", F.lit("delete").alias("op"),
+        F.lit(3).alias("seq"), "o_totalprice")
+    ch = ins.unionByName(up5).unionByName(up3).unionByName(dels)
+    return R.changelog_compact(
+        ch, ["o_orderkey"], "op", "seq", ["o_totalprice"])
+
+
+SQL_CHANGELOG_COMPACT = """
+WITH ch AS (
+  SELECT o_orderkey, 'insert' AS op, 1 AS seq, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'update', 2, o_totalprice * 2
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'update', 2, o_totalprice + 1
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'delete', 3, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY seq) AS rf,
+         row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC)
+           AS rl
+  FROM ch
+),
+f AS (SELECT o_orderkey, op AS first_op FROM w WHERE rf = 1),
+l AS (
+  SELECT o_orderkey, op AS last_op, o_totalprice FROM w WHERE rl = 1
+)
+SELECT f.o_orderkey,
+       CASE WHEN f.first_op = 'insert' THEN 'insert'
+            ELSE l.last_op END AS net_op,
+       l.o_totalprice
+FROM f JOIN l USING (o_orderkey)
+WHERE NOT (f.first_op = 'insert' AND l.last_op = 'delete')
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9801,6 +9868,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_diversity": q_source_diversity,
     "version_gc": q_version_gc,
     "knn_graph": q_knn_graph,
+    "changelog_compact": q_changelog_compact,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10012,6 +10080,7 @@ LAST_VERIFIED: dict[str, int] = {
     "source_diversity": 99,
     "version_gc": 99,
     "knn_graph": 99,
+    "changelog_compact": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10395,6 +10464,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_diversity": SQL_SOURCE_DIVERSITY,
     "version_gc": SQL_VERSION_GC,
     "knn_graph": SQL_KNN_GRAPH,
+    "changelog_compact": SQL_CHANGELOG_COMPACT,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
