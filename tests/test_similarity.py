@@ -25,3 +25,25 @@ def test_knn_graph_blocked_neighbors(spark):
     # x-aligned than [0.9,0.1])
     assert [r["nbr"] for r in sorted(by_src[1], key=lambda r: r["rank"])] \
         == [3, 2]
+
+
+def test_mmr_diversify_prefers_diverse_over_redundant(spark):
+    """Planted geometry: candidates A(rel .99) and A'(rel .98) are
+    near-copies; B(rel .90) is orthogonal-ish to A. Pure relevance
+    would pick (A, A', B); MMR must pick A first, then B (A' pays a
+    big redundancy penalty), then A'."""
+    from twitter_to_sqlite_spark.functions import similarity as S
+
+    rows = [
+        (1, 0.99, [1.0, 0.0, 0.0]),
+        (2, 0.98, [0.999, 0.01, 0.0]),
+        (3, 0.90, [0.0, 1.0, 0.0]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "id long, rel double, v array<double>")
+    got = sorted(S.mmr_diversify(cands, k=3, lam=0.75).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["id"] for r in got] == [1, 3, 2]
+    assert got[0]["mmr_score"] == 0.99
+    # step-2 scores: B: .75*.90 - .25*0 = .675 ; A': .75*.98 - .25*~1
+    assert got[1]["mmr_score"] == round(0.75 * 0.90 - 0.25 * 0.0, 4)

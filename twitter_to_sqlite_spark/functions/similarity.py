@@ -863,3 +863,60 @@ def knn_graph(corpus: DataFrame, centroids: list[list[float]],
         .select("src", "nbr", F.col("rank").cast("long").alias("rank"),
                 "cosine")
     )
+
+
+def mmr_diversify(candidates: DataFrame, k: int = 3, lam: float = 0.7,
+                  id_col: str = "id", rel_col: str = "rel",
+                  vec_col: str = "v", decimals: int = 4) -> DataFrame:
+    """Greedy Maximal Marginal Relevance rerank (Carbonell & Goldstein
+    1998) over a BOUNDED candidate frame — the RAG context-assembly
+    step that trades raw relevance for diversity so the k selected
+    passages aren't k copies of the same paragraph:
+
+        pick_1 = argmax rel
+        pick_s = argmax λ·rel − (1−λ)·max_{j∈picked} cos(i, j)
+
+    Entirely relational: each of the k−1 greedy steps is an anti-join
+    (drop picked) + a broadcast of the ≤s-row picked set + a bounded
+    max-penalty agg + a limit-1 argmax, unrolled into one lazy plan —
+    no driver-side loop state, no collect. Ties break on id; all
+    similarities and scores round to `decimals` before comparison, so
+    the greedy trajectory is engine-reproducible.
+
+    `candidates` must be bounded (a retriever's top-m) with
+    (id, rel, vector) columns; cost is O(k·m) similarity evaluations.
+    """
+    first = (candidates
+             .orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+             .limit(1)
+             .select(F.lit(1).cast("long").alias("rank"),
+                     F.col(id_col), F.col(vec_col),
+                     F.col(rel_col).alias("mmr_score")))
+    picks = [first]
+    for step in range(2, k + 1):
+        seld = picks[0]
+        for p in picks[1:]:
+            seld = seld.unionByName(p)
+        rem = candidates.join(seld.select(id_col), id_col, "left_anti")
+        sv = F.col("__sv")
+        cv = F.col(vec_col)
+        sim = F.round(
+            _dot(cv, sv) / (_norm(cv) * _norm(sv)), decimals)
+        pen = (rem.crossJoin(F.broadcast(
+                   seld.select(F.col(vec_col).alias("__sv"))))
+               .withColumn("__sim", sim)
+               .groupBy(id_col).agg(F.max("__sim").alias("__pen")))
+        scored = rem.join(pen, id_col).withColumn(
+            "__sc", F.round(F.lit(lam) * F.col(rel_col)
+                            - F.lit(1.0 - lam) * F.col("__pen"),
+                            decimals))
+        picks.append(
+            scored.orderBy(F.col("__sc").desc(), F.col(id_col).asc())
+            .limit(1)
+            .select(F.lit(step).cast("long").alias("rank"),
+                    F.col(id_col), F.col(vec_col),
+                    F.col("__sc").alias("mmr_score")))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("rank", id_col, "mmr_score")

@@ -9801,6 +9801,87 @@ WHERE NOT (f.first_op = 'insert' AND l.last_op = 'delete')
 """
 
 
+# ---------------------------------------------------------------------
+# MMR diversification rerank (r7)
+# ---------------------------------------------------------------------
+
+# λ=0.75 deliberately: 0.75 and 1−0.75=0.25 are both exact binary
+# doubles, so the Spark lit() and the SQL literal are the same number
+# (λ=0.7 would make python's 1.0−0.7 ≠ SQL's 0.3 by one ulp).
+_MMR_K, _MMR_M, _MMR_LAM = 3, 10, 0.75
+
+
+def q_mmr_diversify(spark, sf_dir):
+    """RAG context diversification (similarity.mmr_diversify): greedy
+    MMR over the top-10 cosine candidates of query vector 0 — pick 3
+    passages trading relevance against redundancy with the already-
+    picked set. The oracle unrolls the same greedy trajectory as
+    chained argmax CTEs, so the sequential semantics themselves are
+    cross-engine verified."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        "vec_id", F.col("v").alias("embedding"))
+    corpus = e.select("vec_id", F.col("v").alias("embedding"))
+    bf = similarity.brute_force_topk(corpus, qv, k=_MMR_M)
+    cands = (bf.select(F.col("neighbor_id").alias("id"),
+                       F.col("cosine").alias("rel"))
+             .join(e.select(F.col("vec_id").alias("id"), "v"), "id"))
+    return (similarity.mmr_diversify(cands, k=_MMR_K, lam=_MMR_LAM)
+            .withColumnRenamed("id", "vec_id"))
+
+
+def _mmr_sql() -> str:
+    sim = ("round(list_dot_product({x}, {y})"
+           " / (sqrt(list_dot_product({x}, {x}))"
+           " * sqrt(list_dot_product({y}, {y}))), 4)")
+    s_c1 = sim.format(x="c.v", y="s1.v")
+    s_c2 = sim.format(x="c.v", y="s2.v")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS a FROM embeddings
+           WHERE vec_id = 0),
+c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b
+       FROM embeddings),
+scored AS (
+  SELECT neighbor_id, {_SQL_COS} AS cosine
+  FROM c0, q WHERE neighbor_id != 0
+),
+cand AS (
+  SELECT neighbor_id AS id, cosine AS rel, b AS v FROM (
+    SELECT s.neighbor_id, s.cosine, c0.b,
+           row_number() OVER (ORDER BY s.cosine DESC, s.neighbor_id)
+             AS r
+    FROM scored s JOIN c0 USING (neighbor_id)
+  ) WHERE r <= {_MMR_M}
+),
+s1 AS (SELECT id, v, rel AS sc FROM cand ORDER BY rel DESC, id LIMIT 1),
+r2 AS (
+  SELECT c.id, c.v,
+         round(CAST(0.75 AS DOUBLE) * c.rel
+               - CAST(0.25 AS DOUBLE) * {s_c1}, 4) AS sc
+  FROM cand c, s1 WHERE c.id <> s1.id
+),
+s2 AS (SELECT id, v, sc FROM r2 ORDER BY sc DESC, id LIMIT 1),
+r3 AS (
+  SELECT c.id,
+         round(CAST(0.75 AS DOUBLE) * c.rel
+               - CAST(0.25 AS DOUBLE) * greatest({s_c1}, {s_c2}), 4)
+           AS sc
+  FROM cand c, s1, s2 WHERE c.id <> s1.id AND c.id <> s2.id
+),
+s3 AS (SELECT id, sc FROM r3 ORDER BY sc DESC, id LIMIT 1)
+SELECT 1::BIGINT AS rank, id AS vec_id, sc AS mmr_score FROM s1
+UNION ALL
+SELECT 2::BIGINT, id, sc FROM s2
+UNION ALL
+SELECT 3::BIGINT, id, sc FROM s3
+"""
+
+
+SQL_MMR_DIVERSIFY = _mmr_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9869,6 +9950,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "version_gc": q_version_gc,
     "knn_graph": q_knn_graph,
     "changelog_compact": q_changelog_compact,
+    "mmr_diversify": q_mmr_diversify,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10081,6 +10163,7 @@ LAST_VERIFIED: dict[str, int] = {
     "version_gc": 99,
     "knn_graph": 99,
     "changelog_compact": 99,
+    "mmr_diversify": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10465,6 +10548,7 @@ ORACLE_SQL: dict[str, str] = {
     "version_gc": SQL_VERSION_GC,
     "knn_graph": SQL_KNN_GRAPH,
     "changelog_compact": SQL_CHANGELOG_COMPACT,
+    "mmr_diversify": SQL_MMR_DIVERSIFY,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
