@@ -47,3 +47,24 @@ def test_mmr_diversify_prefers_diverse_over_redundant(spark):
     assert got[0]["mmr_score"] == 0.99
     # step-2 scores: B: .75*.90 - .25*0 = .675 ; A': .75*.98 - .25*~1
     assert got[1]["mmr_score"] == round(0.75 * 0.90 - 0.25 * 0.0, 4)
+
+
+def test_knn_classify_eval_majority_vote(spark):
+    """Hand-built graph: node 1's neighbors vote 2:1 for label A;
+    node 2's split 1:1 ties toward the smaller label; accuracies per
+    class follow exactly."""
+    from twitter_to_sqlite_spark.functions import similarity as S
+
+    graph = spark.createDataFrame(
+        [(1, 2, 1, 0.9), (1, 3, 2, 0.8), (1, 4, 3, 0.7),
+         (2, 1, 1, 0.9), (2, 4, 2, 0.8)],
+        "src long, nbr long, rank long, cosine double")
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20)],
+        "vec_id long, label int")
+    got = {r["label"]: r for r in
+           S.knn_classify_eval(graph, labels).collect()}
+    # node1: nbr labels {10,10,20} -> pred 10 == own 10 (correct)
+    # node2: nbr labels {10,20} tie -> pred 10 == own 10 (correct)
+    assert got[10]["n"] == 2 and got[10]["n_correct"] == 2
+    assert got[10]["accuracy"] == 1.0

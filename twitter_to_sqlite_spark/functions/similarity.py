@@ -920,3 +920,45 @@ def mmr_diversify(candidates: DataFrame, k: int = 3, lam: float = 0.7,
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.select("rank", id_col, "mmr_score")
+
+
+def knn_classify_eval(graph: DataFrame, labels: DataFrame,
+                      id_col: str = "vec_id", label_col: str = "label",
+                      decimals: int = 6) -> DataFrame:
+    """Embedding-quality probe by kNN classification: predict each
+    vector's label as the majority label of its knn_graph neighbors
+    (ties → smaller label) and report per-class accuracy — the
+    standard representation-learning eval (a good embedding space
+    puts same-label points together), run entirely on the corpus's
+    own labels with no model.
+
+    `graph` is a knn_graph output (src, nbr, rank, cosine); `labels`
+    maps id → label. Scale: one neighbor-label join keyed on the
+    graph edges (|V|·k rows), one bounded vote agg per node, one
+    |classes|-row report. No floats until the final accuracy ratio.
+    """
+    lab_n = labels.select(F.col(id_col).alias("nbr"),
+                          F.col(label_col).alias("__nl"))
+    votes = (graph.join(lab_n, "nbr")
+             .groupBy("src", "__nl").agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.partitionBy("src").orderBy(
+        F.col("__c").desc(), F.col("__nl").asc())
+    pred = (votes.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("src", F.col("__nl").alias("__pred")))
+    own = labels.select(F.col(id_col).alias("src"),
+                        F.col(label_col).alias("__ol"))
+    j = pred.join(own, "src")
+    return (
+        j.groupBy(F.col("__ol").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("__pred") == F.col("__ol")).cast("long"))
+            .alias("n_correct"),
+        )
+        .select(
+            label_col, "n", "n_correct",
+            F.round(F.col("n_correct").cast("double") / F.col("n"),
+                    decimals).alias("accuracy"),
+        )
+    )

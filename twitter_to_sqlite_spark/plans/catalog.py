@@ -9702,10 +9702,10 @@ def q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(base, centroids, k=_KNNG_K)
 
 
-def _knn_graph_sql() -> str:
+def _knn_graph_ctes() -> str:
+    # shared by SQL_KNN_GRAPH and the kNN-classify oracle
     ctes, final = _kmeans_ctes(_IVF_ITERS, _IVF_SAMPLE_MOD)
-    return f"""
-WITH {ctes},
+    return f"""{ctes},
 base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 wc AS (
   SELECT vec_id, v,
@@ -9719,19 +9719,23 @@ cand AS (
                / (sqrt(list_dot_product(x.v, x.v))
                   * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
   FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id <> y.vec_id
-)
-SELECT src, nbr, r::BIGINT AS rank, cosine
-FROM (
-  SELECT src, nbr, cosine,
-         row_number() OVER (PARTITION BY src
-                            ORDER BY cosine DESC, nbr) AS r
-  FROM cand
-)
-WHERE r <= {_KNNG_K}
+),
+knng AS (
+  SELECT src, nbr, r, cosine
+  FROM (
+    SELECT src, nbr, cosine,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cosine DESC, nbr) AS r
+    FROM cand
+  )
+  WHERE r <= {_KNNG_K}
+)"""
+
+
+SQL_KNN_GRAPH = f"""
+WITH {_knn_graph_ctes()}
+SELECT src, nbr, r::BIGINT AS rank, cosine FROM knng
 """
-
-
-SQL_KNN_GRAPH = _knn_graph_sql()
 
 
 # ---------------------------------------------------------------------
@@ -9882,6 +9886,54 @@ SELECT 3::BIGINT, id, sc FROM s3
 SQL_MMR_DIVERSIFY = _mmr_sql()
 
 
+# ---------------------------------------------------------------------
+# kNN classification accuracy (r7)
+# ---------------------------------------------------------------------
+
+
+def q_knn_classify(spark, sf_dir):
+    """Embedding-space quality probe (similarity.knn_classify_eval):
+    per-class accuracy of majority-vote kNN classification over the
+    cell-blocked knn_graph, against the embeddings table's own
+    labels — the no-model eval that detects a degraded embedding
+    space before it degrades retrieval."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    g = similarity.knn_graph(base, centroids, k=_KNNG_K)
+    return similarity.knn_classify_eval(
+        g, e.select("vec_id", "label"))
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH {_knn_graph_ctes()},
+lab AS (SELECT vec_id, label FROM embeddings),
+votes AS (
+  SELECT k.src, l.label AS nl, count(*) AS c
+  FROM knng k JOIN lab l ON l.vec_id = k.nbr
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT src, nl AS pred FROM (
+    SELECT src, nl, row_number() OVER (PARTITION BY src
+                                       ORDER BY c DESC, nl) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT l.label,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct,
+       round(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS accuracy
+FROM pred p JOIN lab l ON l.vec_id = p.src
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9951,6 +10003,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "changelog_compact": q_changelog_compact,
     "mmr_diversify": q_mmr_diversify,
+    "knn_classify": q_knn_classify,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10164,6 +10217,7 @@ LAST_VERIFIED: dict[str, int] = {
     "knn_graph": 99,
     "changelog_compact": 99,
     "mmr_diversify": 99,
+    "knn_classify": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10549,6 +10603,7 @@ ORACLE_SQL: dict[str, str] = {
     "knn_graph": SQL_KNN_GRAPH,
     "changelog_compact": SQL_CHANGELOG_COMPACT,
     "mmr_diversify": SQL_MMR_DIVERSIFY,
+    "knn_classify": SQL_KNN_CLASSIFY,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
