@@ -12,6 +12,7 @@ row. Run:  python tools/scale_probe.py [N] [sf_dir]
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -500,6 +501,49 @@ def _auc_bootstrap_probe(d):
     return stats.auc_bootstrap(scored)
 
 
+def _dsir_probe(d):
+    from twitter_to_sqlite_spark.functions import sampling
+
+    return sampling.dsir_logweights(d, F.col("doc_id") % 3 == 0)
+
+
+def _retrieval_eval_probe(d):
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    spark = d.sparkSession
+    qs = spark.createDataFrame(
+        [(1, "spark"), (1, "join"), (2, "hash"), (2, "merge")],
+        "query_id long, term string")
+    return R.retrieval_eval(
+        R.build_inverted_index(d, "doc_id", "text"), "doc_id", qs, k=10)
+
+
+def _compaction_probe(d):
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    manifest = (d.select((F.col("doc_id") % 997).alias("shard"),
+                         F.length("text").cast("long").alias("b"))
+                .groupBy("shard").agg(F.sum("b").alias("n_bytes")))
+    return bucketing.compaction_plan(manifest, "shard", "n_bytes", 50_000)
+
+
+def _changelog_probe(d):
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    k = F.col("doc_id")
+    base = d.select("doc_id", F.length("text").cast("double").alias("p"))
+    ch = (base.filter(k % 5 == 0).select(
+              "doc_id", F.lit("insert").alias("op"),
+              F.lit(1).alias("seq"), "p")
+          .unionByName(base.filter(k % 5 == 0).select(
+              "doc_id", F.lit("update").alias("op"),
+              F.lit(2).alias("seq"), (F.col("p") * 2).alias("p")))
+          .unionByName(base.filter(k % 7 == 0).select(
+              "doc_id", F.lit("delete").alias("op"),
+              F.lit(3).alias("seq"), "p")))
+    return R.changelog_compact(ch, ["doc_id"], "op", "seq", ["p"])
+
+
 def main():
     only = None
     for a in list(sys.argv[1:]):
@@ -644,6 +688,30 @@ def main():
         "curriculum_order": lambda d, v: _curriculum_probe(d),
         "paragraph_incr": lambda d, v: _paragraph_incr_probe(d),
         "auc_bootstrap": lambda d, v: _auc_bootstrap_probe(d),
+        # --- r7 batch-2 operators ---
+        # two bigram-stream aggs + ≤64-row broadcast: linear is the bar
+        "dsir": lambda d, v: _dsir_probe(d),
+        # Σ cell² within k-means cells. The IVF scale discipline is
+        # k ≈ √n (FAISS convention): assignment n·k and pair
+        # generation n·(n/k) then BOTH grow as n^1.5 — ratio ≈ 10^1.5
+        # /10 ≈ 3.2 per decade is the bar, not 1.0 (fixed k would make
+        # pairs quadratic; k ∝ n would make assignment quadratic).
+        "knn_graph": lambda d, v: similarity.knn_graph(
+            v, similarity.kmeans_centroids(
+                v, max(8, math.isqrt(v.count())), iters=1), k=5,
+            max_cell=5000),
+        # pairs build (df-capped) + 5 multiply columns + 1-row agg
+        "lsh_planner": lambda d, v: dedup.lsh_band_plan(
+            dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
+                                      threshold=0.3, max_df=20)),
+        "retrieval_eval": lambda d, v: _retrieval_eval_probe(d),
+        # manifest-sized planner: growth should track the GROUP agg,
+        # the window itself stays |shards|-bounded
+        "compaction_plan": lambda d, v: _compaction_probe(d),
+        "changelog_compact": lambda d, v: _changelog_probe(d),
+        "source_diversity": lambda d, v: text.distinct_ngram_diversity(
+            d.withColumn("source", (F.col("doc_id") % 20)
+                         .cast("string")), "source"),
     }
     out = {}
     for name, fn in OPS.items():
