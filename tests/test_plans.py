@@ -589,3 +589,71 @@ def test_domain_caps_broadcasts_slice_marks_and_pushes_filters(spark):
     # two Window nodes total: the bounded cumulative-count window over
     # the counts frame + the slice-rank window; none global
     assert count_nodes(plan, "Window") == 2
+
+
+# ---------------------------------------------------------------------
+# r7 batch-2 operators: the scale story, asserted
+# ---------------------------------------------------------------------
+
+
+def test_dsir_broadcasts_logratio_table(spark):
+    """The ≤64-row log-ratio table must BROADCAST onto the per-doc
+    bucket counts (never shuffle the corpus side for it), and nothing
+    in the plan is a cartesian join except the two 1-row totals."""
+    plan = plan_of(spark, "dsir_weights")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_never_scans_text(spark):
+    """The planner aggregates byte lengths: the documents scan must
+    read only (doc_id, text) and every join downstream runs on the
+    manifest-sized frame (no SortMergeJoin anywhere)."""
+    plan = plan_of(spark, "compaction_plan")
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_planner_is_one_agg_over_pairs(spark):
+    """All five (b, r) legs fold into ONE aggregate pass over the
+    pairs frame — five separate scans would show five HashAggregate
+    chains on the shingle join; the output explode is on a 1-row
+    frame."""
+    plan = plan_of(spark, "lsh_planner")
+    # one partial+final pair for the leg sums over pairs, plus the
+    # bounded shingle-side aggs; the pairs self-join appears once
+    assert count_nodes(plan, "Generate") <= 3
+
+
+def test_retrieval_eval_broadcasts_stats_and_dfreq(spark):
+    """Corpus stats (1 row) and per-(query, term) dfreq (≤8 rows)
+    must broadcast; the postings side never shuffles for them."""
+    plan = plan_of(spark, "retrieval_eval")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_joins_only_within_cells(spark):
+    """Pair generation must be an equi-join on the cell key — a
+    cartesian/nested-loop over the corpus is the n² bug this
+    operator exists to avoid."""
+    plan = plan_of(spark, "knn_graph")
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_changelog_compact_single_agg_pass(spark):
+    """The net effect comes from ONE min_by/max_by aggregation: no
+    window anywhere, the changelog shuffles exactly once, and there
+    is no self-join (the first window-based form computed the union
+    twice — this pin is the regression guard)."""
+    plan = plan_of(spark, "changelog_compact")
+    assert count_nodes(plan, "Window") == 0
+    assert count_nodes(plan, "Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_knn_classify_no_global_window(spark):
+    """The vote argmax partitions by src — no global (unpartitioned)
+    window may appear."""
+    plan = plan_of(spark, "knn_classify")
+    assert "CartesianProduct" not in plan

@@ -1501,24 +1501,21 @@ def changelog_compact(changelog: DataFrame, key_cols: list[str],
     row per surviving key instead of one per event.
 
     The compaction a 100 TB pipeline runs before shipping a day of
-    CDC downstream: cost is one key-partitioned window pass (two
-    row_numbers over the same shuffle — Spark computes both in one
-    WindowExec), output bounded by |distinct keys|, plan shape
-    identical at any event:key ratio.
+    CDC downstream: ONE key-partitioned aggregation — min_by/max_by
+    carry the first/last op and the final payload in the same
+    partial-agg pass (map-side combined), so the log shuffles exactly
+    once, with no window sort and no self-join. Output bounded by
+    |distinct keys|. `seq_col` must be unique per key (CDC offsets
+    are), otherwise min_by/max_by ties are undefined.
     """
-    wf = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
-    wl = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
-    marked = changelog.select(
-        *key_cols, op_col, seq_col, *payload_cols,
-        F.row_number().over(wf).alias("__rf"),
-        F.row_number().over(wl).alias("__rl"),
-    )
-    first = marked.filter(F.col("__rf") == 1).select(
-        *key_cols, F.col(op_col).alias("__first_op"))
-    last = marked.filter(F.col("__rl") == 1).select(
-        *key_cols, F.col(op_col).alias("__last_op"), *payload_cols)
+    aggs = [
+        F.expr(f"min_by({op_col}, {seq_col})").alias("__first_op"),
+        F.expr(f"max_by({op_col}, {seq_col})").alias("__last_op"),
+    ] + [
+        F.expr(f"max_by({c}, {seq_col})").alias(c) for c in payload_cols
+    ]
     return (
-        first.join(last, key_cols)
+        changelog.groupBy(*key_cols).agg(*aggs)
         .filter(~((F.col("__first_op") == "insert")
                   & (F.col("__last_op") == "delete")))
         .select(
