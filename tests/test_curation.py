@@ -1264,3 +1264,26 @@ def test_distinct_ngram_diversity_flags_templated_source(spark):
     assert v["n_types"] == 32  # 'unique','words' + 30 distinct w-tokens
     # 31 distinct of 40 bigrams ('unique words' repeats across docs)
     assert v["distinct2"] == 0.775 and t["distinct2"] == 0.1
+
+
+def test_temperature_sweep_endpoints(spark):
+    """α=1 reproduces raw shares (max_upsample = 1); α→small flattens
+    the mix (entropy rises toward ln|strata|, max_share falls);
+    exact values checked at α=1 for a 3:1 corpus."""
+    import math
+
+    from twitter_to_sqlite_spark.functions import sampling
+
+    rows = [("a", 30), ("a", 30), ("a", 30), ("b", 30)]
+    d = spark.createDataFrame(rows, "lang string, n_tokens long")
+    got = {r["alpha"]: r for r in sampling.temperature_sweep(
+        d, "lang", "n_tokens", [0.2, 1.0]).collect()}
+    one = got[1.0]
+    assert one["n_strata"] == 2
+    assert one["max_share"] == 0.75 and one["min_share"] == 0.25
+    assert one["max_upsample"] == 1.0
+    assert one["entropy"] == round(
+        -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)), 6)
+    lo = got[0.2]
+    assert lo["max_share"] < 0.75 and lo["entropy"] > one["entropy"]
+    assert lo["max_upsample"] > 1.0  # the rare stratum gets upsampled

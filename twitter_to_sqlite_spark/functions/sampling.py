@@ -700,3 +700,57 @@ def dsir_logweights(df: DataFrame, is_target: Column,
     return terms.select(
         F.col(id_col), F.col("n_feats"),
         w.alias("logweight"), (w >= 0.0).alias("keep"))
+
+
+def temperature_sweep(df: DataFrame, strata_col: str, token_col: str,
+                      alphas: list[float], decimals: int = 6) -> DataFrame:
+    """Mixture temperature tuning curve: for each candidate α, the
+    corpus-level consequences of q_s ∝ p_s^α smoothing — the dominant
+    stratum's smoothed share, the smallest stratum's, the smoothed
+    distribution's entropy (nats), and the largest implied upsample
+    factor. The committed numbers a pipeline reads before fixing its
+    sampling temperature: entropy says how uniform the mix becomes,
+    max_upsample says how many times the rarest slice gets repeated
+    (epoch-level duplication risk).
+
+    Scale: one corpus partial-agg pass (the temperature_mixture
+    shuffle); everything after runs on |strata| × |alphas| rows. The
+    per-α float sums (partition function Z, entropy) fold over the
+    ≤|strata| collected rows IN STRATUM ORDER, so the curve is
+    engine- and partition-count-identical at the rounded grain.
+    """
+    per = df.groupBy(strata_col).agg(
+        F.sum(F.col(token_col)).cast("long").alias("__n"))
+    tot = per.agg(F.sum("__n").alias("__tot"))
+    withp = per.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col),
+        (F.col("__n").cast("double") / F.col("__tot").cast("double"))
+        .alias("__p"))
+    aw = withp.select(
+        strata_col, "__p",
+        F.explode(F.array(*[F.lit(float(a)) for a in alphas]))
+        .alias("alpha"),
+    ).withColumn("__w", F.pow(F.col("__p"), F.col("alpha")))
+    terms = aw.groupBy("alpha").agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sort_array(F.collect_list(
+            F.struct(strata_col, "__w", "__p"))).alias("__ts"))
+    z = F.aggregate("__ts", F.lit(0.0), lambda acc, s: acc + s["__w"])
+    withz = terms.withColumn("__z", z)
+    ent = F.aggregate(
+        "__ts", F.lit(0.0),
+        lambda acc, s: acc - (s["__w"] / F.col("__z"))
+        * F.log(s["__w"] / F.col("__z")))
+    upmax = F.aggregate(
+        "__ts", F.lit(0.0),
+        lambda acc, s: F.greatest(acc, (s["__w"] / F.col("__z"))
+                                  / s["__p"]))
+    return withz.select(
+        "alpha", "n_strata",
+        F.round(F.array_max(F.transform("__ts", lambda s: s["__w"]))
+                / F.col("__z"), decimals).alias("max_share"),
+        F.round(F.array_min(F.transform("__ts", lambda s: s["__w"]))
+                / F.col("__z"), decimals).alias("min_share"),
+        F.round(ent, decimals).alias("entropy"),
+        F.round(upmax, 4).alias("max_upsample"),
+    )

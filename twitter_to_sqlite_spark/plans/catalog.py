@@ -9934,6 +9934,61 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------
+# Mixture temperature sweep (r7)
+# ---------------------------------------------------------------------
+
+_TEMP_ALPHAS = [0.2, 0.3, 0.5, 0.7, 1.0]
+
+
+def q_temperature_sweep(spark, sf_dir):
+    """Sampling-temperature tuning curve (sampling.temperature_sweep):
+    for each candidate α of the q∝p^α rule, the dominant/smallest
+    smoothed share, the mix entropy, and the worst upsample factor
+    per language — mix_temperature's measure-don't-guess companion
+    (dedup_sweep's discipline applied to the mixture knob)."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                        lambda x: x != "")).cast("long").alias("n_tokens"))
+    return sampling.temperature_sweep(d, "lang", "n_tokens", _TEMP_ALPHAS)
+
+
+SQL_TEMPERATURE_SWEEP = f"""
+WITH per AS (
+  SELECT lang, sum(len({_SQL_TOKS}))::BIGINT AS n FROM documents
+  GROUP BY lang
+),
+tot AS (SELECT sum(n) AS tot FROM per),
+wp AS (SELECT lang, n::DOUBLE / tot::DOUBLE AS p FROM per, tot),
+a AS (SELECT CAST(unnest([{", ".join(str(x) for x in _TEMP_ALPHAS)}])
+             AS DOUBLE) AS alpha),
+aw AS (SELECT alpha, lang, p, pow(p, alpha) AS w FROM wp, a),
+terms AS (
+  SELECT alpha, count(*)::BIGINT AS n_strata,
+         list({{'lang': lang, 'w': w, 'p': p}} ORDER BY lang) AS ts
+  FROM aw GROUP BY alpha
+),
+z AS (
+  SELECT *, list_reduce(list_prepend(0.0, list_transform(ts, t -> t.w)),
+                        (acc, x) -> acc + x) AS z
+  FROM terms
+)
+SELECT alpha, n_strata,
+       round(list_max(list_transform(ts, t -> t.w)) / z, 6) AS max_share,
+       round(list_min(list_transform(ts, t -> t.w)) / z, 6) AS min_share,
+       round(list_reduce(list_prepend(0.0, list_transform(
+               ts, t -> -(t.w / z) * ln(t.w / z))),
+             (acc, x) -> acc + x), 6) AS entropy,
+       round(list_reduce(list_prepend(0.0, list_transform(
+               ts, t -> (t.w / z) / t.p)),
+             (acc, x) -> greatest(acc, x)), 4) AS max_upsample
+FROM z
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10004,6 +10059,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changelog_compact": q_changelog_compact,
     "mmr_diversify": q_mmr_diversify,
     "knn_classify": q_knn_classify,
+    "temperature_sweep": q_temperature_sweep,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10218,6 +10274,7 @@ LAST_VERIFIED: dict[str, int] = {
     "changelog_compact": 99,
     "mmr_diversify": 99,
     "knn_classify": 99,
+    "temperature_sweep": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10604,6 +10661,7 @@ ORACLE_SQL: dict[str, str] = {
     "changelog_compact": SQL_CHANGELOG_COMPACT,
     "mmr_diversify": SQL_MMR_DIVERSIFY,
     "knn_classify": SQL_KNN_CLASSIFY,
+    "temperature_sweep": SQL_TEMPERATURE_SWEEP,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
