@@ -9989,6 +9989,70 @@ FROM z
 """
 
 
+# ---------------------------------------------------------------------
+# Cross-source duplication matrix (r7)
+# ---------------------------------------------------------------------
+
+
+def q_dup_source_matrix(spark, sf_dir):
+    """Which sources duplicate each other: the MinHash near-dup pairs
+    (shared cached frame) labeled with each side's source and counted
+    per unordered source pair — the mirror-site / syndication
+    detector that says WHERE the duplication budget goes, where
+    dedup_cluster_profile only says how big the clusters are.
+    Planted copies map back to their original's source (id − offset),
+    so the diagonal is guaranteed populated. Cost: two doc-keyed
+    joins on the bounded pairs frame + one |sources|²-bounded agg."""
+    pairs = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def orig(c):
+        return F.when(F.col(c) >= _PLANT_OFFSET,
+                      F.col(c) - _PLANT_OFFSET).otherwise(F.col(c))
+
+    p = pairs.select(orig("id_a").alias("__oa"),
+                     orig("id_b").alias("__ob"))
+    j = (p.join(src.select(F.col("doc_id").alias("__oa"),
+                           F.col("source").alias("__sa")), "__oa")
+         .join(src.select(F.col("doc_id").alias("__ob"),
+                          F.col("source").alias("__sb")), "__ob"))
+    agg = (j.select(F.least("__sa", "__sb").alias("source_a"),
+                    F.greatest("__sa", "__sb").alias("source_b"))
+           .groupBy("source_a", "source_b")
+           .agg(F.count(F.lit(1)).alias("n_pairs")))
+    tot = agg.agg(F.sum("n_pairs").alias("__tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source_a", "source_b", "n_pairs",
+        F.round(F.col("n_pairs").cast("double") / F.col("__tot"), 6)
+        .alias("share"))
+
+
+SQL_DUP_SOURCE_MATRIX = f"""
+WITH {_SQL_MINHASH_CTES},
+src AS (SELECT doc_id, source FROM documents),
+p AS (
+  SELECT CASE WHEN id_a >= {_PLANT_OFFSET} THEN id_a - {_PLANT_OFFSET}
+              ELSE id_a END AS oa,
+         CASE WHEN id_b >= {_PLANT_OFFSET} THEN id_b - {_PLANT_OFFSET}
+              ELSE id_b END AS ob
+  FROM mh_pairs
+),
+j AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM p JOIN src a ON a.doc_id = p.oa JOIN src b ON b.doc_id = p.ob
+),
+agg AS (
+  SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+  FROM j GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_pairs) AS tot FROM agg)
+SELECT source_a, source_b, n_pairs,
+       round(n_pairs::DOUBLE / tot, 6) AS share
+FROM agg, tot
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10060,6 +10124,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_diversify": q_mmr_diversify,
     "knn_classify": q_knn_classify,
     "temperature_sweep": q_temperature_sweep,
+    "dup_source_matrix": q_dup_source_matrix,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10275,6 +10340,7 @@ LAST_VERIFIED: dict[str, int] = {
     "mmr_diversify": 99,
     "knn_classify": 99,
     "temperature_sweep": 99,
+    "dup_source_matrix": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10662,6 +10728,7 @@ ORACLE_SQL: dict[str, str] = {
     "mmr_diversify": SQL_MMR_DIVERSIFY,
     "knn_classify": SQL_KNN_CLASSIFY,
     "temperature_sweep": SQL_TEMPERATURE_SWEEP,
+    "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
