@@ -194,3 +194,29 @@ def test_sq8_broadcasts_queries_no_sortmergejoin(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_param_sweep_discriminates_length_norm(spark):
+    """Planted corpus where length normalization decides the ranking:
+    q2's full-coverage doc is long and term-sparse, so b=0.75 ranks
+    two short single-term docs above it (NDCG < 1) while b=0 scores
+    raw tf·idf and restores it to the top (NDCG = 1). The sweep must
+    mark a b=0 leg chosen, not the FTS5 default."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    rows = [
+        (1, "apple banana"), (2, "apple pear plum"), (3, "banana kiwi"),
+        (4, "cat dog " + "filler words here and more padding " * 8),
+        (5, "cat cat cat"), (6, "dog dog dog"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = R.build_inverted_index(d, "doc_id", "text")
+    qs = spark.createDataFrame(
+        [(1, "apple"), (1, "banana"), (2, "cat"), (2, "dog")],
+        "query_id long, term string")
+    got = {(r["k1"], r["b"]): r for r in R.bm25_param_sweep(
+        idx, "doc_id", qs, [(1.2, 0.75), (1.2, 0.0)], k=10).collect()}
+    assert got[(1.2, 0.0)]["mean_ndcg"] == 1.0
+    assert got[(1.2, 0.75)]["mean_ndcg"] < 1.0
+    assert got[(1.2, 0.0)]["chosen"] and not got[(1.2, 0.75)]["chosen"]
+    assert sum(r["chosen"] for r in got.values()) == 1

@@ -1525,3 +1525,42 @@ def changelog_compact(changelog: DataFrame, key_cols: list[str],
             *payload_cols,
         )
     )
+
+
+def bm25_param_sweep(index: DataFrame, id_col: str, queries: DataFrame,
+                     grid: list[tuple[float, float]],
+                     k: int = 10) -> DataFrame:
+    """(k1, b) tuning sweep for the BM25 ranker, priced by retrieval
+    quality: one :func:`retrieval_eval` leg per grid point over the
+    SAME index, reduced to per-leg mean NDCG@k / MRR@k with the best
+    leg marked chosen (ties → mean MRR, then smaller k1, b). Pass a
+    checkpointed/persisted index so the tokenize fan-out is paid
+    once, not per leg.
+
+    Per-leg means fold over the ≤|queries| collected rows in query_id
+    order — engine-identical at the rounded grain; the final argmax
+    is a |grid|-row window."""
+    legs = None
+    for k1, b in grid:
+        leg = retrieval_eval(index, id_col, queries, k=k,
+                             k1=k1, b=b).select(
+            F.lit(float(k1)).alias("k1"), F.lit(float(b)).alias("b"),
+            "query_id", "ndcg", "mrr")
+        legs = leg if legs is None else legs.unionByName(leg)
+    terms = legs.groupBy("k1", "b").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sort_array(F.collect_list(
+            F.struct("query_id", "ndcg", "mrr"))).alias("__ts"))
+
+    def mean(f):
+        return (F.aggregate("__ts", F.lit(0.0),
+                            lambda acc, s: acc + s[f])
+                / F.col("n_queries"))
+
+    scored = terms.select(
+        "k1", "b", "n_queries",
+        F.round(mean("ndcg"), 6).alias("mean_ndcg"),
+        F.round(mean("mrr"), 6).alias("mean_mrr"))
+    w = Window.orderBy(F.col("mean_ndcg").desc(),
+                       F.col("mean_mrr").desc(), "k1", "b")  # |grid| rows
+    return scored.withColumn("chosen", F.row_number().over(w) == 1)

@@ -9510,11 +9510,11 @@ def q_retrieval_eval(spark, sf_dir):
     return R.retrieval_eval(idx, "doc_id", qs, k=_RETEVAL_K)
 
 
-def _retrieval_eval_sql() -> str:
+def _reteval_shared_ctes() -> str:
+    # BM25-parameter-independent prefix: tokenize, tf/dl/stats, the
+    # query set, and per-(query, term) document frequencies
     vals = ", ".join(f"({q}::BIGINT, '{t}')" for q, t in _RETEVAL_QS)
-    fold = "list_reduce(list_prepend(0.0, {c}), (a, x) -> a + x)"
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
 ),
 tf AS (
@@ -9530,58 +9530,74 @@ hits AS (
 dfreq AS (
   SELECT query_id, term, count(DISTINCT doc_id)::DOUBLE AS df
   FROM hits GROUP BY 1, 2
-),
-sc AS (
+)"""
+
+
+def _reteval_leg(k1: float, b: float, sfx: str = "") -> str:
+    # per-(k1, b) chain ending in res{sfx}: (query_id, n_cands, ndcg,
+    # mrr) — the same arithmetic retrieval_eval builds Spark-side
+    fold = "list_reduce(list_prepend(0.0, {c}), (a, x) -> a + x)"
+    return f"""sc{sfx} AS (
   SELECT h.query_id, h.doc_id, h.term,
          ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
-           * h.tf * (1.2 + 1)
-           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+           * h.tf * ({k1!r} + 1)
+           / (h.tf + {k1!r} * (1 - {b!r} + {b!r} * dl.dl / stats.avgdl))
+           AS s
   FROM hits h
   JOIN dfreq USING (query_id, term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats
 ),
-pd AS (
+pd{sfx} AS (
   SELECT query_id, doc_id, round(sum(s), 4) AS score,
          count(DISTINCT term) AS rel
-  FROM sc GROUP BY 1, 2
+  FROM sc{sfx} GROUP BY 1, 2
 ),
-rk AS (
+rk{sfx} AS (
   SELECT query_id, doc_id, rel,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS r
-  FROM pd
+  FROM pd{sfx}
 ),
-ik AS (
+ik{sfx} AS (
   SELECT query_id, rel,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY rel DESC, doc_id) AS r
-  FROM pd
+  FROM pd{sfx}
 ),
-dcg AS (
+dcg{sfx} AS (
   SELECT query_id,
          list(((1 << rel) - 1)::DOUBLE / log2(r + 1) ORDER BY r) AS ts
-  FROM rk WHERE r <= {_RETEVAL_K} GROUP BY 1
+  FROM rk{sfx} WHERE r <= {_RETEVAL_K} GROUP BY 1
 ),
-idcg AS (
+idcg{sfx} AS (
   SELECT query_id,
          list(((1 << rel) - 1)::DOUBLE / log2(r + 1) ORDER BY r) AS ts
-  FROM ik WHERE r <= {_RETEVAL_K} GROUP BY 1
+  FROM ik{sfx} WHERE r <= {_RETEVAL_K} GROUP BY 1
 ),
-mrr AS (
-  SELECT rk.query_id, round(1.0 / min(r), 6) AS mrr
-  FROM rk JOIN qn USING (query_id)
+mrr{sfx} AS (
+  SELECT rk{sfx}.query_id, round(1.0 / min(r), 6) AS mrr
+  FROM rk{sfx} JOIN qn USING (query_id)
   WHERE r <= {_RETEVAL_K} AND rel = qn GROUP BY 1
 ),
-base AS (SELECT query_id, count(*) AS n_cands FROM pd GROUP BY 1)
-SELECT base.query_id, base.n_cands,
-       round({fold.format(c="dcg.ts")} / {fold.format(c="idcg.ts")}, 6)
-         AS ndcg,
-       coalesce(mrr.mrr, 0.0) AS mrr
-FROM base
-JOIN dcg USING (query_id)
-JOIN idcg USING (query_id)
-LEFT JOIN mrr USING (query_id)
+base{sfx} AS (SELECT query_id, count(*) AS n_cands FROM pd{sfx} GROUP BY 1),
+res{sfx} AS (
+  SELECT base{sfx}.query_id, base{sfx}.n_cands,
+         round({fold.format(c=f"dcg{sfx}.ts")}
+               / {fold.format(c=f"idcg{sfx}.ts")}, 6) AS ndcg,
+         coalesce(mrr{sfx}.mrr, 0.0) AS mrr
+  FROM base{sfx}
+  JOIN dcg{sfx} USING (query_id)
+  JOIN idcg{sfx} USING (query_id)
+  LEFT JOIN mrr{sfx} USING (query_id)
+)"""
+
+
+def _retrieval_eval_sql() -> str:
+    return f"""
+WITH {_reteval_shared_ctes()},
+{_reteval_leg(1.2, 0.75)}
+SELECT query_id, n_cands, ndcg, mrr FROM res
 """
 
 
@@ -10053,6 +10069,67 @@ FROM agg, tot
 """
 
 
+# ---------------------------------------------------------------------
+# BM25 parameter tuning (r7)
+# ---------------------------------------------------------------------
+
+_BM25_GRID = [(1.2, 0.75), (0.9, 0.4), (1.6, 0.75), (1.2, 0.0)]
+
+
+def q_bm25_tuning(spark, sf_dir):
+    """Ranker parameter sweep priced by retrieval quality: mean
+    NDCG@10 / MRR@10 of the fixed eval set for each (k1, b) of the
+    grid (operators/relational.py bm25_param_sweep) — ann_tuning's
+    measure-don't-guess loop applied to the lexical ranker
+    (k1=1.2/b=0.75 are FTS5's defaults; b=0 turns off length
+    normalization). One shared inverted index (lazy local checkpoint)
+    feeds all legs. On this synthetic corpus's near-uniform
+    vocabulary every leg scores a perfect mean NDCG and the tie-break
+    decides; the discriminating case is pinned by the planted-corpus
+    unit test."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = R.build_inverted_index(d, "doc_id", "text") \
+        .localCheckpoint(eager=False)
+    qs = spark.createDataFrame(_RETEVAL_QS, "query_id long, term string")
+    return R.bm25_param_sweep(idx, "doc_id", qs, _BM25_GRID,
+                              k=_RETEVAL_K)
+
+
+def _bm25_tuning_sql() -> str:
+    legs = ",\n".join(
+        _reteval_leg(k1, b, f"_{i}") for i, (k1, b) in enumerate(_BM25_GRID))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k1!r} AS DOUBLE) AS k1, CAST({b!r} AS DOUBLE) AS b,"
+        f" query_id, ndcg, mrr FROM res_{i}"
+        for i, (k1, b) in enumerate(_BM25_GRID))
+    fold = ("list_reduce(list_prepend(0.0, list_transform(ts, t -> t.{f})),"
+            " (a, x) -> a + x)")
+    return f"""
+WITH {_reteval_shared_ctes()},
+{legs},
+legs AS ({union}),
+terms AS (
+  SELECT k1, b, count(*)::BIGINT AS n_queries,
+         list({{'query_id': query_id, 'ndcg': ndcg, 'mrr': mrr}}
+              ORDER BY query_id) AS ts
+  FROM legs GROUP BY 1, 2
+),
+scored AS (
+  SELECT k1, b, n_queries,
+         round({fold.format(f="ndcg")} / n_queries, 6) AS mean_ndcg,
+         round({fold.format(f="mrr")} / n_queries, 6) AS mean_mrr
+  FROM terms
+)
+SELECT k1, b, n_queries, mean_ndcg, mean_mrr,
+       row_number() OVER (ORDER BY mean_ndcg DESC, mean_mrr DESC, k1, b)
+         = 1 AS chosen
+FROM scored
+"""
+
+
+SQL_BM25_TUNING = _bm25_tuning_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10125,6 +10202,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_classify": q_knn_classify,
     "temperature_sweep": q_temperature_sweep,
     "dup_source_matrix": q_dup_source_matrix,
+    "bm25_tuning": q_bm25_tuning,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10341,6 +10419,7 @@ LAST_VERIFIED: dict[str, int] = {
     "knn_classify": 99,
     "temperature_sweep": 99,
     "dup_source_matrix": 99,
+    "bm25_tuning": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10729,6 +10808,7 @@ ORACLE_SQL: dict[str, str] = {
     "knn_classify": SQL_KNN_CLASSIFY,
     "temperature_sweep": SQL_TEMPERATURE_SWEEP,
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
+    "bm25_tuning": SQL_BM25_TUNING,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
