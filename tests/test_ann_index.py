@@ -99,3 +99,40 @@ def test_ivf_probe_scan_is_partition_pruned(spark, emb, tmp_path):
     for f in spark.read.parquet(path).inputFiles():
         files.add(f.split("/cell=")[1].split("/")[0])
     assert len(files) > 2, "corpus must span several cells for pruning to matter"
+
+
+def test_append_equals_rebuild_ivf_and_lsh(spark, tmp_path):
+    """Probe-equivalence law: an index built on half the corpus and
+    APPENDED with the other half answers every probe exactly like an
+    index built from the whole corpus — for both index kinds."""
+    from pyspark.sql import functions as F
+
+    from twitter_to_sqlite_spark import tables
+    from twitter_to_sqlite_spark.functions import similarity as S
+
+    e = tables.load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5)
+    even, odd = (e.filter(F.col("vec_id") % 2 == 0),
+                 e.filter(F.col("vec_id") % 2 == 1))
+    cents = S.kmeans_centroids(e, 8, iters=1)
+
+    pa = str(tmp_path / "ivf_app")
+    pb = str(tmp_path / "ivf_full")
+    S.build_ivf_index(even, pa, cents)
+    S.append_ann_index(odd, pa)
+    S.build_ivf_index(e, pb, cents)
+    got = sorted(map(tuple, S.probe_ivf_index(
+        spark, pa, q, k=3, n_probe=2).collect()))
+    want = sorted(map(tuple, S.probe_ivf_index(
+        spark, pb, q, k=3, n_probe=2).collect()))
+    assert got == want and len(got) == 15
+
+    la = str(tmp_path / "lsh_app")
+    lb = str(tmp_path / "lsh_full")
+    S.build_lsh_index(even, la, dims=[0, 8, 16, 24])
+    S.append_ann_index(odd, la)
+    S.build_lsh_index(e, lb, dims=[0, 8, 16, 24])
+    got = sorted(map(tuple, S.probe_lsh_index(spark, la, q, k=3).collect()))
+    want = sorted(map(tuple, S.probe_lsh_index(spark, lb, q, k=3).collect()))
+    assert got == want and len(got) > 0

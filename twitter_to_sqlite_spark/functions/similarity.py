@@ -962,3 +962,55 @@ def knn_classify_eval(graph: DataFrame, labels: DataFrame,
                     decimals).alias("accuracy"),
         )
     )
+
+
+def append_ann_index(shard: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Index MAINTENANCE: add a new shard to a persisted ANN index
+    without retraining or rewriting it. The shard is assigned with
+    the index's OWN sidecar parameters (IVF centroids / LSH
+    hyperplane dims — never recomputed, so assignment cannot drift
+    from the build), staged as a partitioned write, then promoted by
+    per-file renames into the live cell/bucket directories. Existing
+    data files are never touched: appending a 1 GB shard to a 100 TB
+    index costs one shard-sized job plus |files| renames.
+
+    Probe-equivalence law (tested): probing the appended index ==
+    probing an index rebuilt from the union. Crash mid-promote leaves
+    whole files in some partitions and none in others — missing rows,
+    never corruption (each parquet file is moved atomically; on an
+    object store, substitute a Delta/Iceberg ADD-FILES commit — same
+    staging plan, transactional metadata instead of renames).
+    """
+    import shutil
+    import uuid
+
+    meta = read_meta(path)
+    if meta["kind"] == "ivf":
+        key = "cell"
+        c = _side(shard, id_col, vec_col, "neighbor_id", "vec", "norm") \
+            .withColumn("cell", ivf_assign(F.col("vec"),
+                                           meta["centroids"]))
+    elif meta["kind"] == "lsh":
+        key = "bucket"
+        c = _side(shard, id_col, vec_col, "neighbor_id", "vec", "norm") \
+            .withColumn("bucket", sign_bucket("vec", meta["dims"]))
+    else:
+        raise ValueError(f"unknown index kind {meta['kind']!r}")
+    staging = f"{path}.__append-{uuid.uuid4().hex[:8]}"
+    c.write.mode("overwrite").partitionBy(key).parquet(staging)
+    try:
+        for part in os.listdir(staging):
+            if not part.startswith(f"{key}="):
+                continue
+            dst = os.path.join(path, part)
+            os.makedirs(dst, exist_ok=True)
+            src = os.path.join(staging, part)
+            for fname in os.listdir(src):
+                if fname.startswith(("_", ".")):
+                    continue
+                os.rename(os.path.join(src, fname),
+                          os.path.join(dst, fname))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -10130,6 +10130,41 @@ FROM scored
 SQL_BM25_TUNING = _bm25_tuning_sql()
 
 
+# ---------------------------------------------------------------------
+# ANN index append (r7)
+# ---------------------------------------------------------------------
+
+
+def q_ann_index_append(spark, sf_dir):
+    """ANN index maintenance end-to-end (similarity.append_ann_index):
+    build the IVF index on the even half of the corpus, APPEND the odd
+    half (assigned with the sidecar centroids — no retrain, existing
+    cell files untouched), then probe the same query set as ann_ivf.
+    The oracle is ann_ivf's full-corpus SQL verbatim: an appended
+    index must answer exactly like one built whole. Per-call tempdir
+    removed before returning (version_diff hygiene)."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="annapp-")
+    try:
+        path = root + "/idx"
+        cents = _ivf_centroids(spark, sf_dir)
+        similarity.build_ivf_index(
+            e.filter(F.col("vec_id") % 2 == 0), path, cents)
+        similarity.append_ann_index(
+            e.filter(F.col("vec_id") % 2 == 1), path)
+        out = similarity.probe_ivf_index(
+            spark, path, e.filter(F.col("vec_id") < 5), k=3, n_probe=1)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_ANN_INDEX_APPEND = SQL_ANN_IVF
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10203,6 +10238,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_sweep": q_temperature_sweep,
     "dup_source_matrix": q_dup_source_matrix,
     "bm25_tuning": q_bm25_tuning,
+    "ann_index_append": q_ann_index_append,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10420,6 +10456,7 @@ LAST_VERIFIED: dict[str, int] = {
     "temperature_sweep": 99,
     "dup_source_matrix": 99,
     "bm25_tuning": 99,
+    "ann_index_append": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10809,6 +10846,7 @@ ORACLE_SQL: dict[str, str] = {
     "temperature_sweep": SQL_TEMPERATURE_SWEEP,
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
     "bm25_tuning": SQL_BM25_TUNING,
+    "ann_index_append": SQL_ANN_INDEX_APPEND,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
