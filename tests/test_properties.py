@@ -1293,3 +1293,96 @@ def test_domain_caps_equals_brute_force_window(spark, rows, cap, slices):
         for rank, k in enumerate(keys[:cap], start=1):
             want[(dom, k)] = rank
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# r7 batch-2 laws
+# ---------------------------------------------------------------------
+
+SIZES = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=20),      # file key
+              st.integers(min_value=1, max_value=1500)),   # bytes
+    min_size=1, max_size=10, unique_by=lambda t: t[0],
+)
+
+
+@given(sizes=SIZES)
+@SETTINGS
+def test_compaction_plan_partitions_and_packs(spark, sizes):
+    """Laws: (a) every input file appears exactly once; (b) files ≥
+    target are 'keep' with NULL group, the rest 'rewrite'; (c) each
+    rewrite group's group_bytes is the exact sum of its members and
+    n_in_group their count; (d) group ids are non-decreasing in key
+    order (greedy prefix packing never back-fills)."""
+    from twitter_to_sqlite_spark.operators import bucketing
+
+    target = 1000
+    m = spark.createDataFrame(sizes, "shard long, n_bytes long")
+    rows = bucketing.compaction_plan(m, "shard", "n_bytes", target).collect()
+    assert sorted(r["shard"] for r in rows) == sorted(s for s, _ in sizes)
+    by = {r["shard"]: r for r in rows}
+    groups = {}
+    for s, b in sizes:
+        r = by[s]
+        if b >= target:
+            assert r["action"] == "keep" and r["out_group"] is None
+        else:
+            assert r["action"] == "rewrite"
+            groups.setdefault(r["out_group"], []).append((s, b))
+    for g, members in groups.items():
+        tot = sum(b for _, b in members)
+        for s, _ in members:
+            assert by[s]["group_bytes"] == tot
+            assert by[s]["n_in_group"] == len(members)
+    small_sorted = sorted((s, b) for s, b in sizes if b < target)
+    gseq = [by[s]["out_group"] for s, _ in small_sorted]
+    assert gseq == sorted(gseq)
+
+
+OPS_LOG = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),              # key
+              st.sampled_from(["insert", "update", "delete"]),    # op
+              st.integers(min_value=0, max_value=100)),           # payload
+    min_size=0, max_size=10,
+)
+
+
+@given(log=OPS_LOG)
+@SETTINGS
+def test_changelog_compact_replay_equivalence(spark, log):
+    """Replaying the COMPACTED log against any base state gives the
+    same end state as replaying the full log (the compaction
+    contract), for arbitrary op sequences."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    rows = [(k, op, seq, float(p)) for seq, (k, op, p) in enumerate(log)]
+    ch = spark.createDataFrame(
+        rows, "k long, op string, seq int, p double") if rows else None
+    if ch is None:
+        return
+
+    def replay(events, base):
+        state = dict(base)
+        for k, op, _, p in sorted(events, key=lambda r: r[2]):
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = p
+        return state
+
+    # CDC contract: 'insert' means the key did not exist before, so a
+    # consistent base has a key pre-existing iff its FIRST op is an
+    # update/delete. (An insert of a pre-existing key is a malformed
+    # log — outside the operator's contract.) Key 99 is untouched.
+    first_op = {}
+    for k, op, _, _ in sorted(rows, key=lambda r: r[2]):
+        first_op.setdefault(k, op)
+    base = {k: -1.0 for k, op in first_op.items() if op != "insert"}
+    base[99] = -9.0
+    full_end = replay(rows, base)
+    compacted = [(r["k"], r["net_op"], i, r["p"])
+                 for i, r in enumerate(
+                     R.changelog_compact(ch, ["k"], "op", "seq", ["p"])
+                     .collect())]
+    comp_end = replay(compacted, base)
+    assert comp_end == full_end
