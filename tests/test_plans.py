@@ -635,8 +635,9 @@ def test_retrieval_eval_broadcasts_stats_and_dfreq(spark):
 def test_knn_graph_joins_only_within_cells(spark):
     """Pair generation must be an equi-join on the cell key — a
     cartesian/nested-loop over the corpus is the n² bug this
-    operator exists to avoid."""
-    plan = plan_of(spark, "knn_graph")
+    operator exists to avoid. Inspects the RAW build (the registry
+    form is a shared localCheckpoint that explains as an RDD scan)."""
+    plan = plan_of_df(spark, catalog._knn_graph_build(spark, SF))
     assert "CartesianProduct" not in plan
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
 

@@ -938,6 +938,7 @@ def clear_caches(include_infra: bool = False) -> None:
     measure the probe path (VERDICT r5 'What's wrong' #2)."""
     _MINHASH_PAIRS_CACHE.clear()
     _SPAN_CACHE.clear()
+    _KNNG_CACHE.clear()
     if include_infra:
         _ANN_INDEX_CACHE.clear()
         _CENTROID_CACHE.clear()
@@ -1175,7 +1176,10 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_ctes() -> str:
+    # shared by the pairs oracle and the radius-sweep oracle: the full
+    # SimHash chain ending in `ham` = verified pairs with their
+    # Hamming distance (<= the banding's pigeonhole bound)
     votes = ",\n         ".join(
         f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(_SIMHASH_BITS)
@@ -1190,8 +1194,7 @@ def _simhash_sql() -> str:
         f"  SELECT id, simhash, {b} AS band, (simhash >> {b * r}) & {mask} AS bv FROM sig"
         for b in range(_SIMHASH_BANDS)
     )
-    return f"""
-WITH docs AS ({_SQL_DOCS_PLANTED}),
+    return f"""docs AS ({_SQL_DOCS_PLANTED}),
 tok AS (
   SELECT id, unnest(t) AS token
   FROM (SELECT doc_id AS id, {_SQL_TOKS} AS t FROM docs)
@@ -1207,13 +1210,17 @@ cand AS (
          a.simhash AS sig_a, b.simhash AS sig_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
-)
-SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SIMHASH_MAXHAM}
+),
+ham AS (
+  SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SIMHASH_MAXHAM}
+)"""
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_simhash_ctes()}
+SELECT id_a, id_b, hamming FROM ham
 """
-
-
-SQL_DEDUP_SIMHASH = _simhash_sql()
 
 
 # =====================================================================
@@ -9702,13 +9709,15 @@ FROM v, t
 _KNNG_K = 5
 
 
-def q_knn_graph(spark, sf_dir):
-    """Approximate kNN graph over the embedding corpus (similarity.
-    knn_graph): each vector's top-5 cosine neighbors within its
-    k-means cell — the shared IVF centroids, so the graph costs
-    Σ cell² and reuses _build:ivf_centroids. The substrate for
-    SemDeDup-style clustering, embedding label propagation, and
-    connectivity outlier pruning."""
+# Two consumers (the graph query itself + the kNN-classify eval)
+# share one graph build per (session, sf_dir) — the _minhash_pairs
+# shape; bench bills it to the "_build:knn_graph" pseudo-entry and
+# clear_caches() drops it every timing pass.
+_KNNG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _knn_graph_build(spark, sf_dir) -> DataFrame:
+    """Raw (uncached) graph pipeline — plan tests inspect THIS."""
     e = _t(spark, sf_dir, "embeddings")
     centroids = _ivf_centroids(spark, sf_dir)
     base = e.select(
@@ -9716,6 +9725,25 @@ def q_knn_graph(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
     return similarity.knn_graph(base, centroids, k=_KNNG_K)
+
+
+def _knn_graph_frame(spark, sf_dir) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _KNNG_CACHE:
+        _KNNG_CACHE[key] = _knn_graph_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _KNNG_CACHE[key]
+
+
+def q_knn_graph(spark, sf_dir):
+    """Approximate kNN graph over the embedding corpus (similarity.
+    knn_graph): each vector's top-5 cosine neighbors within its
+    k-means cell — the shared IVF centroids, so the graph costs
+    Σ cell² and reuses _build:ivf_centroids. The substrate for
+    SemDeDup-style clustering, embedding label propagation, and
+    connectivity outlier pruning (knn_classify probes this same
+    cached frame)."""
+    return _knn_graph_frame(spark, sf_dir)
 
 
 def _knn_graph_ctes() -> str:
@@ -9912,16 +9940,11 @@ def q_knn_classify(spark, sf_dir):
     per-class accuracy of majority-vote kNN classification over the
     cell-blocked knn_graph, against the embeddings table's own
     labels — the no-model eval that detects a degraded embedding
-    space before it degrades retrieval."""
+    space before it degrades retrieval. Probes the shared cached
+    graph (_build:knn_graph) — the eval itself never rebuilds it."""
     e = _t(spark, sf_dir, "embeddings")
-    centroids = _ivf_centroids(spark, sf_dir)
-    base = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double"))
-        .alias("embedding"))
-    g = similarity.knn_graph(base, centroids, k=_KNNG_K)
     return similarity.knn_classify_eval(
-        g, e.select("vec_id", "label"))
+        _knn_graph_frame(spark, sf_dir), e.select("vec_id", "label"))
 
 
 SQL_KNN_CLASSIFY = f"""
@@ -10165,6 +10188,66 @@ def q_ann_index_append(spark, sf_dir):
 SQL_ANN_INDEX_APPEND = SQL_ANN_IVF
 
 
+# ---------------------------------------------------------------------
+# SimHash radius sweep (r7)
+# ---------------------------------------------------------------------
+
+_SIMHASH_RADII = [0, 1, 2, 3]
+
+
+def q_simhash_sweep(spark, sf_dir):
+    """Hamming-radius sweep for SimHash dedup (dedup_sweep's
+    discipline on the OTHER pairs family): from one verified pairs
+    frame at the banding's pigeonhole bound, how many documents the
+    drop-the-later-duplicate rule removes at each radius 0..3 with
+    the corpus fraction — the number read before fixing the SimHash
+    cutoff. The radius explode touches only the bounded pairs frame;
+    a spine keeps zero-removal radii visible."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup.simhash_pairs(
+        d, "doc_id", "text", bits=_SIMHASH_BITS, bands=_SIMHASH_BANDS,
+        max_hamming=_SIMHASH_MAXHAM)
+    t = pairs.select(
+        "id_b", "hamming",
+        F.explode(F.array(*[F.lit(x) for x in _SIMHASH_RADII]))
+        .alias("radius"),
+    ).filter(F.col("hamming") <= F.col("radius"))
+    rem = t.groupBy("radius").agg(F.countDistinct("id_b").alias("__rm"))
+    spine = spark.createDataFrame(
+        [(x,) for x in _SIMHASH_RADII], "radius int")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        spine.join(rem, "radius", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "radius",
+            F.coalesce("__rm", F.lit(0).cast("long")).alias("n_removed"),
+            "n_docs",
+            F.round(
+                F.coalesce("__rm", F.lit(0).cast("long")).cast("double")
+                / F.col("n_docs").cast("double"), 4).alias("frac_removed"),
+        )
+    )
+
+
+SQL_SIMHASH_SWEEP = f"""
+WITH {{ctes}},
+radii AS (SELECT unnest([{", ".join(str(x) for x in _SIMHASH_RADII)}])::INT
+          AS radius),
+rem AS (
+  SELECT radius, count(DISTINCT id_b) AS rm
+  FROM radii JOIN ham ON ham.hamming <= radii.radius
+  GROUP BY radius
+),
+n AS (SELECT count(*) AS n_docs FROM docs)
+SELECT r.radius,
+       CAST(coalesce(rem.rm, 0) AS BIGINT) AS n_removed,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       round(coalesce(rem.rm, 0)::DOUBLE / n.n_docs, 4) AS frac_removed
+FROM radii r LEFT JOIN rem ON r.radius = rem.radius, n
+""".format(ctes=_simhash_ctes())
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10191,6 +10274,8 @@ SHARED_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
         lambda s, d: _force_build(_minhash_pairs(s, d)),
     "_build:dup_spans":
         lambda s, d: _force_build(_dup_spans(s, d)),
+    "_build:knn_graph":
+        lambda s, d: _force_build(_knn_graph_frame(s, d)),
 }
 
 INFRA_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
@@ -10239,6 +10324,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_source_matrix": q_dup_source_matrix,
     "bm25_tuning": q_bm25_tuning,
     "ann_index_append": q_ann_index_append,
+    "simhash_sweep": q_simhash_sweep,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10457,6 +10543,7 @@ LAST_VERIFIED: dict[str, int] = {
     "dup_source_matrix": 99,
     "bm25_tuning": 99,
     "ann_index_append": 99,
+    "simhash_sweep": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10847,6 +10934,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
     "bm25_tuning": SQL_BM25_TUNING,
     "ann_index_append": SQL_ANN_INDEX_APPEND,
+    "simhash_sweep": SQL_SIMHASH_SWEEP,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
