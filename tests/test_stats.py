@@ -174,3 +174,28 @@ def test_chi_square_perfect_dependence(spark, tmp_path):
     r = catalog.q_chi_square(spark, str(tmp_path)).collect()[0]
     # n_cells counts the FULL grid (2 types x 2 arms), zeros included
     assert r["chi2"] == 40.0 and r["n_cells"] == 4
+
+
+def test_seasonal_naive_eval_planted(spark):
+    """Hand-built month: hour 5 has exactly 2 events/day in train and
+    on even test days only -> pred 2.0, actual_mean 1.0, MAE 1.0;
+    hour 7 is unseen in train but appears once in test -> pred 0,
+    actual_mean 0.1, MAE 0.1; every other hour is all-zero."""
+    from datetime import datetime
+
+    from twitter_to_sqlite_spark.functions import stats as S
+
+    rows = []
+    for d in range(1, 21):                     # train: days 1..20
+        rows += [(datetime(2024, 1, d, 5, 0),), (datetime(2024, 1, d, 5, 30),)]
+    for d in range(21, 31, 2):                 # test: 2 events on odd days
+        rows += [(datetime(2024, 1, d, 5, 10),), (datetime(2024, 1, d, 5, 40),)]
+    rows.append((datetime(2024, 1, 21, 7, 15),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {r["hour"]: r for r in S.seasonal_naive_eval(df).collect()}
+    assert len(got) == 24
+    assert (got[5]["pred"], got[5]["actual_mean"], got[5]["mae"]) \
+        == (2.0, 1.0, 1.0)
+    assert (got[7]["pred"], got[7]["actual_mean"], got[7]["mae"]) \
+        == (0.0, 0.1, 0.1)
+    assert got[3]["pred"] == 0.0 and got[3]["mae"] == 0.0

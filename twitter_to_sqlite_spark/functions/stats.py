@@ -526,3 +526,69 @@ def grouped_roc_auc(df: DataFrame, group_col: str, label_col: str = "y",
     )
     return agg.select(F.col("__g").alias(group_col),
                       "n_pos", "n_neg", auc.alias("auc"))
+
+
+def seasonal_naive_eval(df: DataFrame, ts_col: str = "ts",
+                        train_last_day: int = 20,
+                        test_days: tuple[int, int] = (21, 30),
+                        decimals: int = 6) -> DataFrame:
+    """Seasonal-naive forecast baseline + its error — the capacity-
+    planning eval loop: predict each hour-of-day's event count as the
+    train window's per-day mean for that hour, then score the
+    prediction on the held-out days. Returns one row per hour (0-23):
+    the prediction, the test window's actual per-day mean, and the
+    MAE over test days — zero-event (day, hour) cells included via a
+    dense generated spine, since 'no events at 3am' is exactly what
+    the baseline must be scored on.
+
+    Any real forecaster deployed on the stream must beat this number;
+    publishing it first is the 'measure, don't guess' gate for
+    forecasting work. Split is day-of-month within the fixture's
+    single month (callers with real calendars pass timestamps
+    through date arithmetic instead).
+
+    Scale: two hour-keyed count aggs (map-side combined) + a
+    24×|test_days| generated spine — the eval frame is
+    constant-bounded regardless of corpus size. Per-hour MAE folds
+    over the ≤|test_days| collected cells in day order, so the floats
+    are engine-identical at the rounded grain.
+    """
+    hr = F.hour(F.col(ts_col))
+    day = F.dayofmonth(F.col(ts_col))
+    lo, hi = test_days
+    n_train = float(train_last_day)
+    n_test = float(hi - lo + 1)
+
+    spark = df.sparkSession
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    tc = (df.filter(day <= train_last_day)
+          .groupBy(hr.alias("hour")).agg(F.count(F.lit(1)).alias("__tc")))
+    pred = hours.join(tc, "hour", "left").select(
+        "hour",
+        (F.coalesce("__tc", F.lit(0)).cast("double") / n_train)
+        .alias("__pred"))
+    cells = pred.select(
+        "hour", "__pred",
+        F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias("day"))
+    ac = (df.filter((day >= lo) & (day <= hi))
+          .groupBy(day.alias("day"), hr.alias("hour"))
+          .agg(F.count(F.lit(1)).alias("__ac")))
+    j = cells.join(ac, ["day", "hour"], "left").select(
+        "hour", "day", "__pred",
+        F.coalesce("__ac", F.lit(0)).cast("long").alias("__ac"))
+    terms = j.groupBy("hour").agg(
+        F.first("__pred").alias("__pred"),
+        F.sum("__ac").alias("__atot"),
+        F.sort_array(F.collect_list(F.struct(
+            "day",
+            F.abs(F.col("__ac").cast("double") - F.col("__pred"))
+            .alias("__e")))).alias("__ts"))
+    mae = (F.aggregate("__ts", F.lit(0.0),
+                       lambda acc, s: acc + s["__e"]) / n_test)
+    return terms.select(
+        "hour",
+        F.round("__pred", decimals).alias("pred"),
+        F.round(F.col("__atot").cast("double") / n_test, decimals)
+        .alias("actual_mean"),
+        F.round(mae, decimals).alias("mae"),
+    )

@@ -10248,6 +10248,61 @@ FROM radii r LEFT JOIN rem ON r.radius = rem.radius, n
 """.format(ctes=_simhash_ctes())
 
 
+# ---------------------------------------------------------------------
+# Seasonal-naive forecast eval (r7)
+# ---------------------------------------------------------------------
+
+
+def q_forecast_eval(spark, sf_dir):
+    """Capacity-planning baseline (functions/stats.py
+    seasonal_naive_eval): predict each hour-of-day's event count as
+    the train window's per-day mean (days 1-20), score on the held-out
+    days 21-30 with zero-event cells included via a dense generated
+    spine — per-hour prediction, actual mean, and MAE. The number any
+    deployed forecaster must beat."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    e = _t(spark, sf_dir, "events").select("ts")
+    return stats.seasonal_naive_eval(e)
+
+
+SQL_FORECAST_EVAL = """
+WITH hours AS (SELECT unnest(generate_series(0, 23))::INT AS hour),
+tc AS (
+  SELECT EXTRACT(hour FROM ts)::INT AS hour, count(*) AS tc
+  FROM events WHERE EXTRACT(day FROM ts) <= 20 GROUP BY 1
+),
+pred AS (
+  SELECT hour, coalesce(tc, 0)::DOUBLE / 20.0 AS pred
+  FROM hours LEFT JOIN tc USING (hour)
+),
+cells AS (
+  SELECT hour, pred, unnest(generate_series(21, 30))::INT AS day
+  FROM pred
+),
+ac AS (
+  SELECT EXTRACT(day FROM ts)::INT AS day,
+         EXTRACT(hour FROM ts)::INT AS hour, count(*) AS ac
+  FROM events WHERE EXTRACT(day FROM ts) BETWEEN 21 AND 30
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.hour, c.day, c.pred, coalesce(ac.ac, 0)::BIGINT AS ac
+  FROM cells c LEFT JOIN ac USING (day, hour)
+),
+t AS (
+  SELECT hour, any_value(pred) AS pred, sum(ac) AS atot,
+         list(abs(ac::DOUBLE - pred) ORDER BY day) AS es
+  FROM j GROUP BY 1
+)
+SELECT hour, round(pred, 6) AS pred,
+       round(atot::DOUBLE / 10.0, 6) AS actual_mean,
+       round(list_reduce(list_prepend(0.0, es), (a, x) -> a + x)
+             / 10.0, 6) AS mae
+FROM t
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10325,6 +10380,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_tuning": q_bm25_tuning,
     "ann_index_append": q_ann_index_append,
     "simhash_sweep": q_simhash_sweep,
+    "forecast_eval": q_forecast_eval,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10544,6 +10600,7 @@ LAST_VERIFIED: dict[str, int] = {
     "bm25_tuning": 99,
     "ann_index_append": 99,
     "simhash_sweep": 99,
+    "forecast_eval": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10935,6 +10992,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_tuning": SQL_BM25_TUNING,
     "ann_index_append": SQL_ANN_INDEX_APPEND,
     "simhash_sweep": SQL_SIMHASH_SWEEP,
+    "forecast_eval": SQL_FORECAST_EVAL,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
