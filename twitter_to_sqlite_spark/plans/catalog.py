@@ -10303,6 +10303,85 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------
+# Watermark-delay sweep (r7)
+# ---------------------------------------------------------------------
+
+_WM_TAUS_US = [0, 1_000_000, 10_000_000, 60_000_000, 300_000_000]
+
+
+def q_lateness_sweep(spark, sf_dir):
+    """Watermark policy sweep — lateness_profile's fixed buckets
+    turned into the tuning curve: for each candidate allowed-lateness
+    τ, how many events a streaming job with that watermark would DROP
+    (lag > τ) and the corpus fraction. One pass over the lag frame
+    computes every leg as a conditional aggregate (no explode, no
+    per-τ scans); the committed number a pipeline reads before fixing
+    `withWatermark`."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast(ts as timestamp_ntz))")
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = (e.select(F.col("user_id"), F.col("event_id"), us.alias("__us"))
+         .withColumn(
+             "__late",
+             F.greatest(F.lit(0).cast("long"),
+                        F.coalesce(F.max("__us").over(w), F.col("__us"))
+                        - F.col("__us"))))
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum((F.col("__late") > t).cast("long")).alias(f"__d{i}")
+        for i, t in enumerate(_WM_TAUS_US)
+    ]
+    wide = d.agg(*aggs)
+    rows = [
+        F.struct(F.lit(t).cast("long").alias("tau_us"),
+                 F.col(f"__d{i}").alias("n_dropped"))
+        for i, t in enumerate(_WM_TAUS_US)
+    ]
+    return (
+        wide.select("__n", F.explode(F.array(*rows)).alias("__r"))
+        .select(
+            F.col("__r.tau_us"),
+            F.col("__r.n_dropped"),
+            F.col("__n").alias("n_events"),
+            F.round(F.col("__r.n_dropped").cast("double")
+                    / F.col("__n"), 6).alias("frac_dropped"),
+        )
+    )
+
+
+def _lateness_sweep_sql() -> str:
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN late > {t} THEN 1 ELSE 0 END) AS d{i}"
+        for i, t in enumerate(_WM_TAUS_US))
+    legs = "\nUNION ALL\n".join(
+        f"SELECT {t}::BIGINT AS tau_us, CAST(d{i} AS BIGINT) AS n_dropped,"
+        f" CAST(n AS BIGINT) AS n_events,"
+        f" round(d{i}::DOUBLE / n, 6) AS frac_dropped FROM agg"
+        for i, t in enumerate(_WM_TAUS_US))
+    return f"""
+WITH d AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         greatest(0, coalesce(max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us)
+           AS late
+  FROM events WHERE user_id IS NOT NULL
+),
+agg AS (SELECT count(*) AS n,
+       {sums}
+FROM d)
+{legs}
+"""
+
+
+SQL_LATENESS_SWEEP = _lateness_sweep_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10381,6 +10460,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_append": q_ann_index_append,
     "simhash_sweep": q_simhash_sweep,
     "forecast_eval": q_forecast_eval,
+    "lateness_sweep": q_lateness_sweep,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10601,6 +10681,7 @@ LAST_VERIFIED: dict[str, int] = {
     "ann_index_append": 99,
     "simhash_sweep": 99,
     "forecast_eval": 99,
+    "lateness_sweep": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -10993,6 +11074,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_index_append": SQL_ANN_INDEX_APPEND,
     "simhash_sweep": SQL_SIMHASH_SWEEP,
     "forecast_eval": SQL_FORECAST_EVAL,
+    "lateness_sweep": SQL_LATENESS_SWEEP,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
