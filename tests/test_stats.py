@@ -199,3 +199,81 @@ def test_seasonal_naive_eval_planted(spark):
     assert (got[7]["pred"], got[7]["actual_mean"], got[7]["mae"]) \
         == (0.0, 0.1, 0.1)
     assert got[3]["pred"] == 0.0 and got[3]["mae"] == 0.0
+
+
+def test_spearman_perfect_monotone_and_reversed(spark):
+    # A strictly increasing mapping has rho = 1 regardless of shape;
+    # reversing one side flips the sign exactly.
+    rows = [(i, i * i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = stats.spearman_rho(df, "x", "y").collect()[0]
+    assert (r["n"], r["nx"], r["ny"]) == (20, 20, 20)
+    assert r["rho"] == 1.0
+    rev = spark.createDataFrame(
+        [(x, -y) for x, y in rows], "x long, y long")
+    assert stats.spearman_rho(rev, "x", "y").collect()[0]["rho"] == -1.0
+
+
+def test_spearman_ties_match_scipy_formula(spark):
+    # Tie-averaged ranks: hand-check against the definitional Pearson-
+    # over-ranks computation done in plain Python.
+    xs = [1, 2, 2, 3, 3, 3, 4, 10]
+    ys = [5, 5, 7, 7, 9, 9, 9, 1]
+
+    def avg_ranks(vals):
+        order = {}
+        for v in sorted(set(vals)):
+            lo = sum(1 for u in vals if u < v)
+            n = vals.count(v)
+            order[v] = lo + (n + 1) / 2
+        return [order[v] for v in vals]
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    expect = round(cov / math.sqrt(vx * vy), 6)
+
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = stats.spearman_rho(df, "x", "y").collect()[0]["rho"]
+    assert got == pytest.approx(expect, abs=1e-6)
+
+
+def test_spearman_constant_marginal_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7)], "x long, y long")
+    r = stats.spearman_rho(df, "x", "y").collect()[0]
+    assert r["rho"] is None and r["ny"] == 1
+
+
+def test_mutual_info_perfect_and_independent_bits(spark):
+    # dim 0: sign == label (MI = ln 2); dim 1: constant sign (MI = 0).
+    rows = []
+    for i in range(40):
+        label = i % 2
+        rows.append(([1.0 if label else -1.0, 0.5], label))
+    df = spark.createDataFrame(rows, "embedding array<float>, label int")
+    out = {r["dim"]: r for r in
+           stats.mutual_info_bits(df, n_dims=2).collect()}
+    assert out[0]["n"] == 40 and out[1]["n"] == 40
+    assert out[0]["mi"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[1]["mi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mutual_info_partial_dependence_formula(spark):
+    # 3:1 alignment between bit and label — check against the
+    # closed-form plug-in MI from the contingency table.
+    rows = []
+    for b, y, c in ((0, 0, 30), (1, 0, 10), (0, 1, 10), (1, 1, 30)):
+        rows.extend(([1.0 if b else -1.0], y) for _ in range(c))
+    df = spark.createDataFrame(rows, "embedding array<float>, label int")
+    n = 80.0
+    # cells: (b=0,y=0)=30, (b=1,y=0)=10, (b=0,y=1)=10, (b=1,y=1)=30
+    expect = 0.0
+    for nbl, b_tot, l_tot in ((30, 40, 40), (10, 40, 40),
+                              (10, 40, 40), (30, 40, 40)):
+        expect += (nbl / n) * math.log((nbl * n) / (b_tot * l_tot))
+    got = stats.mutual_info_bits(df, n_dims=1).collect()[0]["mi"]
+    assert got == pytest.approx(round(expect, 6), abs=1e-6)

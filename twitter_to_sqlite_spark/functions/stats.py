@@ -592,3 +592,124 @@ def seasonal_naive_eval(df: DataFrame, ts_col: str = "ts",
         .alias("actual_mean"),
         F.round(mae, decimals).alias("mae"),
     )
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str,
+                 decimals: int = 6) -> DataFrame:
+    """Exact Spearman rank correlation between two discrete signals —
+    the scorer-agreement check Pearson can't give (corr_pairs measures
+    linear co-movement; curation cares whether two quality signals
+    RANK documents the same way, which is Pearson over tie-averaged
+    ranks).
+
+    Shape (the roc_auc device, applied twice): each marginal collapses
+    to its |distinct values| count table, one bounded cumulative
+    window per marginal turns counts into tie-averaged ranks (carried
+    as 2·rank so they stay integral), and the joint (x, y) count table
+    joins both rank maps. The corpus is touched by exactly two
+    map-side-combined aggs; every window runs over value CARDINALITY,
+    not row count, so the plan survives 100 TB of rows with a bounded
+    score domain (the caller rounds continuous signals first, as
+    roc_auc documents).
+
+    Moment sums are DECIMAL(38,0)-exact: with N ≤ 10¹² rows the worst
+    term Σ n·(2rx)·(2ry) ≤ N·(2N)² = 4·10³⁶ < 10³⁸, so the sums are
+    order-independent on both engines; ONE double expression at the
+    end (identical op tree in the DuckDB twin) derives ρ.
+
+    Returns one row: (n, nx, ny, rho) — rho NULL when either marginal
+    is constant (zero rank variance).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(x_col)
+    y = F.col(y_col)
+    base = (df.filter(x.isNotNull() & y.isNotNull())
+            .select(x.alias("__x"), y.alias("__y")))
+    joint = base.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__n"))
+
+    def rank2(col: str, out: str) -> DataFrame:
+        m = base.groupBy(col).agg(F.count(F.lit(1)).alias("__m"))
+        w = (Window.orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        before = F.coalesce(F.sum("__m").over(w), F.lit(0).cast("long"))
+        return m.select(
+            col,
+            (2 * before + F.col("__m") + 1).alias(out))
+
+    j = (joint
+         .join(rank2("__x", "__rx2"), "__x")
+         .join(rank2("__y", "__ry2"), "__y"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = j.agg(
+        F.sum("__n").alias("n"),
+        F.countDistinct("__x").alias("nx"),
+        F.countDistinct("__y").alias("ny"),
+        F.sum(d(F.col("__n")) * d(F.col("__rx2"))).alias("__sx"),
+        F.sum(d(F.col("__n")) * d(F.col("__ry2"))).alias("__sy"),
+        F.sum(d(F.col("__n")) * d(F.col("__rx2") * F.col("__ry2")))
+        .alias("__sxy"),
+        F.sum(d(F.col("__n")) * d(F.col("__rx2") * F.col("__rx2")))
+        .alias("__sxx"),
+        F.sum(d(F.col("__n")) * d(F.col("__ry2") * F.col("__ry2")))
+        .alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    cov = nd * F.col("__sxy").cast("double") - sx * sy
+    vx = nd * F.col("__sxx").cast("double") - sx * sx
+    vy = nd * F.col("__syy").cast("double") - sy * sy
+    rho = F.when((vx > 0) & (vy > 0),
+                 F.round(cov / F.sqrt(vx * vy), decimals))
+    return agg.select("n", "nx", "ny", rho.alias("rho"))
+
+
+def mutual_info_bits(df: DataFrame, vec_col: str = "embedding",
+                     label_col: str = "label", n_dims: int = 16,
+                     decimals: int = 6) -> DataFrame:
+    """Per-dimension mutual information between an embedding sign bit
+    and the class label — the feature-ranking probe that tells a
+    training pipeline which representation dimensions carry label
+    signal (an all-zero-MI profile means the embedding model never saw
+    the taxonomy; one dominant dim means a shortcut feature).
+
+    I(bit_d; label) = Σ_{b,ℓ} p(b,ℓ)·ln( p(b,ℓ) / (p(b)·p(ℓ)) ),
+    computed from EXACT joint counts: one posexplode scan collapses
+    the corpus to the (dim, bit, label) contingency cube — bounded by
+    n_dims·2·|labels| cells regardless of row count — and every
+    probability is a ratio of exact BIGINTs (counts multiplied in
+    DOUBLE only inside the ln, mirroring the DuckDB twin's op tree,
+    because n_bl·N overflows int64 at 10¹² rows). Per-dim terms fold
+    in sorted (bit, label) order via F.aggregate so float addition
+    order is engine-identical (the forecast_eval device; woe_iv set
+    the ln precedent).
+
+    Returns one row per dim: (dim, n, mi), mi rounded, sorted by the
+    caller if a ranking is wanted.
+    """
+    v = F.col(vec_col)
+    y = F.col(label_col)
+    e = (df.filter(v.isNotNull() & y.isNotNull())
+         .select(F.posexplode(F.slice(v, 1, n_dims)).alias("dim", "__x"),
+                 y.alias("__y"))
+         .select("dim", (F.col("__x") >= 0).cast("int").alias("__b"),
+                 "__y"))
+    cube = e.groupBy("dim", "__b", "__y").agg(
+        F.count(F.lit(1)).alias("__nbl"))
+    nb = cube.groupBy("dim", "__b").agg(F.sum("__nbl").alias("__nb"))
+    nl = cube.groupBy("dim", "__y").agg(F.sum("__nbl").alias("__nl"))
+    nn = cube.groupBy("dim").agg(F.sum("__nbl").alias("__nn"))
+    j = (cube.join(nb, ["dim", "__b"]).join(nl, ["dim", "__y"])
+         .join(nn, "dim"))
+    nbl = F.col("__nbl").cast("double")
+    term = (nbl / F.col("__nn").cast("double")) * F.log(
+        (nbl * F.col("__nn").cast("double"))
+        / (F.col("__nb").cast("double") * F.col("__nl").cast("double")))
+    per_dim = j.groupBy("dim").agg(
+        F.first("__nn").alias("n"),
+        F.sort_array(F.collect_list(F.struct(
+            "__b", "__y", term.alias("__t")))).alias("__terms"))
+    mi = F.aggregate("__terms", F.lit(0.0), lambda acc, s: acc + s["__t"])
+    return per_dim.select(
+        "dim", "n", F.round(mi, decimals).alias("mi"))

@@ -10382,6 +10382,119 @@ FROM d)
 SQL_LATENESS_SWEEP = _lateness_sweep_sql()
 
 
+
+# ---------------------------------------------------------------------
+# Scorer agreement: exact Spearman rank correlation (r7 batch 3)
+# ---------------------------------------------------------------------
+
+def q_rank_corr(spark, sf_dir):
+    """Do two document-quality signals RANK the corpus the same way?
+    Exact Spearman rho between n_chars and the whitespace word count
+    (functions/stats.py::spearman_rho) — corr_matrix answers linear
+    co-movement; curation thresholds care about rank agreement, and
+    rho is what says "these two scorers would gate nearly the same
+    documents". Both signals are integral so the rank domains are
+    bounded; a continuous scorer would be rounded first exactly as
+    roc_auc rounds probabilities."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.size(text._tokens(F.col("text"))).cast("long").alias("y"))
+    return stats.spearman_rho(d, "x", "y")
+
+
+SQL_RANK_CORR = f"""
+WITH base AS (
+  SELECT n_chars AS x, len({_SQL_TOKS})::BIGINT AS y
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+),
+jt AS (SELECT x, y, count(*) AS n FROM base GROUP BY 1, 2),
+mx AS (SELECT x, count(*) AS m FROM base GROUP BY 1),
+rx AS (SELECT x,
+         2 * coalesce(sum(m) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + m + 1 AS rx2
+       FROM mx),
+my AS (SELECT y, count(*) AS m FROM base GROUP BY 1),
+ry AS (SELECT y,
+         2 * coalesce(sum(m) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + m + 1 AS ry2
+       FROM my),
+j AS (SELECT jt.x, jt.y, jt.n, rx.rx2, ry.ry2
+      FROM jt JOIN rx USING (x) JOIN ry USING (y)),
+s AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT x) AS BIGINT) AS nx,
+             CAST(count(DISTINCT y) AS BIGINT) AS ny,
+             sum(n::HUGEINT * rx2::HUGEINT) AS sx,
+             sum(n::HUGEINT * ry2::HUGEINT) AS sy,
+             sum(n::HUGEINT * (rx2::HUGEINT * ry2::HUGEINT)) AS sxy,
+             sum(n::HUGEINT * (rx2::HUGEINT * rx2::HUGEINT)) AS sxx,
+             sum(n::HUGEINT * (ry2::HUGEINT * ry2::HUGEINT)) AS syy
+      FROM j)
+SELECT n, nx, ny,
+  CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+        AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+  THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+  END AS rho
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------
+# Embedding-dimension label signal: sign-bit mutual information
+# ---------------------------------------------------------------------
+
+_MI_DIMS = 16
+
+
+def q_mutual_info(spark, sf_dir):
+    """Which embedding dimensions carry label signal? Per-dimension
+    mutual information between the sign bit of dims 0..15 and the
+    class label (functions/stats.py::mutual_info_bits) — the
+    feature-ranking probe run before trusting a representation for
+    classification or hard-negative mining. One posexplode scan
+    collapses the corpus to a 16x2x|labels| contingency cube; every
+    MI term is a ratio of exact counts."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    e = _t(spark, sf_dir, "embeddings").select("embedding", "label")
+    return stats.mutual_info_bits(e, "embedding", "label",
+                                  n_dims=_MI_DIMS)
+
+
+SQL_MUTUAL_INFO = f"""
+WITH dims AS (SELECT unnest(generate_series(1, {_MI_DIMS}))::INT AS i),
+e AS (
+  SELECT i - 1 AS dim,
+         CASE WHEN embedding[i] >= 0 THEN 1 ELSE 0 END AS b,
+         label AS y
+  FROM embeddings, dims
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+cube_ AS (SELECT dim, b, y, count(*) AS nbl FROM e GROUP BY 1, 2, 3),
+nb AS (SELECT dim, b, sum(nbl) AS nb FROM cube_ GROUP BY 1, 2),
+nl AS (SELECT dim, y, sum(nbl) AS nl FROM cube_ GROUP BY 1, 2),
+nn AS (SELECT dim, sum(nbl) AS nn FROM cube_ GROUP BY 1),
+j AS (SELECT c.dim, c.b, c.y, c.nbl, nb.nb, nl.nl, nn.nn
+      FROM cube_ c JOIN nb USING (dim, b) JOIN nl USING (dim, y)
+      JOIN nn USING (dim)),
+t AS (SELECT dim, CAST(any_value(nn) AS BIGINT) AS n,
+             list((nbl::DOUBLE / nn::DOUBLE)
+                  * ln((nbl::DOUBLE * nn::DOUBLE)
+                       / (nb::DOUBLE * nl::DOUBLE))
+                  ORDER BY b, y) AS ts
+      FROM j GROUP BY dim)
+SELECT dim, n,
+       round(list_reduce(list_prepend(0.0, ts), (a, x) -> a + x), 6)
+         AS mi
+FROM t
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10461,6 +10574,8 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_sweep": q_simhash_sweep,
     "forecast_eval": q_forecast_eval,
     "lateness_sweep": q_lateness_sweep,
+    "rank_corr": q_rank_corr,
+    "mutual_info": q_mutual_info,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10682,6 +10797,8 @@ LAST_VERIFIED: dict[str, int] = {
     "simhash_sweep": 99,
     "forecast_eval": 99,
     "lateness_sweep": 99,
+    "rank_corr": 99,
+    "mutual_info": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -11075,6 +11192,8 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_sweep": SQL_SIMHASH_SWEEP,
     "forecast_eval": SQL_FORECAST_EVAL,
     "lateness_sweep": SQL_LATENESS_SWEEP,
+    "rank_corr": SQL_RANK_CORR,
+    "mutual_info": SQL_MUTUAL_INFO,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
