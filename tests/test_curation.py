@@ -1287,3 +1287,103 @@ def test_temperature_sweep_endpoints(spark):
     lo = got[0.2]
     assert lo["max_share"] < 0.75 and lo["entropy"] > one["entropy"]
     assert lo["max_upsample"] > 1.0  # the rare stratum gets upsampled
+
+
+def test_padding_waste_hand_computed(spark):
+    from twitter_to_sqlite_spark.functions.sampling import padding_waste
+
+    # lengths: 10, 30, 60, 90 — scheme [32, 64]: 10→32 (pad 22),
+    # 30→32 (pad 2), 60→64 (pad 4), 90→trunc to 64 (trunc 26, pad 0)
+    df = spark.createDataFrame(
+        [(10,), (30,), (60,), (90,)], "n long")
+    r = {x["scheme"]: x for x in
+         padding_waste(df, "n", {"ab": [32, 64]}).collect()}["ab"]
+    assert r["n_docs"] == 4
+    assert r["total_tokens"] == 190
+    assert r["padded_tokens"] == 28
+    assert r["truncated_tokens"] == 26
+    # kept = 10+30+60+64 = 164; waste = 28 / (28+164)
+    assert r["waste_frac"] == round(28 / 192, 6)
+
+
+def test_padding_waste_histogram_multiplicity(spark):
+    from twitter_to_sqlite_spark.functions.sampling import padding_waste
+
+    df = spark.createDataFrame([(5,)] * 7 + [(8,)] * 3, "n long")
+    r = padding_waste(df, "n", {"one": [8]}).collect()[0]
+    assert r["n_docs"] == 10
+    assert r["padded_tokens"] == 7 * 3  # 5→8 pads 3, 8→8 pads 0
+    assert r["truncated_tokens"] == 0
+
+
+def test_epoch_schedule_sqrt_weights_and_cap(spark):
+    from twitter_to_sqlite_spark.functions.sampling import epoch_schedule
+
+    # tokens: a=100 (w=10), b=400 (w=20) → W=30. budget 3000:
+    # a's share = 3000/3 = 1000 tokens over a 100-token source → 10
+    # epochs; b's share = 2000 over 400 → 5 epochs.
+    rows = [("a", 100), ("b", 400)]
+    df = spark.createDataFrame(rows, "src string, n long")
+    out = {r["source"]: r for r in
+           epoch_schedule(df, "src", "n", budget_tokens=3000,
+                          max_epochs=7.0).collect()}
+    assert out["a"]["weight_ppm"] == 333333
+    assert out["b"]["weight_ppm"] == 666666
+    assert out["a"]["epochs"] == 10.0 and out["a"]["over_cap"]
+    assert out["b"]["epochs"] == 5.0 and not out["b"]["over_cap"]
+
+
+def test_semantic_contamination_planted_only(spark):
+    from twitter_to_sqlite_spark.functions.similarity import (
+        semantic_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    train = spark.createDataFrame(
+        [(10, [0.71, 0.7]),          # cos ≈ .707 to both — clean
+         (11, [2.0, 0.0]),           # scaled copy of eval 0 — leak
+         (12, [0.0, -3.0])],         # anti-parallel — clean
+        "vec_id long, embedding array<float>")
+    rows = semantic_contamination(train, ev, threshold=0.99).collect()
+    assert [(r["vec_id"], r["matched_eval_id"], r["cosine"])
+            for r in rows] == [(11, 0, 1.0)]
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    from twitter_to_sqlite_spark.functions.text import code_detect
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and"),
+        (2, "def f(x): return [i for i in range(x)]; import sys;"
+            " class A: pass"),
+        (3, "if the weather holds for the picnic we shall return"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in code_detect(df).collect()}
+    assert out[2]["is_code"]
+    assert not out[1]["is_code"]
+    # doc 3 has keywords (if, return) but zero symbol density —
+    # the AND keeps prose with incidental keywords clean
+    assert out[3]["kw_hits"] >= 2 and not out[3]["is_code"]
+
+
+def test_group_kfold_partitions_groups_exactly_once(spark):
+    from twitter_to_sqlite_spark.functions.sampling import (
+        _key_hash, group_kfold,
+    )
+
+    df = spark.createDataFrame(
+        [(u, i) for u in range(40) for i in range(3)],
+        "user_id long, x long")
+    out = group_kfold(df, "user_id", k=4).collect()
+    assert sum(r["n_groups"] for r in out) == 40     # every group once
+    assert sum(r["n_rows"] for r in out) == 120
+    assert {r["fold"] for r in out} <= {0, 1, 2, 3}
+    # fold is a pure function of the group: recompute one user's fold
+    # directly and check its rows all land there
+    one = (df.filter(F.col("user_id") == 7)
+           .select((_key_hash(F.col("user_id"), "kf") % 4).alias("f"))
+           .distinct().collect())
+    assert len(one) == 1

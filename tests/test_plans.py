@@ -658,3 +658,50 @@ def test_knn_classify_no_global_window(spark):
     window may appear."""
     plan = plan_of(spark, "knn_classify")
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_semantic_broadcasts_eval_side(spark):
+    # the eval set must broadcast (benchmarks are small by
+    # construction); the corpus side must never shuffle before the
+    # per-vector argmax window
+    plan = plan_of(spark, "decontaminate_semantic")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_label_noise_is_joinless_scan(spark):
+    # centroid literals are inlined: scoring must be one projection
+    # over the corpus — no join of any kind in the scoring plan
+    plan = plan_of(spark, "label_noise")
+    for node in ("BroadcastHashJoin", "SortMergeJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert count_nodes(plan, node) == 0, node
+
+
+def test_padding_waste_prices_schemes_on_histogram(spark):
+    # the corpus collapses to its length histogram BEFORE the scheme
+    # cross join: the broadcast join's streamed side is the aggregated
+    # histogram, so exactly two aggregates (partial+final histogram …
+    # per-scheme rollup) and one small-side broadcast appear
+    plan = plan_of(spark, "padding_waste")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert count_nodes(plan, "HashAggregate") >= 4  # two agg pairs
+
+
+def test_rank_corr_windows_are_bounded_by_value_domain(spark):
+    # both rank windows run AFTER count-collapse: every Window input
+    # is a HashAggregate output, never the raw scan
+    plan = plan_of(spark, "rank_corr")
+    assert count_nodes(plan, "Window") == 2
+    assert count_nodes(plan, "HashAggregate") >= 6
+
+
+def test_mutual_info_contingency_before_joins(spark):
+    # the (dim, bit, label) cube is built ONCE (scan + posexplode run
+    # eagerly inside the localCheckpoint); the published plan — the
+    # three marginal joins and the MI fold — must read only the
+    # bounded checkpointed cube: no parquet scan, no explode remains
+    plan = plan_of(spark, "mutual_info")
+    assert count_nodes(plan, "Generate") == 0
+    assert "Scan parquet" not in plan
+    assert count_nodes(plan, "Scan ExistingRDD") >= 1

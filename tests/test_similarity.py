@@ -68,3 +68,26 @@ def test_knn_classify_eval_majority_vote(spark):
     # node2: nbr labels {10,20} tie -> pred 10 == own 10 (correct)
     assert got[10]["n"] == 2 and got[10]["n_correct"] == 2
     assert got[10]["accuracy"] == 1.0
+
+
+def test_centroid_label_noise_flags_planted_flips(spark):
+    from twitter_to_sqlite_spark.functions.similarity import (
+        centroid_label_noise,
+    )
+
+    # Two tight, well-separated clusters; three class-1 points carry
+    # label 0 (planted noise) and must be the ONLY flags.
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0 + 0.001 * i, 0.0], 0))
+    for i in range(20, 40):
+        rows.append((i, [0.0, 1.0 + 0.001 * i], 1))
+    for i in range(40, 43):  # cluster-1 geometry, label 0
+        rows.append((i, [0.0, 1.0], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in
+           centroid_label_noise(df, margin=0.02).collect()}
+    assert out[0]["n"] == 23 and out[0]["n_flagged"] == 3
+    assert out[1]["n"] == 20 and out[1]["n_flagged"] == 0
+    assert out[0]["noise_rate"] == round(3 / 23, 6)

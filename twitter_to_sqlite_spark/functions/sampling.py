@@ -754,3 +754,137 @@ def temperature_sweep(df: DataFrame, strata_col: str, token_col: str,
         F.round(ent, decimals).alias("entropy"),
         F.round(upmax, 4).alias("max_upsample"),
     )
+
+
+def padding_waste(df: DataFrame, token_col: str,
+                  schemes: dict[str, list[int]],
+                  decimals: int = 6) -> DataFrame:
+    """Batch-packing efficiency of candidate length-bucket schemes —
+    the dynamic-batching tuning curve: every sequence pads up to the
+    smallest bucket boundary that fits it (sequences past the last
+    boundary truncate down to it), and the scheme's cost is the
+    fraction of batch slots spent on padding. The boundary set a
+    trainer ships is the cheapest point on this curve; publishing the
+    curve is the measure-don't-guess step before committing a
+    tokenizer + bucketing config.
+
+    Returns one row per scheme: (scheme, n_docs, total_tokens,
+    padded_tokens, truncated_tokens, waste_frac), all counts exact
+    BIGINTs, waste_frac = padded / (padded + kept) rounded once.
+
+    Scale: the corpus collapses to its (length, count) histogram —
+    bounded by the max sequence length, not row count — in one
+    map-side-combined agg; every scheme then prices itself on the
+    HISTOGRAM via a broadcast cross join (|schemes|·|lengths| rows).
+    Adding a candidate scheme costs zero additional corpus scans.
+    """
+    tok = F.col(token_col)
+    hist = (df.filter(tok.isNotNull() & (tok >= 0))
+            .groupBy(tok.cast("long").alias("__len"))
+            .agg(F.count(F.lit(1)).alias("__n")))
+    spark = df.sparkSession
+    srows = [(name, [int(b) for b in sorted(bounds)])
+             for name, bounds in sorted(schemes.items())]
+    sdf = spark.createDataFrame(srows, "scheme string, __bounds array<long>")
+    j = hist.crossJoin(F.broadcast(sdf))
+    cap = F.element_at("__bounds", -1)
+    fit = F.array_min(F.filter("__bounds", lambda b: b >= F.col("__len")))
+    slot = F.coalesce(fit, cap)
+    kept = F.least(F.col("__len"), cap)
+    per = j.select(
+        "scheme", "__n",
+        (F.col("__n") * F.col("__len")).alias("__tok"),
+        (F.col("__n") * (slot - kept)).alias("__pad"),
+        (F.col("__n") * (F.col("__len") - kept)).alias("__trunc"),
+        (F.col("__n") * kept).alias("__kept"),
+    )
+    out = per.groupBy("scheme").agg(
+        F.sum("__n").alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        F.sum("__pad").alias("padded_tokens"),
+        F.sum("__trunc").alias("truncated_tokens"),
+        F.sum("__kept").alias("__kept"),
+    )
+    waste = F.round(
+        F.col("padded_tokens").cast("double")
+        / (F.col("padded_tokens") + F.col("__kept")).cast("double"),
+        decimals)
+    return out.select("scheme", "n_docs", "total_tokens",
+                      "padded_tokens", "truncated_tokens",
+                      waste.alias("waste_frac"))
+
+
+def epoch_schedule(df: DataFrame, strata_col: str, token_col: str,
+                   budget_tokens: int, max_epochs: float = 4.0,
+                   decimals: int = 6) -> DataFrame:
+    """How many epochs of each source does a token budget imply? The
+    sqrt-temperature mixture (the multilingual-training standard:
+    weight ∝ tokens^0.5, upweighting small sources) turned into the
+    schedule a dataloader actually executes: epochs_s =
+    budget·w_s / (W·tokens_s), flagged when it crosses `max_epochs`
+    — the repetition ceiling past which additional epochs of a small
+    source hurt more than help (Muennighoff et al. 2023's ~4-epoch
+    rule of thumb).
+
+    Returns one row per source: (source, tokens, weight_ppm, epochs,
+    over_cap). weight_ppm is BIGINT-exact ((10⁶·w) DIV W on integral
+    w = floor(√tokens), so both engines publish identical shares);
+    epochs is ONE double expression on exact integers, rounded once,
+    and over_cap compares the ROUNDED value so the flag never
+    disagrees with the printed number.
+
+    Scale: one map-side-combined agg collapses the corpus to
+    |sources| rows; the Σw normalizer is a broadcast 1-row scalar.
+    """
+    per = (df.filter(F.col(strata_col).isNotNull()
+                     & F.col(token_col).isNotNull())
+           .groupBy(F.col(strata_col).alias("source"))
+           .agg(F.sum(F.col(token_col).cast("long")).alias("tokens")))
+    w = per.withColumn(
+        "__w",
+        F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long"))
+    # the normalizer comes from a RENAMED projection and the join's
+    # left side renames again: Spark 4's hybrid resolver flags a
+    # same-name attribute appearing anywhere in BOTH subtrees of a
+    # self-derived join as ambiguous, even when only one side outputs
+    # it — distinct names on every path sidestep that entirely
+    tot = (w.select(F.col("__w").alias("__wt"))
+           .agg(F.sum("__wt").alias("__W")))
+    j = w.withColumnRenamed("__w", "__wl").crossJoin(F.broadcast(tot))
+    b = float(budget_tokens)
+    epochs = F.round(
+        (F.lit(b) * F.col("__wl").cast("double"))
+        / (F.col("__W").cast("double") * F.col("tokens").cast("double")),
+        decimals)
+    return (j.withColumn(
+                "weight_ppm",
+                F.expr("CAST((1000000 * __wl) DIV __W AS BIGINT)"))
+            .withColumn("epochs", epochs)
+            .select("source", "tokens", "weight_ppm", "epochs",
+                    (F.col("epochs") > F.lit(max_epochs)).alias("over_cap")))
+
+
+def group_kfold(df: DataFrame, group_col: str, k: int,
+                salt: str = "kf") -> DataFrame:
+    """Grouped k-fold assignment — cross-validation where a GROUP
+    (user, session, document cluster) must never straddle folds, the
+    leakage rule assign_splits enforces for train/test applied to the
+    k-fold protocol. fold = portable_hash(group ∥ salt) mod k, so the
+    assignment is stateless, reproducible on any engine, and stable
+    under reshuffles/reruns (no global counters, no randomness).
+
+    Returns the fold audit a practitioner actually reviews before
+    training: one row per fold — (fold, n_groups, n_rows) — fold
+    sizes close to N/k confirm the hash is spreading; a group-overlap
+    law belongs in tests (hash is a function of the group, so overlap
+    is impossible by construction).
+
+    Scale: one map-side-combined agg; countDistinct on groups is the
+    only shuffle and it keys on the fold (k partitions of partial
+    distinct sets).
+    """
+    fold = _key_hash(F.col(group_col), salt) % k
+    return (df.filter(F.col(group_col).isNotNull())
+            .groupBy(fold.alias("fold"))
+            .agg(F.countDistinct(group_col).alias("n_groups"),
+                 F.count(F.lit(1)).alias("n_rows")))

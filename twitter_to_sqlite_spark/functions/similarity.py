@@ -16,6 +16,7 @@ each side of the join — never per pair.
 from __future__ import annotations
 
 import json
+import math
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -1014,3 +1015,108 @@ def append_ann_index(shard: DataFrame, path: str,
                           os.path.join(dst, fname))
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def centroid_label_noise(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label",
+                         margin: float = 0.02,
+                         decimals: int = 4,
+                         cent_decimals: int = 4) -> DataFrame:
+    """Confident-learning label-noise screen (Northcutt et al. 2021,
+    reduced to its relational core): flag an example when its cosine
+    to SOME OTHER class's centroid beats its own class's centroid by
+    at least `margin` — the standard first-pass audit before training
+    on weak labels. Returns one row per label:
+    (label, n, n_flagged, noise_rate).
+
+    Shape: per-class centroids are one posexplode mean agg (bounded
+    |labels|x|dim| rows to the driver, the kmeans_centroids device,
+    means rounded to `cent_decimals` so the literals reproduce across
+    engines); scoring is ONE projection over the corpus — the
+    centroid array is a literal, so every row computes its |labels|
+    cosines in-place with no join, no shuffle, and the only exchange
+    is the final |labels|-row groupBy. Cosines round to `decimals`
+    (the ANN-family grain) before the margin compare so the flag is
+    engine-exact.
+    """
+    v = F.col(vec_col)
+    y = F.col(label_col)
+    vecs = (df.filter(v.isNotNull() & y.isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    y.cast("int").alias("__y"),
+                    _as_double(v).alias("__v"))
+            .localCheckpoint())
+    cent_rows = (vecs.select("__y", F.posexplode("__v").alias("__i", "__x"))
+                 .groupBy("__y", "__i")
+                 .agg(F.round(F.avg("__x"), cent_decimals).alias("__m"))
+                 .collect())
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r["__y"], {})[r["__i"]] = float(r["__m"])
+    cents = [
+        (lbl, [cols[i] for i in range(len(cols))])
+        for lbl, cols in sorted(by_label.items())
+    ]
+    if not cents:
+        return vecs.sparkSession.createDataFrame(
+            [], "label int, n long, n_flagged long, noise_rate double")
+
+    vn = _norm(F.col("__v"))
+    sims = F.array(*[
+        F.struct(
+            F.lit(lbl).alias("l"),
+            F.round(
+                _dot(F.col("__v"), F.array(*[F.lit(x) for x in c]))
+                / (vn * F.lit(math.sqrt(sum(x * x for x in c)))),
+                decimals).alias("s"))
+        for lbl, c in cents
+    ])
+    own = F.element_at(
+        F.filter(sims, lambda s: s["l"] == F.col("__y")), 1)["s"]
+    best_other = F.array_max(
+        F.transform(F.filter(sims, lambda s: s["l"] != F.col("__y")),
+                    lambda s: s["s"]))
+    flagged = (best_other - own >= F.lit(margin)).cast("long")
+    return (vecs.select(F.col("__y").alias("label"), flagged.alias("__f"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("__f").alias("n_flagged"))
+            .select("label", "n", "n_flagged",
+                    F.round(F.col("n_flagged").cast("double")
+                            / F.col("n").cast("double"), 6)
+                    .alias("noise_rate")))
+
+
+def semantic_contamination(train: DataFrame, eval_set: DataFrame,
+                           threshold: float = 0.99,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           decimals: int = 4) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin
+    of the 5-gram `decontaminate` check: a training vector whose
+    cosine to ANY eval vector reaches `threshold` is a paraphrase-
+    level leak that n-gram overlap misses. Returns one row per
+    contaminated training vector: (vec_id, matched_eval_id, cosine)
+    — the best-matching eval item, ties to the smallest eval id.
+
+    Scale: eval benchmarks are small by construction, so the eval
+    side broadcasts whole and the corpus is ONE scan with fused
+    per-row arithmetic; the only shuffle is the per-vector argmax
+    window, whose groups are |eval|-bounded. Cosines round to the
+    ANN-family grain before the threshold compare.
+    """
+    t = _side(train, id_col, vec_col, "__tid", "__tv", "__tn")
+    e = _side(eval_set, id_col, vec_col, "eval_id", "__ev", "__en")
+    cos = F.round(
+        _dot(F.col("__tv"), F.col("__ev"))
+        / (F.col("__tn") * F.col("__en")), decimals)
+    scored = (t.crossJoin(F.broadcast(e))
+              .select(F.col("__tid").alias(id_col), "eval_id",
+                      cos.alias("cosine")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc())
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .filter((F.col("__rk") == 1)
+                    & (F.col("cosine") >= F.lit(threshold)))
+            .select(id_col, F.col("eval_id").alias("matched_eval_id"),
+                    "cosine"))

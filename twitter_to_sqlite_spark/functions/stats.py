@@ -695,8 +695,12 @@ def mutual_info_bits(df: DataFrame, vec_col: str = "embedding",
                  y.alias("__y"))
          .select("dim", (F.col("__x") >= 0).cast("int").alias("__b"),
                  "__y"))
+    # One corpus scan total: the cube is bounded (n_dims·2·|labels|
+    # rows), so localCheckpoint it — otherwise each marginal re-derives
+    # the scan+explode (Catalyst does not reuse common subplans) and
+    # the corpus is read four times.
     cube = e.groupBy("dim", "__b", "__y").agg(
-        F.count(F.lit(1)).alias("__nbl"))
+        F.count(F.lit(1)).alias("__nbl")).localCheckpoint()
     nb = cube.groupBy("dim", "__b").agg(F.sum("__nbl").alias("__nb"))
     nl = cube.groupBy("dim", "__y").agg(F.sum("__nbl").alias("__nl"))
     nn = cube.groupBy("dim").agg(F.sum("__nbl").alias("__nn"))

@@ -587,3 +587,41 @@ def distinct_ngram_diversity(df: DataFrame, group_col: str,
                     / F.col("n_bigrams"), decimals).alias("distinct2"),
         )
     )
+
+
+CODE_KEYWORDS = ("def", "return", "import", "var", "function", "class",
+                 "void", "int", "if", "else", "for", "while")
+
+_CODE_SYMBOL_RE = r"[{}()\[\];=<>#]"
+
+
+def code_detect(df: DataFrame, text_col: str = "text",
+                symbol_tau: float = 0.02, min_kw: int = 2) -> DataFrame:
+    """Code-likeness screen — the curation gate that routes program
+    text away from the prose quality filters (Gopher's stopword and
+    word-length gates misfire badly on source code, so pipelines
+    branch on this flag BEFORE gating). A document is code when its
+    programming-symbol density ({}()[];=<># per char, round-4) meets
+    `symbol_tau` AND at least `min_kw` tokens are programming
+    keywords — both signals cheap enough to fuse into the first scan
+    of the corpus, both integer/fixed-point so the flag is
+    engine-exact.
+
+    Appends (sym_ratio, kw_hits, is_code) to every row; one
+    projection, no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_sym = n_chars - F.length(F.regexp_replace(t, _CODE_SYMBOL_RE, ""))
+    kw = F.array(*[F.lit(k) for k in CODE_KEYWORDS])
+    kw_hits = F.size(
+        F.filter(_tokens(t), lambda tok: F.array_contains(kw, tok)))
+    sym_ratio = F.round(
+        n_sym.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"),
+        4)
+    return df.select(
+        "*",
+        sym_ratio.alias("sym_ratio"),
+        kw_hits.cast("long").alias("kw_hits"),
+        ((sym_ratio >= F.lit(symbol_tau))
+         & (kw_hits >= F.lit(min_kw))).alias("is_code"))

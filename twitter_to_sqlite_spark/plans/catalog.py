@@ -10495,6 +10495,331 @@ FROM t
 """
 
 
+
+# ---------------------------------------------------------------------
+# Label-noise screen: nearest-centroid confident learning
+# ---------------------------------------------------------------------
+
+_NOISE_MARGIN = 0.02
+
+
+def q_label_noise(spark, sf_dir):
+    """Which class labels look wrong? Confident-learning screen
+    (functions/similarity.py::centroid_label_noise): flag a vector
+    whose cosine to ANOTHER class centroid beats its own class
+    centroid by >= {margin} at the ANN-family round-4 grain; report
+    per-label totals and noise rate. Centroids are a bounded
+    posexplode mean agg; scoring is one joinless projection over the
+    corpus with the centroid literals inlined."""
+    from twitter_to_sqlite_spark.functions import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_label_noise(e, margin=_NOISE_MARGIN)
+
+
+SQL_LABEL_NOISE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+dims AS (SELECT unnest(generate_series(1, 64))::INT AS i),
+cd AS (
+  SELECT label AS cl, i, round(avg(v[i]), 4) AS m
+  FROM v, dims GROUP BY 1, 2
+),
+cents AS (SELECT cl, list(m ORDER BY i) AS c FROM cd GROUP BY 1),
+scored AS (
+  SELECT v.vec_id, v.label, c.cl,
+         round(list_dot_product(v.v, c.c)
+               / (sqrt(list_dot_product(v.v, v.v))
+                  * sqrt(list_dot_product(c.c, c.c))), 4) AS s
+  FROM v CROSS JOIN cents c
+),
+per AS (
+  SELECT vec_id, label,
+         max(CASE WHEN cl = label THEN s END) AS own,
+         max(CASE WHEN cl <> label THEN s END) AS best_other
+  FROM scored GROUP BY 1, 2
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN best_other - own >= {_NOISE_MARGIN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(sum(CASE WHEN best_other - own >= {_NOISE_MARGIN}
+                 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+         AS noise_rate
+FROM per GROUP BY label
+"""
+
+
+
+# ---------------------------------------------------------------------
+# Semantic benchmark decontamination (embedding-cosine twin)
+# ---------------------------------------------------------------------
+
+_SEMDECON_TAU = 0.99
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """Paraphrase-level benchmark leakage: training vectors whose
+    cosine to any eval vector (vec_id < 20) reaches {tau} — the
+    embedding twin of the 5-gram `decontaminate` check (functions/
+    similarity.py::semantic_contamination). Planted leaks are the
+    eval vectors scaled by 1.01 (cosine exactly 1), the
+    embed_near_dup device; the eval side broadcasts, the corpus is
+    one fused scan."""
+    from twitter_to_sqlite_spark.functions import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") < 20)
+    train = e.filter(F.col("vec_id") >= 20).unionByName(
+        ev.select((F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+                  F.transform("embedding", lambda x: x * 1.01)
+                  .alias("embedding"),
+                  "label"))
+    return similarity.semantic_contamination(
+        train.select("vec_id", "embedding"), ev.select("vec_id", "embedding"),
+        threshold=_SEMDECON_TAU)
+
+
+SQL_DECONTAMINATE_SEMANTIC = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS b
+  FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL
+),
+train AS (
+  SELECT vec_id, embedding::DOUBLE[] AS a
+  FROM embeddings WHERE vec_id >= 20 AND embedding IS NOT NULL
+  UNION ALL
+  SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.01) AS a
+  FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL
+),
+scored AS (
+  SELECT t.vec_id, ev.eval_id,
+         round(list_dot_product(t.a, ev.b)
+               / (sqrt(list_dot_product(t.a, t.a))
+                  * sqrt(list_dot_product(ev.b, ev.b))), 4) AS cosine
+  FROM train t CROSS JOIN ev
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cosine DESC, eval_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, eval_id AS matched_eval_id, cosine
+FROM r WHERE rk = 1 AND cosine >= {_SEMDECON_TAU}
+"""
+
+
+
+# ---------------------------------------------------------------------
+# Length-bucket packing efficiency (padding-waste tuning curve)
+# ---------------------------------------------------------------------
+
+_PAD_SCHEMES = {
+    "coarse": [32, 64, 128],
+    "fine": [16, 32, 48, 64, 80, 96, 112, 128],
+    "trunc64": [32, 64],
+}
+
+
+def q_padding_waste(spark, sf_dir):
+    """Which length-bucket scheme wastes the least batch capacity?
+    Per-scheme padding/truncation cost over the document word-count
+    histogram (functions/sampling.py::padding_waste) — sequences pad
+    up to the smallest fitting boundary, overflow truncates to the
+    last one. The corpus collapses to its length histogram once;
+    every candidate scheme prices itself on that bounded frame."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(text._tokens(F.col("text"))).cast("long").alias("n_words"))
+    return sampling.padding_waste(d, "n_words", _PAD_SCHEMES)
+
+
+def _padding_waste_sql() -> str:
+    vals = ", ".join(
+        f"('{name}', {sorted(bounds)})"
+        for name, bounds in sorted(_PAD_SCHEMES.items()))
+    return f"""
+WITH hist AS (
+  SELECT len({_SQL_TOKS})::BIGINT AS l, count(*) AS n
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
+),
+schemes AS (SELECT * FROM (VALUES {vals}) AS s(scheme, bounds)),
+j AS (
+  SELECT scheme, l, n,
+         bounds[-1]::BIGINT AS cap,
+         list_min(list_filter(bounds, b -> b >= l))::BIGINT AS fit
+  FROM hist CROSS JOIN schemes
+),
+per AS (
+  SELECT scheme, n,
+         n * l AS tok,
+         n * (coalesce(fit, cap) - least(l, cap)) AS pad,
+         n * (l - least(l, cap)) AS trunc,
+         n * least(l, cap) AS kept
+  FROM j
+)
+SELECT scheme,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(pad) AS BIGINT) AS padded_tokens,
+       CAST(sum(trunc) AS BIGINT) AS truncated_tokens,
+       round(sum(pad)::DOUBLE / (sum(pad) + sum(kept))::DOUBLE, 6)
+         AS waste_frac
+FROM per GROUP BY scheme
+"""
+
+
+SQL_PADDING_WASTE = _padding_waste_sql()
+
+
+
+# ---------------------------------------------------------------------
+# Token-budget epoch schedule (sqrt-temperature mixture, epoch cap)
+# ---------------------------------------------------------------------
+
+_EPOCH_BUDGET = 1_000_000
+_EPOCH_CAP = 4.0
+
+
+def q_epoch_schedule(spark, sf_dir):
+    """The dataloader schedule a 10⁶-token budget implies under the
+    sqrt-temperature mixture (functions/sampling.py::epoch_schedule):
+    per-source epochs = budget·√tokens_s / (Σ√tokens·tokens_s),
+    flagged past the ~4-epoch repetition ceiling (Muennighoff et al.
+    2023). Weight shares are BIGINT-exact ppm."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(text._tokens(F.col("text"))).cast("long").alias("n_words"))
+    return sampling.epoch_schedule(
+        d, "source", "n_words", budget_tokens=_EPOCH_BUDGET,
+        max_epochs=_EPOCH_CAP)
+
+
+SQL_EPOCH_SCHEDULE = f"""
+WITH per AS (
+  SELECT source, CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS tokens
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+  GROUP BY 1
+),
+w AS (SELECT source, tokens,
+             CAST(floor(sqrt(tokens::DOUBLE)) AS BIGINT) AS w
+      FROM per),
+tot AS (SELECT sum(w) AS tw FROM w),
+e AS (
+  SELECT source, tokens,
+         CAST((1000000 * w) // tw AS BIGINT) AS weight_ppm,
+         round(({_EPOCH_BUDGET}.0 * w::DOUBLE)
+               / (tw::DOUBLE * tokens::DOUBLE), 6) AS epochs
+  FROM w, tot
+)
+SELECT source, tokens, weight_ppm, epochs,
+       epochs > {_EPOCH_CAP} AS over_cap
+FROM e
+"""
+
+
+
+# ---------------------------------------------------------------------
+# Code-likeness screen (route program text away from prose gates)
+# ---------------------------------------------------------------------
+
+_CODE_OFFSET = 3_000_000
+_CODE_SNIPPET = (" def compute(x): return [i for i in range(x)];"
+                 " import sys; class Foo: x = {1: 2}; print(x[0] >= 1)")
+
+
+def _docs_with_planted_code(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = d.filter(F.col("doc_id") < 12).select(
+        (F.col("doc_id") + _CODE_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(_CODE_SNIPPET)).alias("text"))
+    return d.unionByName(planted)
+
+
+def q_code_detect(spark, sf_dir):
+    """Per-source code-document rate (functions/text.py::code_detect):
+    symbol-density + keyword-hit screen that routes program text away
+    from the prose quality gates (Gopher stopword/word-length filters
+    misfire on code). Planted code-suffixed docs guarantee positives;
+    both signals fuse into the corpus's first scan — no UDF, no extra
+    pass."""
+    d = _docs_with_planted_code(spark, sf_dir)
+    flagged = text.code_detect(d)
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("is_code").cast("long")).alias("n_code"))
+            .select("source", "n_docs", "n_code",
+                    F.round(F.col("n_code").cast("double")
+                            / F.col("n_docs").cast("double"), 6)
+                    .alias("code_rate")))
+
+
+_SQL_CODE_KW = "[" + ", ".join(f"'{k}'" for k in text.CODE_KEYWORDS) + "]"
+
+SQL_CODE_DETECT = f"""
+WITH base AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CODE_OFFSET} AS doc_id, source,
+         text || ' {_CODE_SNIPPET.strip()}' AS text
+  FROM documents WHERE doc_id < 12
+),
+f AS (
+  SELECT source,
+         round((length(text) - length(regexp_replace(
+                  text, '[{{}}()\[\];=<>#]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1)::DOUBLE, 4) AS sym_ratio,
+         len(list_filter({_SQL_TOKS},
+                         t -> list_contains({_SQL_CODE_KW}, t)))
+           AS kw_hits
+  FROM base
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN sym_ratio >= 0.02 AND kw_hits >= 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+       round(sum(CASE WHEN sym_ratio >= 0.02 AND kw_hits >= 2
+                 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+         AS code_rate
+FROM f GROUP BY source
+"""
+
+
+
+# ---------------------------------------------------------------------
+# Grouped k-fold assignment audit
+# ---------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+def q_kfold_split(spark, sf_dir):
+    """Grouped 5-fold cross-validation audit over events (functions/
+    sampling.py::group_kfold): every user's events land in exactly
+    one fold (fold = portable hash of user_id mod 5 — leakage-free by
+    construction), and the report shows per-fold group/row counts.
+    One map-side-combined agg; no window, no randomness."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    return sampling.group_kfold(e, "user_id", k=_KFOLD_K)
+
+
+SQL_KFOLD_SPLIT = f"""
+SELECT ('0x' || substring(md5(user_id::VARCHAR || 'kf'), 1, 15))::BIGINT
+         % {_KFOLD_K} AS fold,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events WHERE user_id IS NOT NULL
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10576,6 +10901,12 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateness_sweep": q_lateness_sweep,
     "rank_corr": q_rank_corr,
     "mutual_info": q_mutual_info,
+    "label_noise": q_label_noise,
+    "decontaminate_semantic": q_decontaminate_semantic,
+    "padding_waste": q_padding_waste,
+    "epoch_schedule": q_epoch_schedule,
+    "code_detect": q_code_detect,
+    "kfold_split": q_kfold_split,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -10799,6 +11130,12 @@ LAST_VERIFIED: dict[str, int] = {
     "lateness_sweep": 99,
     "rank_corr": 99,
     "mutual_info": 99,
+    "label_noise": 99,
+    "decontaminate_semantic": 99,
+    "padding_waste": 99,
+    "epoch_schedule": 99,
+    "code_detect": 99,
+    "kfold_split": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -11194,6 +11531,12 @@ ORACLE_SQL: dict[str, str] = {
     "lateness_sweep": SQL_LATENESS_SWEEP,
     "rank_corr": SQL_RANK_CORR,
     "mutual_info": SQL_MUTUAL_INFO,
+    "label_noise": SQL_LABEL_NOISE,
+    "decontaminate_semantic": SQL_DECONTAMINATE_SEMANTIC,
+    "padding_waste": SQL_PADDING_WASTE,
+    "epoch_schedule": SQL_EPOCH_SCHEDULE,
+    "code_detect": SQL_CODE_DETECT,
+    "kfold_split": SQL_KFOLD_SPLIT,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
