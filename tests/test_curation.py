@@ -1387,3 +1387,61 @@ def test_group_kfold_partitions_groups_exactly_once(spark):
            .select((_key_hash(F.col("user_id"), "kf") % 4).alias("f"))
            .distinct().collect())
     assert len(one) == 1
+
+
+def test_gate_ablation_sole_blocker_attribution(spark):
+    from twitter_to_sqlite_spark.functions.text import gate_ablation
+
+    good = ("the cat and a dog sat on it for a while and the story "
+            "went on and on for quite a while longer today")
+    short = "the cat and the dog"                     # fails words only
+    symbols = good + " " + "#" * 40                   # fails symbols only
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string")
+    out = {r["gate"]: r for r in gate_ablation(df).collect()}
+    assert out["pass_words"]["n_docs"] == 3
+    assert out["pass_words"]["n_keep"] == 1
+    assert out["pass_words"]["n_fail"] == 1
+    assert out["pass_words"]["n_sole_blocker"] == 1
+    assert out["pass_symbols"]["n_fail"] == 1
+    assert out["pass_symbols"]["n_sole_blocker"] == 1
+    for g in ("pass_word_len", "pass_alpha", "pass_stopwords"):
+        assert out[g]["n_fail"] == 0 and out[g]["n_sole_blocker"] == 0
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    import math
+
+    from twitter_to_sqlite_spark.functions.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    assert out[2]["entropy"] == round(math.log(4), 6)
+    assert out[3]["entropy"] == round(math.log(2), 6)
+
+
+def test_bloom_fpr_audit_counts_match_probe_expression(spark):
+    from pyspark.sql import functions as F
+
+    from twitter_to_sqlite_spark.functions import bloom
+
+    dim = spark.createDataFrame([(i,) for i in range(30)], "k long")
+    probes = spark.createDataFrame(
+        [(i,) for i in range(1000, 1200)], "k long")
+    r = bloom.bloom_fpr_audit(dim, probes, "k", m_words=4, k=3) \
+        .collect()[0]
+    assert r["n_keys"] == 30 and r["n_probes"] == 200
+    assert 0.0 <= r["fpr_theory"] <= 1.0
+    # cross-check the FP count against a direct might_contain scan
+    words = bloom.build_bloom(dim.select(F.col("k")), "k", 4, 3,
+                              hash_fn="md5")
+    manual = probes.filter(
+        bloom.might_contain(F.col("k"), words, 3, hash_fn="md5")).count()
+    assert r["n_false_pos"] == manual
+    # no false negatives ever: every member key must probe true
+    members = dim.filter(
+        bloom.might_contain(F.col("k"), words, 3, hash_fn="md5")).count()
+    assert members == 30

@@ -22,8 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from twitter_to_sqlite_spark import tables
-from twitter_to_sqlite_spark.functions import (classifier, dedup, similarity,
-                                               sketch, text)
+from twitter_to_sqlite_spark.functions import (classifier, dedup, sampling,
+                                               similarity, sketch, stats, text)
 from twitter_to_sqlite_spark.session import get_spark
 
 
@@ -712,6 +712,37 @@ def main():
         "source_diversity": lambda d, v: text.distinct_ngram_diversity(
             d.withColumn("source", (F.col("doc_id") % 20)
                          .cast("string")), "source"),
+        # --- r7 batch-3 operators ---
+        # two count-collapsed rank maps + a joint-domain join: growth
+        # tracks the DOMAIN (distinct lengths), near-flat per row
+        "spearman": lambda d, v: stats.spearman_rho(
+            d.select(F.length("text").alias("x"),
+                     F.size(F.split("text", " ")).cast("long")
+                     .alias("y")), "x", "y"),
+        # one posexplode scan to a 16x2x|labels| cube: linear scan bar
+        "mutual_info": lambda d, v: stats.mutual_info_bits(
+            v.withColumn("label", (F.col("vec_id") % 10).cast("int"))),
+        # joinless centroid scoring: one corpus scan + |labels| agg
+        "label_noise": lambda d, v: similarity.centroid_label_noise(
+            v.withColumn("label", (F.col("vec_id") % 10).cast("int"))),
+        # broadcast eval x one fused corpus scan: linear bar
+        "semantic_decon": lambda d, v: similarity.semantic_contamination(
+            v, d1v().filter(F.col("vec_id") < 20)),
+        # corpus -> length histogram once; schemes priced on histogram
+        "padding_waste": lambda d, v: sampling.padding_waste(
+            d.select(F.size(F.split("text", " ")).cast("long")
+                     .alias("n")), "n",
+            {"coarse": [32, 64, 128], "fine": [16, 32, 48, 64, 96, 128]}),
+        # fused symbol/keyword projection + per-source agg: scan-speed
+        "code_detect": lambda d, v: text.code_detect(d)
+        .groupBy((F.col("doc_id") % 20).alias("src"))
+        .agg(F.sum(F.col("is_code").cast("long")).alias("n")),
+        # --- r7 batch-4 operators ---
+        # one conditional agg over the gopher flags: scan-speed bar
+        "gate_ablation": lambda d, v: text.gate_ablation(d),
+        # explode + two keyed aggs; per-doc term lists bounded by the
+        # doc's own vocabulary — linear is the bar
+        "token_entropy": lambda d, v: text.token_entropy(d),
     }
     out = {}
     for name, fn in OPS.items():

@@ -149,3 +149,55 @@ def bloom_prune_join(fact: DataFrame, dim: DataFrame, key_col: str,
     pruned = fact.filter(
         might_contain(F.col(key_col), words, k=k, hash_fn=hash_fn))
     return pruned.join(dim, key_col)
+
+
+def bloom_fpr_audit(dim: DataFrame, probes: DataFrame, key_col: str,
+                    m_words: int = 256, k: int = DEFAULT_HASHES,
+                    decimals: int = 6) -> DataFrame:
+    """Measured vs theoretical false-positive rate of the portable
+    Bloom filter on a REAL key population — the sizing audit run
+    before trusting bloom_prune_join's selectivity at 100 TB (the
+    (1-e^(-kn/m))^k formula assumes ideal hashes; this publishes what
+    the md5 double-hashing scheme actually delivers on these keys).
+
+    `probes` rows whose key appears in `dim` are excluded (a true
+    member can't be a false positive), each surviving distinct key is
+    probed against the built filter, and the report is ONE row:
+    (m_bits, k_hashes, n_keys, n_probes, n_false_pos, fpr,
+    fpr_theory). Counts are exact; the two rates are single double
+    expressions with identical op trees in the DuckDB twin.
+
+    Scale: the filter build is the bounded bit_or collect
+    (build_bloom's contract); probing is a pure column predicate on
+    one scan of the probe keys; n_keys arrives as a broadcast 1-row
+    scalar. Uses hash_fn='md5' so the oracle reconstructs identical
+    bit positions.
+    """
+    key = F.col(key_col)
+    dkeys = (dim.filter(key.isNotNull())
+             .select(key.alias("__k")).distinct().localCheckpoint())
+    words = build_bloom(dkeys, "__k", m_words, k, hash_fn="md5")
+    m_bits = 64 * m_words
+    nk = (dkeys.select(F.count(F.lit(1)).alias("n_keys")))
+    pk = (probes.filter(key.isNotNull())
+          .select(key.alias("__k")).distinct()
+          .join(dkeys, "__k", "left_anti"))
+    hit = might_contain(F.col("__k"), words, k, hash_fn="md5")
+    agg = pk.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(hit.cast("long")).alias("n_false_pos"))
+    j = agg.crossJoin(F.broadcast(nk))
+    nkd = F.col("n_keys").cast("double")
+    fpr = F.when(
+        F.col("n_probes") > 0,
+        F.round(F.col("n_false_pos").cast("double")
+                / F.col("n_probes").cast("double"), decimals))
+    theory = F.round(
+        F.pow(F.lit(1.0) - F.exp(-(F.lit(float(k)) * nkd)
+                                 / F.lit(float(m_bits))),
+              F.lit(float(k))), decimals)
+    return j.select(
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.lit(k).cast("long").alias("k_hashes"),
+        "n_keys", "n_probes", "n_false_pos",
+        fpr.alias("fpr"), theory.alias("fpr_theory"))

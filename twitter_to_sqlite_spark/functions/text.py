@@ -625,3 +625,89 @@ def code_detect(df: DataFrame, text_col: str = "text",
         kw_hits.cast("long").alias("kw_hits"),
         ((sym_ratio >= F.lit(symbol_tau))
          & (kw_hits >= F.lit(min_kw))).alias("is_code"))
+
+
+GOPHER_GATES = ("pass_words", "pass_word_len", "pass_alpha",
+                "pass_stopwords", "pass_symbols")
+
+
+def gate_ablation(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Leave-one-out attribution for the Gopher gate stack — the
+    question a curation review actually asks: which rule is doing the
+    cutting, and how many documents does EACH rule alone condemn?
+    Per gate: n_fail (docs failing it at all) and n_sole_blocker
+    (docs that pass every OTHER rule — exactly what relaxing that one
+    rule would re-admit), plus the corpus totals for context.
+
+    Returns one row per gate: (gate, n_fail, n_sole_blocker, n_keep,
+    n_docs). Σ n_sole_blocker + n_keep ≤ n_docs, with equality iff no
+    document fails two rules.
+
+    Scale: gopher_filter's flags are one narrow no-shuffle pass; the
+    ablation is ONE conditional aggregate over those flags (map-side
+    combined to a single row) exploded into |gates| report rows — a
+    leave-one-out study of a 100 TB corpus for the price of one scan,
+    against the naive form that re-runs the pipeline once per rule.
+    """
+    flags = gopher_filter(df, id_col, text_col)
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("keep").cast("long")).alias("__keep")]
+    for g in GOPHER_GATES:
+        others = [F.col(o) for o in GOPHER_GATES if o != g]
+        all_others = others[0]
+        for o in others[1:]:
+            all_others = all_others & o
+        aggs.append(F.sum((~F.col(g)).cast("long")).alias(f"__fail_{g}"))
+        aggs.append(F.sum((all_others & ~F.col(g)).cast("long"))
+                    .alias(f"__sole_{g}"))
+    one = flags.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(g).alias("gate"),
+                 F.col(f"__fail_{g}").alias("n_fail"),
+                 F.col(f"__sole_{g}").alias("n_sole_blocker"))
+        for g in GOPHER_GATES
+    ])).alias("__r")
+    return (one.select(rows, "__keep", "__n")
+            .select(F.col("__r.gate").alias("gate"),
+                    F.col("__r.n_fail").alias("n_fail"),
+                    F.col("__r.n_sole_blocker").alias("n_sole_blocker"),
+                    F.col("__keep").alias("n_keep"),
+                    F.col("__n").alias("n_docs")))
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  decimals: int = 6) -> DataFrame:
+    """Per-document unigram entropy (nats) — the gibberish/boilerplate
+    signal the ratio gates miss: keyboard-mash has HIGH distinct-token
+    ratio but near-uniform high entropy, templated chrome has LOW
+    entropy at normal length; both sit at the tails of this
+    distribution while prose clusters in the middle. H(doc) =
+    -Σ (c/n)·ln(c/n) over the doc's own token counts.
+
+    Returns (id, n_words, n_distinct, entropy). Entropy folds over
+    the per-doc term list in token-sorted order (the forecast_eval
+    device) so float addition order is engine-identical.
+
+    Scale: one explode + two keyed aggs, all map-side combinable; the
+    per-doc collected term list is bounded by the doc's own distinct
+    vocabulary, never corpus-sized.
+    """
+    toks = _tokens(F.col(text_col))
+    tc = (df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+          .groupBy(id_col, "__tok")
+          .agg(F.count(F.lit(1)).alias("__c")))
+    per = tc.groupBy(id_col).agg(
+        F.sum("__c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sort_array(F.collect_list(F.struct("__tok", "__c")))
+        .alias("__terms"))
+    n = F.col("n_words").cast("double")
+    ent = F.aggregate(
+        "__terms", F.lit(0.0),
+        lambda acc, s: acc + (s["__c"].cast("double") / n)
+        * F.log(n / s["__c"].cast("double")))
+    return per.select(
+        id_col, "n_words", "n_distinct",
+        F.round(ent, decimals).alias("entropy"))

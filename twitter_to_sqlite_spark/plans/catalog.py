@@ -10820,6 +10820,224 @@ GROUP BY 1
 """
 
 
+
+# ---------------------------------------------------------------------
+# Gate ablation: leave-one-out attribution for the Gopher stack
+# ---------------------------------------------------------------------
+
+def q_gate_ablation(spark, sf_dir):
+    """Which Gopher rule is doing the cutting? Leave-one-out ablation
+    (functions/text.py::gate_ablation): per gate, how many documents
+    fail it at all and how many it ALONE condemns (what relaxing that
+    rule would re-admit) — a five-way pipeline re-run's worth of
+    answers from ONE conditional aggregate over one scan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.gate_ablation(d)
+
+
+def _gate_ablation_sql() -> str:
+    flags = {
+        "pass_words": f"(n_words >= {text.GOPHER_MIN_WORDS}"
+                      f" AND n_words <= {text.GOPHER_MAX_WORDS})",
+        "pass_word_len": f"(mean_wl >= {text.GOPHER_MIN_MEAN_WL}"
+                         f" AND mean_wl <= {text.GOPHER_MAX_MEAN_WL})",
+        "pass_alpha": f"(alpha_frac >= {text.GOPHER_MIN_ALPHA_FRAC})",
+        "pass_stopwords": f"(n_stop_hits >= {text.GOPHER_MIN_STOP_HITS})",
+        "pass_symbols": f"(symbol_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO})",
+    }
+    keep = " AND ".join(flags.values())
+    per_gate = []
+    for g in text.GOPHER_GATES:
+        others = " AND ".join(v for o, v in flags.items() if o != g)
+        per_gate.append(
+            f"sum(CASE WHEN NOT {flags[g]} THEN 1 ELSE 0 END)"
+            f" AS fail_{g},\n"
+            f"       sum(CASE WHEN ({others}) AND NOT {flags[g]}"
+            f" THEN 1 ELSE 0 END) AS sole_{g}")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{g}' AS gate, CAST(fail_{g} AS BIGINT) AS n_fail,"
+        f" CAST(sole_{g} AS BIGINT) AS n_sole_blocker,"
+        f" CAST(keep_n AS BIGINT) AS n_keep,"
+        f" CAST(n AS BIGINT) AS n_docs FROM a"
+        for g in text.GOPHER_GATES)
+    gopher_m = GOPHER_M_CTE
+    gate_aggs = ",\n       ".join(per_gate)
+    return f"""
+{gopher_m},
+a AS (
+  SELECT count(*) AS n,
+       sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS keep_n,
+       {gate_aggs}
+  FROM m
+)
+{unions}
+"""
+
+
+# the gopher signal CTEs, shared verbatim with SQL_GOPHER_FILTER's
+# head so the ablation judges exactly the flags the gate publishes
+GOPHER_M_CTE = f"""WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+    len(t)::BIGINT AS n_words,
+    list_sum(list_transform(t, x -> length(x)))::DOUBLE
+      / greatest(len(t)::DOUBLE, 1.0) AS mean_wl,
+    len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+      / greatest(len(t)::DOUBLE, 1.0) AS alpha_frac,
+    len(list_filter({_SQL_STOPLIST}, s -> list_contains(t, s)))::BIGINT
+      AS n_stop_hits,
+    (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::DOUBLE
+      / greatest(len(t)::DOUBLE, 1.0) AS symbol_ratio
+  FROM t
+)"""
+
+SQL_GATE_ABLATION = _gate_ablation_sql()
+
+
+# ---------------------------------------------------------------------
+# Language-ID router eval (declared lang vs heuristic guess)
+# ---------------------------------------------------------------------
+
+def q_langid_eval(spark, sf_dir):
+    """Router QA for the language-ID heuristic: confusion matrix of
+    the DECLARED lang column vs lang_guess with per-declared-lang
+    rates — the check run before trusting a router to split a corpus
+    by language (functions/text.py::language_id is the scorer under
+    test). Bounded |langs|×|guesses| output; totals join on the tiny
+    aggregated frame."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    g = text.language_id(d)
+    conf = (g.groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n")).localCheckpoint())
+    tot = (conf.groupBy("lang").agg(F.sum("n").alias("__t")))
+    return (conf.join(F.broadcast(tot), "lang")
+            .select("lang", "lang_guess", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("__t").cast("double"), 6)
+                    .alias("rate")))
+
+
+SQL_LANGID_EVAL = """
+WITH g AS (
+  SELECT lang,
+         CASE WHEN len(list_filter({toks}, x ->
+                  list_contains({stoplist}, x)))::DOUBLE
+                  / greatest(len({toks})::DOUBLE, 1.0) >= 0.08
+              THEN 'en' ELSE 'other' END AS lang_guess
+  FROM documents
+),
+conf AS (SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2),
+tot AS (SELECT lang, sum(n) AS t FROM conf GROUP BY 1)
+SELECT lang, lang_guess, CAST(n AS BIGINT) AS n,
+       round(n::DOUBLE / t::DOUBLE, 6) AS rate
+FROM conf JOIN tot USING (lang)
+""".format(toks=_SQL_TOKS, stoplist=_SQL_STOPLIST)
+
+
+# ---------------------------------------------------------------------
+# Per-document unigram entropy
+# ---------------------------------------------------------------------
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram entropy in nats (functions/text.py::
+    token_entropy) — the gibberish/boilerplate tail signal the ratio
+    gates miss: templated chrome sits low, keyboard mash sits at the
+    uniform ceiling ln(n_distinct), prose clusters between. One
+    explode + two keyed aggs; the per-doc fold runs in token-sorted
+    order so both engines add the same floats."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.token_entropy(d)
+
+
+SQL_TOKEN_ENTROPY = """
+WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         list(c ORDER BY tok) AS cs
+  FROM tc GROUP BY 1
+)
+SELECT doc_id, n_words, n_distinct,
+       round(list_reduce(list_prepend(0.0,
+               list_transform(cs, c ->
+                 (c::DOUBLE / n_words::DOUBLE)
+                 * ln(n_words::DOUBLE / c::DOUBLE))),
+             (a, x) -> a + x), 6) AS entropy
+FROM per
+""".format(toks=_SQL_TOKS)
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter FPR audit (measured vs theoretical)
+# ---------------------------------------------------------------------
+
+_BLOOM_FPR_WORDS = 256
+_BLOOM_FPR_K = 5
+
+
+def q_bloom_fpr(spark, sf_dir):
+    """Measured vs theoretical Bloom false-positive rate on the real
+    orders key population (functions/bloom.py::bloom_fpr_audit):
+    1-URGENT keys build the filter, every other order key probes it,
+    and the report prices the md5 double-hashing scheme against
+    (1-e^(-kn/m))^k — the sizing audit before trusting
+    bloom_prune_join's selectivity at 100 TB."""
+    from twitter_to_sqlite_spark.functions import bloom
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    dim = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    probes = o.filter(F.col("o_orderpriority") != "1-URGENT")
+    return bloom.bloom_fpr_audit(
+        dim, probes, "o_orderkey",
+        m_words=_BLOOM_FPR_WORDS, k=_BLOOM_FPR_K)
+
+
+def _bloom_fpr_sql() -> str:
+    m_bits = 64 * _BLOOM_FPR_WORDS
+    k = _BLOOM_FPR_K
+    pos = ("((h & 1073741823) + i * ((h >> 30) & 1073741823))"
+           f" % {m_bits}")
+    return f"""
+WITH dk AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderkey IS NOT NULL
+),
+pk AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderpriority <> '1-URGENT' AND o_orderkey IS NOT NULL
+    AND o_orderkey NOT IN (SELECT key FROM dk)
+),
+dh AS (SELECT ('0x' || substring(md5(key::VARCHAR), 1, 15))::BIGINT
+         AS h FROM dk),
+ph AS (SELECT key, ('0x' || substring(md5(key::VARCHAR), 1, 15))::BIGINT
+         AS h FROM pk),
+is_ AS (SELECT unnest(generate_series(0, {k - 1}))::BIGINT AS i),
+dpos AS (SELECT DISTINCT {pos} AS pos FROM dh, is_),
+pp AS (SELECT key, i, {pos} AS pos FROM ph, is_),
+hits AS (SELECT key, count(*) AS nh
+         FROM pp JOIN dpos USING (pos) GROUP BY key),
+a AS (
+  SELECT (SELECT count(*) FROM dk) AS n_keys,
+         (SELECT count(*) FROM pk) AS n_probes,
+         (SELECT count(*) FROM hits WHERE nh = {k}) AS n_false_pos
+)
+SELECT CAST({m_bits} AS BIGINT) AS m_bits,
+       CAST({k} AS BIGINT) AS k_hashes,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_probes AS BIGINT) AS n_probes,
+       CAST(n_false_pos AS BIGINT) AS n_false_pos,
+       CASE WHEN n_probes > 0 THEN
+         round(n_false_pos::DOUBLE / n_probes::DOUBLE, 6) END AS fpr,
+       round(power(1.0 - exp((-({k}.0 * n_keys::DOUBLE))
+                             / {m_bits}.0), {k}.0), 6) AS fpr_theory
+FROM a
+"""
+
+
+SQL_BLOOM_FPR = _bloom_fpr_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10907,6 +11125,10 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_schedule": q_epoch_schedule,
     "code_detect": q_code_detect,
     "kfold_split": q_kfold_split,
+    "gate_ablation": q_gate_ablation,
+    "langid_eval": q_langid_eval,
+    "token_entropy": q_token_entropy,
+    "bloom_fpr": q_bloom_fpr,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -11136,6 +11358,10 @@ LAST_VERIFIED: dict[str, int] = {
     "epoch_schedule": 99,
     "code_detect": 99,
     "kfold_split": 99,
+    "gate_ablation": 99,
+    "langid_eval": 99,
+    "token_entropy": 99,
+    "bloom_fpr": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -11537,6 +11763,10 @@ ORACLE_SQL: dict[str, str] = {
     "epoch_schedule": SQL_EPOCH_SCHEDULE,
     "code_detect": SQL_CODE_DETECT,
     "kfold_split": SQL_KFOLD_SPLIT,
+    "gate_ablation": SQL_GATE_ABLATION,
+    "langid_eval": SQL_LANGID_EVAL,
+    "token_entropy": SQL_TOKEN_ENTROPY,
+    "bloom_fpr": SQL_BLOOM_FPR,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
