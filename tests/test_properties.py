@@ -1386,3 +1386,99 @@ def test_changelog_compact_replay_equivalence(spark, log):
                      .collect())]
     comp_end = replay(compacted, base)
     assert comp_end == full_end
+
+
+# ---------------------------------------------------------------------
+# r7 batch-3/4 laws
+# ---------------------------------------------------------------------
+
+@given(pairs=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),
+              st.integers(min_value=0, max_value=6)),
+    min_size=2, max_size=20))
+@SETTINGS
+def test_spearman_is_bounded_and_order_invariant(spark, pairs):
+    from twitter_to_sqlite_spark.functions import stats
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    r = stats.spearman_rho(df, "x", "y").collect()[0]
+    if r["rho"] is not None:
+        assert -1.0 <= r["rho"] <= 1.0
+        # a monotone relabeling of x (x -> 10x + 3) preserves ranks
+        relabeled = spark.createDataFrame(
+            [(10 * a + 3, b) for a, b in pairs], "x long, y long")
+        r2 = stats.spearman_rho(relabeled, "x", "y").collect()[0]
+        assert r2["rho"] == r["rho"]
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=20),
+    min_size=1, max_size=6))
+@SETTINGS
+def test_token_entropy_bounded_by_log_distinct(spark, texts):
+    import math
+
+    from twitter_to_sqlite_spark.functions.text import token_entropy
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in token_entropy(df).collect():
+        assert 0.0 <= r["entropy"] <= round(
+            math.log(r["n_distinct"]), 6) + 1e-9
+        assert r["n_distinct"] <= r["n_words"]
+
+
+@given(lens=st.lists(st.integers(min_value=0, max_value=200),
+                     min_size=1, max_size=30),
+       bounds=st.lists(st.integers(min_value=1, max_value=256),
+                       min_size=1, max_size=4, unique=True))
+@SETTINGS
+def test_padding_waste_conservation_laws(spark, lens, bounds):
+    from twitter_to_sqlite_spark.functions.sampling import padding_waste
+
+    df = spark.createDataFrame([(n,) for n in lens], "n long")
+    r = padding_waste(df, "n", {"s": bounds}).collect()[0]
+    cap = max(bounds)
+    # token conservation: total = kept + truncated, where kept is what
+    # lands in slots; padded fills the rest of the slot capacity
+    kept = sum(min(n, cap) for n in lens)
+    slots = sum(min((b for b in sorted(bounds) if b >= n), default=cap)
+                for n in lens)
+    assert r["total_tokens"] == sum(lens)
+    assert r["truncated_tokens"] == sum(lens) - kept
+    assert r["padded_tokens"] == slots - kept
+    if slots:
+        assert 0.0 <= r["waste_frac"] <= 1.0
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=3)),
+    min_size=1, max_size=40),
+    k=st.integers(min_value=2, max_value=6))
+@SETTINGS
+def test_group_kfold_is_a_partition_of_groups(spark, rows, k):
+    from twitter_to_sqlite_spark.functions.sampling import group_kfold
+
+    df = spark.createDataFrame(rows, "g long, x long")
+    out = group_kfold(df, "g", k=k).collect()
+    groups = {g for g, _ in rows}
+    assert sum(r["n_groups"] for r in out) == len(groups)
+    assert sum(r["n_rows"] for r in out) == len(rows)
+    assert all(0 <= r["fold"] < k for r in out)
+
+
+@given(tokens=st.lists(st.integers(min_value=1, max_value=10_000),
+                       min_size=1, max_size=10))
+@SETTINGS
+def test_epoch_schedule_shares_and_budget_consistency(spark, tokens):
+    from twitter_to_sqlite_spark.functions.sampling import epoch_schedule
+
+    rows = [(f"s{i}", t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "src string, n long")
+    out = epoch_schedule(df, "src", "n", budget_tokens=10_000).collect()
+    # integer ppm shares sum to ≤ 10^6 (floor division) and within
+    # |sources| of it (each floor loses < 1 ppm)
+    total = sum(r["weight_ppm"] for r in out)
+    assert 10**6 - len(out) < total <= 10**6
+    assert all(r["epochs"] >= 0 for r in out)

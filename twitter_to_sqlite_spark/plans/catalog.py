@@ -10773,7 +10773,7 @@ WITH base AS (
 f AS (
   SELECT source,
          round((length(text) - length(regexp_replace(
-                  text, '[{{}}()\[\];=<>#]', '', 'g')))::DOUBLE
+                  text, '[{{}}()\\[\\];=<>#]', '', 'g')))::DOUBLE
                / greatest(length(text), 1)::DOUBLE, 4) AS sym_ratio,
          len(list_filter({_SQL_TOKS},
                          t -> list_contains({_SQL_CODE_KW}, t)))
