@@ -277,3 +277,26 @@ def test_mutual_info_partial_dependence_formula(spark):
         expect += (nbl / n) * math.log((nbl * n) / (b_tot * l_tot))
     got = stats.mutual_info_bits(df, n_dims=1).collect()[0]["mi"]
     assert got == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+def test_mad_outliers_resists_single_wild_value(spark):
+    # 99 values near 10 plus one at 10^6: mean/σ would swallow
+    # moderate outliers; median/MAD must flag exactly the wild one
+    # and the deliberate moderate outlier at 60.
+    rows = [("a", 10.0 + (i % 5) * 0.5) for i in range(98)]
+    rows += [("a", 60.0), ("a", 1e6)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stats.mad_outliers(df, "g", "v", k=3.0).collect()[0]
+    assert r["n"] == 100
+    assert 10.0 <= r["median"] <= 12.0
+    assert r["mad"] <= 1.0
+    assert r["n_outliers"] == 2
+
+
+def test_mad_outliers_exact_small_case(spark):
+    # values 1..5: median 3 (rank ⌈5/2⌉=3), deviations {2,1,0,1,2}
+    # → MAD = 1; with k=3 nothing exceeds 3·1.
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 6)], "g string, v double")
+    r = stats.mad_outliers(df, "g", "v").collect()[0]
+    assert (r["median"], r["mad"], r["n_outliers"]) == (3.0, 1.0, 0)

@@ -156,3 +156,23 @@ def test_gc_plan_matches_vacuum_and_counts(spark, tmp_path):
     dropped = sinks.vacuum_versions(p, keep_last=1)
     assert dropped == [1, 2]
     assert sinks.list_versions(p) == [3]
+
+
+def test_diff_column_profile_attributes_changes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from twitter_to_sqlite_spark.operators import sinks
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, p double")
+    # key 1: s changes; key 2: p changes; key 3 removed; key 4 added
+    v2 = spark.createDataFrame(
+        [(1, "X", 10.0), (2, "b", 25.0), (4, "d", 40.0)],
+        "k long, s string, p double")
+    sinks.write_version(v1, path)
+    sinks.write_version(v2, path)
+    out = {r["column"]: r["n"] for r in sinks.diff_column_profile(
+        spark, path, 1, 2, ["k"], ["s", "p"]).collect()}
+    assert out == {"s": 1, "p": 1, "_added": 1, "_removed": 1}

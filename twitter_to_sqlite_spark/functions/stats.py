@@ -717,3 +717,64 @@ def mutual_info_bits(df: DataFrame, vec_col: str = "embedding",
     mi = F.aggregate("__terms", F.lit(0.0), lambda acc, s: acc + s["__t"])
     return per_dim.select(
         "dim", "n", F.round(mi, decimals).alias("mi"))
+
+
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: float = 3.0, decimals: int = 2) -> DataFrame:
+    """Robust per-group outlier audit: median / MAD (median absolute
+    deviation) and the count of values beyond k·MAD — the
+    anomaly screen that, unlike anomaly_zscore's mean/σ, a single
+    wild value cannot drag (σ-based gates famously let one 10⁹
+    outlier raise the bar enough to hide every other one).
+
+    Median is defined exactly as the value at rank ⌈n/2⌉ of the
+    count-collapsed distribution (lower middle for even n — a domain
+    value, never an interpolation), computed with the roc_auc device:
+    the corpus collapses to (group, rounded value, count) rows, one
+    per-group cumulative window over value CARDINALITY yields the
+    median, deviations re-aggregate the SAME bounded count table
+    (|x−med| from counts, never from raw rows), and a second
+    identical window yields the MAD.
+
+    Returns one row per group: (group, n, median, mad, n_outliers).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = F.round(F.col(value_col).cast("double"), decimals)
+    counts = (df.filter(g.isNotNull() & F.col(value_col).isNotNull())
+              .groupBy(g.alias("__g"), v.alias("__v"))
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .localCheckpoint())
+
+    def group_median(cnt: DataFrame, val: str) -> DataFrame:
+        w = (Window.partitionBy("__g").orderBy(val)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        tot = Window.partitionBy("__g")
+        c = (cnt.withColumn("__cum", F.sum("__n").over(w))
+             .withColumn("__tot", F.sum("__n").over(tot)))
+        # rank threshold ⌈tot/2⌉ = (tot+1) DIV 2, integer-exact
+        thresh = F.expr("CAST((__tot + 1) DIV 2 AS BIGINT)")
+        med = (c.filter(F.col("__cum") >= thresh)
+               .groupBy("__g").agg(F.min(val).alias("__med")))
+        return med
+
+    med = group_median(counts, "__v")
+    with_med = counts.join(med, "__g")
+    devs = (with_med
+            .groupBy("__g", F.abs(F.col("__v") - F.col("__med"))
+                     .alias("__d"))
+            .agg(F.sum("__n").alias("__n")))
+    mad = group_median(
+        devs.select("__g", F.col("__d").alias("__v"), "__n"), "__v") \
+        .select("__g", F.col("__med").alias("__mad"))
+    j = (with_med.join(mad, "__g"))
+    out = j.groupBy("__g").agg(
+        F.sum("__n").alias("n"),
+        F.first("__med").alias("median"),
+        F.first("__mad").alias("mad"),
+        F.sum(F.when(F.abs(F.col("__v") - F.col("__med"))
+                     > F.lit(float(k)) * F.col("__mad"), F.col("__n"))
+              .otherwise(F.lit(0))).alias("n_outliers"))
+    return out.select(F.col("__g").alias(group_col), "n",
+                      "median", "mad", "n_outliers")

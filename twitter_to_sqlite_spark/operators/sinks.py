@@ -829,3 +829,41 @@ def gc_plan(spark, path: str, keep_last: int = 2) -> DataFrame:
         "version", "n_rows", "expirable",
         F.round(F.col("__exp").cast("double") / F.col("__tot"), 6)
         .alias("reclaim_frac"))
+
+
+def diff_column_profile(spark, path: str, v_from: int, v_to: int,
+                        key_cols: list[str],
+                        compare_cols: list[str]) -> DataFrame:
+    """Change ATTRIBUTION between two committed versions: which
+    columns are actually churning? version_diff answers "which rows
+    changed"; a pipeline reviewing an upstream refresh asks the next
+    question — was it a price restatement or a status flip — before
+    deciding whether downstream incremental jobs must re-run. One row
+    per compare column with its changed-row count, plus '_added' /
+    '_removed' rows for membership churn.
+
+    Scale: one conditional aggregate over the version_diff frame
+    (bounded by CHANGE volume, not table size — snapshot_diff already
+    reduced the full outer join to changed rows only), exploded from
+    a single row into the |compare_cols|+2 report rows.
+    """
+    d = version_diff(spark, path, v_from, v_to, key_cols, compare_cols)
+    ct = F.col("change_type")
+    aggs = [
+        F.sum((ct == "added").cast("long")).alias("__added"),
+        F.sum((ct == "removed").cast("long")).alias("__removed"),
+    ]
+    for c in compare_cols:
+        changed = (ct == "changed") & ~F.col(f"old_{c}").eqNullSafe(
+            F.col(f"new_{c}"))
+        aggs.append(F.sum(changed.cast("long")).alias(f"__c_{c}"))
+    one = d.agg(*aggs)
+    rows = [F.struct(F.lit(c).alias("column"),
+                     F.col(f"__c_{c}").alias("n"))
+            for c in compare_cols]
+    rows += [F.struct(F.lit("_added").alias("column"),
+                      F.col("__added").alias("n")),
+             F.struct(F.lit("_removed").alias("column"),
+                      F.col("__removed").alias("n"))]
+    return (one.select(F.explode(F.array(*rows)).alias("__r"))
+            .select("__r.column", "__r.n"))

@@ -11038,6 +11038,140 @@ FROM a
 SQL_BLOOM_FPR = _bloom_fpr_sql()
 
 
+
+# ---------------------------------------------------------------------
+# Robust per-group outlier audit (median / MAD)
+# ---------------------------------------------------------------------
+
+_MAD_K = 3.0
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier screen per event type (functions/
+    stats.py::mad_outliers) — the anomaly gate a single wild value
+    cannot drag the way it drags anomaly_zscore's mean/σ. Exact
+    rank-⌈n/2⌉ medians from the count-collapsed value distribution
+    (the roc_auc device, applied twice); deviations re-aggregate the
+    same bounded count table."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    return stats.mad_outliers(e, "event_type", "value", k=_MAD_K)
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH c AS (
+  SELECT event_type AS g, round(value::DOUBLE, 2) AS v, count(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+m1 AS (
+  SELECT g, v, n,
+         sum(n) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER (PARTITION BY g) AS tot
+  FROM c
+),
+med AS (SELECT g, min(v) AS med FROM m1
+        WHERE cum >= (tot + 1) // 2 GROUP BY g),
+d AS (SELECT c.g, abs(c.v - med.med) AS v, sum(c.n) AS n
+      FROM c JOIN med USING (g) GROUP BY 1, 2),
+m2 AS (
+  SELECT g, v, n,
+         sum(n) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER (PARTITION BY g) AS tot
+  FROM d
+),
+mad AS (SELECT g, min(v) AS mad FROM m2
+        WHERE cum >= (tot + 1) // 2 GROUP BY g)
+SELECT c.g AS event_type, CAST(sum(c.n) AS BIGINT) AS n,
+       any_value(med.med) AS median, any_value(mad.mad) AS mad,
+       CAST(sum(CASE WHEN abs(c.v - med.med) > {_MAD_K} * mad.mad
+                THEN c.n ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c JOIN med USING (g) JOIN mad USING (g)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------
+# Versioned-table change attribution (per-column churn)
+# ---------------------------------------------------------------------
+
+def q_diff_profile(spark, sf_dir):
+    """Which columns churned between versions? Per-column change
+    attribution over the same committed v1→v2 pair version_diff
+    certifies (operators/sinks.py::diff_column_profile): one
+    conditional aggregate over the CHANGE-volume-bounded diff frame,
+    exploded into |cols|+2 report rows ('_added'/'_removed' for
+    membership churn). The review a pipeline runs before deciding
+    which downstream incrementals must re-run."""
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.operators import sinks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    v1 = o.filter(F.col("o_orderkey") % 5 != 4)
+    v2 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="diffprof-")
+    try:
+        path = root + "/tbl"
+        sinks.write_version(v1, path)
+        sinks.write_version(v2, path)
+        prof = sinks.diff_column_profile(
+            spark, path, 1, 2,
+            ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+        return prof.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_DIFF_PROFILE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 4
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+j AS (
+  SELECT a.o_orderstatus AS old_s, b.o_orderstatus AS new_s,
+         a.o_totalprice AS old_p, b.o_totalprice AS new_p,
+         a.o_orderkey IS NOT NULL AS in_old,
+         b.o_orderkey IS NOT NULL AS in_new
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+),
+agg AS (
+  SELECT
+    sum(CASE WHEN NOT in_old THEN 1 ELSE 0 END) AS added,
+    sum(CASE WHEN NOT in_new THEN 1 ELSE 0 END) AS removed,
+    sum(CASE WHEN in_old AND in_new
+             AND old_s IS DISTINCT FROM new_s THEN 1 ELSE 0 END) AS c_s,
+    sum(CASE WHEN in_old AND in_new
+             AND old_p IS DISTINCT FROM new_p THEN 1 ELSE 0 END) AS c_p
+  FROM j
+)
+SELECT 'o_orderstatus' AS column, CAST(c_s AS BIGINT) AS n FROM agg
+UNION ALL
+SELECT 'o_totalprice' AS column, CAST(c_p AS BIGINT) AS n FROM agg
+UNION ALL
+SELECT '_added' AS column, CAST(added AS BIGINT) AS n FROM agg
+UNION ALL
+SELECT '_removed' AS column, CAST(removed AS BIGINT) AS n FROM agg
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11129,6 +11263,8 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_eval": q_langid_eval,
     "token_entropy": q_token_entropy,
     "bloom_fpr": q_bloom_fpr,
+    "mad_outliers": q_mad_outliers,
+    "diff_profile": q_diff_profile,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -11362,6 +11498,8 @@ LAST_VERIFIED: dict[str, int] = {
     "langid_eval": 99,
     "token_entropy": 99,
     "bloom_fpr": 99,
+    "mad_outliers": 99,
+    "diff_profile": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -11767,6 +11905,8 @@ ORACLE_SQL: dict[str, str] = {
     "langid_eval": SQL_LANGID_EVAL,
     "token_entropy": SQL_TOKEN_ENTROPY,
     "bloom_fpr": SQL_BLOOM_FPR,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "diff_profile": SQL_DIFF_PROFILE,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
