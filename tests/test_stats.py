@@ -300,3 +300,22 @@ def test_mad_outliers_exact_small_case(spark):
         [("g", float(i)) for i in range(1, 6)], "g string, v double")
     r = stats.mad_outliers(df, "g", "v").collect()[0]
     assert (r["median"], r["mad"], r["n_outliers"]) == (3.0, 1.0, 0)
+
+
+def test_embed_covariance_matches_numpy_and_is_psd(spark):
+    import numpy as np
+
+    rows = [([float(i % 3) - 1.0, 0.5 * ((i % 5) - 2), float(i % 2)],)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    out = stats.embed_covariance(df, n_dims=3).collect()
+    assert len(out) == 6  # upper triangle of 3x3
+    m = np.zeros((3, 3))
+    for r in out:
+        m[r["i"], r["j"]] = r["cov"]
+        m[r["j"], r["i"]] = r["cov"]
+    x = np.array([list(v[0]) for v in rows], dtype=np.float64)
+    want = np.cov(x, rowvar=False, bias=True)  # population covariance
+    assert np.allclose(m, want, atol=1e-6)
+    # PSD up to rounding: eigenvalues of a covariance matrix
+    assert np.linalg.eigvalsh(m).min() > -1e-9

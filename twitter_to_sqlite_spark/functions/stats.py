@@ -778,3 +778,60 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
               .otherwise(F.lit(0))).alias("n_outliers"))
     return out.select(F.col("__g").alias(group_col), "n",
                       "median", "mad", "n_outliers")
+
+
+def embed_covariance(df: DataFrame, vec_col: str = "embedding",
+                     n_dims: int = 16, decimals: int = 6) -> DataFrame:
+    """Exact cross-dimension covariance of an embedding column — the
+    input to PCA/whitening, the standard hygiene step before IVF,
+    SemDeDup, or any cosine machinery that assumes roughly isotropic
+    vectors (embedding_stats profiles each dim alone; correlated dims
+    are invisible to it and quietly dominate every dot product).
+
+    Population covariance over HALF_UP-quantized values (the
+    corr_pairs device: DECIMAL(18,4) quantization makes every moment
+    sum exact and partition-order-independent; ONE double expression
+    at the end). Returns the upper triangle: (i, j, n, cov) for
+    i ≤ j < n_dims.
+
+    Scale: each row expands to its n_dims·(n_dims+1)/2 upper-triangle
+    products via one inline transform+explode (no self-join, no
+    shuffle before the aggregate), and the map-side-combined agg
+    collapses everything to the bounded pair frame; per-dim marginal
+    sums ride the bounded dim frame and broadcast-join back. The
+    expansion factor is the honest outer-product cost — 136 terms per
+    row at 16 dims — and is the reason `n_dims` slices rather than
+    defaulting to the full vector.
+    """
+    v = F.col(vec_col)
+    q = F.transform(F.slice(v, 1, n_dims),
+                    lambda x: x.cast("double").cast("decimal(18,4)"))
+    base = df.filter(v.isNotNull()).select(q.alias("__q"))
+    pairs_idx = [(i, j) for i in range(n_dims) for j in range(i, n_dims)]
+    terms = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),
+                 (F.element_at("__q", i + 1)
+                  * F.element_at("__q", j + 1)).alias("__xy"))
+        for i, j in pairs_idx
+    ])).alias("__t")
+    pair_sums = (base.select(terms)
+                 .select("__t.i", "__t.j", "__t.__xy")
+                 .groupBy("i", "j")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("__xy").alias("__sxy")))
+    marg = (base.select(F.posexplode("__q").alias("d", "__x"))
+            .groupBy("d").agg(F.sum("__x").alias("__s"))
+            .localCheckpoint())
+    mi = marg.select(F.col("d").alias("i"), F.col("__s").alias("__si"))
+    mj = marg.select(F.col("d").alias("j"), F.col("__s").alias("__sj"))
+    j_ = (pair_sums.join(F.broadcast(mi), "i")
+          .join(F.broadcast(mj), "j"))
+    nd = F.col("n").cast("double")
+    cov = (F.col("__sxy").cast("double") / nd
+           - (F.col("__si").cast("double") / nd)
+           * (F.col("__sj").cast("double") / nd))
+    # "+ 0.0" flushes IEEE −0.0 (a rounded tiny-negative covariance)
+    # to +0.0 — the DuckDB twin does the same, so the hash-compared
+    # string never flips sign between engines
+    return j_.select("i", "j", "n",
+                     (F.round(cov, decimals) + F.lit(0.0)).alias("cov"))

@@ -11172,6 +11172,49 @@ SELECT '_removed' AS column, CAST(removed AS BIGINT) AS n FROM agg
 """
 
 
+
+# ---------------------------------------------------------------------
+# Cross-dimension embedding covariance (PCA/whitening input)
+# ---------------------------------------------------------------------
+
+_COV_DIMS = 16
+
+
+def q_embed_covariance(spark, sf_dir):
+    """Exact upper-triangle covariance of embedding dims 0..15
+    (functions/stats.py::embed_covariance) — the PCA/whitening input
+    that exposes the cross-dim structure embedding_stats' per-dim
+    profile can't see. DECIMAL-quantized moment sums (the corr_pairs
+    device) so both engines publish identical covariances; one
+    inline transform+explode per row, no self-join."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    e = _t(spark, sf_dir, "embeddings").select("embedding")
+    return stats.embed_covariance(e, "embedding", n_dims=_COV_DIMS)
+
+
+SQL_EMBED_COVARIANCE = f"""
+WITH dims AS (SELECT unnest(generate_series(1, {_COV_DIMS}))::INT AS i),
+q AS (
+  SELECT list_transform(embedding[1:{_COV_DIMS}],
+                        x -> (x::DOUBLE)::DECIMAL(18,4)) AS q
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+pairs AS (
+  SELECT d1.i AS i1, d2.i AS j1, q[d1.i] * q[d2.i] AS xy
+  FROM q, dims d1, dims d2 WHERE d2.i >= d1.i
+),
+ps AS (SELECT i1 - 1 AS i, j1 - 1 AS j, count(*) AS n, sum(xy) AS sxy
+       FROM pairs GROUP BY 1, 2),
+marg AS (SELECT d.i - 1 AS d, sum(q[d.i]) AS s FROM q, dims d GROUP BY 1)
+SELECT i, j, CAST(n AS BIGINT) AS n,
+       round(sxy::DOUBLE / n::DOUBLE
+             - (mi.s::DOUBLE / n::DOUBLE) * (mj.s::DOUBLE / n::DOUBLE),
+             6) + 0.0 AS cov
+FROM ps JOIN marg mi ON ps.i = mi.d JOIN marg mj ON ps.j = mj.d
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11265,6 +11308,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_fpr": q_bloom_fpr,
     "mad_outliers": q_mad_outliers,
     "diff_profile": q_diff_profile,
+    "embed_covariance": q_embed_covariance,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -11500,6 +11544,7 @@ LAST_VERIFIED: dict[str, int] = {
     "bloom_fpr": 99,
     "mad_outliers": 99,
     "diff_profile": 99,
+    "embed_covariance": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -11907,6 +11952,7 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_fpr": SQL_BLOOM_FPR,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "diff_profile": SQL_DIFF_PROFILE,
+    "embed_covariance": SQL_EMBED_COVARIANCE,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
