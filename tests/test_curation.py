@@ -1445,3 +1445,30 @@ def test_bloom_fpr_audit_counts_match_probe_expression(spark):
     members = dim.filter(
         bloom.might_contain(F.col("k"), words, 3, hash_fn="md5")).count()
     assert members == 30
+
+
+def test_vocab_sweep_matches_brute_force_ranking(spark):
+    from collections import Counter
+
+    from twitter_to_sqlite_spark.functions.text import (
+        vocab_coverage_sweep,
+    )
+
+    texts = ["a a a a b b b c c d", "a b c d e f", "g g g g g g g a"]
+    counts = Counter(w for t in texts for w in t.split())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    sizes = [1, 2, 3, 5, 100]
+    out = {r["vocab_size"]: r for r in
+           vocab_coverage_sweep(df, "text", sizes).collect()}
+    for v in sizes:
+        # ANY tie-break admits the same token mass — brute force over
+        # every rank order sharing the frequency sort agrees, so the
+        # canonical one suffices as the spec
+        want = sum(c for _, c in ranked[:v])
+        assert out[v]["covered"] == want, v
+        assert out[v]["n_total"] == total
+        assert out[v]["coverage"] == round(want / total, 6)
+    assert out[100]["covered"] == total and out[100]["oov_rate"] == 0.0

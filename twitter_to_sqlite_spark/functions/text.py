@@ -711,3 +711,68 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
     return per.select(
         id_col, "n_words", "n_distinct",
         F.round(ent, decimals).alias("entropy"))
+
+
+def vocab_coverage_sweep(df: DataFrame, text_col: str,
+                         sizes: list[int],
+                         decimals: int = 6) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: token-occurrence coverage of
+    the top-V-by-frequency vocabulary for every candidate V — the
+    sweep vocab_coverage's single fixed N reads one point of. The
+    number that decides how much byte-fallback a tokenizer eats at
+    each size before anyone trains one.
+
+    The scale trick: coverage by "top V words" needs no per-word
+    ranking. Words sharing a frequency c are interchangeable at the
+    cut — ANY tie-break admits the same token mass — so the curve is
+    exact on the count-of-counts frame: (c, words-with-c), cumulated
+    in descending-c order. The corpus collapses to one token agg,
+    the VOCAB collapses to |distinct frequencies| rows (Zipf: ~√N),
+    the single bounded window runs there, and every V prices itself
+    by locating its boundary row — covered(V) = tokens above the
+    boundary + (V − words above) · c.
+
+    Returns one row per V: (vocab_size, covered, n_total, n_distinct,
+    coverage, oov_rate), integer-exact until the two final divisions.
+    """
+    from pyspark.sql import Window
+
+    uni = (df.select(F.explode(_tokens(F.col(text_col))).alias("__w"))
+           .groupBy("__w").agg(F.count(F.lit(1)).alias("__c")))
+    cc = (uni.groupBy("__c").agg(F.count(F.lit(1)).alias("__nw"))
+          .localCheckpoint())
+    w = (Window.orderBy(F.col("__c").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (cc
+           .withColumn("__cw", F.coalesce(F.sum("__nw").over(w),
+                                          F.lit(0).cast("long")))
+           .withColumn("__ct", F.coalesce(
+               F.sum(F.col("__nw") * F.col("__c")).over(w),
+               F.lit(0).cast("long"))))
+    tot = cc.agg(F.sum("__nw").alias("__nd"),
+                 F.sum(F.col("__nw") * F.col("__c")).alias("__nt"))
+    spark = df.sparkSession
+    grid = spark.createDataFrame([(int(v),) for v in sorted(sizes)],
+                                 "vocab_size long")
+    # each V's boundary row: the unique cum row straddling rank V
+    bound = (grid.join(
+        F.broadcast(cum),
+        (F.col("__cw") < F.col("vocab_size"))
+        & (F.col("__cw") + F.col("__nw") >= F.col("vocab_size")),
+        "left"))
+    j = bound.crossJoin(F.broadcast(tot))
+    covered = F.when(
+        F.col("vocab_size") >= F.col("__nd"), F.col("__nt")).otherwise(
+        F.col("__ct")
+        + (F.col("vocab_size") - F.col("__cw")) * F.col("__c"))
+    out = j.select(
+        "vocab_size", covered.alias("covered"),
+        F.col("__nt").alias("n_total"), F.col("__nd").alias("n_distinct"))
+    cov = F.round(F.col("covered").cast("double")
+                  / F.col("n_total").cast("double"), decimals)
+    return out.select(
+        "vocab_size", "covered", "n_total", "n_distinct",
+        cov.alias("coverage"),
+        F.round(F.lit(1.0) - F.col("covered").cast("double")
+                / F.col("n_total").cast("double"), decimals)
+        .alias("oov_rate"))

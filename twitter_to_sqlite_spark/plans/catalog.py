@@ -11215,6 +11215,64 @@ FROM ps JOIN marg mi ON ps.i = mi.d JOIN marg mj ON ps.j = mj.d
 """
 
 
+
+# ---------------------------------------------------------------------
+# Vocabulary-size sweep (tokenizer sizing curve)
+# ---------------------------------------------------------------------
+
+_VOCAB_GRID = [50, 200, 1000, 5000]
+
+
+def q_vocab_sweep(spark, sf_dir):
+    """Token-occurrence coverage per candidate vocab size
+    (functions/text.py::vocab_coverage_sweep) — vocab_coverage's
+    fixed N turned into the sizing curve. No per-word ranking: words
+    tied at a frequency are interchangeable at the cut, so the curve
+    is exact on the count-of-counts frame and the only window runs
+    over |distinct frequencies| (~√N under Zipf)."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    return text.vocab_coverage_sweep(d, "text", _VOCAB_GRID)
+
+
+def _vocab_sweep_sql() -> str:
+    grid = ", ".join(str(v) for v in sorted(_VOCAB_GRID))
+    cov = ("CASE WHEN vocab_size >= nd THEN nt"
+           " ELSE ct + (vocab_size - cw) * c END")
+    return f"""
+WITH uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+  GROUP BY 1
+),
+cc AS (SELECT c, count(*) AS nw FROM uni GROUP BY 1),
+cum AS (
+  SELECT c, nw,
+         coalesce(sum(nw) OVER (ORDER BY c DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+         coalesce(sum(nw * c) OVER (ORDER BY c DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ct
+  FROM cc
+),
+tot AS (SELECT sum(nw) AS nd, sum(nw * c) AS nt FROM cc),
+grid AS (SELECT unnest([{grid}])::BIGINT AS vocab_size),
+b AS (
+  SELECT g.vocab_size, c.c, c.nw, c.cw, c.ct
+  FROM grid g LEFT JOIN cum c
+    ON c.cw < g.vocab_size AND c.cw + c.nw >= g.vocab_size
+)
+SELECT vocab_size,
+       CAST({cov} AS BIGINT) AS covered,
+       CAST(nt AS BIGINT) AS n_total,
+       CAST(nd AS BIGINT) AS n_distinct,
+       round(({cov})::DOUBLE / nt::DOUBLE, 6) AS coverage,
+       round(1.0 - ({cov})::DOUBLE / nt::DOUBLE, 6) AS oov_rate
+FROM b, tot
+"""
+
+
+SQL_VOCAB_SWEEP = _vocab_sweep_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11309,6 +11367,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "diff_profile": q_diff_profile,
     "embed_covariance": q_embed_covariance,
+    "vocab_sweep": q_vocab_sweep,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -11545,6 +11604,7 @@ LAST_VERIFIED: dict[str, int] = {
     "mad_outliers": 99,
     "diff_profile": 99,
     "embed_covariance": 99,
+    "vocab_sweep": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -11953,6 +12013,7 @@ ORACLE_SQL: dict[str, str] = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "diff_profile": SQL_DIFF_PROFILE,
     "embed_covariance": SQL_EMBED_COVARIANCE,
+    "vocab_sweep": SQL_VOCAB_SWEEP,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
