@@ -637,3 +637,33 @@ def test_decay_monitor_matches_batch_decay_exactly(spark, tmp_path):
              for r in spark.read.parquet(store).collect()}
     assert 99 in final
     assert 1 not in final and 2 not in final and 3 not in final
+
+
+def test_mad_from_counts_agrees_with_direct_spec(spark, tmp_path):
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    path = str(tmp_path / "counts")
+    on_b = SA.value_monitor(spark, path, "q")
+    batches = [[0.1, 0.1, 0.2], [0.2, 0.2, 0.9], [0.1, 0.3]]
+    for b, vals in enumerate(batches):
+        on_b(spark.createDataFrame([(v,) for v in vals], "q double"), b)
+
+    m = SA.mad_from_counts(spark, path, k=3)
+    # all 8 values at the v4 grain: [1000x3, 2000x3, 3000, 9000]
+    # rank ⌈8/2⌉=4 → median4 = 2000; deviations sorted:
+    # {0:3, 1000:4, 7000:1} → rank-4 → mad4 = 1000;
+    # outliers beyond 3*1000: only 9000 (dev 7000)
+    assert m == {"n": 8, "median4": 2000, "mad4": 1000,
+                 "n_outliers": 1}
+
+
+def test_mad_from_counts_empty_store_fails_loudly(spark, tmp_path):
+    import pytest as _pytest
+
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    path = str(tmp_path / "counts")
+    on_b = SA.value_monitor(spark, path, "q")
+    on_b(spark.createDataFrame([], "q double"), 0)
+    with _pytest.raises(ValueError):
+        SA.mad_from_counts(spark, path)

@@ -743,6 +743,19 @@ def main():
         # explode + two keyed aggs; per-doc term lists bounded by the
         # doc's own vocabulary — linear is the bar
         "token_entropy": lambda d, v: text.token_entropy(d),
+        # --- r7 batch-5 operators ---
+        # count-collapsed medians: growth tracks the rounded value
+        # DOMAIN, which barely grows under replication — flat bar
+        "mad_outliers": lambda d, v: stats.mad_outliers(
+            d.select((F.col("doc_id") % 20).cast("string").alias("g"),
+                     (F.length("text") % 97).cast("double").alias("x")),
+            "g", "x"),
+        # one token agg + count-of-counts window (~sqrt(N) rows)
+        "vocab_sweep": lambda d, v: text.vocab_coverage_sweep(
+            d, "text", [50, 500, 5000]),
+        # 136-term inline outer product + map-side-combined agg
+        "embed_covariance": lambda d, v: stats.embed_covariance(
+            v, n_dims=16),
     }
     out = {}
     for name, fn in OPS.items():

@@ -8268,6 +8268,9 @@ def q_stream_batch_agreement(spark, sf_dir):
         vals = spark.read.parquet(root + "/ks").collect()
         out.append(("ks_counts", len(vals), _sba_checksum(
             f"{int(round(r['val'] * 10000))}|{r['n']}" for r in vals)))
+        m = SA.mad_from_counts(spark, root + "/ks", k=3)
+        out.append(("mad", 1, _sba_checksum(
+            [f"{m['median4']}|{m['mad4']}|{m['n']}|{m['n_outliers']}"])))
 
         # --- stateful twins through the real engine ---
         spool = root + "/spool"
@@ -8402,8 +8405,39 @@ zr AS (
 ),
 zs AS (SELECT user_id, epoch_us(ts) AS eus FROM zr
        WHERE rn > {_SBA_MINPTS} AND sd > 0),
-{ck("zs_ck", "user_id::VARCHAR || '|' || eus::VARCHAR", "zs")}
+{ck("zs_ck", "user_id::VARCHAR || '|' || eus::VARCHAR", "zs")},
+mc1 AS (
+  SELECT v4, n,
+         sum(n) OVER (ORDER BY v4
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER () AS tot
+  FROM kc
+),
+mmed AS (SELECT CAST(min(v4) AS BIGINT) AS med4,
+                CAST(any_value(tot) AS BIGINT) AS tot
+         FROM mc1 WHERE cum >= (tot + 1) // 2),
+mdev AS (SELECT abs(v4 - med4) AS d, sum(n) AS n
+         FROM kc, mmed GROUP BY 1),
+mc2 AS (
+  SELECT d, n,
+         sum(n) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER () AS tot
+  FROM mdev
+),
+mmad AS (SELECT CAST(min(d) AS BIGINT) AS mad4
+         FROM mc2 WHERE cum >= (tot + 1) // 2),
+mrow AS (
+  SELECT med4::VARCHAR || '|' || mad4::VARCHAR || '|' || tot::VARCHAR
+         || '|' || CAST((SELECT sum(CASE WHEN abs(kc.v4 - mmed.med4)
+                                         > 3 * mmad.mad4
+                                    THEN kc.n ELSE 0 END)
+                         FROM kc, mmed, mmad) AS BIGINT)::VARCHAR AS s
+  FROM mmed, mmad
+),
+{ck("mad_ck", "s", "mrow")}
 SELECT 'funnel' AS twin, n_rows, checksum FROM fu_ck
+UNION ALL SELECT 'mad', n_rows, checksum FROM mad_ck
 UNION ALL SELECT 'ks_counts', n_rows, checksum FROM kc_ck
 UNION ALL SELECT 'psi_bins', n_rows, checksum FROM pb_ck
 UNION ALL SELECT 'rollup', n_rows, checksum FROM ru_ck

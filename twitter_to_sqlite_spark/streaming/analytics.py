@@ -642,3 +642,49 @@ def decay_monitor(spark, path: str, key_col: str = "user_id",
             sinks.write_swap(merged, path)
 
     return on_batch
+
+
+def mad_from_counts(spark, counts_path: str, k: int = 3) -> dict:
+    """Robust median/MAD readout of the MAINTAINED score-count table —
+    the streaming face of stats.mad_outliers: value_monitor keeps the
+    exact (val, n) table current batch-by-batch, and this prices
+    median, MAD, and the beyond-k·MAD outlier count from it at any
+    time without rescanning the stream (the same maintain-once /
+    read-many contract as ks_vs_baseline, on the same store).
+
+    All arithmetic runs at the v4 = round(val·10⁴) integer grain —
+    medians are exact rank-⌈n/2⌉ domain values and the k·MAD compare
+    is integer (k integral), so the result reproduces bit-for-bit in
+    any engine reading the same counts. Raises on an empty table
+    (same loudly-fail contract as ks_vs_baseline).
+
+    Returns {"n", "median4", "mad4", "n_outliers"} (the *4 fields are
+    v4-grain integers; divide by 10⁴ for display).
+    """
+    from twitter_to_sqlite_spark.operators import sinks
+
+    with sinks.table_lock(counts_path):
+        rows = spark.read.parquet(counts_path).collect()
+    pairs = sorted((int(round(r["val"] * 10000)), int(r["n"]))
+                   for r in rows)
+    n = sum(c for _, c in pairs)
+    if n == 0:
+        raise ValueError(f"mad_from_counts: empty counts at {counts_path}")
+
+    def rank_med(ps, tot):
+        need = (tot + 1) // 2
+        cum = 0
+        for v, c in ps:
+            cum += c
+            if cum >= need:
+                return v
+        raise AssertionError("unreachable: counts sum to tot")
+
+    med4 = rank_med(pairs, n)
+    devs: dict[int, int] = {}
+    for v, c in pairs:
+        d = abs(v - med4)
+        devs[d] = devs.get(d, 0) + c
+    mad4 = rank_med(sorted(devs.items()), n)
+    n_out = sum(c for d, c in devs.items() if d > k * mad4)
+    return {"n": n, "median4": med4, "mad4": mad4, "n_outliers": n_out}
