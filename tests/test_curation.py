@@ -1472,3 +1472,68 @@ def test_vocab_sweep_matches_brute_force_ranking(spark):
         assert out[v]["n_total"] == total
         assert out[v]["coverage"] == round(want / total, 6)
     assert out[100]["covered"] == total and out[100]["oov_rate"] == 0.0
+
+
+def test_gini_concentration_extremes(spark):
+    from twitter_to_sqlite_spark.functions.sampling import (
+        gini_concentration,
+    )
+
+    even = spark.createDataFrame(
+        [(f"s{i}", 100) for i in range(4) for _ in range(1)],
+        "src string, w long")
+    r = gini_concentration(even, "src", "w").collect()[0]
+    assert r["n_strata"] == 4 and r["gini"] == 0.0
+
+    # one stratum owns ~everything: G → (n-1)/n · (1 - eps)
+    skew = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 997)], "src string, w long")
+    g = gini_concentration(skew, "src", "w").collect()[0]["gini"]
+    # exact: sorted x = [1,1,1,997], Σi·xi = 1+2+3+4·997 = 3994
+    # G = 2·3994/(4·1000) − 5/4 = 1.997 − 1.25 = 0.747
+    assert g == 0.747
+
+
+def test_fano_factor_poisson_vs_bursty(spark):
+    import datetime as dt
+
+    from twitter_to_sqlite_spark.functions.stats import fano_factor
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # "steady": exactly 3 events every hour for 10 hours → variance 0
+    for h in range(10):
+        for k in range(3):
+            rows.append(("steady", base + dt.timedelta(hours=h,
+                                                       minutes=k)))
+    # "bursty": 30 events in hour 0, nothing for 9 hours, 1 in hour 9
+    rows += [("bursty", base + dt.timedelta(minutes=m))
+             for m in range(30)]
+    rows.append(("bursty", base + dt.timedelta(hours=9)))
+    df = spark.createDataFrame(rows, "t string, ts timestamp")
+    out = {r["t"]: r for r in fano_factor(df, "t", "ts").collect()}
+    assert out["steady"]["n_hours"] == 10
+    assert out["steady"]["fano"] == 0.0
+    assert out["bursty"]["n_hours"] == 10
+    assert out["bursty"]["fano"] > 5.0
+
+
+def test_table_checksum_detects_single_cell_change(spark, tmp_path):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    base = spark.createDataFrame(
+        [(1, 2, "O", 10.0, None, "p"), (2, 3, "F", 20.0, None, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string")
+    base.write.parquet(str(tmp_path / "orders.parquet"))
+    a = catalog.q_table_checksum(spark, str(tmp_path)).collect()[0]
+    import shutil
+    shutil.rmtree(str(tmp_path / "orders.parquet"))
+    changed = spark.createDataFrame(
+        [(1, 2, "O", 10.01, None, "p"), (2, 3, "F", 20.0, None, "p")],
+        base.schema)
+    changed.write.parquet(str(tmp_path / "orders.parquet"))
+    b = catalog.q_table_checksum(spark, str(tmp_path)).collect()[0]
+    assert a["n_rows"] == b["n_rows"] == 2
+    assert a["checksum"] != b["checksum"]

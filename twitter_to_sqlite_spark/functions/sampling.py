@@ -888,3 +888,46 @@ def group_kfold(df: DataFrame, group_col: str, k: int,
             .groupBy(fold.alias("fold"))
             .agg(F.countDistinct(group_col).alias("n_groups"),
                  F.count(F.lit(1)).alias("n_rows")))
+
+
+def gini_concentration(df: DataFrame, strata_col: str,
+                       weight_col: str, decimals: int = 6) -> DataFrame:
+    """Gini coefficient of how unequally a weight (tokens, docs,
+    bytes) concentrates across strata — the single number that says
+    "three domains own 90% of this corpus" before mixture planning
+    starts (domain_caps and temperature_mixture are the treatments;
+    this is the diagnosis). 0 = perfectly even, →1 = one stratum
+    owns everything.
+
+    G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over ascending-sorted stratum
+    totals (the rank form of the Lorenz integral) — every sum is an
+    exact integer product (rank·total ≤ n·Σx, DECIMAL(38,0)-safe),
+    with ONE double expression at the end, same op tree as the twin.
+
+    Scale: the corpus collapses to |strata| totals in one map-side
+    agg; the rank window runs over that bounded frame (same
+    justification as every count-collapse window in the repo).
+    Returns one row: (n_strata, total_weight, gini) — gini NULL for
+    an empty input, 0.0 for a single stratum.
+    """
+    from pyspark.sql import Window
+
+    per = (df.filter(F.col(strata_col).isNotNull()
+                     & F.col(weight_col).isNotNull())
+           .groupBy(F.col(strata_col).alias("__s"))
+           .agg(F.sum(F.col(weight_col).cast("long")).alias("__x")))
+    w = Window.orderBy(F.col("__x").asc(), F.col("__s").asc())
+    ranked = per.withColumn("__i", F.row_number().over(w))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("__x").alias("total_weight"),
+        F.sum(d(F.col("__i")) * d(F.col("__x"))).alias("__ix"))
+    n = F.col("n_strata").cast("double")
+    sx = F.col("total_weight").cast("double")
+    gini = F.when(
+        (F.col("n_strata") > 0) & (F.col("total_weight") > 0),
+        F.round(
+            (2.0 * F.col("__ix").cast("double")) / (n * sx)
+            - (n + 1.0) / n, decimals) + F.lit(0.0))
+    return agg.select("n_strata", "total_weight", gini.alias("gini"))

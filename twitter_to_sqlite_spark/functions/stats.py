@@ -835,3 +835,51 @@ def embed_covariance(df: DataFrame, vec_col: str = "embedding",
     # string never flips sign between engines
     return j_.select("i", "j", "n",
                      (F.round(cov, decimals) + F.lit(0.0)).alias("cov"))
+
+
+def fano_factor(df: DataFrame, group_col: str, ts_col: str = "ts",
+                decimals: int = 6) -> DataFrame:
+    """Burstiness of each event stream: the Fano factor
+    (variance/mean) of per-hour arrival counts — 1 under Poisson
+    arrivals, ≫1 for bursty traffic, <1 for pacing. The dispersion
+    diagnostic that tells capacity planning whether the seasonal-naive
+    baseline's per-hour means (forecast_eval) are even the right
+    model class.
+
+    The hour grid is DENSE over each group's observed [first, last]
+    hour (zero-count hours are real observations — omitting them
+    inflates the mean and deflates the variance), built with
+    sequence() on the group's own bounds. Population variance from
+    exact integer moments (Σc, Σc² over BIGINT counts), one double
+    expression at the end.
+
+    Scale: one (group, hour)-keyed count agg + a per-group bounded
+    spine join; moments are map-side-combined. Returns (group,
+    n_hours, n_events, fano) — fano NULL when the mean is zero.
+    """
+    g = F.col(group_col)
+    hr = F.date_trunc("hour", F.col(ts_col).cast("timestamp"))
+    base = (df.filter(g.isNotNull() & F.col(ts_col).isNotNull())
+            .select(g.alias("__g"), hr.alias("__h")))
+    counts = base.groupBy("__g", "__h").agg(
+        F.count(F.lit(1)).alias("__c"))
+    bounds = counts.groupBy("__g").agg(
+        F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+    spine = bounds.select(
+        "__g",
+        F.explode(F.sequence(
+            "__lo", "__hi", F.expr("INTERVAL 1 HOUR"))).alias("__h"))
+    dense = (spine.join(counts, ["__g", "__h"], "left")
+             .select("__g", F.coalesce("__c", F.lit(0).cast("long"))
+                     .alias("__c")))
+    agg = dense.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("__c").alias("n_events"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__c2"))
+    nh = F.col("n_hours").cast("double")
+    s = F.col("n_events").cast("double")
+    var = F.col("__c2").cast("double") / nh - (s / nh) * (s / nh)
+    fano = F.when(F.col("n_events") > 0,
+                  F.round(var / (s / nh), decimals))
+    return agg.select(F.col("__g").alias(group_col),
+                      "n_hours", "n_events", fano.alias("fano"))

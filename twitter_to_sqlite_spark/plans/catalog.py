@@ -11307,6 +11307,135 @@ FROM b, tot
 SQL_VOCAB_SWEEP = _vocab_sweep_sql()
 
 
+
+# ---------------------------------------------------------------------
+# Corpus concentration (Gini), burstiness (Fano), table checksum
+# ---------------------------------------------------------------------
+
+def q_gini_sources(spark, sf_dir):
+    """How unequally is the corpus concentrated across sources? Gini
+    coefficient of per-source token mass (functions/sampling.py::
+    gini_concentration) — the diagnosis domain_caps and
+    temperature_mixture treat. Exact integer rank·weight sums over
+    the bounded |sources| frame; one double expression."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(text._tokens(F.col("text"))).cast("long").alias("n_words"))
+    return sampling.gini_concentration(d, "source", "n_words")
+
+
+SQL_GINI_SOURCES = f"""
+WITH per AS (
+  SELECT source AS s, CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS x
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+  GROUP BY 1
+),
+r AS (SELECT s, x, row_number() OVER (ORDER BY x ASC, s ASC) AS i
+      FROM per),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(x) AS BIGINT) AS total_weight,
+             sum(i::HUGEINT * x::HUGEINT) AS ix
+      FROM r)
+SELECT n_strata, total_weight,
+       CASE WHEN n_strata > 0 AND total_weight > 0 THEN
+         round((2.0 * ix::DOUBLE)
+               / (n_strata::DOUBLE * total_weight::DOUBLE)
+               - (n_strata::DOUBLE + 1.0) / n_strata::DOUBLE, 6) + 0.0
+       END AS gini
+FROM a
+"""
+
+
+def q_fano_factor(spark, sf_dir):
+    """Arrival burstiness per event type: Fano factor (variance/mean)
+    of per-hour counts over each type's DENSE observed hour range
+    (functions/stats.py::fano_factor) — 1 under Poisson, ≫1 bursty.
+    Tells capacity planning whether forecast_eval's per-hour means
+    are even the right model class."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts")
+    return stats.fano_factor(e, "event_type", "ts")
+
+
+SQL_FANO_FACTOR = """
+WITH c AS (
+  SELECT event_type AS g, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+b AS (SELECT g, min(h) AS lo, max(h) AS hi FROM c GROUP BY 1),
+spine AS (
+  SELECT g, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+dense AS (
+  SELECT s.g, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN c ON s.g = c.g AND s.h = c.h
+),
+a AS (SELECT g, count(*) AS n_hours, sum(c) AS n_events,
+             sum(c * c) AS c2
+      FROM dense GROUP BY 1)
+SELECT g AS event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN n_events > 0 THEN
+         round((c2::DOUBLE / n_hours::DOUBLE
+                - (n_events::DOUBLE / n_hours::DOUBLE)
+                  * (n_events::DOUBLE / n_hours::DOUBLE))
+               / (n_events::DOUBLE / n_hours::DOUBLE), 6)
+       END AS fano
+FROM a
+"""
+
+
+_CK_MOD = 1_000_000_007
+
+
+def q_table_checksum(spark, sf_dir):
+    """Portable content checksum of the orders table — the
+    cross-engine migration certificate: Σ hash60(key∥fields) mod p
+    over every row, order-insensitive, so two engines (or a table
+    before/after a rewrite/compaction/engine swap) can certify
+    byte-equivalent CONTENT with one aggregate each side. The
+    q_stream_batch_agreement checksum device as a first-class query;
+    floats enter at an exact integer grain (price·100 rounded).
+
+    Scale: one map-side-combined agg; the modular sum is carried in
+    DECIMAL(38,0) so a trillion-row table cannot overflow before the
+    final mod."""
+    o = _t(spark, sf_dir, "orders")
+    ing = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"))
+    h = F.conv(F.substring(F.md5(ing), 1, 15), 16, 10).cast("long")         % F.lit(_CK_MOD)
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).alias("__s"))
+    return agg.select(
+        "n_rows",
+        F.expr(f"CAST(__s % {_CK_MOD} AS BIGINT)").alias("checksum"))
+
+
+SQL_TABLE_CHECKSUM = f"""
+WITH h AS (
+  SELECT ('0x' || substring(md5(
+           o_orderkey::VARCHAR || '|' || o_orderstatus || '|'
+           || CAST(round(o_totalprice * 100, 0) AS BIGINT)::VARCHAR),
+         1, 15))::BIGINT % {_CK_MOD} AS hh
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(hh::HUGEINT) % {_CK_MOD} AS BIGINT) AS checksum
+FROM h
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11402,6 +11531,9 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diff_profile": q_diff_profile,
     "embed_covariance": q_embed_covariance,
     "vocab_sweep": q_vocab_sweep,
+    "gini_sources": q_gini_sources,
+    "fano_factor": q_fano_factor,
+    "table_checksum": q_table_checksum,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -11639,6 +11771,9 @@ LAST_VERIFIED: dict[str, int] = {
     "diff_profile": 99,
     "embed_covariance": 99,
     "vocab_sweep": 99,
+    "gini_sources": 99,
+    "fano_factor": 99,
+    "table_checksum": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -12048,6 +12183,9 @@ ORACLE_SQL: dict[str, str] = {
     "diff_profile": SQL_DIFF_PROFILE,
     "embed_covariance": SQL_EMBED_COVARIANCE,
     "vocab_sweep": SQL_VOCAB_SWEEP,
+    "gini_sources": SQL_GINI_SOURCES,
+    "fano_factor": SQL_FANO_FACTOR,
+    "table_checksum": SQL_TABLE_CHECKSUM,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
