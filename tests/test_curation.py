@@ -1537,3 +1537,31 @@ def test_table_checksum_detects_single_cell_change(spark, tmp_path):
     b = catalog.q_table_checksum(spark, str(tmp_path)).collect()[0]
     assert a["n_rows"] == b["n_rows"] == 2
     assert a["checksum"] != b["checksum"]
+
+
+def test_er_eval_planted_misses_bound_recall(spark):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    r = catalog.q_er_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    # every predicted pair is a planted pair (synthetic universe has
+    # no organic near-dups) → precision exactly 1; the ≥3-edit
+    # rewrites are unreachable at max_distance=3 → recall < 1
+    assert r["fp"] == 0 and r["prec"] == 1.0
+    assert r["fn"] > 0 and r["rec"] < 1.0
+    assert r["tp"] + r["fn"] == r["n_truth"]
+
+
+def test_quality_sweep_is_monotone(spark):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    rows = sorted(catalog.q_quality_sweep(
+        spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["tau"])
+    kept = [r["n_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)     # tighter gate keeps less
+    fr = [r["frac_kept"] for r in rows]
+    assert all(0.0 <= f <= 1.0 for f in fr)
+    # mean kept quality never drops below the cutoff that admitted it
+    for r in rows:
+        if r["mean_kept_quality"] is not None and r["n_kept"] > 0:
+            assert r["mean_kept_quality"] >= r["tau"] - 1e-9

@@ -11436,6 +11436,184 @@ FROM h
 """
 
 
+
+# ---------------------------------------------------------------------
+# Quality-gate threshold sweep
+# ---------------------------------------------------------------------
+
+_QSWEEP_TAUS = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7]
+
+
+def q_quality_sweep(spark, sf_dir):
+    """Quality-gate tuning curve: for each candidate cutoff τ, how
+    much survives and how good is it — (n_kept, frac_kept,
+    mean_kept_quality) per τ. The dedup_sweep discipline applied to
+    the soft quality score: the corpus collapses ONCE to its rounded
+    score counts (≤10⁴ rows at the round-4 grain), and every τ prices
+    itself on that bounded frame with integer-exact v4 sums. The
+    curve a curation review reads before fixing the gate
+    quality_score/gopher ship."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = text.quality_score(d).select("quality")
+    counts = (q.filter(F.col("quality").isNotNull())
+              .groupBy(F.round(F.col("quality") * 10000, 0)
+                       .cast("long").alias("__v4"))
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .localCheckpoint())
+    tot = counts.agg(F.sum("__n").alias("__N"))
+    taus = spark.createDataFrame(
+        [(t, int(round(t * 10000))) for t in _QSWEEP_TAUS],
+        "tau double, __t4 long")
+    j = (taus.join(F.broadcast(counts),
+                   F.col("__v4") >= F.col("__t4"), "left")
+         .groupBy("tau")
+         .agg(F.sum("__n").alias("__k"),
+              F.sum(F.col("__v4") * F.col("__n")).alias("__qsum")))
+    out = j.crossJoin(F.broadcast(tot))
+    kept = F.coalesce(F.col("__k"), F.lit(0).cast("long"))
+    mean_kept = F.when(
+        kept > 0,
+        F.round(F.col("__qsum").cast("double")
+                / (kept.cast("double") * 10000.0), 6))
+    return out.select(
+        "tau", kept.alias("n_kept"),
+        F.round(kept.cast("double") / F.col("__N").cast("double"), 6)
+        .alias("frac_kept"),
+        mean_kept.alias("mean_kept_quality"))
+
+
+def _quality_sweep_sql() -> str:
+    taus = ", ".join(f"({t}, {int(round(t * 10000))})"
+                     for t in _QSWEEP_TAUS)
+    return f"""
+WITH qf AS ({SQL_QUALITY_SCORE.strip()}),
+c AS (
+  SELECT CAST(round(quality * 10000, 0) AS BIGINT) AS v4,
+         count(*) AS n
+  FROM qf WHERE quality IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT sum(n) AS N FROM c),
+taus AS (SELECT * FROM (VALUES {taus}) AS t(tau, t4)),
+j AS (
+  SELECT tau, sum(n) AS k, sum(v4 * n) AS qsum
+  FROM taus LEFT JOIN c ON c.v4 >= taus.t4
+  GROUP BY tau
+)
+SELECT tau,
+       CAST(coalesce(k, 0) AS BIGINT) AS n_kept,
+       round(coalesce(k, 0)::DOUBLE / N::DOUBLE, 6) AS frac_kept,
+       CASE WHEN coalesce(k, 0) > 0 THEN
+         round(qsum::DOUBLE / (k::DOUBLE * 10000.0), 6) END
+         AS mean_kept_quality
+FROM j, tot
+"""
+
+
+SQL_QUALITY_SWEEP = _quality_sweep_sql()
+
+
+
+# ---------------------------------------------------------------------
+# Entity-resolution eval (precision/recall vs planted truth)
+# ---------------------------------------------------------------------
+
+def q_er_eval(spark, sf_dir):
+    """Precision/recall of the blocked fuzzy matcher against PLANTED
+    truth — the eval harness the ER family lacked (retrieval has
+    retrieval_eval, ANN has pq_recall; this closes identity
+    resolution). Universe: one synthetic name per part key (no
+    organic near-dups), plus a variant for every even key — a 1-edit
+    typo normally, an unreachable ≥3-edit rewrite for every 10th key
+    (the planted misses that keep recall honest). Matcher: first-token
+    blocking + Levenshtein ≤ 3 (entity.match_names, the exact config
+    entity_match ships). One row: counts + precision/recall/F1, with
+    F1 in the 2·tp/(pred+truth) form so both engines divide once."""
+    from twitter_to_sqlite_spark.functions import entity
+
+    pk = F.col("p_partkey")
+    part = _t(spark, sf_dir, "part").filter(pk < 200)
+    base = part.select(
+        F.concat(F.lit("ent"), pk.cast("string"), F.lit(" alpha beta"))
+        .alias("name"))
+    variant = F.when(pk % 10 == 0, F.lit(" gamma delta"))         .otherwise(F.lit(" alpha betq"))
+    typos = part.filter(pk % 2 == 0).select(
+        F.concat(F.lit("ent"), pk.cast("string"), variant).alias("name"))
+    u = base.unionByName(typos)
+    pred = entity.match_names(
+        u, "name", [F.regexp_extract("name", r"^(\S+)", 1)],
+        max_distance=3).select("name1", "name2").localCheckpoint()
+    truth = part.filter(pk % 2 == 0).select(
+        F.concat(F.lit("ent"), pk.cast("string"), F.lit(" alpha beta"))
+        .alias("name1"),
+        F.concat(F.lit("ent"), pk.cast("string"), variant).alias("name2")
+    ).localCheckpoint()
+    tp_df = pred.join(truth, ["name1", "name2"])
+    n_pred = pred.count()
+    n_truth = truth.count()
+    tp = tp_df.count()
+    row = [(n_truth, n_pred, tp, n_pred - tp, n_truth - tp)]
+    out = spark.createDataFrame(
+        row, "n_truth long, n_pred long, tp long, fp long, fn long")
+    prec = F.when(F.col("n_pred") > 0,
+                  F.round(F.col("tp").cast("double")
+                          / F.col("n_pred").cast("double"), 6))
+    rec = F.when(F.col("n_truth") > 0,
+                 F.round(F.col("tp").cast("double")
+                         / F.col("n_truth").cast("double"), 6))
+    f1 = F.when(F.col("n_pred") + F.col("n_truth") > 0,
+                F.round(2.0 * F.col("tp").cast("double")
+                        / (F.col("n_pred") + F.col("n_truth"))
+                        .cast("double"), 6))
+    return out.select("n_truth", "n_pred", "tp", "fp", "fn",
+                      prec.alias("prec"), rec.alias("rec"),
+                      f1.alias("f1"))
+
+
+SQL_ER_EVAL = r"""
+WITH pbase AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 200),
+u AS (
+  SELECT 'ent' || k::VARCHAR || ' alpha beta' AS name FROM pbase
+  UNION ALL
+  SELECT 'ent' || k::VARCHAR ||
+         CASE WHEN k % 10 = 0 THEN ' gamma delta'
+              ELSE ' alpha betq' END AS name
+  FROM pbase WHERE k % 2 = 0
+),
+d AS (SELECT DISTINCT name FROM u),
+b AS (SELECT regexp_extract(name, '^(\S+)', 1) AS blk, name FROM d),
+pr AS (
+  SELECT a.name AS name1, c.name AS name2
+  FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+  WHERE levenshtein(a.name, c.name) <= 3
+),
+tr AS (
+  SELECT 'ent' || k::VARCHAR || ' alpha beta' AS name1,
+         'ent' || k::VARCHAR ||
+         CASE WHEN k % 10 = 0 THEN ' gamma delta'
+              ELSE ' alpha betq' END AS name2
+  FROM pbase WHERE k % 2 = 0
+),
+a AS (
+  SELECT (SELECT count(*) FROM tr) AS n_truth,
+         (SELECT count(*) FROM pr) AS n_pred,
+         (SELECT count(*) FROM pr JOIN tr USING (name1, name2)) AS tp
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(n_pred - tp AS BIGINT) AS fp,
+       CAST(n_truth - tp AS BIGINT) AS fn,
+       CASE WHEN n_pred > 0 THEN
+         round(tp::DOUBLE / n_pred::DOUBLE, 6) END AS prec,
+       CASE WHEN n_truth > 0 THEN
+         round(tp::DOUBLE / n_truth::DOUBLE, 6) END AS rec,
+       CASE WHEN n_pred + n_truth > 0 THEN
+         round(2.0 * tp::DOUBLE / (n_pred + n_truth)::DOUBLE, 6)
+       END AS f1
+FROM a
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11534,6 +11712,8 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_sources": q_gini_sources,
     "fano_factor": q_fano_factor,
     "table_checksum": q_table_checksum,
+    "quality_sweep": q_quality_sweep,
+    "er_eval": q_er_eval,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -11774,6 +11954,8 @@ LAST_VERIFIED: dict[str, int] = {
     "gini_sources": 99,
     "fano_factor": 99,
     "table_checksum": 99,
+    "quality_sweep": 99,
+    "er_eval": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -12186,6 +12368,8 @@ ORACLE_SQL: dict[str, str] = {
     "gini_sources": SQL_GINI_SOURCES,
     "fano_factor": SQL_FANO_FACTOR,
     "table_checksum": SQL_TABLE_CHECKSUM,
+    "quality_sweep": SQL_QUALITY_SWEEP,
+    "er_eval": SQL_ER_EVAL,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
