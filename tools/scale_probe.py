@@ -566,8 +566,13 @@ def main():
     # Materialize the replicated inputs to parquet so both scales read
     # from a scan (not an in-memory union) — same physical shape as a
     # real corpus, and replication cost is excluded from the timings.
+    import atexit
+    import shutil
     import tempfile
     base = tempfile.mkdtemp(prefix="scaleprobe-")
+    # replicated corpora reach 100x sf0.1 (~150 MB) — never leave
+    # them behind when the probe exits
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     d1p, dnp = f"{base}/d1", f"{base}/dn"
     v1p, vnp = f"{base}/v1", f"{base}/vn"
     replicate_docs(docs, 1, distinct).write.parquet(d1p)

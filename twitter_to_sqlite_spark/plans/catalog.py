@@ -1301,13 +1301,28 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
 _ANN_INDEX_CACHE: dict[tuple, str] = {}
 
 
+def _infra_tmpdir(prefix: str) -> str:
+    """mkdtemp for a process-lifetime infra artifact (ANN indexes,
+    MinHash store, drift baseline): reused across queries while the
+    process lives, removed at interpreter exit — repeated gate/bench
+    processes must not accumulate ann*/mhidx*/profile-baseline-* dirs
+    in /tmp (the verdiff leak class ADVICE r6 flagged, one level up)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _ann_index(spark, sf_dir: str, kind: str) -> str:
     import tempfile
 
     key = (kind, sf_dir)
     if key not in _ANN_INDEX_CACHE:
         e = _t(spark, sf_dir, "embeddings")
-        path = tempfile.mkdtemp(prefix=f"ann{kind}-") + "/idx"
+        path = _infra_tmpdir(f"ann{kind}-") + "/idx"
         if kind == "lsh":
             similarity.build_lsh_index(e, path, dims=_LSH_DIMS)
         else:
@@ -1911,7 +1926,7 @@ def _drift_baseline(spark, sf_dir: str) -> str:
         e = _t(spark, sf_dir, "events").filter(
             F.expr(f"ts < TIMESTAMP_NTZ '{_DRIFT_CUTOFF}'"))
         prof = sketch.kmv_distinct(e, _DRIFT_COLS, k=_KMV_K)
-        path = tempfile.mkdtemp(prefix="profile-baseline-") + "/profile"
+        path = _infra_tmpdir("profile-baseline-") + "/profile"
         sinks.write_swap(prof, path)
         _DRIFT_BASELINE_CACHE[key] = path
     return _DRIFT_BASELINE_CACHE[key]
@@ -4303,7 +4318,7 @@ def _minhash_store(spark, sf_dir: str) -> str:
     if key not in _ANN_INDEX_CACHE:
         d = _t(spark, sf_dir, "documents").select("doc_id", "text")
         stored = d.filter(F.col("doc_id") % 2 == 0)
-        path = tempfile.mkdtemp(prefix="mhidx-") + "/idx"
+        path = _infra_tmpdir("mhidx-") + "/idx"
         dedup.build_minhash_index(
             stored, path, k=3, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
         _ANN_INDEX_CACHE[key] = path
@@ -11499,7 +11514,7 @@ j AS (
   FROM taus LEFT JOIN c ON c.v4 >= taus.t4
   GROUP BY tau
 )
-SELECT tau,
+SELECT CAST(tau AS DOUBLE) AS tau,
        CAST(coalesce(k, 0) AS BIGINT) AS n_kept,
        round(coalesce(k, 0)::DOUBLE / N::DOUBLE, 6) AS frac_kept,
        CASE WHEN coalesce(k, 0) > 0 THEN
