@@ -705,3 +705,44 @@ def test_mutual_info_contingency_before_joins(spark):
     assert count_nodes(plan, "Generate") == 0
     assert "Scan parquet" not in plan
     assert count_nodes(plan, "Scan ExistingRDD") >= 1
+
+
+def test_quality_sweep_prices_taus_on_count_frame(spark):
+    # the corpus collapses to its rounded-score counts BEFORE the τ
+    # grid joins: the τ join's right side is the checkpointed count
+    # frame, so no parquet scan appears downstream of the grid join
+    plan = plan_of(spark, "quality_sweep")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert count_nodes(plan, "Scan ExistingRDD") >= 1
+
+
+def test_mad_outliers_windows_run_on_count_collapse(spark):
+    # both median windows are partitioned by group over the rounded
+    # value domain — every Window input is an aggregate, never a scan
+    plan = plan_of(spark, "mad_outliers")
+    # every Window (Catalyst re-derives the median branches per
+    # consumer, so the exact count is plan-detail) runs over the
+    # CHECKPOINTED count frame: downstream of the collapse the events
+    # parquet is never re-read
+    assert count_nodes(plan, "Window") >= 2
+    assert count_nodes(plan, "Scan ExistingRDD") >= 1
+    assert "Scan parquet" not in plan
+
+
+def test_table_checksum_is_single_aggregate(spark):
+    # one map-side-combined agg pair, no shuffle beyond the 1-row
+    # final exchange, no window, no join
+    plan = plan_of(spark, "table_checksum")
+    assert count_nodes(plan, "HashAggregate") == 2
+    for node in ("Window", "BroadcastHashJoin", "SortMergeJoin"):
+        assert count_nodes(plan, node) == 0, node
+
+
+def test_vocab_sweep_window_runs_on_count_of_counts(spark):
+    # the cumulative window input is the checkpointed count-of-counts
+    # frame (bounded ~sqrt(N)), never the token explode
+    plan = plan_of(spark, "vocab_sweep")
+    assert 1 <= count_nodes(plan, "Window") <= 2
+    assert count_nodes(plan, "Generate") == 0  # explode ran at build
+    assert count_nodes(plan, "Scan ExistingRDD") >= 1
+    assert "Scan parquet" not in plan
