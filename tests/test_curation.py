@@ -1565,3 +1565,29 @@ def test_quality_sweep_is_monotone(spark):
     for r in rows:
         if r["mean_kept_quality"] is not None and r["n_kept"] > 0:
             assert r["mean_kept_quality"] >= r["tau"] - 1e-9
+
+
+def test_partition_checksums_localize_the_divergent_partition(
+        spark, tmp_path):
+    from twitter_to_sqlite_spark.plans import catalog
+
+    schema = ("o_orderkey long, o_custkey long, o_orderstatus string,"
+              " o_totalprice double, o_orderdate timestamp,"
+              " o_orderpriority string")
+    rows = [(i, 1, "O", 10.0 + i, None,
+             "1-URGENT" if i % 2 == 0 else "2-HIGH") for i in range(20)]
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "orders.parquet"))
+    a = {r["partition_key"]: r["checksum"]
+         for r in catalog.q_partition_checksums(
+             spark, str(tmp_path)).collect()}
+    import shutil
+    shutil.rmtree(str(tmp_path / "orders.parquet"))
+    rows[4] = (4, 1, "F", 14.0, None, "1-URGENT")  # one cell flipped
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "orders.parquet"))
+    b = {r["partition_key"]: r["checksum"]
+         for r in catalog.q_partition_checksums(
+             spark, str(tmp_path)).collect()}
+    assert a["1-URGENT"] != b["1-URGENT"]     # localized
+    assert a["2-HIGH"] == b["2-HIGH"]         # untouched side certified

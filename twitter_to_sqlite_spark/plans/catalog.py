@@ -11629,6 +11629,51 @@ FROM a
 """
 
 
+
+# ---------------------------------------------------------------------
+# Per-partition checksums (reconciliation drill-down)
+# ---------------------------------------------------------------------
+
+def q_partition_checksums(spark, sf_dir):
+    """table_checksum's drill-down: the same order-insensitive
+    Σ hash60(row) mod p certificate PER PARTITION KEY (order
+    priority) — when the whole-table certificates disagree, this is
+    the query both sides run next to localize which partition
+    diverged instead of re-diffing the table. Same one-agg shape,
+    grouped; the modular sums stay DECIMAL(38,0)-exact per group."""
+    o = _t(spark, sf_dir, "orders")
+    ing = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"))
+    h = F.conv(F.substring(F.md5(ing), 1, 15), 16, 10).cast("long") \
+        % F.lit(_CK_MOD)
+    agg = (o.filter(F.col("o_orderpriority").isNotNull())
+           .groupBy(F.col("o_orderpriority").alias("partition_key"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(h.cast("decimal(38,0)")).alias("__s")))
+    return agg.select(
+        "partition_key", "n_rows",
+        F.expr(f"CAST(__s % {_CK_MOD} AS BIGINT)").alias("checksum"))
+
+
+SQL_PARTITION_CHECKSUMS = f"""
+WITH h AS (
+  SELECT o_orderpriority AS partition_key,
+         ('0x' || substring(md5(
+            o_orderkey::VARCHAR || '|' || o_orderstatus || '|'
+            || CAST(round(o_totalprice * 100, 0) AS BIGINT)::VARCHAR),
+          1, 15))::BIGINT % {_CK_MOD} AS hh
+  FROM orders WHERE o_orderpriority IS NOT NULL
+)
+SELECT partition_key, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(hh::HUGEINT) % {_CK_MOD} AS BIGINT) AS checksum
+FROM h GROUP BY partition_key
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -11729,6 +11774,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_checksum": q_table_checksum,
     "quality_sweep": q_quality_sweep,
     "er_eval": q_er_eval,
+    "partition_checksums": q_partition_checksums,
     # --- (1) carry-over: certify these six ---
     "shard_rebalance": q_shard_rebalance,
     "hard_negatives": q_hard_negatives,
@@ -11971,6 +12017,7 @@ LAST_VERIFIED: dict[str, int] = {
     "table_checksum": 99,
     "quality_sweep": 99,
     "er_eval": 99,
+    "partition_checksums": 99,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -12385,6 +12432,7 @@ ORACLE_SQL: dict[str, str] = {
     "table_checksum": SQL_TABLE_CHECKSUM,
     "quality_sweep": SQL_QUALITY_SWEEP,
     "er_eval": SQL_ER_EVAL,
+    "partition_checksums": SQL_PARTITION_CHECKSUMS,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
 
