@@ -11965,59 +11965,59 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tools/rotate_registry.py — the QUERIES order below is derived from
 # this map, so the rotation is mechanical.
 LAST_VERIFIED: dict[str, int] = {
-    "domain_caps": 0,
-    "artifact_roundtrip": 0,
-    "stream_batch_agreement": 0,
-    "distribution_match": 99,
-    "emd_drift": 99,
-    "dedup_normalized": 99,
-    "zipf_fit": 99,
-    "ann_pq": 99,
-    "decay_topk": 99,
-    "pq_recall": 99,
-    "psi_drift_by": 99,
-    "tokenizer_fertility": 99,
-    "length_sweep": 99,
-    "ann_ivfpq": 99,
-    "dsir_weights": 99,
-    "compaction_plan": 99,
-    "lsh_planner": 99,
-    "retrieval_eval": 99,
-    "source_diversity": 99,
-    "version_gc": 99,
-    "knn_graph": 99,
-    "changelog_compact": 99,
-    "mmr_diversify": 99,
-    "knn_classify": 99,
-    "temperature_sweep": 99,
-    "dup_source_matrix": 99,
-    "bm25_tuning": 99,
-    "ann_index_append": 99,
-    "simhash_sweep": 99,
-    "forecast_eval": 99,
-    "lateness_sweep": 99,
-    "rank_corr": 99,
-    "mutual_info": 99,
-    "label_noise": 99,
-    "decontaminate_semantic": 99,
-    "padding_waste": 99,
-    "epoch_schedule": 99,
-    "code_detect": 99,
-    "kfold_split": 99,
-    "gate_ablation": 99,
-    "langid_eval": 99,
-    "token_entropy": 99,
-    "bloom_fpr": 99,
-    "mad_outliers": 99,
-    "diff_profile": 99,
-    "embed_covariance": 99,
-    "vocab_sweep": 99,
-    "gini_sources": 99,
-    "fano_factor": 99,
-    "table_checksum": 99,
-    "quality_sweep": 99,
-    "er_eval": 99,
-    "partition_checksums": 99,
+    "domain_caps": 7,
+    "artifact_roundtrip": 7,
+    "stream_batch_agreement": 7,
+    "distribution_match": 0,
+    "emd_drift": 0,
+    "dedup_normalized": 0,
+    "zipf_fit": 0,
+    "ann_pq": 0,
+    "decay_topk": 0,
+    "pq_recall": 0,
+    "psi_drift_by": 0,
+    "tokenizer_fertility": 0,
+    "length_sweep": 0,
+    "ann_ivfpq": 0,
+    "dsir_weights": 0,
+    "compaction_plan": 0,
+    "lsh_planner": 0,
+    "retrieval_eval": 0,
+    "source_diversity": 0,
+    "version_gc": 0,
+    "knn_graph": 0,
+    "changelog_compact": 0,
+    "mmr_diversify": 0,
+    "knn_classify": 0,
+    "temperature_sweep": 0,
+    "dup_source_matrix": 0,
+    "bm25_tuning": 0,
+    "ann_index_append": 0,
+    "simhash_sweep": 0,
+    "forecast_eval": 0,
+    "lateness_sweep": 0,
+    "rank_corr": 0,
+    "mutual_info": 0,
+    "label_noise": 0,
+    "decontaminate_semantic": 0,
+    "padding_waste": 0,
+    "epoch_schedule": 0,
+    "code_detect": 0,
+    "kfold_split": 0,
+    "gate_ablation": 0,
+    "langid_eval": 0,
+    "token_entropy": 0,
+    "bloom_fpr": 0,
+    "mad_outliers": 0,
+    "diff_profile": 0,
+    "embed_covariance": 0,
+    "vocab_sweep": 0,
+    "gini_sources": 0,
+    "fano_factor": 0,
+    "table_checksum": 0,
+    "quality_sweep": 0,
+    "er_eval": 0,
+    "partition_checksums": 0,
     "shard_rebalance": 6,
     "hard_negatives": 6,
     "vocab_coverage": 6,
@@ -12145,53 +12145,53 @@ LAST_VERIFIED: dict[str, int] = {
     "token_budget_select_dist": 4,
     "pipeline_clean": 4,
     "decontaminate": 4,
-    "ci_in_list": 3,
-    "source_regex": 3,
-    "html_unescape": 3,
-    "timestamp_iso": 3,
-    "hash_id": 3,
-    "page_minmax": 3,
-    "distinct": 3,
-    "dedup_exact": 3,
-    "token_count": 3,
-    "keyword_track": 3,
-    "watermark_filter": 3,
-    "entity_expansion": 3,
-    "json_extract": 3,
-    "insert_if_absent": 3,
-    "batch_chunks": 3,
-    "pivot_status": 3,
-    "tumbling_counts": 3,
-    "union_dedup": 3,
-    "graph_mutual": 3,
-    "fts_search": 3,
-    "facet_count": 3,
-    "facet_count_salted": 3,
-    "latest_per_key": 3,
-    "change_detection": 3,
-    "top_k": 3,
-    "anti_join": 3,
-    "semi_join": 3,
-    "star_join": 3,
-    "asof_join": 3,
-    "quality_score": 3,
-    "upsert_lww": 3,
-    "ann_lsh": 3,
-    "ann_brute_force": 3,
-    "ann_lsh_indexed": 3,
-    "text_terms": 3,
-    "self_join": 3,
-    "fts_bm25": 3,
-    "rollup_revenue": 3,
-    "ann_ivf_indexed": 3,
-    "m2m_bridge": 3,
-    "embed_near_dup": 3,
-    "ann_ivf": 3,
-    "batch_chunks_dist": 3,
-    "dedup_minhash": 3,
-    "dedup_keep_best": 3,
-    "dedup_components": 3,
-    "semdedup": 3,
+    "ci_in_list": 7,
+    "source_regex": 7,
+    "html_unescape": 7,
+    "timestamp_iso": 7,
+    "hash_id": 7,
+    "page_minmax": 7,
+    "distinct": 7,
+    "dedup_exact": 7,
+    "token_count": 7,
+    "keyword_track": 7,
+    "watermark_filter": 7,
+    "entity_expansion": 7,
+    "json_extract": 7,
+    "insert_if_absent": 7,
+    "batch_chunks": 7,
+    "pivot_status": 7,
+    "tumbling_counts": 7,
+    "union_dedup": 7,
+    "graph_mutual": 7,
+    "fts_search": 7,
+    "facet_count": 7,
+    "facet_count_salted": 7,
+    "latest_per_key": 7,
+    "change_detection": 7,
+    "top_k": 7,
+    "anti_join": 7,
+    "semi_join": 7,
+    "star_join": 7,
+    "asof_join": 7,
+    "quality_score": 7,
+    "upsert_lww": 7,
+    "ann_lsh": 7,
+    "ann_brute_force": 7,
+    "ann_lsh_indexed": 7,
+    "text_terms": 7,
+    "self_join": 7,
+    "fts_bm25": 7,
+    "rollup_revenue": 7,
+    "ann_ivf_indexed": 7,
+    "m2m_bridge": 7,
+    "embed_near_dup": 7,
+    "ann_ivf": 7,
+    "batch_chunks_dist": 7,
+    "dedup_minhash": 7,
+    "dedup_keep_best": 7,
+    "dedup_components": 7,
+    "semdedup": 7,
     "dedup_simhash": 3,
     "dedup_jaccard": 3,
 }
@@ -12203,6 +12203,15 @@ LAST_VERIFIED: dict[str, int] = {
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(
     sorted(_QUERY_IMPLS.items(),
            key=lambda kv: LAST_VERIFIED.get(kv[0], 0)))
+
+# Rotation integrity (VERDICT r7 task 6): the staleness map must cover
+# the registry exactly — a query added without a LAST_VERIFIED row
+# would silently sort mid-window instead of first.
+if set(_QUERY_IMPLS) != set(LAST_VERIFIED):
+    raise AssertionError(
+        "LAST_VERIFIED out of sync with _QUERY_IMPLS: "
+        f"missing={sorted(set(_QUERY_IMPLS) - set(LAST_VERIFIED))} "
+        f"extra={sorted(set(LAST_VERIFIED) - set(_QUERY_IMPLS))}")
 
 ORACLE_SQL: dict[str, str] = {
     "funnel_latency": SQL_FUNNEL_LATENCY,
