@@ -1077,7 +1077,13 @@ def centroid_label_noise(df: DataFrame, id_col: str = "vec_id",
     best_other = F.array_max(
         F.transform(F.filter(sims, lambda s: s["l"] != F.col("__y")),
                     lambda s: s["s"]))
-    flagged = (best_other - own >= F.lit(margin)).cast("long")
+    # Degenerate rows (single distinct label → best_other is
+    # array_max([]) = NULL; zero-norm vector → NULL cosine) publish 0,
+    # not NULL: Spark's sum over all-NULL is NULL while the SQL twin's
+    # CASE ... ELSE 0 is 0, so without the coalesce the engines
+    # diverge exactly on the unflaggable corpus.
+    flagged = F.coalesce(
+        (best_other - own >= F.lit(margin)).cast("long"), F.lit(0))
     return (vecs.select(F.col("__y").alias("label"), flagged.alias("__f"))
             .groupBy("label")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("__f").alias("n_flagged"))

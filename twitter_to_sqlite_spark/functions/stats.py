@@ -647,11 +647,15 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str,
         F.countDistinct("__y").alias("ny"),
         F.sum(d(F.col("__n")) * d(F.col("__rx2"))).alias("__sx"),
         F.sum(d(F.col("__n")) * d(F.col("__ry2"))).alias("__sy"),
-        F.sum(d(F.col("__n")) * d(F.col("__rx2") * F.col("__ry2")))
+        # Each factor casts to DECIMAL(38,0) BEFORE the multiply (the
+        # roc_auc convention, mirroring the twin's HUGEINT op tree):
+        # rx2/ry2 reach ~2N, so a LONG inner product ~4N² wraps past
+        # ~1.5e9 rows, silently breaking the documented 10¹² bound.
+        F.sum(d(F.col("__n")) * d(F.col("__rx2")) * d(F.col("__ry2")))
         .alias("__sxy"),
-        F.sum(d(F.col("__n")) * d(F.col("__rx2") * F.col("__rx2")))
+        F.sum(d(F.col("__n")) * d(F.col("__rx2")) * d(F.col("__rx2")))
         .alias("__sxx"),
-        F.sum(d(F.col("__n")) * d(F.col("__ry2") * F.col("__ry2")))
+        F.sum(d(F.col("__n")) * d(F.col("__ry2")) * d(F.col("__ry2")))
         .alias("__syy"),
     )
     nd = F.col("n").cast("double")
@@ -806,7 +810,13 @@ def embed_covariance(df: DataFrame, vec_col: str = "embedding",
     v = F.col(vec_col)
     q = F.transform(F.slice(v, 1, n_dims),
                     lambda x: x.cast("double").cast("decimal(18,4)"))
-    base = df.filter(v.isNotNull()).select(q.alias("__q"))
+    # Ragged-input contract: rows shorter than n_dims are EXCLUDED
+    # up front (mirrored in the SQL twin). Without this, n counted
+    # every row while sum(__xy) silently skipped the NULL products of
+    # short vectors, biasing cov — the "exact covariance" claim held
+    # only for rectangular input.
+    base = (df.filter(v.isNotNull() & (F.size(v) >= n_dims))
+            .select(q.alias("__q")))
     pairs_idx = [(i, j) for i in range(n_dims) for j in range(i, n_dims)]
     terms = F.explode(F.array(*[
         F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),

@@ -4781,8 +4781,11 @@ def q_gopher_filter(spark, sf_dir):
     return text.gopher_filter(d)
 
 
-SQL_GOPHER_FILTER = f"""
-WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents),
+# The gopher signal CTEs, defined ONCE and interpolated into both
+# SQL_GOPHER_FILTER and SQL_GATE_ABLATION so the ablation judges
+# exactly the flags the gate publishes — a single definition cannot
+# drift (ADVICE r7: the previous second copy could).
+GOPHER_M_CTE = f"""WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents),
 m AS (
   SELECT doc_id,
     len(t)::BIGINT AS n_words,
@@ -4795,7 +4798,10 @@ m AS (
     (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::DOUBLE
       / greatest(len(t)::DOUBLE, 1.0) AS symbol_ratio
   FROM t
-)
+)"""
+
+SQL_GOPHER_FILTER = f"""
+{GOPHER_M_CTE}
 SELECT doc_id, n_words,
        round(mean_wl, 4) AS mean_word_len,
        round(alpha_frac, 4) AS alpha_frac,
@@ -10550,6 +10556,11 @@ FROM t
 # ---------------------------------------------------------------------
 
 _NOISE_MARGIN = 0.02
+# Shared with SQL_LABEL_NOISE's dims CTE (the _MI_DIMS/_COV_DIMS
+# convention): both engines score over exactly this many dimensions,
+# so a dim change in the embeddings table cannot silently desync the
+# twin — edit the constant and both sides move together.
+_NOISE_DIMS = 64
 
 
 def q_label_noise(spark, sf_dir):
@@ -10563,15 +10574,17 @@ def q_label_noise(spark, sf_dir):
     from twitter_to_sqlite_spark.functions import similarity
 
     e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("embedding", F.slice("embedding", 1, _NOISE_DIMS))
     return similarity.centroid_label_noise(e, margin=_NOISE_MARGIN)
 
 
 SQL_LABEL_NOISE = f"""
 WITH v AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, label, embedding[1:{_NOISE_DIMS}]::DOUBLE[] AS v
+  FROM embeddings
   WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
-dims AS (SELECT unnest(generate_series(1, 64))::INT AS i),
+dims AS (SELECT unnest(generate_series(1, {_NOISE_DIMS}))::INT AS i),
 cd AS (
   SELECT label AS cl, i, round(avg(v[i]), 4) AS m
   FROM v, dims GROUP BY 1, 2
@@ -10923,23 +10936,8 @@ a AS (
 """
 
 
-# the gopher signal CTEs, shared verbatim with SQL_GOPHER_FILTER's
-# head so the ablation judges exactly the flags the gate publishes
-GOPHER_M_CTE = f"""WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents),
-m AS (
-  SELECT doc_id,
-    len(t)::BIGINT AS n_words,
-    list_sum(list_transform(t, x -> length(x)))::DOUBLE
-      / greatest(len(t)::DOUBLE, 1.0) AS mean_wl,
-    len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
-      / greatest(len(t)::DOUBLE, 1.0) AS alpha_frac,
-    len(list_filter({_SQL_STOPLIST}, s -> list_contains(t, s)))::BIGINT
-      AS n_stop_hits,
-    (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::DOUBLE
-      / greatest(len(t)::DOUBLE, 1.0) AS symbol_ratio
-  FROM t
-)"""
-
+# GOPHER_M_CTE is defined next to SQL_GOPHER_FILTER (single source;
+# _gate_ablation_sql interpolates it at call time below).
 SQL_GATE_ABLATION = _gate_ablation_sql()
 
 
@@ -11247,7 +11245,8 @@ WITH dims AS (SELECT unnest(generate_series(1, {_COV_DIMS}))::INT AS i),
 q AS (
   SELECT list_transform(embedding[1:{_COV_DIMS}],
                         x -> (x::DOUBLE)::DECIMAL(18,4)) AS q
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= {_COV_DIMS}
 ),
 pairs AS (
   SELECT d1.i AS i1, d2.i AS j1, q[d1.i] * q[d2.i] AS xy
