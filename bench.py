@@ -60,6 +60,11 @@ def main() -> None:
                          "for like-for-like regression comparison")
     ap.add_argument("--no-ingest", action="store_true",
                     help="skip the ingest-throughput benchmark")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names: time only these "
+                         "(plus all builds), for regression A/Bs under "
+                         "the exact bench harness (warmup + min-of-"
+                         "passes). Order is preserved as given.")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,6 +74,9 @@ def main() -> None:
     queries = dict(catalog.QUERIES)
     if args.subset == "r2":
         queries = {n: queries[n] for n in R2_QUERIES}
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        queries = {n: catalog.QUERIES[n] for n in names}
 
     # Warmup: materialize each table once (parquet footer reads,
     # codegen) and spin up the Python/Arrow worker pool so the first
