@@ -945,6 +945,7 @@ def clear_caches(include_infra: bool = False) -> None:
         _DRIFT_BASELINE_CACHE.clear()
         _LR_CACHE.clear()
         _BPE_CACHE.clear()
+        _SBA_ENGINE_CACHE.clear()
 
 
 def _minhash_pairs_build(spark, sf_dir) -> DataFrame:
@@ -8198,49 +8199,13 @@ def _sba_checksum(ingredients) -> int:
         for s in ingredients)
 
 
-def q_stream_batch_agreement(spark, sf_dir):
-    """Put the streaming layer itself under the driver gate: run all
-    five streaming twins (funnel automaton, trailing-zscore ring
-    buffer, rollup maintenance, PSI bin counts, KS value counts —
-    streaming/analytics.py) over a bounded deterministic fixture split
-    into three time-ordered micro-batches, then emit one row per twin
-    with the MAINTAINED/STREAMED result's row count and content
-    checksum. The oracle recomputes both numbers ONE-SHOT from the
-    base tables, so any divergence between N-batch maintenance and the
-    batch semantics — automaton state restoration, ring-buffer
-    trimming, read-merge-swap count algebra — hash-fails the gate.
-    All checksum ingredients are exact integers (decimal sums scaled
-    e4, scores at their rounded-4 grain), so there is no float-parity
-    surface at all; the float statistics stay pinned by the pytest
-    agreement tests.
-
-    The stateful twins (funnel, zscore) run through the REAL engine —
-    a json spool + availableNow + applyInPandasWithState, mtime-ordered
-    files so per-key arrival stays time-ordered across batches (their
-    documented contract); the foreachBatch twins' maintenance
-    callables are driven directly with the same three batches. Every
-    collect is bounded by the fixture constant; spool/checkpoint/
-    maintained tables live in a per-call tempdir removed before
-    returning (the version_diff discipline — the output frame is built
-    from plain driver values, so nothing reads the deleted paths)."""
-    import datetime as dt
-    import json as _json
-    import os
-    import shutil
-    import tempfile
-
+def _sba_fixture(spark, sf_dir):
+    """The SBA deterministic fixture: the bounded events slice, one
+    row per (user_id, ts), sorted by time and split into three
+    micro-batches. Shared by the maintenance twins (per call) and the
+    engine builder (cached); ≤ _SBA_EVENTS rows by construction."""
     from pyspark.sql import Window
 
-    from twitter_to_sqlite_spark.streaming import analytics as SA
-
-    schema = ("user_id long, ts timestamp_ntz, event_type string, "
-              "value double")
-    epoch = dt.datetime(1970, 1, 1)
-
-    def us(ts):
-        return (ts - epoch) // dt.timedelta(microseconds=1)
-
-    # --- fixture: bounded slice, one row per (user_id, ts) ---
     e = _t(spark, sf_dir, "events").filter(
         (F.col("event_id") < _SBA_EVENTS)
         & F.col("user_id").isNotNull() & F.col("ts").isNotNull()
@@ -8252,48 +8217,49 @@ def q_stream_batch_agreement(spark, sf_dir):
     rows = sorted(fx.collect(),
                   key=lambda r: (r["ts"], r["event_id"]))  # ≤ _SBA_EVENTS
     n = len(rows)
-    parts = [rows[:n // 3], rows[n // 3:2 * n // 3], rows[2 * n // 3:]]
+    return [rows[:n // 3], rows[n // 3:2 * n // 3], rows[2 * n // 3:]]
 
-    def bdf(part):
-        return spark.createDataFrame(
-            [(r["user_id"], r["ts"], r["event_type"], r["value"])
-             for r in part], schema)
 
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _SBA_DOCS).select("doc_id", "text")
+#: process-lifetime cache of the real-engine twin rows, keyed by
+#: sf_dir — the engine certificate is deterministic in the fixture, so
+#: bench bills ONE cold run to `_build:sba_engine` (INFRA_BUILDS) and
+#: the recurring per-pass entry pays only the per-call maintenance
+#: twins (VERDICT r7 task 4). The gate still certifies all six rows —
+#: the cached values came through the real engine in this process.
+_SBA_ENGINE_CACHE: dict[str, list] = {}
 
+
+def _sba_engine_rows(spark, sf_dir):
+    """The two STATEFUL twins through the REAL engine — a json spool
+    + availableNow + applyInPandasWithState, mtime-ordered files so
+    per-key arrival stays time-ordered across batches (their
+    documented contract). Both streaming queries run CONCURRENTLY
+    (separate checkpoints, separate sink dicts): the engine cost is
+    startup + per-trigger state-store commits, so overlapping the two
+    queries halves the wall time without touching semantics. Spool
+    and checkpoints live in a tempdir removed before returning."""
+    if sf_dir in _SBA_ENGINE_CACHE:
+        return list(_SBA_ENGINE_CACHE[sf_dir])
+
+    import datetime as dt
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    schema = ("user_id long, ts timestamp_ntz, event_type string, "
+              "value double")
+    epoch = dt.datetime(1970, 1, 1)
+
+    def us(ts):
+        return (ts - epoch) // dt.timedelta(microseconds=1)
+
+    parts = _sba_fixture(spark, sf_dir)
     out = []
-    root = tempfile.mkdtemp(prefix="sba-")
+    root = tempfile.mkdtemp(prefix="sba-eng-")
     try:
-        # --- foreachBatch maintenance twins, driven directly ---
-        on_roll = SA.maintain_rollup(
-            spark, root + "/rollup", ["event_type"], "value")
-        on_psi = SA.drift_monitor(spark, root + "/psi", "quality")
-        on_ks = SA.value_monitor(spark, root + "/ks", "quality")
-        for b, part in enumerate(parts):
-            on_roll(bdf(part), b)
-            # one quality evaluation per batch, shared by both monitors
-            dq = text.quality_score(
-                docs.filter(F.col("doc_id") % 3 == b)) \
-                .select("quality").localCheckpoint(eager=True)
-            on_psi(dq, b)
-            on_ks(dq, b)
-
-        roll = spark.read.parquet(root + "/rollup").collect()
-        out.append(("rollup", len(roll), _sba_checksum(
-            f"{r['event_type']}|{r['n_rows']}|{r['n_vals']}"
-            f"|{int(r['v_sum'] * 10000)}" for r in roll)))
-        bins = spark.read.parquet(root + "/psi").collect()
-        out.append(("psi_bins", len(bins), _sba_checksum(
-            f"{r['bin']}|{r['n']}" for r in bins)))
-        vals = spark.read.parquet(root + "/ks").collect()
-        out.append(("ks_counts", len(vals), _sba_checksum(
-            f"{int(round(r['val'] * 10000))}|{r['n']}" for r in vals)))
-        m = SA.mad_from_counts(spark, root + "/ks", k=3)
-        out.append(("mad", 1, _sba_checksum(
-            [f"{m['median4']}|{m['mad4']}|{m['n']}|{m['n_outliers']}"])))
-
-        # --- stateful twins through the real engine ---
         spool = root + "/spool"
         os.makedirs(spool)
         for b, part in enumerate(parts):
@@ -8313,34 +8279,121 @@ def q_stream_batch_agreement(spark, sf_dir):
                     .option("maxFilesPerTrigger", 1).json(spool))
 
         latest: dict = {}
-        q = (SA.funnel_stages(stream(), list(_SBA_STEPS))
-             .writeStream.foreachBatch(
-                 lambda batch, bid: latest.update(
-                     {r["user_id"]: r["stage"] for r in batch.collect()}))
-             .outputMode("update")
-             .option("checkpointLocation", root + "/ck_funnel")
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        q_funnel = (SA.funnel_stages(stream(), list(_SBA_STEPS))
+                    .writeStream.foreachBatch(
+                        lambda batch, bid: latest.update(
+                            {r["user_id"]: r["stage"]
+                             for r in batch.collect()}))
+                    .outputMode("update")
+                    .option("checkpointLocation", root + "/ck_funnel")
+                    .trigger(availableNow=True).start())
+        scored: dict = {}
+        q_zscore = (SA.zscore_stream(stream(), "user_id", "ts", "value",
+                                     window=_SBA_WIN,
+                                     min_points=_SBA_MINPTS,
+                                     threshold=3.0)
+                    .writeStream.foreachBatch(
+                        lambda batch, bid: scored.update(
+                            {(r["user_id"], r["ts"]): r["zscore"]
+                             for r in batch.collect()}))
+                    .outputMode("update")
+                    .option("checkpointLocation", root + "/ck_zscore")
+                    .trigger(availableNow=True).start())
+        q_funnel.awaitTermination()
+        q_zscore.awaitTermination()
         out.append(("funnel", len(latest), _sba_checksum(
             f"{uid}|{stage}" for uid, stage in latest.items())))
-
-        scored: dict = {}
-        q = (SA.zscore_stream(stream(), "user_id", "ts", "value",
-                              window=_SBA_WIN, min_points=_SBA_MINPTS,
-                              threshold=3.0)
-             .writeStream.foreachBatch(
-                 lambda batch, bid: scored.update(
-                     {(r["user_id"], r["ts"]): r["zscore"]
-                      for r in batch.collect()}))
-             .outputMode("update")
-             .option("checkpointLocation", root + "/ck_zscore")
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
         zkeys = [k for k, z in scored.items() if z is not None]
         out.append(("zscore", len(zkeys), _sba_checksum(
             f"{uid}|{us(ts)}" for uid, ts in zkeys)))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+    _SBA_ENGINE_CACHE[sf_dir] = list(out)
+    return out
+
+
+def q_stream_batch_agreement(spark, sf_dir):
+    """Put the streaming layer itself under the driver gate: run all
+    five streaming twins (funnel automaton, trailing-zscore ring
+    buffer, rollup maintenance, PSI bin counts, KS value counts —
+    streaming/analytics.py) plus the MAD derivation over a bounded
+    deterministic fixture split into three time-ordered micro-batches,
+    then emit one row per twin with the MAINTAINED/STREAMED result's
+    row count and content checksum. The oracle recomputes both numbers
+    ONE-SHOT from the base tables, so any divergence between N-batch
+    maintenance and the batch semantics — automaton state restoration,
+    ring-buffer trimming, read-merge-swap count algebra — hash-fails
+    the gate. All checksum ingredients are exact integers (decimal
+    sums scaled e4, scores at their rounded-4 grain), so there is no
+    float-parity surface at all; the float statistics stay pinned by
+    the pytest agreement tests.
+
+    The stateful twins (funnel, zscore) run through the REAL engine in
+    `_sba_engine_rows` — concurrent availableNow queries over a json
+    spool, cached per process and billed to `_build:sba_engine` in
+    bench (the certificate is deterministic in the fixture; VERDICT r7
+    task 4). The foreachBatch twins' maintenance callables are driven
+    directly with the same three batches on every call. Every collect
+    is bounded by the fixture constant; maintained tables live in a
+    per-call tempdir removed before returning (the version_diff
+    discipline — the output frame is built from plain driver values,
+    so nothing reads the deleted paths)."""
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    parts = _sba_fixture(spark, sf_dir)
+    schema = ("user_id long, ts timestamp_ntz, event_type string, "
+              "value double")
+
+    def bdf(part):
+        return spark.createDataFrame(
+            [(r["user_id"], r["ts"], r["event_type"], r["value"])
+             for r in part], schema)
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SBA_DOCS).select("doc_id", "text")
+
+    out = []
+    root = tempfile.mkdtemp(prefix="sba-")
+    try:
+        # --- foreachBatch maintenance twins, driven directly ---
+        on_roll = SA.maintain_rollup(
+            spark, root + "/rollup", ["event_type"], "value")
+        on_psi = SA.drift_monitor(spark, root + "/psi", "quality")
+        on_ks = SA.value_monitor(spark, root + "/ks", "quality")
+        # ONE quality evaluation for all three batches (checkpointed
+        # with the batch tag); each batch's monitors then slice the
+        # bounded checkpointed frame instead of re-running the scorer
+        # — same per-batch inputs, two fewer corpus scans per call.
+        docs_q = (text.quality_score(docs)
+                  .select((F.col("doc_id") % 3).alias("__b"), "quality")
+                  .localCheckpoint(eager=True))
+        for b, part in enumerate(parts):
+            on_roll(bdf(part), b)
+            dq = docs_q.filter(F.col("__b") == b).select("quality")
+            on_psi(dq, b)
+            on_ks(dq, b)
+
+        roll = spark.read.parquet(root + "/rollup").collect()
+        out.append(("rollup", len(roll), _sba_checksum(
+            f"{r['event_type']}|{r['n_rows']}|{r['n_vals']}"
+            f"|{int(r['v_sum'] * 10000)}" for r in roll)))
+        bins = spark.read.parquet(root + "/psi").collect()
+        out.append(("psi_bins", len(bins), _sba_checksum(
+            f"{r['bin']}|{r['n']}" for r in bins)))
+        vals = spark.read.parquet(root + "/ks").collect()
+        out.append(("ks_counts", len(vals), _sba_checksum(
+            f"{int(round(r['val'] * 10000))}|{r['n']}" for r in vals)))
+        m = SA.mad_from_counts(spark, root + "/ks", k=3)
+        out.append(("mad", 1, _sba_checksum(
+            [f"{m['median4']}|{m['mad4']}|{m['n']}|{m['n_outliers']}"])))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    out.extend(_sba_engine_rows(spark, sf_dir))
 
     return spark.createDataFrame(
         sorted(out), "twin string, n_rows long, checksum long")
@@ -11713,6 +11766,11 @@ INFRA_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
     "_build:quality_lr": lambda s, d: (_quality_lr(s, d), None)[1],
     "_build:bpe_merges": lambda s, d: (_bpe_merges(s, d), None)[1],
     "_build:pq_codebooks": lambda s, d: (_pq_codebooks(s, d), None)[1],
+    # The SBA real-engine twins (two concurrent availableNow streaming
+    # queries): deterministic in the fixture, so billed once cold here
+    # and served from the process cache by the recurring entry
+    # (VERDICT r7 task 4).
+    "_build:sba_engine": lambda s, d: (_sba_engine_rows(s, d), None)[1],
 }
 
 
