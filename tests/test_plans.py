@@ -746,3 +746,166 @@ def test_vocab_sweep_window_runs_on_count_of_counts(spark):
     assert count_nodes(plan, "Generate") == 0  # explode ran at build
     assert count_nodes(plan, "Scan ExistingRDD") >= 1
     assert "Scan parquet" not in plan
+
+
+# --- r8: pins for the r7-staged entries that had neither a plan-pin
+# --- nor a scale-probe row (VERDICT r7 task 5). Each pin asserts the
+# --- property the operator's 100 TB story depends on.
+
+
+def test_distribution_match_rates_broadcast_onto_scan(spark):
+    """The kept-filter is a BROADCAST of the checkpointed n_bins-row
+    rates frame onto the corpus scan (a sample is a filter, not a
+    job); the quality histograms live behind the checkpoint, so the
+    corpus appears at most twice (kept path + kept-count path)."""
+    plan = plan_of(spark, "distribution_match")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Scan parquet") <= 2
+
+
+def test_emd_drift_prices_on_checkpointed_histogram(spark):
+    """Cumulative window AND totals both price off the checkpointed
+    10-row histogram — no corpus re-scan downstream of it, and the
+    single Window is the bounded-bin cumsum."""
+    plan = plan_of(spark, "emd_drift")
+    assert "Scan parquet" not in plan
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_psi_drift_by_prices_on_checkpointed_cube(spark):
+    """Everything downstream of the per-source histograms runs on the
+    checkpointed |sources|x bins frame: no corpus re-scan, no
+    sort-merge join anywhere."""
+    plan = plan_of(spark, "psi_drift_by")
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_normalized_is_one_hash_agg(spark):
+    """C4-style normalized dedup is exact_dedup cost: one partial-agg
+    shuffle on the normalized content hash — no join, no window."""
+    plan = plan_of(spark, "dedup_normalized")
+    assert "Join" not in plan
+    assert count_nodes(plan, "Window") == 0
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_zipf_fit_rank_is_topk_never_global_sort(spark):
+    """Rank comes from a TakeOrderedAndProject top-k; the only Window
+    runs on the collected <=k-row frame, never the vocabulary."""
+    plan = plan_of(spark, "zipf_fit")
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_length_sweep_prices_taus_on_histogram(spark):
+    """The tau sweep prices itself on the checkpointed length
+    histogram — zero additional corpus scans per candidate tau (the
+    padding_waste discipline)."""
+    plan = plan_of(spark, "length_sweep")
+    assert "Scan parquet" not in plan
+
+
+def test_temperature_sweep_prices_alphas_on_strata_frame(spark):
+    """The alpha grid explodes on the checkpointed |strata|-row agg;
+    the corpus partial-agg pass runs once, behind the checkpoint."""
+    plan = plan_of(spark, "temperature_sweep")
+    assert "Scan parquet" not in plan
+    assert count_nodes(plan, "Generate") == 1
+
+
+def test_tokenizer_fertility_joins_broadcast_no_window(spark):
+    """Fertility re-aggregates bpe_segment's exact integer sums: the
+    doc->lang join broadcasts one side, and there is no window or
+    cartesian anywhere."""
+    plan = plan_of(spark, "tokenizer_fertility")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Window") == 0
+
+
+def test_dup_source_matrix_joins_on_bounded_pairs(spark):
+    """Source attribution joins the BOUNDED minhash pairs frame to
+    the corpus source map — broadcast joins only, never a shuffle of
+    the corpus for the pairs side, no cartesian."""
+    plan = plan_of(spark, "dup_source_matrix")
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_tuning_no_cartesian_and_grid_windows_bounded(spark):
+    """Every grid leg ranks per query_id (WindowGroupLimit pushes the
+    top-k): no cartesian/nested-loop blowup across legs, and every
+    Window is per-query partitioned (the no-global-window rule)."""
+    plan = plan_of(spark, "bm25_tuning")
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "WindowGroupLimit") >= 1
+
+
+def test_decay_topk_is_bounded_topk(spark):
+    """The maintained decay store is fixture-bounded; the rank is a
+    TakeOrderedAndProject over it — no corpus scan in the final
+    frame at all."""
+    plan = plan_of(spark, "decay_topk")
+    assert count_nodes(plan, "TakeOrderedAndProject") == 1
+    assert "Scan parquet" not in plan
+
+
+def test_diff_profile_output_is_bounded_local_frame(spark):
+    """The per-column churn report is built from the change-volume-
+    bounded diff frame; the committed-version tempdir is removed
+    before return, so the result must be a local/checkpointed frame
+    with no live parquet lineage."""
+    plan = plan_of(spark, "diff_profile")
+    assert "Scan parquet" not in plan
+    assert "Exchange" not in plan
+
+
+def test_gini_sources_window_runs_on_strata_frame(spark):
+    """The rank window runs on the bounded |sources| agg (global
+    orderBy is fine there); the corpus contributes one scan + one
+    partial-agg shuffle."""
+    plan = plan_of(spark, "gini_sources")
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Window") == 1
+    assert "Join" not in plan
+
+
+def test_fano_factor_spine_is_generated_not_joined(spark):
+    """The dense hour spine comes from sequence() on each group's own
+    bounds (one Generate) + a broadcast join back — no cartesian, no
+    sort-merge join, one events scan."""
+    plan = plan_of(spark, "fano_factor")
+    assert count_nodes(plan, "Generate") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_er_eval_universe_is_bounded_local(spark):
+    """The planted ER universe is a <=300-name synthetic frame; the
+    eval must not touch the corpus beyond the bounded part slice
+    (everything downstream is local after the blocked match)."""
+    plan = plan_of(spark, "er_eval")
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Scan parquet") <= 2
+
+
+def test_partition_checksums_is_single_grouped_agg(spark):
+    """The drill-down certificate is ONE map-side-combined grouped
+    aggregate: a single shuffle, no join, no window — same shape as
+    table_checksum but grouped."""
+    plan = plan_of(spark, "partition_checksums")
+    assert count_nodes(plan, "Exchange") == 1
+    assert "Join" not in plan
+    assert count_nodes(plan, "Window") == 0
+
+
+def test_ann_index_append_result_is_bounded_local(spark):
+    """Index build/append/probe run against a per-call tempdir that
+    is REMOVED before return: the returned top-k frame must be fully
+    materialized (local), with no live parquet lineage into the
+    deleted index."""
+    plan = plan_of(spark, "ann_index_append")
+    assert "Scan parquet" not in plan

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""The round's closing battery, as ONE mechanical step (VERDICT r7
+task 3: twice a late commit landed after the "final" gate run, leaving
+README/BENCH_LOCAL counts off by the tail commits).
+
+Runs, in order, each in a FRESH process:
+  1. full gate twin            (tools/driver_sim.py, sf0.01)
+  2. partition invariance      (tools/invariance_check.py, sf0.001)
+  3. full bench                (bench.py at $SPARK_GRAFT_SF_DIR,
+                                written to BENCH_LOCAL.json)
+  4. registry-count consistency check: README's advertised counts
+     must equal len(catalog.QUERIES) — prints the lines to fix if not.
+
+Exit code is non-zero if any stage fails, so the round's LAST commit
+can gate on `python tools/closing_battery.py`. Budget ~20 min.
+
+Usage: python tools/closing_battery.py [--skip-bench]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run(cmd: list[str], log: str) -> tuple[int, str]:
+    t0 = time.monotonic()
+    with open(log, "w") as fh:
+        p = subprocess.run(cmd, stdout=fh, stderr=subprocess.STDOUT,
+                           cwd=REPO)
+    dt = time.monotonic() - t0
+    tail = open(log).read()[-3000:]
+    return p.returncode, f"[{dt:.0f}s] {tail}"
+
+
+def main() -> None:
+    skip_bench = "--skip-bench" in sys.argv
+    from twitter_to_sqlite_spark.plans import catalog
+
+    n = len(catalog.QUERIES)
+    failures: list[str] = []
+
+    print(f"closing battery: {n} registry entries", flush=True)
+
+    rc, tail = run([sys.executable, "tools/driver_sim.py"],
+                   "/tmp/battery_gate.log")
+    m = re.search(r"TOTAL .* n=(\d+)\s+bad=(\d+)", tail)
+    ok = rc == 0 and m and int(m.group(1)) == n and m.group(2) == "0"
+    print(f"1. gate twin: {'OK' if ok else 'FAIL'} "
+          f"({m.group(0) if m else tail[-300:]})", flush=True)
+    if not ok:
+        failures.append("gate")
+
+    rc, tail = run([sys.executable, "tools/invariance_check.py",
+                    "/root/testdata/sf0.001"],
+                   "/tmp/battery_invariance.log")
+    m = re.search(r"TOTAL .* n=(\d+)\s+bad=(\d+)", tail)
+    ok = rc == 0 and m and int(m.group(1)) == n and m.group(2) == "0"
+    print(f"2. invariance: {'OK' if ok else 'FAIL'} "
+          f"({m.group(0) if m else tail[-300:]})", flush=True)
+    if not ok:
+        failures.append("invariance")
+
+    if not skip_bench:
+        rc, tail = run([sys.executable, "bench.py"],
+                       "/tmp/battery_bench.log")
+        line = None
+        for ln in reversed(open("/tmp/battery_bench.log")
+                           .read().splitlines()):
+            if ln.startswith("{") and '"metric"' in ln:
+                line = ln
+                break
+        ok = rc == 0 and line is not None
+        if ok:
+            with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
+                fh.write(line + "\n")
+            d = json.loads(line)
+            print(f"3. bench: OK ({d['value']}s, "
+                  f"{len(d['queries'])} entries -> BENCH_LOCAL.json)",
+                  flush=True)
+        else:
+            print(f"3. bench: FAIL {tail[-300:]}", flush=True)
+            failures.append("bench")
+    else:
+        print("3. bench: SKIPPED (--skip-bench)", flush=True)
+
+    # 4. README count consistency: every "NNN catalog queries" /
+    # "NNN/NNN" battery claim must match the live registry.
+    readme = open(os.path.join(REPO, "README.md")).read()
+    stale = sorted(set(
+        x for x in re.findall(r"(\d+) catalog queries", readme)
+        if int(x) != n))
+    if stale:
+        print(f"4. README: STALE counts {stale} != {n} "
+              "(update the Status paragraph)", flush=True)
+        failures.append("readme")
+    else:
+        print(f"4. README: counts agree ({n})", flush=True)
+
+    if failures:
+        print(f"BATTERY FAILED: {failures}", flush=True)
+        sys.exit(1)
+    print("BATTERY GREEN", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -527,6 +527,140 @@ def _compaction_probe(d):
     return bucketing.compaction_plan(manifest, "shard", "n_bytes", 50_000)
 
 
+def _qsplit(d):
+    """base/cur quality frames over the doc_id parity split — the
+    shared fixture shape of the drift-family probes."""
+    q = text.quality_score(d.select("doc_id", "text"))
+    return (q.filter(F.col("doc_id") % 2 == 0),
+            q.filter(F.col("doc_id") % 2 == 1))
+
+
+def _distmatch_probe(d):
+    base, cur = _qsplit(d)
+    rates = sampling.distribution_match_rates(
+        cur.select("doc_id", "quality"), base.select("quality"),
+        "quality", 10).localCheckpoint(eager=False)
+    return sampling.distribution_match(
+        cur.select("doc_id", "quality"), base.select("quality"),
+        "quality", "doc_id", 10, salt="p", rates=rates)
+
+
+def _emd_probe(d):
+    from pyspark.sql import Window
+
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    base, cur = _qsplit(d)
+    spark = d.sparkSession
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    g = (spine
+         .join(SA.score_bin_counts(base.select("quality"))
+               .withColumnRenamed("n", "__nb"), "bin", "left")
+         .join(SA.score_bin_counts(cur.select("quality"))
+               .withColumnRenamed("n", "__nc"), "bin", "left")
+         .select("bin", F.coalesce("__nb", F.lit(0)).alias("nb"),
+                 F.coalesce("__nc", F.lit(0)).alias("nc"))
+         .localCheckpoint(eager=False))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select("bin", F.sum("nb").over(w).alias("cb"),
+                 F.sum("nc").over(w).alias("cc"))
+    tot = g.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    return (c.crossJoin(F.broadcast(tot))
+            .agg(F.sum(F.abs(F.col("cb") * F.col("tc")
+                             - F.col("cc") * F.col("tb"))).alias("s")))
+
+
+def _psi_by_probe(d):
+    base, cur = _qsplit(d)
+    src = (F.col("doc_id") % 20).cast("string").alias("source")
+    b = F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9))
+
+    def counts(side, alias):
+        return (side.select(src, b.alias("bin"))
+                .groupBy("source", "bin")
+                .agg(F.count(F.lit(1)).alias(alias)))
+
+    g = (counts(base, "nb").join(counts(cur, "nc"),
+                                 ["source", "bin"], "full")
+         .select("source", "bin",
+                 F.coalesce("nb", F.lit(0)).alias("nb"),
+                 F.coalesce("nc", F.lit(0)).alias("nc"))
+         .localCheckpoint(eager=False))
+    tot = g.groupBy("source").agg(F.sum("nb").alias("tb"),
+                                  F.sum("nc").alias("tc"))
+    return g.join(tot, "source").groupBy("source").agg(
+        F.sum(F.col("nb") * F.col("tc")
+              - F.col("nc") * F.col("tb")).alias("s"))
+
+
+def _zipf_probe(d):
+    from pyspark.sql import Window
+
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\W+"))
+                    .alias("w")).filter(F.col("w") != "")
+    top = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.col("c").desc(), "w").limit(100))
+    w = Window.orderBy(F.col("c").desc(), "w")
+    return (top.withColumn("r", F.row_number().over(w))
+            .agg(F.sum(F.log("r") * F.log("c")).alias("sxy"),
+                 F.sum(F.log("r")).alias("sx")))
+
+
+def _length_sweep_probe(d):
+    hist = (d.select(F.size(F.split("text", " ")).alias("len"))
+            .groupBy("len")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("len").alias("t"))
+            .localCheckpoint(eager=False))
+    taus = d.sparkSession.createDataFrame(
+        [(5,), (20,), (80,)], "tau int")
+    return (taus.crossJoin(hist).filter(F.col("len") >= F.col("tau"))
+            .groupBy("tau").agg(F.sum("n").alias("n_kept"),
+                                F.sum("t").alias("toks_kept")))
+
+
+def _dup_source_probe(d):
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.3, max_df=20) \
+        .select("id_a", "id_b").localCheckpoint(eager=False)
+    src = d.select("doc_id", (F.col("doc_id") % 20).cast("string")
+                   .alias("source"))
+    return (pairs
+            .join(src.select(F.col("doc_id").alias("id_a"),
+                             F.col("source").alias("sa")), "id_a")
+            .join(src.select(F.col("doc_id").alias("id_b"),
+                             F.col("source").alias("sb")), "id_b")
+            .groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _bm25_tuning_probe(d):
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    idx = R.build_inverted_index(d, "doc_id", "text") \
+        .localCheckpoint(eager=False)
+    qs = d.sparkSession.createDataFrame(
+        [(1, "the"), (1, "and"), (2, "of"), (2, "to")],
+        "query_id long, term string")
+    return R.bm25_param_sweep(idx, "doc_id", qs,
+                              [(1.2, 0.75), (0.9, 0.4)], k=5)
+
+
+def _fertility_probe(d):
+    seg = _bpe_segment_probe(d)
+    return (seg.join(d.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.sum("n_words").alias("w"),
+                 F.sum("n_bpe_tokens").alias("t")))
+
+
+def _partition_ck_probe(d):
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("doc_id").cast("string"), F.col("text"))), 1, 15),
+        16, 10).cast("long") % F.lit(1_000_000_007)
+    return (d.groupBy((F.col("doc_id") % 5).alias("pk"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(h.cast("decimal(38,0)")).alias("s")))
+
+
 def _changelog_probe(d):
     from twitter_to_sqlite_spark.operators import relational as R
 
@@ -761,6 +895,47 @@ def main():
         # 136-term inline outer product + map-side-combined agg
         "embed_covariance": lambda d, v: stats.embed_covariance(
             v, n_dims=16),
+        # --- r8: probes for the staged entries that had neither a
+        # --- pin nor a probe (VERDICT r7 task 5); scan-shaped only —
+        # --- the bounded-by-construction ones carry pins instead.
+        # one normalized-hash partial-agg shuffle: linear bar
+        "dedup_normalized": lambda d, v: dedup.normalized_dedup(d),
+        # two quality histograms -> checkpointed 10-bin rates ->
+        # broadcast filter: growth is the two scans, linear bar
+        "distribution_match": lambda d, v: _distmatch_probe(d),
+        # same two histograms + bounded cumsum window: linear bar
+        "emd_drift": lambda d, v: _emd_probe(d),
+        # per-source histograms -> bounded |sources|x bins cube
+        "psi_drift_by": lambda d, v: _psi_by_probe(d),
+        # token agg + TakeOrderedAndProject top-k + <=k-row window
+        "zipf_fit": lambda d, v: _zipf_probe(d),
+        # corpus -> length histogram once; taus priced on histogram
+        "length_sweep": lambda d, v: _length_sweep_probe(d),
+        # one strata partial agg; alphas priced on |strata| frame
+        "temperature_sweep": lambda d, v: sampling.temperature_sweep(
+            d.select("lang", F.size(F.split("text", " "))
+                     .cast("long").alias("n")), "lang", "n",
+            [0.3, 0.5, 1.0]),
+        # one strata agg + bounded rank window
+        "gini_sources": lambda d, v: sampling.gini_concentration(
+            d.select((F.col("doc_id") % 20).cast("string").alias("s"),
+                     F.length("text").cast("long").alias("w")),
+            "s", "w"),
+        # (group, hour) agg + per-group bounded spine: hour domain
+        # fixed under replication, counts grow — linear agg bar
+        "fano_factor": lambda d, v: stats.fano_factor(
+            d.select((F.col("doc_id") % 5).cast("string")
+                     .alias("event_type"),
+                     F.timestamp_seconds(F.col("doc_id") % 100_000)
+                     .alias("ts")), "event_type", "ts"),
+        # bounded pairs frame + source map joins + |sources|^2 agg
+        "dup_source_matrix": lambda d, v: _dup_source_probe(d),
+        # shared checkpointed index feeds all grid legs
+        "bm25_tuning": lambda d, v: _bm25_tuning_probe(d),
+        # segment sums re-aggregated per lang over a broadcast join
+        "tokenizer_fertility": lambda d, v: _fertility_probe(d),
+        # ONE grouped map-side-combined agg: the canonical linear bar
+        "partition_checksums": lambda d, v: _partition_ck_probe(d),
     }
     out = {}
     for name, fn in OPS.items():

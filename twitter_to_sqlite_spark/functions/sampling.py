@@ -580,10 +580,15 @@ def distribution_match_rates(incoming: DataFrame, target: DataFrame,
     spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     t = bins(target).withColumnRenamed("n", "__t")
     c = bins(incoming).withColumnRenamed("n", "__n")
+    # Lazy checkpoint of the bounded n_bins-row frame: `tot` below
+    # re-derives g, and Catalyst does not reuse common subplans — an
+    # unpinned g re-runs BOTH histogram scans for the 1-row totals
+    # (the dsir_logweights convention).
     g = (spine.join(t, "bin", "left").join(c, "bin", "left")
          .select("bin",
                  F.coalesce("__t", F.lit(0)).alias("n_target"),
-                 F.coalesce("__n", F.lit(0)).alias("n_in")))
+                 F.coalesce("__n", F.lit(0)).alias("n_in"))
+         .localCheckpoint(eager=False))
     tot = g.agg(F.sum("n_target").alias("__T"), F.sum("n_in").alias("__N"))
     return (
         g.crossJoin(F.broadcast(tot))
@@ -603,8 +608,8 @@ def distribution_match_rates(incoming: DataFrame, target: DataFrame,
 
 def distribution_match(incoming: DataFrame, target: DataFrame,
                        value_col: str, key_col: str, n_bins: int = 10,
-                       salt: str = "", resolution: int = 1_000_000
-                       ) -> DataFrame:
+                       salt: str = "", resolution: int = 1_000_000,
+                       rates: DataFrame | None = None) -> DataFrame:
     """Deterministic distribution-matching subsample: keep each
     incoming row iff hash(key, salt) falls under its bin's acceptance
     rate from :func:`distribution_match_rates`. The draw is a pure
@@ -615,10 +620,14 @@ def distribution_match(incoming: DataFrame, target: DataFrame,
 
     Scale: the bounded rates frame broadcasts onto the corpus scan;
     acceptance is one hash-compare filter — a sample is a filter, not
-    a job (the hash_sample contract).
+    a job (the hash_sample contract). A caller that also PUBLISHES
+    the rates should compute them once (ideally checkpointed — the
+    frame is n_bins rows) and pass them via `rates`, so the two
+    histogram scans aren't re-run inside the filter's lineage.
     """
-    rates = distribution_match_rates(incoming, target, value_col,
-                                     n_bins, resolution)
+    if rates is None:
+        rates = distribution_match_rates(incoming, target, value_col,
+                                         n_bins, resolution)
     b = F.least(F.floor(F.col(value_col) * n_bins).cast("int"),
                 F.lit(n_bins - 1))
     keyed = (incoming.filter(F.col(value_col).isNotNull()
@@ -719,8 +728,12 @@ def temperature_sweep(df: DataFrame, strata_col: str, token_col: str,
     ≤|strata| collected rows IN STRATUM ORDER, so the curve is
     engine- and partition-count-identical at the rounded grain.
     """
+    # Lazy checkpoint: `tot` and `withp` both hang off the bounded
+    # |strata|-row agg — unpinned, the corpus partial-agg pass runs
+    # twice (Catalyst does not reuse common subplans).
     per = df.groupBy(strata_col).agg(
-        F.sum(F.col(token_col)).cast("long").alias("__n"))
+        F.sum(F.col(token_col)).cast("long").alias("__n")) \
+        .localCheckpoint(eager=False)
     tot = per.agg(F.sum("__n").alias("__tot"))
     withp = per.crossJoin(F.broadcast(tot)).select(
         F.col(strata_col),

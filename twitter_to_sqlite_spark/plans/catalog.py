@@ -8569,10 +8569,13 @@ def q_distribution_match(spark, sf_dir):
     base, cur = _drift_sides(spark, sf_dir)
     tq = text.quality_score(base).select("quality")
     cq = text.quality_score(cur).select("doc_id", "quality")
-    rates = sampling.distribution_match_rates(cq, tq, "quality",
-                                              _PSI_BINS)
+    # rates computed ONCE and checkpointed (n_bins rows): the kept
+    # filter and the published report share it, so the two quality
+    # histograms are scanned once, not once per consumer.
+    rates = sampling.distribution_match_rates(
+        cq, tq, "quality", _PSI_BINS).localCheckpoint(eager=False)
     kept = sampling.distribution_match(cq, tq, "quality", "doc_id",
-                                       _PSI_BINS, salt="dm")
+                                       _PSI_BINS, salt="dm", rates=rates)
     nk = kept.groupBy("bin").agg(F.count(F.lit(1)).alias("__k"))
     return (rates.join(nk, "bin", "left")
             .select("bin", "n_target", "n_in", "rate_ppm",
@@ -8644,11 +8647,15 @@ def q_emd_drift(spark, sf_dir):
 
     spine = spark.range(_PSI_BINS).select(
         F.col("id").cast("int").alias("bin"))
+    # Lazy checkpoint of the bounded 10-row histogram frame: the
+    # cumulative window AND the totals both hang off g — unpinned,
+    # both quality-histogram scans run twice.
     g = (spine.join(bins(base, "__nb"), "bin", "left")
          .join(bins(cur, "__nc"), "bin", "left")
          .select("bin",
                  F.coalesce("__nb", F.lit(0)).alias("nb"),
-                 F.coalesce("__nc", F.lit(0)).alias("nc")))
+                 F.coalesce("__nc", F.lit(0)).alias("nc"))
+         .localCheckpoint(eager=False))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     c = g.select(
         "bin",
@@ -9185,12 +9192,16 @@ def q_psi_drift_by(spark, sf_dir):
     spine = d.select("source").distinct().crossJoin(
         spark.range(_PSI_BINS).select(
             F.col("id").cast("int").alias("bin")))
+    # Lazy checkpoint of the bounded |sources|×bins frame: `tot` and
+    # `gt` both hang off g — unpinned, both per-source histogram scans
+    # run twice (the emd_drift/dsir convention).
     g = (spine
          .join(bin_counts(base, "__nb"), ["source", "bin"], "left")
          .join(bin_counts(cur, "__nc"), ["source", "bin"], "left")
          .select("source", "bin",
                  F.coalesce("__nb", F.lit(0)).alias("nb"),
-                 F.coalesce("__nc", F.lit(0)).alias("nc")))
+                 F.coalesce("__nc", F.lit(0)).alias("nc"))
+         .localCheckpoint(eager=False))
     tot = g.groupBy("source").agg(
         F.sum("nb").alias("tnb"), F.sum("nc").alias("tnc"))
     gt = g.join(tot, "source")
@@ -9328,10 +9339,13 @@ def q_length_sweep(spark, sf_dir):
     the same touch-the-small-frame discipline as dedup_sweep's
     pairs-only explode."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Lazy checkpoint: `tot` and `kept` both price off the bounded
+    # length histogram — unpinned, the corpus tokenize+agg runs twice.
     hist = (d.select(F.size(text._tokens(F.col("text"))).alias("len"))
             .groupBy("len")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("len").alias("toks")))
+                 F.sum("len").alias("toks"))
+            .localCheckpoint(eager=False))
     taus = spark.createDataFrame([(t,) for t in _LEN_TAUS], "tau int")
     tot = hist.agg(F.sum("n").alias("n_total"),
                    F.sum("toks").alias("toks_total"))
