@@ -909,3 +909,88 @@ def test_ann_index_append_result_is_bounded_local(spark):
     deleted index."""
     plan = plan_of(spark, "ann_index_append")
     assert "Scan parquet" not in plan
+
+
+def test_mmr_diversify_greedy_steps_read_checkpoints(spark):
+    """The greedy unroll must NOT re-derive the candidate lineage per
+    step: candidates and each pick are checkpointed, so the final
+    frame is a union of bounded RDD reads — zero parquet scans (the
+    unpinned form re-scanned the retriever build ~80x at k=21)."""
+    plan = plan_of(spark, "mmr_diversify")
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_recall_compares_bounded_topk_frames(spark):
+    """Recall@k joins the PQ leg's top-k to the exact leg's top-k —
+    both |q|*k-bounded; no cartesian anywhere and every window is
+    per-query (WindowGroupLimit pushes the rank)."""
+    plan = plan_of(spark, "pq_recall")
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "WindowGroupLimit") >= 1
+
+
+def test_version_gc_output_is_bounded_local(spark):
+    """The GC plan prices on the |versions|-bounded manifest of a
+    per-call committed tempdir (removed before return): the result is
+    a local frame with no live parquet lineage."""
+    plan = plan_of(spark, "version_gc")
+    assert "Scan parquet" not in plan
+    assert "Exchange" not in plan
+
+
+def test_forecast_eval_spine_generated_one_events_pass(spark):
+    """Seasonal-naive eval: one (key, hour) agg + a generated dense
+    spine + broadcast joins — no cartesian, no sort-merge join, at
+    most two corpus passes (train means + eval diffs)."""
+    plan = plan_of(spark, "forecast_eval")
+    assert count_nodes(plan, "Generate") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert count_nodes(plan, "Scan parquet") <= 2
+
+
+def test_lateness_sweep_prices_on_lateness_histogram(spark):
+    """Watermark sweep: ONE events scan collapses to the lateness
+    histogram; the tau curve runs on the bounded frame (single
+    bounded window, one Generate for the tau explode)."""
+    plan = plan_of(spark, "lateness_sweep")
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Window") <= 1
+
+
+def test_epoch_schedule_prices_on_bounded_mixture(spark):
+    """Epoch planner: per-source token agg (bounded |sources|) + a
+    1-row totals broadcast — no cartesian beyond the bounded scalar
+    join, no window, at most two corpus passes."""
+    plan = plan_of(spark, "epoch_schedule")
+    assert count_nodes(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Scan parquet") <= 2
+
+
+def test_kfold_split_is_pure_hash_projection(spark):
+    """Fold assignment is a pure hash of the key — one scan, one
+    aggregate pair for the fold-size report, no join anywhere."""
+    plan = plan_of(spark, "kfold_split")
+    assert "Join" not in plan
+    assert count_nodes(plan, "Scan parquet") == 1
+
+
+def test_langid_eval_confusion_is_single_shuffle(spark):
+    """The declared-vs-guessed confusion matrix is one fused
+    projection + one grouped agg; the per-declared-lang rates join
+    the bounded |langs| frame via broadcast."""
+    plan = plan_of(spark, "langid_eval")
+    assert count_nodes(plan, "Exchange") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_fpr_probe_is_scan_predicate(spark):
+    """The FPR eval probes the built filter as a broadcast scan
+    predicate — no sort-merge join, no cartesian beyond the bounded
+    bit-array scalar, one corpus probe pass."""
+    plan = plan_of(spark, "bloom_fpr")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -886,13 +886,22 @@ def mmr_diversify(candidates: DataFrame, k: int = 3, lam: float = 0.7,
 
     `candidates` must be bounded (a retriever's top-m) with
     (id, rel, vector) columns; cost is O(k·m) similarity evaluations.
+
+    The candidate frame and each pick are lazily localCheckpointed:
+    step s's plan references every prior step, so the unpinned unroll
+    re-derived the candidate LINEAGE (at worst the corpus-sized
+    retriever build) once per reference — ~80 scans at k=21 — where
+    the checkpointed form scans the retriever output exactly once and
+    each greedy step reads bounded RDDs.
     """
+    candidates = candidates.localCheckpoint(eager=False)
     first = (candidates
              .orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
              .limit(1)
              .select(F.lit(1).cast("long").alias("rank"),
                      F.col(id_col), F.col(vec_col),
-                     F.col(rel_col).alias("mmr_score")))
+                     F.col(rel_col).alias("mmr_score"))
+             .localCheckpoint(eager=False))
     picks = [first]
     for step in range(2, k + 1):
         seld = picks[0]
@@ -916,7 +925,8 @@ def mmr_diversify(candidates: DataFrame, k: int = 3, lam: float = 0.7,
             .limit(1)
             .select(F.lit(step).cast("long").alias("rank"),
                     F.col(id_col), F.col(vec_col),
-                    F.col("__sc").alias("mmr_score")))
+                    F.col("__sc").alias("mmr_score"))
+            .localCheckpoint(eager=False))
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
