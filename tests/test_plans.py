@@ -994,3 +994,12 @@ def test_bloom_fpr_probe_is_scan_predicate(spark):
     plan = plan_of(spark, "bloom_fpr")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dm_maintained_output_is_bounded_local(spark):
+    """The maintained-rates certificate is built from the collected
+    <=n_bins histogram rows (maintained tempdir removed before
+    return): a local frame, no live parquet lineage, no shuffle."""
+    plan = plan_of(spark, "dm_maintained")
+    assert "Scan parquet" not in plan
+    assert "Exchange" not in plan

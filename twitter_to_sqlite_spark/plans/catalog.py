@@ -8624,6 +8624,96 @@ FROM rates r LEFT JOIN kept k ON r.bin = k.bin
 SQL_DISTRIBUTION_MATCH = _distribution_match_sql()
 
 
+def q_dm_maintained(spark, sf_dir):
+    """Incremental distribution-matching (VERDICT r7 task 8b): the
+    acceptance-rate table q_distribution_match derives one-shot, here
+    derived from a histogram MAINTAINED across three micro-batches by
+    the REAL drift_monitor read-merge-swap path (streaming/
+    analytics.py) — certifying that the sampler's control signal can
+    be kept LIVE on a stream: maintain-then-derive must equal
+    recompute-from-scratch exactly. Bin counts merge by integer
+    addition (the drift_monitor agreement law) and the rates are the
+    same exact integer-ppm arithmetic as distribution_match_rates, so
+    the whole chain is engine-exact with no float surface. The oracle
+    recomputes the incoming histogram ONE-SHOT and applies the same
+    ppm op tree.
+
+    Fixture bounded by _SBA_DOCS (constant cost at any sf): incoming =
+    the slice fed batch-by-batch (doc_id % 3), target = the even-id
+    half evaluated once. Maintained table lives in a per-call tempdir
+    removed before returning (the version_diff discipline: the output
+    is built from the collected ≤n_bins rows)."""
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SBA_DOCS).select("doc_id", "text")
+    dq = (text.quality_score(docs)
+          .select("doc_id", "quality").localCheckpoint(eager=True))
+
+    root = tempfile.mkdtemp(prefix="dmm-")
+    try:
+        on_psi = SA.drift_monitor(spark, root + "/hist", "quality")
+        for b in range(3):
+            on_psi(dq.filter(F.col("doc_id") % 3 == b)
+                   .select("quality"), b)
+        n_in = {r["bin"]: r["n"] for r in
+                spark.read.parquet(root + "/hist").collect()}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    tgt = (SA.score_bin_counts(
+        dq.filter(F.col("doc_id") % 2 == 0).select("quality"),
+        "quality", _PSI_BINS).collect())
+    n_t = {r["bin"]: r["n"] for r in tgt}
+    T, N = sum(n_t.values()), sum(n_in.values())
+    res = 1_000_000
+    rows = []
+    for b in range(_PSI_BINS):
+        t, c = n_t.get(b, 0), n_in.get(b, 0)
+        rate = min(res, (res * t * N) // (T * c)) if c and T else 0
+        rows.append((b, t, c, rate))
+    return spark.createDataFrame(
+        rows, "bin int, n_target long, n_in long, rate_ppm long")
+
+
+def _dm_maintained_sql() -> str:
+    quality = SQL_QUALITY_SCORE.replace(
+        "FROM documents",
+        f"FROM (SELECT doc_id, text FROM documents"
+        f" WHERE doc_id < {_SBA_DOCS})")
+    return f"""
+WITH qf AS ({quality}),
+ci AS (
+  SELECT least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+           AS bin, CAST(count(*) AS BIGINT) AS n
+  FROM qf WHERE quality IS NOT NULL GROUP BY 1
+),
+ct AS (
+  SELECT least(floor(quality * {_PSI_BINS}), {_PSI_BINS - 1})::INT
+           AS bin, CAST(count(*) AS BIGINT) AS n
+  FROM qf WHERE quality IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1}))::INT AS bin),
+g AS (SELECT s.bin, coalesce(ct.n, 0) AS t, coalesce(ci.n, 0) AS c
+      FROM spine s LEFT JOIN ct ON s.bin = ct.bin
+                   LEFT JOIN ci ON s.bin = ci.bin),
+tot AS (SELECT sum(t) AS tt, sum(c) AS nn FROM g)
+SELECT g.bin, CAST(g.t AS BIGINT) AS n_target,
+       CAST(g.c AS BIGINT) AS n_in,
+       CAST(CASE WHEN g.c > 0 AND tot.tt > 0
+                 THEN least(1000000, (1000000 * g.t * tot.nn)
+                            // (tot.tt * g.c))
+                 ELSE 0 END AS BIGINT) AS rate_ppm
+FROM g, tot
+"""
+
+
+SQL_DM_MAINTAINED = _dm_maintained_sql()
+
+
 def q_emd_drift(spark, sf_dir):
     """Earth-mover (Wasserstein-1) drift of the binned quality
     distribution, stored corpus vs incoming shard — PSI's
@@ -11797,6 +11887,8 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "artifact_roundtrip": q_artifact_roundtrip,
     "stream_batch_agreement": q_stream_batch_agreement,
     "distribution_match": q_distribution_match,
+    # --- new in r8, staged behind the r8 window (certify in r9) ---
+    "dm_maintained": q_dm_maintained,
     "emd_drift": q_emd_drift,
     "dedup_normalized": q_dedup_normalized,
     "zipf_fit": q_zipf_fit,
@@ -12040,6 +12132,7 @@ LAST_VERIFIED: dict[str, int] = {
     "artifact_roundtrip": 7,
     "stream_batch_agreement": 7,
     "distribution_match": 0,
+    "dm_maintained": 99,
     "emd_drift": 0,
     "dedup_normalized": 0,
     "zipf_fit": 0,
@@ -12465,6 +12558,7 @@ ORACLE_SQL: dict[str, str] = {
     "artifact_roundtrip": SQL_ARTIFACT_ROUNDTRIP,
     "stream_batch_agreement": SQL_STREAM_BATCH_AGREEMENT,
     "distribution_match": SQL_DISTRIBUTION_MATCH,
+    "dm_maintained": SQL_DM_MAINTAINED,
     "emd_drift": SQL_EMD_DRIFT,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "zipf_fit": SQL_ZIPF_FIT,
