@@ -68,7 +68,11 @@ def blocked_pairs(names: DataFrame, block_exprs: list[Column],
     b = sides[0]
     for s in sides[1:]:
         b = b.unionByName(s)
-    b = b.filter(F.col("__blk").isNotNull())
+    # Lazy checkpoint: the hot-block count, its semi-join, and BOTH
+    # sides of the pair self-join reference this frame — unpinned,
+    # each reference re-derived the dictionary build (12 input scans
+    # on the part-names query; Catalyst does not reuse subplans).
+    b = b.filter(F.col("__blk").isNotNull()).localCheckpoint(eager=False)
     if max_block is not None:
         keep = (
             b.groupBy("__blk")
@@ -98,8 +102,8 @@ def _match_dictionary(d: DataFrame, block_exprs: list[Column],
     """Matched pairs over an existing (name, n_records) dictionary —
     the shared core of match_names / cluster_entities."""
     cand = blocked_pairs(
-        d, block_exprs, max_block=max_block,
-        max_length_diff=max_distance,
+        d.localCheckpoint(eager=False), block_exprs,
+        max_block=max_block, max_length_diff=max_distance,
     )
     return (
         cand.withColumn(

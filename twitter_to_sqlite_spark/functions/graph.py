@@ -99,6 +99,13 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     (following table, twitter_to_sqlite/cli.py followers) is the edge
     list this consumes; triangles/clustering are the cohesion signal.
     """
+    # und / deg / o are each referenced by several downstream legs;
+    # Catalyst does not reuse common subplans, so the unpinned form
+    # re-derived the EDGE-BUILD lineage once per reference (36 input
+    # scans on the co-occurrence graph query). Lazy localCheckpoints
+    # — the same discipline pagerank/kcore/lpa already use — pin the
+    # edge list once: the classic cache-the-graph move every
+    # multi-pass graph algorithm needs.
     und = (
         edges.select(
             F.least(src_col, dst_col).alias("a"),
@@ -106,12 +113,14 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("n"))
         .unionByName(und.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
     )
     e1 = und.join(
         deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
@@ -123,7 +132,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False)
     o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
     o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
     wedges = o1.join(o2, "u").filter(

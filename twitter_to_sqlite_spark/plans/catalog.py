@@ -5608,6 +5608,9 @@ def q_psi_drift(spark, sf_dir):
             F.coalesce("__nb", F.lit(0)).alias("nb"),
             F.coalesce("__nc", F.lit(0)).alias("nc"),
         )
+        # totals AND the smoothed terms both hang off g: pin the
+        # bounded 10-row frame or both histogram scans run twice
+        .localCheckpoint(eager=False)
     )
     tot = g.agg(F.sum("nb").alias("tnb"), F.sum("nc").alias("tnc"))
     gt = g.crossJoin(F.broadcast(tot))
@@ -8013,8 +8016,12 @@ def q_ks_drift(spark, sf_dir):
             "quality", F.lit(b).alias("__b"), F.lit(c).alias("__c"))
 
     u = side(base, 1, 0).unionByName(side(cur, 0, 1))
+    # cumulative window AND totals both hang off g: pin the bounded
+    # count-collapsed frame (<=10^4 rows) or both sides' quality
+    # scans run twice (the psi/emd convention)
     g = u.groupBy("quality").agg(
-        F.sum("__b").alias("__nb"), F.sum("__c").alias("__nc"))
+        F.sum("__b").alias("__nb"), F.sum("__c").alias("__nc")) \
+        .localCheckpoint(eager=False)
     w = Window.orderBy("quality").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     c = g.select(
@@ -9724,7 +9731,11 @@ def q_retrieval_eval(spark, sf_dir):
     DCG folds run in rank order over ≤k rows, so the floats are
     engine-identical at the rounded grain."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = R.build_inverted_index(d, "doc_id", "text")
+    # Lazy checkpoint (the bm25_tuning device): the eval's stats /
+    # dfreq / postings legs all hang off the index — unpinned, the
+    # tokenize fan-out re-ran once per leg (16 corpus scans).
+    idx = R.build_inverted_index(d, "doc_id", "text") \
+        .localCheckpoint(eager=False)
     qs = spark.createDataFrame(_RETEVAL_QS, "query_id long, term string")
     return R.retrieval_eval(idx, "doc_id", qs, k=_RETEVAL_K)
 
