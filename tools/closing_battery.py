@@ -71,10 +71,12 @@ def main() -> None:
     if not skip_bench:
         rc, tail = run([sys.executable, "bench.py"],
                        "/tmp/battery_bench.log")
+        # bench prints the FULL-detail line first (all per-query
+        # timings + builds — what BENCH_LOCAL archives) and a compact
+        # driver-facing line last; keep the full one.
         line = None
-        for ln in reversed(open("/tmp/battery_bench.log")
-                           .read().splitlines()):
-            if ln.startswith("{") and '"metric"' in ln:
+        for ln in open("/tmp/battery_bench.log").read().splitlines():
+            if ln.startswith("{") and '"builds"' in ln:
                 line = ln
                 break
         ok = rc == 0 and line is not None
@@ -91,14 +93,14 @@ def main() -> None:
     else:
         print("3. bench: SKIPPED (--skip-bench)", flush=True)
 
-    # 4. README count consistency: every "NNN catalog queries" /
-    # "NNN/NNN" battery claim must match the live registry.
+    # 4. README count consistency: the FIRST "NNN catalog queries"
+    # claim (the current Status paragraph; later ones are history)
+    # must match the live registry.
     readme = open(os.path.join(REPO, "README.md")).read()
-    stale = sorted(set(
-        x for x in re.findall(r"(\d+) catalog queries", readme)
-        if int(x) != n))
-    if stale:
-        print(f"4. README: STALE counts {stale} != {n} "
+    m4 = re.search(r"(\d+) catalog queries", readme)
+    if not m4 or int(m4.group(1)) != n:
+        print(f"4. README: STALE count "
+              f"{m4.group(1) if m4 else 'none'} != {n} "
               "(update the Status paragraph)", flush=True)
         failures.append("readme")
     else:
