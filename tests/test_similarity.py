@@ -91,3 +91,19 @@ def test_centroid_label_noise_flags_planted_flips(spark):
     assert out[0]["n"] == 23 and out[0]["n_flagged"] == 3
     assert out[1]["n"] == 20 and out[1]["n_flagged"] == 0
     assert out[0]["noise_rate"] == round(3 / 23, 6)
+
+
+def test_label_noise_single_label_publishes_zero_not_null(spark):
+    """Degenerate corpus (one distinct label): best_other is
+    array_max([]) = NULL, so the flag must coalesce to 0 — Spark's
+    sum over all-NULL is NULL while the SQL twin's CASE...ELSE 0 is 0
+    (the r7 ADVICE divergence, pinned)."""
+    from twitter_to_sqlite_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(i, 0, [1.0, 0.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id long, label int, embedding array<double>")
+    rows = similarity.centroid_label_noise(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_flagged"] == 0          # not None
+    assert rows[0]["noise_rate"] == 0.0

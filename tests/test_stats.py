@@ -319,3 +319,36 @@ def test_embed_covariance_matches_numpy_and_is_psd(spark):
     assert np.allclose(m, want, atol=1e-6)
     # PSD up to rounding: eigenvalues of a covariance matrix
     assert np.linalg.eigvalsh(m).min() > -1e-9
+
+
+def test_embed_covariance_excludes_short_vectors(spark):
+    """Ragged-input contract (r7 ADVICE): vectors shorter than n_dims
+    are excluded up front, so n counts exactly the rows whose products
+    contribute — cov is unbiased and n reflects the population used."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0])],
+        "vec_id long, embedding array<double>")
+    rows = {(r["i"], r["j"]): r for r in
+            stats.embed_covariance(df, n_dims=2).collect()}
+    assert all(r["n"] == 2 for r in rows.values())   # short row excluded
+    # population cov of x=[1,3], y=[2,4]: var(x)=1, cov(x,y)=1
+    assert rows[(0, 0)]["cov"] == 1.0
+    assert rows[(0, 1)]["cov"] == 1.0
+
+
+def test_spearman_rho_decimal_factors_exact(spark):
+    """The moment sums multiply DECIMAL(38,0) factors (r7 ADVICE: a
+    LONG inner product wraps at scale). Perfect monotone data must
+    give rho exactly 1.0 and anti-monotone -1.0."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    up = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 50)],
+        "x double, y double")
+    assert stats.spearman_rho(up, "x", "y").collect()[0]["rho"] == 1.0
+    dn = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 50)],
+        "x double, y double")
+    assert stats.spearman_rho(dn, "x", "y").collect()[0]["rho"] == -1.0

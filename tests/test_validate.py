@@ -118,3 +118,58 @@ def test_profile_drift_schema_drift_fails_even_at_loose_tol(spark):
     assert not rep["drift(b)"]["passed"]
     assert not rep["drift(c)"]["passed"]
     assert rep["drift(a)"]["passed"]
+
+
+def test_combine_table_checks_matches_individual(spark):
+    """The fused one-scan form publishes exactly the rows the
+    individual checks would."""
+    from twitter_to_sqlite_spark.functions import validate as V
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, 3.0), (2, None)], "k long, v double")
+    fused = {r["check_name"]: (r["violations"], r["passed"])
+             for r in V.combine_table_checks(df, [
+                 V.not_null_expr("k"),
+                 V.accepted_range_expr("v", lo=0),
+                 V.unique_expr(["k"]),
+             ]).collect()}
+    singles = {r["check_name"]: (r["violations"], r["passed"])
+               for c in (V.not_null(df, "k"),
+                         V.accepted_range(df, "v", lo=0),
+                         V.unique(df, ["k"]))
+               for r in c.collect()}
+    assert fused == singles
+    assert fused["not_null(k)"] == (1, False)
+    assert fused["range(v)"] == (1, False)
+    # 4 rows, 2 distinct non-null keys -> 2 beyond-first (NULL-keyed
+    # row counts as a violation by the documented pk contract)
+    assert fused["unique(k)"] == (2, False)
+
+
+def test_combine_table_checks_empty_table_violates_nothing(spark):
+    from twitter_to_sqlite_spark.functions import validate as V
+
+    df = spark.createDataFrame([], "k long, v double")
+    rows = V.combine_table_checks(df, [
+        V.not_null_expr("k"), V.accepted_range_expr("v", lo=0),
+    ]).collect()
+    assert [(r["violations"], r["passed"]) for r in rows] == [
+        (0, True), (0, True)]
+
+
+def test_data_quality_scans_events_once(spark):
+    """The fused gate reads events ONCE for its three aggregate
+    checks (plus once as the fk child): at most 2 events scans in the
+    whole report plan, and 7 report rows as before."""
+    from twitter_to_sqlite_spark.plans import catalog
+
+    df = catalog.QUERIES["data_quality"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    import re
+
+    events_scans = len(re.findall(
+        r"^\(\d+\) Scan parquet .*events", plan, flags=re.M))
+    assert events_scans <= 2
+    assert df.count() == 7

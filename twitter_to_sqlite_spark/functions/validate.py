@@ -29,39 +29,83 @@ def _report(df: DataFrame, name: str, violations: Column) -> DataFrame:
     )
 
 
+def not_null_expr(col: str, name: str | None = None) -> tuple[str, Column]:
+    """(name, violations-aggregate) for a NULL check — feed to
+    :func:`combine_table_checks` or wrap via :func:`not_null`."""
+    return (name or f"not_null({col})",
+            F.sum(F.col(col).isNull().cast("long")))
+
+
 def not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
     """Violations = rows where `col` IS NULL."""
-    return _report(df, name or f"not_null({col})",
-                   F.sum(F.col(col).isNull().cast("long")))
+    return _report(df, *not_null_expr(col, name))
+
+
+def unique_expr(cols: list[str],
+                name: str | None = None) -> tuple[str, Column]:
+    """(name, violations-aggregate) for a pk check: rows beyond the
+    first per key. Rows with a NULL key count as violations
+    (count DISTINCT ignores NULLs in Spark and DuckDB alike) —
+    deliberate: a primary key is non-null by definition, so
+    NULL-keyed rows can never satisfy it."""
+    return (name or f"unique({','.join(cols)})",
+            F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in cols]))
 
 
 def unique(df: DataFrame, cols: list[str],
            name: str | None = None) -> DataFrame:
     """Violations = rows beyond the first per key (0 ⇔ cols are a pk).
-
-    Rows with a NULL key count as violations (count DISTINCT ignores
-    NULLs in Spark and DuckDB alike) — deliberate: a primary key is
-    non-null by definition, so NULL-keyed rows can never satisfy it.
-    """
-    label = name or f"unique({','.join(cols)})"
-    return _report(
-        df,
-        label,
-        F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in cols]),
-    )
+    NULL-keyed rows count as violations (see :func:`unique_expr`)."""
+    label, expr = unique_expr(cols, name)
+    return _report(df, label, expr)
 
 
-def accepted_range(df: DataFrame, col: str, lo=None, hi=None,
-                   name: str | None = None) -> DataFrame:
-    """Violations = non-null values outside [lo, hi]."""
+def accepted_range_expr(col: str, lo=None, hi=None,
+                        name: str | None = None) -> tuple[str, Column]:
+    """(name, violations-aggregate) for a bounds check on non-null
+    values."""
     c = F.col(col)
     bad = F.lit(False)
     if lo is not None:
         bad = bad | (c < F.lit(lo))
     if hi is not None:
         bad = bad | (c > F.lit(hi))
-    return _report(df, name or f"range({col})",
-                   F.sum((c.isNotNull() & bad).cast("long")))
+    return (name or f"range({col})",
+            F.sum((c.isNotNull() & bad).cast("long")))
+
+
+def accepted_range(df: DataFrame, col: str, lo=None, hi=None,
+                   name: str | None = None) -> DataFrame:
+    """Violations = non-null values outside [lo, hi]."""
+    label, expr = accepted_range_expr(col, lo, hi, name)
+    return _report(df, label, expr)
+
+
+def combine_table_checks(df: DataFrame,
+                         specs: list[tuple[str, Column]]) -> DataFrame:
+    """Fuse several aggregate checks over ONE table into ONE
+    scan-aggregate job — the 100 TB form of a validation gate: a
+    table is read once no matter how many constraints it carries
+    (each separate check DataFrame would otherwise be its own scan;
+    Catalyst does not merge sibling jobs). ``specs`` are the
+    (name, violations-aggregate) pairs the ``*_expr`` helpers
+    produce; the one aggregated row explodes into the same
+    (check_name, violations, passed) report rows ``run_checks``
+    unions."""
+    if not specs:
+        raise ValueError("combine_table_checks needs at least one spec")
+    row = df.agg(*[
+        F.coalesce(expr.cast("long"), F.lit(0)).alias(f"__v{i}")
+        for i, (_, expr) in enumerate(specs)
+    ])
+    reports = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("check_name"),
+                 F.col(f"__v{i}").alias("violations"))
+        for i, (name, _) in enumerate(specs)
+    ]))
+    return (row.select(reports.alias("r"))
+            .select("r.check_name", "r.violations",
+                    (F.col("r.violations") == 0).alias("passed")))
 
 
 def foreign_key(child: DataFrame, col: str, parent: DataFrame,
