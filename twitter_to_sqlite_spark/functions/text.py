@@ -266,9 +266,15 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
     engine-stable. Ties at the k boundary break on (pmi, w1, w2).
     """
     toks = df.select(_tokens(F.col(text_col)).alias("__t"))
+    # uni feeds the totals AND both sides of the bigram join; cab
+    # feeds its totals and the filtered join — pin both aggregated
+    # tables (vocabulary-sized) or each reference re-runs its corpus
+    # explode+shuffle (5 scans unpinned; Catalyst does not reuse
+    # common subplans).
     uni = (
         toks.select(F.explode("__t").alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("cw").alias("__nt"))
     pairs = toks.filter(F.size("__t") >= 2).select(
@@ -278,7 +284,8 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
             " (x, y) -> struct(x AS w1, y AS w2))"
         )).alias("__p"),
     ).select("__p.w1", "__p.w2")
-    cab = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    cab = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")).localCheckpoint(eager=False)
     btot = cab.agg(F.sum("n_pair").alias("__nb"))
     j = (
         cab.filter(F.col("n_pair") >= min_count)

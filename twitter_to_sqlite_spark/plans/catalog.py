@@ -1642,7 +1642,11 @@ def q_hybrid_search(spark, sf_dir):
     (TakeOrderedAndProject — no global sort of the corpus); fusion
     operates on ≤40 rows regardless of corpus size."""
     d = _t(spark, sf_dir, "documents")
-    idx = R.build_inverted_index(d, "doc_id", "text")
+    # fts_bm25 references the index for postings AND document
+    # frequencies — checkpoint it (the retrieval_eval device) so the
+    # tokenize fan-out runs once per leg build.
+    idx = R.build_inverted_index(d, "doc_id", "text") \
+        .localCheckpoint(eager=False)
     dl = R.doc_lengths(d, "doc_id", "text")
     bm = R.fts_bm25(idx, "doc_id", ["spark", "join"], mode="all",
                     doc_lens=dl)
