@@ -1591,3 +1591,42 @@ def test_partition_checksums_localize_the_divergent_partition(
              spark, str(tmp_path)).collect()}
     assert a["1-URGENT"] != b["1-URGENT"]     # localized
     assert a["2-HIGH"] == b["2-HIGH"]         # untouched side certified
+
+
+class TestDmMaintained:
+    """dm_maintained's law: rates derived from a drift_monitor-
+    MAINTAINED histogram equal rates recomputed one-shot — for ANY
+    batch split, because bin counts merge by integer addition."""
+
+    def test_maintained_rates_equal_one_shot(self, spark, tmp_path):
+        from twitter_to_sqlite_spark.streaming import analytics as SA
+
+        inc = spark.createDataFrame(
+            [(i, (i % 10) / 10.0 + 0.05) for i in range(90)],
+            "doc_id long, quality double").localCheckpoint(eager=True)
+        tgt = spark.createDataFrame(
+            [((i % 4) / 10.0 + 0.05,) for i in range(40)],
+            "quality double")
+        path = str(tmp_path / "hist")
+        on = SA.drift_monitor(spark, path, "quality")
+        # an uneven, non-contiguous split
+        for b, pred in enumerate(["doc_id % 7 < 2", "doc_id % 7 = 2",
+                                  "doc_id % 7 > 2"]):
+            on(inc.filter(pred).select("quality"), b)
+        n_in = {r["bin"]: r["n"]
+                for r in spark.read.parquet(path).collect()}
+        one_shot = {r["bin"]: r["n"] for r in SA.score_bin_counts(
+            inc.select("quality"), "quality", 10).collect()}
+        assert n_in == one_shot
+        # the derived control signal is therefore identical too
+        tgt_h = {r["bin"]: r["n"] for r in SA.score_bin_counts(
+            tgt, "quality", 10).collect()}
+        T, N = sum(tgt_h.values()), sum(n_in.values())
+        for b in range(10):
+            t, c = tgt_h.get(b, 0), n_in.get(b, 0)
+            maintained = min(1_000_000, (1_000_000 * t * N) // (T * c)) \
+                if c and T else 0
+            onesh = min(1_000_000, (1_000_000 * t * sum(one_shot.values()))
+                        // (T * one_shot.get(b, 0))) \
+                if one_shot.get(b, 0) and T else 0
+            assert maintained == onesh
