@@ -381,3 +381,46 @@ def test_join_size_estimate_disjoint_keys_is_zero(spark):
     b = spark.createDataFrame([(k,) for k in range(100, 110)], "k long")
     r = sketch.join_size_estimate(a, b, "k", k=8).collect()[0]
     assert r["est_join_rows"] == 0
+
+
+def test_kmv_fused_equals_per_column_reference(spark):
+    """The fused one-scan kmv_distinct must publish exactly what the
+    per-column orderBy+limit form would — same k-min sets, same
+    estimates — including an all-NULL column (reports (col, 0, 0))
+    and a below-k column (exact count)."""
+    rows = [(i % 7, f"v{i % 3}" if i % 5 else None, None)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "a long, b string, c string")
+    k = 4
+    fused = {r["col_name"]: (r["n_kept"], r["kmv_estimate"])
+             for r in sketch.kmv_distinct(df, ["a", "b", "c"], k=k)
+             .collect()}
+    for c in ["a", "b", "c"]:
+        vals = (df.select(F.col(c).cast("string").alias("__v"))
+                .filter(F.col("__v").isNotNull()).distinct()
+                .select(sketch._uniform_hash(F.col("__v")).alias("__u"))
+                .orderBy("__u").limit(k).collect())
+        n_kept = len(vals)
+        if n_kept < k:
+            est = n_kept
+        else:
+            est = round((k - 1) / max(v["__u"] for v in vals))
+        assert fused[c] == (n_kept, est), c
+    # caller's column order preserved on the bounded output
+    got_order = [r["col_name"]
+                 for r in sketch.kmv_distinct(df, ["c", "a", "b"], k=k)
+                 .collect()]
+    assert got_order == ["c", "a", "b"]
+
+
+def test_kmv_merge_fused_equals_direct(spark):
+    """Merge law at the fused form: the merged sketch of disjoint
+    shards equals kmv_distinct of the concatenation, column for
+    column."""
+    rows = [(i, f"u{i % 11}") for i in range(60)]
+    df = spark.createDataFrame(rows, "a long, b string")
+    sh1, sh2 = df.filter("a % 2 = 0"), df.filter("a % 2 = 1")
+    merged = sketch.kmv_merge_distinct([sh1, sh2], ["a", "b"], k=8)
+    direct = sketch.kmv_distinct(df, ["a", "b"], k=8)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
