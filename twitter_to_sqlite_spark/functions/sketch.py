@@ -64,44 +64,33 @@ def kmv_distinct(df: DataFrame, columns: list[str], k: int = 256) -> DataFrame:
     the standard KMV union, which is how a 1000-executor profile
     combines per-shard sketches without a second data pass.
     """
-    # Fused: ONE scan for all columns (each row explodes to its
-    # (column, value) pairs), one distinct on the pair, per-column
-    # bottom-k via a column-partitioned window (WindowGroupLimit —
-    # k rows per partition map-side). The per-column loop form read
-    # the table once PER COLUMN; the k-min sets and estimates are
-    # value-identical, so sketches stay cross-engine/merge compatible.
-    pairs = (
-        df.select(F.explode(F.array(*[
-            F.struct(F.lit(c).alias("col_name"),
-                     F.col(c).cast("string").alias("__v"))
-            for c in columns
-        ])).alias("__p"))
-        .select("__p.col_name", "__p.__v")
-        .filter(F.col("__v").isNotNull())
-        .distinct()
-        .select("col_name", _uniform_hash(F.col("__v")).alias("__u"))
-    )
-    kmin = pairs.withColumn(
-        "__rn",
-        F.row_number().over(Window.partitionBy("col_name")
-                            .orderBy("__u")),
-    ).filter(F.col("__rn") <= k)
-    agg = kmin.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.max("__u").alias("__umax"),
-    )
-    # Column spine: an all-NULL column has no pair rows but must still
-    # report (col, 0, 0); the index also pins the caller's column
-    # order on the bounded output.
-    spine = df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(columns)], "__i int, col_name string")
-    full = (spine.join(agg, "col_name", "left")
-            .select("__i", "col_name",
-                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                    F.col("__umax")))
-    return (_kmv_estimate(full, k, F.col("__i"), F.col("col_name"))
-            .orderBy("__i")
-            .select("col_name", "n_kept", "kmv_estimate"))
+    # One scan per column is INTRINSIC here, not a redundant-lineage
+    # bug (r8 sweep note): each scan is column-pruned to exactly that
+    # column (summed bytes equal a single all-column scan), each
+    # distinct shuffles only that column's values, and the k-min is a
+    # TakeOrderedAndProject. A fused (column, value)-explode form was
+    # measured ~1.7x slower at sf0.1 (it triples the pre-shuffle row
+    # stream and forfeits per-scan pruning) and was reverted — see
+    # tests/test_sketch.py::test_kmv_fused_equals_per_column_reference
+    # which now anchors this form against the same inline reference.
+    out = None
+    for c in columns:
+        vals = (
+            df.select(F.col(c).cast("string").alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .distinct()
+            .select(_uniform_hash(F.col("__v")).alias("__u"))
+        )
+        kmin = vals.orderBy("__u").limit(k)
+        est = _kmv_estimate(
+            kmin.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.max("__u").alias("__umax"),
+            ),
+            k, F.lit(c).alias("col_name"),
+        )
+        out = est if out is None else out.unionByName(est)
+    return out
 
 
 def kmv_distinct_by(df: DataFrame, group_col: str, value_col: str,
@@ -174,53 +163,23 @@ def kmv_merge_distinct(dfs: list[DataFrame], columns: list[str],
     Scale: one distinct + TakeOrderedAndProject per (shard, column);
     the merge itself touches ≤ k·|shards| rows.
     """
-    # Fused like kmv_distinct: each SHARD is scanned once for all
-    # columns (one (column, value) explode + distinct + per-column
-    # bottom-k), the per-shard k-min sets union, re-truncate per
-    # column, and the estimator runs on the bounded merge frame.
-    def shard_kmin(df):
-        pairs = (
-            df.select(F.explode(F.array(*[
-                F.struct(F.lit(c).alias("col_name"),
-                         F.col(c).cast("string").alias("__v"))
-                for c in columns
-            ])).alias("__p"))
-            .select("__p.col_name", "__p.__v")
-            .filter(F.col("__v").isNotNull())
-            .distinct()
-            .select(
-                "col_name",
-                F.conv(F.substring(F.md5(F.col("__v")), 1, 15), 16, 10)
-                .cast("long").alias("__h"))
+    out = None
+    for c in columns:
+        u = None
+        for df in dfs:
+            m = _min_hashes(df, c, k)
+            u = m if u is None else u.unionByName(m)
+        kmin = u.distinct().orderBy("__h").limit(k)
+        est = _kmv_estimate(
+            kmin.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.max(F.col("__h") / F.lit(_HASH_SPACE))
+                .alias("__umax"),
+            ),
+            k, F.lit(c).alias("col_name"),
         )
-        return pairs.withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("col_name")
-                                .orderBy("__h")),
-        ).filter(F.col("__rn") <= k).select("col_name", "__h")
-
-    u = None
-    for df in dfs:
-        m = shard_kmin(df)
-        u = m if u is None else u.unionByName(m)
-    kmin = u.distinct().withColumn(
-        "__rn",
-        F.row_number().over(Window.partitionBy("col_name")
-                            .orderBy("__h")),
-    ).filter(F.col("__rn") <= k)
-    agg = kmin.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.max(F.col("__h") / F.lit(_HASH_SPACE)).alias("__umax"),
-    )
-    spine = dfs[0].sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(columns)], "__i int, col_name string")
-    full = (spine.join(agg, "col_name", "left")
-            .select("__i", "col_name",
-                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                    F.col("__umax")))
-    return (_kmv_estimate(full, k, F.col("__i"), F.col("col_name"))
-            .orderBy("__i")
-            .select("col_name", "n_kept", "kmv_estimate"))
+        out = est if out is None else out.unionByName(est)
+    return out
 
 
 def kmv_overlap(df_a: DataFrame, df_b: DataFrame,
