@@ -75,7 +75,15 @@ def main() -> None:
     if args.subset == "r2":
         queries = {n: queries[n] for n in R2_QUERIES}
     if args.only:
+        if args.subset != "all":
+            ap.error("--only and --subset are mutually exclusive "
+                     "(--only would silently override the subset while "
+                     "keeping its build billing)")
         names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in catalog.QUERIES]
+        if unknown:
+            ap.error(f"--only: unknown queries {unknown}; valid names "
+                     "are the catalog.QUERIES keys")
         queries = {n: catalog.QUERIES[n] for n in names}
 
     # Warmup: materialize each table once (parquet footer reads,

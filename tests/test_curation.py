@@ -1619,14 +1619,19 @@ class TestDmMaintained:
             inc.select("quality"), "quality", 10).collect()}
         assert n_in == one_shot
         # the derived control signal is therefore identical too
+        # the rates derived from the MAINTAINED histogram must equal
+        # an INDEPENDENT reference: distribution_match_rates run on
+        # the raw frames (different code path, same ppm op tree) —
+        # this pins min/floor-div/zero-guard, not just count equality
         tgt_h = {r["bin"]: r["n"] for r in SA.score_bin_counts(
             tgt, "quality", 10).collect()}
         T, N = sum(tgt_h.values()), sum(n_in.values())
+        ref = {r["bin"]: r["rate_ppm"]
+               for r in sampling.distribution_match_rates(
+                   inc.select("quality"), tgt, "quality",
+                   n_bins=10).collect()}
         for b in range(10):
             t, c = tgt_h.get(b, 0), n_in.get(b, 0)
             maintained = min(1_000_000, (1_000_000 * t * N) // (T * c)) \
                 if c and T else 0
-            onesh = min(1_000_000, (1_000_000 * t * sum(one_shot.values()))
-                        // (T * one_shot.get(b, 0))) \
-                if one_shot.get(b, 0) and T else 0
-            assert maintained == onesh
+            assert maintained == ref[b], b

@@ -62,6 +62,9 @@ def main() -> None:
         print("ABRESULT " + json.dumps(run_one(args.queries, args.sf_dir)))
         return
 
+    if args.runs < 1:
+        ap.error("wrapper mode needs --runs N (N >= 1), "
+                 "or pass --one to time in this process")
     results = []
     for i in range(args.runs):
         order = list(args.queries) if i % 2 == 0 else list(

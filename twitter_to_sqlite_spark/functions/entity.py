@@ -133,7 +133,9 @@ def cluster_entities(df: DataFrame, name_col: str,
     """
     from twitter_to_sqlite_spark.functions.dedup import near_dup_components
 
-    d = name_dictionary(df, name_col)
+    # pinned ONCE here: both the matcher and the final labeling
+    # join reference the dictionary (the blocked_pairs note)
+    d = name_dictionary(df, name_col).localCheckpoint(eager=False)
     pairs = _match_dictionary(d, block_exprs, max_distance, max_block)
     comp = near_dup_components(pairs, "name1", "name2")
     return (

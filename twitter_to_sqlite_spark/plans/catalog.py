@@ -8248,7 +8248,7 @@ def _sba_fixture(spark, sf_dir):
 _SBA_ENGINE_CACHE: dict[str, list] = {}
 
 
-def _sba_engine_rows(spark, sf_dir):
+def _sba_engine_rows(spark, sf_dir, parts=None):
     """The two STATEFUL twins through the REAL engine — a json spool
     + availableNow + applyInPandasWithState, mtime-ordered files so
     per-key arrival stays time-ordered across batches (their
@@ -8259,6 +8259,9 @@ def _sba_engine_rows(spark, sf_dir):
     and checkpoints live in a tempdir removed before returning."""
     if sf_dir in _SBA_ENGINE_CACHE:
         return list(_SBA_ENGINE_CACHE[sf_dir])
+    # `parts` lets a caller that already collected the fixture (the
+    # recurring entry on a cold cache) hand it over instead of paying
+    # the fixture job twice.
 
     import datetime as dt
     import json as _json
@@ -8275,7 +8278,8 @@ def _sba_engine_rows(spark, sf_dir):
     def us(ts):
         return (ts - epoch) // dt.timedelta(microseconds=1)
 
-    parts = _sba_fixture(spark, sf_dir)
+    if parts is None:
+        parts = _sba_fixture(spark, sf_dir)
     out = []
     root = tempfile.mkdtemp(prefix="sba-eng-")
     try:
@@ -8412,7 +8416,7 @@ def q_stream_batch_agreement(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    out.extend(_sba_engine_rows(spark, sf_dir))
+    out.extend(_sba_engine_rows(spark, sf_dir, parts=parts))
 
     return spark.createDataFrame(
         sorted(out), "twin string, n_rows long, checksum long")
@@ -8674,7 +8678,11 @@ def q_dm_maintained(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="dmm-")
     try:
-        on_psi = SA.drift_monitor(spark, root + "/hist", "quality")
+        # n_bins passed explicitly: the SQL twin and the target
+        # histogram both derive from _PSI_BINS, so the maintained
+        # histogram must too (the _NOISE_DIMS desync class).
+        on_psi = SA.drift_monitor(spark, root + "/hist", "quality",
+                                  n_bins=_PSI_BINS)
         for b in range(3):
             on_psi(dq.filter(F.col("doc_id") % 3 == b)
                    .select("quality"), b)
