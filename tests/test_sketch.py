@@ -381,11 +381,15 @@ def test_join_size_estimate_disjoint_keys_is_zero(spark):
     assert r["est_join_rows"] == 0
 
 
-def test_kmv_fused_equals_per_column_reference(spark):
-    """The fused one-scan kmv_distinct must publish exactly what the
-    per-column orderBy+limit form would — same k-min sets, same
-    estimates — including an all-NULL column (reports (col, 0, 0))
-    and a below-k column (exact count)."""
+def test_kmv_per_column_equals_inline_reference(spark):
+    """The shipped per-column kmv_distinct (one pruned scan per
+    column — the DESIGNED shape; a fused (col,value)-explode form was
+    tried, measured 1.7x slower, and reverted in r8, commit 7a7a573)
+    must publish exactly what this inline orderBy+limit reference
+    computes — same k-min sets, same estimates — including an
+    all-NULL column (reports (col, 0, 0)) and a below-k column
+    (exact count). Kept as the regression anchor for any future
+    re-attempt at scan fusion."""
     rows = [(i % 7, f"v{i % 3}" if i % 5 else None, None)
             for i in range(40)]
     df = spark.createDataFrame(rows, "a long, b string, c string")

@@ -10,6 +10,12 @@ Runs, in order, each in a FRESH process:
                                 written to BENCH_LOCAL.json)
   4. registry-count consistency check: README's advertised counts
      must equal len(catalog.QUERIES) — prints the lines to fix if not.
+  5. README test-count refresh (VERDICT r8 task 4: the "NNN tests"
+     tree line drifted twice from hand edits): pytest --collect-only
+     is the source of truth; the tree line and the Status line's
+     "**X passed + Y skipped" are REWRITTEN from it (X = collected −
+     skips — valid precisely because stages 1-3 only pass on a green
+     repo and the battery is the round's last gate).
 
 Exit code is non-zero if any stage fails, so the round's LAST commit
 can gate on `python tools/closing_battery.py`. Budget ~20 min.
@@ -105,6 +111,33 @@ def main() -> None:
         failures.append("readme")
     else:
         print(f"4. README: counts agree ({n})", flush=True)
+
+    # 5. README test counts, generated not hand-edited: collection is
+    # the source of truth (collected == passed + skipped on the green
+    # repo the battery certifies).
+    rc, tail = run([sys.executable, "-m", "pytest", "--collect-only",
+                    "-q", "tests/"], "/tmp/battery_collect.log")
+    mc = re.search(r"(\d+) tests collected",
+                   open("/tmp/battery_collect.log").read())
+    if rc != 0 or not mc:
+        print(f"5. test count: FAIL collecting ({tail[-200:]})",
+              flush=True)
+        failures.append("collect")
+    else:
+        total = int(mc.group(1))
+        src = open(os.path.join(REPO, "README.md")).read()
+        new = re.sub(r"\d+ tests:", f"{total} tests:", src, count=1)
+        ms = re.search(r"\*\*(\d+) passed \+ (\d+)", new)
+        if ms:
+            new = (new[:ms.start(1)] + str(total - int(ms.group(2)))
+                   + new[ms.end(1):])
+        if new != src:
+            open(os.path.join(REPO, "README.md"), "w").write(new)
+            print(f"5. README test counts: REWRITTEN "
+                  f"({total} collected) — commit the diff", flush=True)
+        else:
+            print(f"5. README test counts: agree ({total} collected)",
+                  flush=True)
 
     if failures:
         print(f"BATTERY FAILED: {failures}", flush=True)

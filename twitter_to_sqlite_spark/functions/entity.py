@@ -100,9 +100,14 @@ def _match_dictionary(d: DataFrame, block_exprs: list[Column],
                       max_distance: int,
                       max_block: int | None) -> DataFrame:
     """Matched pairs over an existing (name, n_records) dictionary —
-    the shared core of match_names / cluster_entities."""
+    the shared core of match_names / cluster_entities. Callers pass
+    an already-pinned (lazily localCheckpointed) dictionary: the
+    multi-block union in blocked_pairs references it once per block
+    expression, and cluster_entities reuses the same pin for its
+    final labeling join — pinning here too would materialize the
+    bounded dictionary twice (r8 ADVICE)."""
     cand = blocked_pairs(
-        d.localCheckpoint(eager=False), block_exprs,
+        d, block_exprs,
         max_block=max_block, max_length_diff=max_distance,
     )
     return (
@@ -156,5 +161,6 @@ def match_names(df: DataFrame, name_col: str,
     ≤ ``max_distance``. Returns (name1, n1, name2, n2, dist) with
     counts/dist as BIGINT (cross-engine schema stability); record-
     level pairs are an equi-join back on name1/name2."""
-    d = name_dictionary(df, name_col)
+    # pinned by the caller contract of _match_dictionary (see there)
+    d = name_dictionary(df, name_col).localCheckpoint(eager=False)
     return _match_dictionary(d, block_exprs, max_distance, max_block)

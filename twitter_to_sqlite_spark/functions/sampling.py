@@ -623,11 +623,30 @@ def distribution_match(incoming: DataFrame, target: DataFrame,
     a job (the hash_sample contract). A caller that also PUBLISHES
     the rates should compute them once (ideally checkpointed — the
     frame is n_bins rows) and pass them via `rates`, so the two
-    histogram scans aren't re-run inside the filter's lineage.
+    histogram scans aren't re-run inside the filter's lineage. A
+    supplied `rates` frame must have been built with the SAME
+    `n_bins` (asserted — the frame has exactly n_bins rows) and the
+    SAME `resolution` (documented contract; not recoverable from the
+    frame) as this call.
     """
     if rates is None:
         rates = distribution_match_rates(incoming, target, value_col,
                                          n_bins, resolution)
+    else:
+        # Consistency guard (r8 ADVICE): a rates frame built with a
+        # different n_bins would silently drop rows via the inner bin
+        # join below. The frame is bounded (n_bins rows) so the check
+        # is one tiny job. `resolution` cannot be read off the frame
+        # (rate_ppm ≤ resolution holds for any smaller resolution
+        # too), so it is a documented contract: the rates MUST have
+        # been built with the same `resolution` as this call, or the
+        # hash-compare acceptance threshold is mis-scaled.
+        got = rates.count()
+        if got != n_bins:
+            raise ValueError(
+                f"rates frame has {got} rows but n_bins={n_bins}; "
+                f"build it with distribution_match_rates(..., "
+                f"n_bins={n_bins}, resolution={resolution})")
     b = F.least(F.floor(F.col(value_col) * n_bins).cast("int"),
                 F.lit(n_bins - 1))
     keyed = (incoming.filter(F.col(value_col).isNotNull()
