@@ -1003,3 +1003,30 @@ def test_dm_maintained_output_is_bounded_local(spark):
     plan = plan_of(spark, "dm_maintained")
     assert "Scan parquet" not in plan
     assert "Exchange" not in plan
+
+
+# --- r8 checkpoint-sweep shapes, pinned as a set (VERDICT r8 task 5).
+# The sweep replaced per-consumer lineage re-derivation with lazy
+# localCheckpoints in these OLD certified queries; each entry pins the
+# post-sweep parquet-scan budget of the final frame so a regression to
+# Catalyst re-derivation is caught by pytest, not by the next bench.
+# Lazy checkpoints explain as Scan ExistingRDD, so a budget of 0 means
+# "every corpus reference reads the pinned RDD" (the scan that FEEDS
+# the pin still runs once, at materialization, outside this plan).
+@pytest.mark.parametrize(
+    "name,max_parquet_scans",
+    [
+        ("graph_triangles", 0),   # was 36 input-scan derivations
+        ("entity_match", 0),      # was 12
+        ("retrieval_eval", 0),    # was 16
+        ("pmi_collocations", 0),  # was 5
+        ("hybrid_search", 4),     # fts/vector legs: per-leg pruned reads
+        ("distribution_match", 2),  # was 14; 2 pruned histogram feeds
+    ],
+)
+def test_r8_sweep_scan_budgets(spark, name, max_parquet_scans):
+    plan = plan_of(spark, name)
+    assert count_nodes(plan, "Scan parquet") <= max_parquet_scans, (
+        f"{name}: parquet-scan budget {max_parquet_scans} exceeded — "
+        "a shared frame lost its checkpoint pin and Catalyst is "
+        "re-deriving its lineage per consumer")
