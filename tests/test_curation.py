@@ -245,6 +245,81 @@ class TestDuplicateSpans:
         assert dedup.duplicate_spans(d, window=4).count() == 0
 
 
+class TestDuplicateSpansKeepFirst:
+    def test_canonical_doc_keeps_its_copy(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [
+            (1, "one two three four five six seven eight"),
+            (2, "zz one two three four five qq rr ss tt"),
+        ])
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.duplicate_spans_keep_first(d, window=4)
+            .collect()
+        )
+        # doc 1 holds the canonical (min doc_id) occurrences of both
+        # dup 4-grams; only doc 2's copy is marked.
+        assert got == [(2, 1, 6)]
+
+    def test_identical_docs_remove_all_but_lowest_id(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        t = "a b c d e f"
+        d = _docs(spark, [(3, t), (1, t), (2, t)])
+        spans = dedup.duplicate_spans_keep_first(d, window=4)
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in spans.collect()
+        )
+        assert got == [(2, 0, 6), (3, 0, 6)]
+        cleaned = {r["doc_id"]: r["text_clean"]
+                   for r in dedup.remove_spans(d, spans).collect()}
+        assert cleaned == {1: t, 2: "", 3: ""}
+
+    def test_within_doc_repeat_keeps_first_occurrence(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        # "p q r s" repeats at pos 0/4/8 within ONE doc. The 4 distinct
+        # rotation hashes have canonical positions 0-3, so marked
+        # window positions are 4-8, merging to the single span [4, 12)
+        # — the first full period [0, 4) survives removal.
+        d = _docs(spark, [(1, "p q r s p q r s p q r s")])
+        got = [(r["span_start"], r["span_end"])
+               for r in dedup.duplicate_spans_keep_first(d, window=4)
+               .collect()]
+        assert got == [(4, 12)]
+
+    def test_no_duplicates_yields_empty(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+        ])
+        assert dedup.duplicate_spans_keep_first(d, window=4).count() == 0
+
+    def test_marked_positions_subset_of_aggressive(self, spark):
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [
+            (1, "one two three four five six seven eight"),
+            (2, "zz one two three four five qq rr ss tt"),
+            (3, "p q r s p q r s one two three four xx"),
+            (4, "unique tokens only here nothing shared at all"),
+        ])
+
+        def positions(spans):
+            return {(r["doc_id"], p)
+                    for r in spans.collect()
+                    for p in range(r["span_start"], r["span_end"])}
+
+        keep_first = positions(
+            dedup.duplicate_spans_keep_first(d, window=4))
+        aggressive = positions(dedup.duplicate_spans(d, window=4))
+        assert keep_first < aggressive  # strictly: canonicals survive
+
+
 class TestMixCorpora:
     def _mix_input(self, spark):
         rows = [

@@ -275,6 +275,40 @@ def test_substring_dedup_has_no_pair_join(spark):
         )
 
 
+def test_keep_first_spans_add_no_join_and_one_hash_shuffle(spark):
+    """Keep-first span detection must stay the duplicate_spans shape:
+    the canonical-occurrence pick is two more frame-free aggregates on
+    the SAME per-hash window partition — no join node of any kind, and
+    exactly one exchange keyed on the window hash (the chained
+    count/min-id/min-pos windows must not each re-shuffle)."""
+    import re
+
+    from twitter_to_sqlite_spark.functions import dedup
+
+    d = catalog._t(spark, SF, "documents").select("doc_id", "text")
+    plan = plan_of_df(
+        spark, dedup.duplicate_spans_keep_first(d, window=8))
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert count_nodes(plan, node) == 0, node
+    # formatted mode lists each Exchange's partitioning on its
+    # Arguments detail line
+    hash_exchanges = len(re.findall(
+        r"^Arguments: hashpartitioning\(h#", plan, re.M))
+    assert hash_exchanges == 1, plan
+
+
+def test_substring_clean_keep_first_scan_budget(spark):
+    """The applied form reads documents twice (span detection + the
+    text being cleaned, both pruned to doc_id/text) and never goes
+    quadratic."""
+    plan = plan_of(spark, "substring_clean_keep_first")
+    assert count_nodes(plan, "Scan parquet") <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_mix_corpora_budget_join_is_broadcast(spark):
     """The per-stratum budget table (rows = #strata) must broadcast
     onto the corpus — a shuffle join would re-key the whole corpus for

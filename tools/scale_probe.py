@@ -739,6 +739,8 @@ def main():
         "jaccard_dfcap": lambda d, v: dedup.ngram_jaccard_pairs(
             d, "doc_id", "text", k=3, threshold=0.5, max_df=20),
         "substring_spans": lambda d, v: dedup.duplicate_spans(d),
+        "substring_spans_keep_first":
+            lambda d, v: dedup.duplicate_spans_keep_first(d),
         "tfidf_terms": lambda d, v: text.tfidf_top_terms(d, group_col="lang"),
         "gopher": lambda d, v: text.gopher_filter(d),
         "classifier_score": lambda d, v: classifier.logreg_score(

@@ -954,13 +954,29 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
+    wins = _window_hashes(df, id_col, text_col, window)
+    dup = (
+        wins.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("__c") > 1)
+        .select("id", "pos")
+    )
+    return _merge_position_islands(dup, window, id_col)
+
+
+def _window_hashes(df: DataFrame, id_col: str, text_col: str,
+                   window: int) -> DataFrame:
+    """(id, pos, h): the md5 of every ``window``-token sliding window
+    at every 0-based position — the shared front of the substring-
+    dedup family."""
     toks = spread(df).select(
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__t")
     )
     # Materialize tokens BEFORE the transform lambda (the per-element
     # re-evaluation trap shingle_array documents).
     n = F.size("__t")
-    wins = toks.filter(n >= window).select(
+    return toks.filter(n >= window).select(
         "id",
         F.explode(
             F.transform(
@@ -974,13 +990,13 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         ).alias("__w"),
     ).select("id", F.col("__w.pos").alias("pos"), F.col("__w.h").alias("h"))
 
-    dup = (
-        wins.withColumn(
-            "__c", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        )
-        .filter(F.col("__c") > 1)
-        .select("id", "pos")
-    )
+
+def _merge_position_islands(dup: DataFrame, window: int,
+                            id_col: str) -> DataFrame:
+    """Gaps-and-islands over duplicated window positions: per document,
+    overlapping / touching ``window``-token windows merge into maximal
+    (span_start, span_end) ranges. Input: (id, pos) rows."""
+    from pyspark.sql import Window
 
     w_doc = Window.partitionBy("id").orderBy("pos")
     gap = F.col("pos") - F.lag("pos").over(w_doc)
@@ -1006,6 +1022,63 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
             .alias("n_dup_tokens"),
         )
     )
+
+
+def duplicate_spans_keep_first(df: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               window: int = 8) -> DataFrame:
+    """Exact substring-duplication spans, KEEP-FIRST policy: like
+    :func:`duplicate_spans`, but each duplicated ``window``-gram's
+    canonical occurrence — the corpus-wide (min doc id, then min
+    position) one — is NOT marked, so one copy of every duplicated
+    substring survives removal. This is Lee et al. 2022 §4's actual
+    ExactSubstr treatment (remove all BUT one occurrence of a shared
+    span); :func:`duplicate_spans` is the aggressive remove-every-
+    occurrence variant. Returns (doc_id, span_start, span_end,
+    n_dup_tokens) rows covering only non-canonical occurrences;
+    :func:`remove_spans` applies them.
+
+    Keep-first is decided per window hash independently; a canonical
+    document can still lose part of a kept span to a DIFFERENT hash
+    whose canonical copy lives elsewhere — inherent to any greedy
+    per-substring policy, and how the suffix-array original behaves
+    when duplicated ranges overlap.
+
+    Scale: identical shape to :func:`duplicate_spans` — no pair join,
+    no Σ bucket² term. The canonical pick adds two more aggregates
+    over the SAME per-hash window partition (count, min id, then min
+    pos within the min-id doc): one shuffle on the high-entropy hash
+    serves all three, and no per-hash sort is introduced (min/count
+    are frame-free). The (min id, min pos) pick is two chained
+    unbounded-window aggregates rather than one min-of-struct so the
+    DuckDB oracle can state it verbatim, with no overflow-prone
+    id*K+pos scalar encoding.
+
+    Reference parity: no counterpart — extends the reference's
+    exact-dedup tier (SURVEY §2 dedup family) like duplicate_spans.
+    """
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    wins = _window_hashes(df, id_col, text_col, window)
+    counted = (
+        wins
+        .withColumn("__c", F.count(F.lit(1)).over(wh))
+        .withColumn("__mid", F.min("id").over(wh))
+    )
+    # min position within the canonical (min-id) document; rows of
+    # other docs contribute NULL, which min() ignores.
+    first_pos = F.min(
+        F.when(F.col("id") == F.col("__mid"), F.col("pos"))
+    ).over(wh)
+    dup = (
+        counted.withColumn("__mpos", first_pos)
+        .filter((F.col("__c") > 1)
+                & ~((F.col("id") == F.col("__mid"))
+                    & (F.col("pos") == F.col("__mpos"))))
+        .select("id", "pos")
+    )
+    return _merge_position_islands(dup, window, id_col)
 
 
 def remove_spans(docs: DataFrame, spans: DataFrame,

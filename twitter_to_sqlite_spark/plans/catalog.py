@@ -4712,6 +4712,84 @@ SELECT doc_id,
 FROM kept
 """
 
+
+def q_substring_clean_keep_first(spark, sf_dir):
+    """Exact substring dedup, Lee et al. 2022 §4's ACTUAL treatment:
+    every duplicated 8-gram keeps its canonical corpus-wide
+    occurrence ((min doc_id, min pos)) and all other occurrences are
+    cut out — one copy of every shared span survives, unlike
+    substring_clean's aggressive remove-every-occurrence policy.
+    Detection stays linear (the duplicate_spans shape plus two more
+    frame-free aggregates on the same per-hash window partition — no
+    pair join, no per-hash sort), then remove_spans' 1:1 join + array
+    surgery. New capability staged in round 9 (VERDICT r8 task 2a)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = dedup.duplicate_spans_keep_first(d, window=_SPAN_WINDOW)
+    return dedup.remove_spans(d, spans)
+
+
+SQL_SUBSTRING_CLEAN_KEEP_FIRST = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(t, i, i + {_SPAN_WINDOW} - 1), ' ')) AS h
+  FROM t, unnest(generate_series(1, len(t) - {_SPAN_WINDOW} + 1)) AS u(i)
+  WHERE len(t) >= {_SPAN_WINDOW}
+),
+d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, c, mid,
+           min(CASE WHEN doc_id = mid THEN pos END)
+             OVER (PARTITION BY h) AS mpos
+    FROM (
+      SELECT doc_id, pos, h,
+             count(*) OVER (PARTITION BY h) AS c,
+             min(doc_id) OVER (PARTITION BY h) AS mid
+      FROM w
+    )
+  ) WHERE c > 1 AND NOT (doc_id = mid AND pos = mpos)
+),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SPAN_WINDOW}
+              THEN 0 ELSE 1 END AS new_span
+  FROM d
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_WINDOW} AS e
+  FROM s GROUP BY doc_id, sid
+),
+per_doc AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+  FROM spans GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.t,
+         coalesce(p.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
+  FROM t LEFT JOIN per_doc p USING (doc_id)
+  WHERE len(t.t) > 0
+),
+kept AS (
+  SELECT doc_id, t,
+         list_filter(generate_series(0, len(t) - 1),
+                     i -> len(list_filter(sp,
+                              x -> i >= x.s AND i < x.e)) = 0) AS keep
+  FROM joined
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(keep, i -> t[i + 1]), ' '), '')
+         AS text_clean,
+       (len(t) - len(keep))::BIGINT AS n_removed_tokens
+FROM kept
+"""
+
 # Target mixture proportions per source for q_mix_corpora (ratios,
 # need not sum to 1); sources outside the map are excluded.
 _MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
@@ -12012,6 +12090,7 @@ _QUERY_IMPLS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "perplexity_buckets_dist": q_perplexity_buckets_dist,
     "substring_clean": q_substring_clean,
+    "substring_clean_keep_first": q_substring_clean_keep_first,
     "classifier_auc": q_classifier_auc,
     "calibration": q_calibration,
     "embedding_stats": q_embedding_stats,
@@ -12253,6 +12332,7 @@ LAST_VERIFIED: dict[str, int] = {
     "perplexity_buckets": 6,
     "perplexity_buckets_dist": 6,
     "substring_clean": 6,
+    "substring_clean_keep_first": 99,
     "classifier_auc": 6,
     "calibration": 6,
     "embedding_stats": 6,
@@ -12500,6 +12580,7 @@ ORACLE_SQL: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "substring_clean": SQL_SUBSTRING_CLEAN,
+    "substring_clean_keep_first": SQL_SUBSTRING_CLEAN_KEEP_FIRST,
     "mix_corpora": SQL_MIX_CORPORA,
     "mix_corpora_dist": SQL_MIX_CORPORA,
     "gopher_filter": SQL_GOPHER_FILTER,
