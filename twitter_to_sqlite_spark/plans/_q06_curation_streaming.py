@@ -1,0 +1,1832 @@
+"""Catalog chunk 6: r5-r6 curation extensions + artifact store + stream/batch agreement certification."""
+
+from __future__ import annotations
+
+from twitter_to_sqlite_spark.plans import _q05_text_multimodal as _prev
+from twitter_to_sqlite_spark.plans._q05_text_multimodal import *  # noqa: F401,F403
+
+# ---------------------------------------------------------------------
+# Paragraph-granularity dedup (VERDICT r5 task 5)
+# ---------------------------------------------------------------------
+
+# The synthetic documents carry no newline structure, so the query
+# derives a deterministic paragraph corpus first: each doc's tokens in
+# 20-token chunks joined by blank lines, plus a boilerplate footer
+# appended to every third doc — the classic repeated-paragraph target
+# (RefinedWeb removes exactly this shape). Both engines construct the
+# identical corpus, so the dedup itself is cross-engine verified.
+_PARA_CHUNK = 20
+_PARA_BOILER = "subscribe to our newsletter for updates"
+
+
+def _para_corpus(spark, sf_dir) -> DataFrame:
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("__toks"))
+    paras = F.expr(f"""
+        transform(sequence(0,
+            int(greatest(ceil(size(__toks) / {_PARA_CHUNK}.0), 1)) - 1),
+          i -> array_join(slice(__toks, i * {_PARA_CHUNK} + 1,
+                                {_PARA_CHUNK}), ' '))
+    """)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.array_join(paras, "\n\n"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\n\n" + _PARA_BOILER)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_dedup_paragraph(spark, sf_dir):
+    """Paragraph-level dedup (functions/dedup.py::paragraph_dedup,
+    RefinedWeb-style): drop paragraphs repeated >=2 times corpus-wide
+    (the planted boilerplate footer plus any naturally colliding
+    chunk), reassemble documents in order. One explode + one md5-keyed
+    count aggregate + one bounded per-doc re-agg — no pair join, so
+    the pass is linear at 100 TB; the hot boilerplate key is handled
+    by map-side combine, not a single window task."""
+    from twitter_to_sqlite_spark.functions import dedup
+
+    return dedup.paragraph_dedup(
+        _para_corpus(spark, sf_dir), "doc_id", "text", min_count=2)
+
+
+# CTE chain shared by dedup_paragraph and pipeline_curate (which
+# composes it with the quality gate, the split, and training_order).
+_SQL_PARA_CTES = f"""corpus AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             generate_series(0,
+               CAST(greatest(ceil(len(t) / {_PARA_CHUNK}.0), 1) AS INT) - 1),
+             i -> array_to_string(
+                    t[(i * {_PARA_CHUNK} + 1):(i * {_PARA_CHUNK}
+                      + {_PARA_CHUNK})], ' ')), chr(10) || chr(10))
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || chr(10) || '{_PARA_BOILER}'
+                 ELSE '' END AS text
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+),
+paras AS (
+  SELECT doc_id, pp['pos'] AS pos, pp['para'] AS para
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(parts)),
+        i -> {{'pos': i, 'para': parts[i]}})) AS pp
+    FROM (SELECT doc_id,
+                 string_split(text, chr(10) || chr(10)) AS parts
+          FROM corpus)
+  )
+),
+counted AS (
+  SELECT doc_id, pos, para,
+         count(*) OVER (PARTITION BY para) AS cnt
+  FROM paras
+),
+para_clean AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_paras,
+         CAST(count(*) FILTER (WHERE cnt < 2) AS BIGINT) AS n_kept,
+         coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                  FILTER (WHERE cnt < 2), '') AS clean_text
+  FROM counted
+  GROUP BY doc_id
+)"""
+
+SQL_DEDUP_PARAGRAPH = f"""
+WITH {_SQL_PARA_CTES}
+SELECT doc_id, n_paras, n_kept, clean_text FROM para_clean
+"""
+
+
+def q_dedup_paragraph_incremental(spark, sf_dir):
+    """Incremental paragraph dedup
+    (functions/dedup.py::paragraph_dedup_incremental): clean the NEW
+    half of the paragraph corpus (odd doc_ids) against the stored
+    half's persisted hash-count table (paragraph_hash_counts over even
+    doc_ids) — the stored corpus participates only as pre-aggregated
+    (hash, n) rows, never rescanned, the paragraph analogue of
+    dedup_incremental's band store. Equal to the batch operator over
+    stored ∪ new restricted to new ids (maintain ≡ recompute,
+    law-tested)."""
+    from twitter_to_sqlite_spark.functions import dedup
+
+    corpus = _para_corpus(spark, sf_dir)
+    stored = dedup.paragraph_hash_counts(
+        corpus.filter(F.col("doc_id") % 2 == 0))
+    return dedup.paragraph_dedup_incremental(
+        corpus.filter(F.col("doc_id") % 2 == 1), stored,
+        "doc_id", "text", min_count=2)
+
+
+SQL_DEDUP_PARAGRAPH_INCR = f"""
+WITH {_SQL_PARA_CTES.replace('para_clean AS (', 'para_clean_unused AS (')},
+stored AS (
+  SELECT para, count(*) AS sn FROM paras
+  WHERE doc_id % 2 = 0 GROUP BY para
+),
+newp AS (SELECT doc_id, pos, para FROM paras WHERE doc_id % 2 = 1),
+batch AS (SELECT para, count(*) AS bn FROM newp GROUP BY para),
+tot AS (
+  SELECT b.para, b.bn + coalesce(s.sn, 0) AS cnt
+  FROM batch b LEFT JOIN stored s ON b.para = s.para
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(count(*) FILTER (WHERE cnt < 2) AS BIGINT) AS n_kept,
+       coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                FILTER (WHERE cnt < 2), '') AS clean_text
+FROM newp JOIN tot USING (para)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------
+# Deterministic training order (VERDICT r5 task 6)
+# ---------------------------------------------------------------------
+
+def q_training_order(spark, sf_dir):
+    """Reproducible global training order
+    (functions/sampling.py::training_order): every document's
+    (shard, position) under the deterministic hash shuffle — shard =
+    md5(doc_id) % {n}, position = rank of an independently-salted md5
+    within the shard, tie-broken by doc_id. A pure function of the
+    data (partition-count invariant, law-tested), ranked through the
+    two-phase range-split prefix sum so no task ever sorts a whole
+    shard."""
+    from twitter_to_sqlite_spark.functions.sampling import training_order
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return training_order(d, "doc_id", _MANIFEST_SHARDS)
+
+
+SQL_TRAINING_ORDER = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_MANIFEST_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+            - 1 AS BIGINT) AS position
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------
+# Versioned-table CDC surface (VERDICT r5 task 7)
+# ---------------------------------------------------------------------
+
+def q_version_diff(spark, sf_dir):
+    """End-to-end versioned-table CDC (operators/sinks.py
+    write_version/read_version/version_diff): commit two deterministic
+    snapshots of orders as v1/v2 of a fresh version store — v1 drops
+    keys ≡4 (mod 5), v2 drops keys ≡0 (mod 7) and flips the status of
+    keys ≡0 (mod 3) — then read both back THROUGH the manifest and
+    diff them. The oracle recomputes the identical changelog
+    relationally from orders, so the whole commit→time-travel→diff
+    protocol is cross-engine verified, not just the diff algebra
+    (whose diff→apply round-trip is separately law-tested).
+
+    The version store is a per-call tempdir removed before returning
+    (bench/gate harnesses invoke each query several times per run —
+    leaving verdiff-* snapshot pairs in /tmp would accumulate
+    unboundedly); the diff is localCheckpoint-materialized first so
+    the returned frame no longer reads the deleted parquet."""
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.operators import sinks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    v1 = o.filter(F.col("o_orderkey") % 5 != 4)
+    v2 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="verdiff-")
+    try:
+        path = root + "/tbl"
+        sinks.write_version(v1, path)
+        sinks.write_version(v2, path)
+        diff = sinks.version_diff(
+            spark, path, 1, 2,
+            ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+        return diff.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_VERSION_DIFF = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 4
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_orderstatus AS old_o_orderstatus,
+         a.o_totalprice AS old_o_totalprice,
+         b.o_orderstatus AS new_o_orderstatus,
+         b.o_totalprice AS new_o_totalprice,
+         a.o_orderkey IS NOT NULL AS in_old,
+         b.o_orderkey IS NOT NULL AS in_new
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey, old_o_orderstatus, old_o_totalprice,
+       new_o_orderstatus, new_o_totalprice,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+              OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+              THEN 'changed' END AS change_type
+FROM j
+WHERE (NOT in_old) OR (NOT in_new)
+   OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+   OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+"""
+
+
+# ---------------------------------------------------------------------
+# Sequence packing (r6 extension)
+# ---------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 128
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing
+    (functions/sampling.py::sequence_pack): every document's
+    (start_seq, end_seq, offset_in_seq) when the corpus is laid out in
+    the deterministic training order and chunked into {L}-token
+    sequences — the dataloader-facing complement of training_order.
+    Relation to pack_sequences (r4): that query bins per LANGUAGE with
+    one partitioned window and emits only (bin_id, bin_offset); this
+    is its scale twin in the perplexity_buckets→_dist sense — shard-
+    keyed, per-shard running totals through the two-phase grouped
+    prefix sum (never a per-shard window), and the full sequence-span
+    mapping (start/end/offset) a loader needs to materialize any
+    fixed-length sequence, including docs spanning a boundary."""
+    from twitter_to_sqlite_spark.functions.sampling import sequence_pack
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_toks"))
+    return sequence_pack(d, "doc_id", "n_toks",
+                         _MANIFEST_SHARDS, _PACK_SEQ_LEN)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_MANIFEST_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len({_SQL_TOKS}) > 0
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+)
+SELECT doc_id, shard, n_tokens,
+       CAST((cum - n_tokens) // {_PACK_SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST((cum - 1) // {_PACK_SEQ_LEN} AS BIGINT) AS end_seq,
+       CAST((cum - n_tokens) % {_PACK_SEQ_LEN} AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------
+# Dedup-aware (leakage-safe) dataset split (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_split_dedup_safe(spark, sf_dir):
+    """Leakage-SAFE train/val/test split: the fix for what
+    split_leakage audits. Every document is assigned by the hash of
+    its near-dup COMPONENT representative (min-label over the shared
+    MinHash pairs; singletons use their own id), so an entire cluster
+    of near-duplicates lands in ONE split and a val example can never
+    have a train-side near-copy — the eval-hygiene guarantee an
+    exact-key split cannot give. Plan: the bounded components frame
+    left-joined onto the corpus keys, then the shuffle-free
+    hash-bucket CASE; costs one join beyond the dedup sweep the
+    pipeline already ran. Law-tested: zero cross-split pairs."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _docs_with_planted_dups(spark, sf_dir).select("doc_id")
+    comp = dedup.near_dup_components(
+        _minhash_pairs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+    g = d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("group_key"),
+    )
+    return sampling.assign_splits(g, _SPLITS, key_col="group_key")
+
+
+def _split_dedup_safe_sql() -> str:
+    total = sum(_SPLITS.values())
+    cases, lo = [], 0
+    for name, wt in _SPLITS.items():
+        cases.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    return f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, component) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.component FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id AS doc_id, min(component) AS component
+         FROM walk GROUP BY id),
+alldocs AS ({_SQL_DOCS_PLANTED}),
+g AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+  FROM alldocs d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, group_key, CASE {' '.join(cases)} END AS split
+FROM (
+  SELECT doc_id, group_key,
+         ('0x' || substring(md5(group_key::VARCHAR || ''), 1, 15))::BIGINT
+           % {total} AS b
+  FROM g
+)
+"""
+
+
+SQL_SPLIT_DEDUP_SAFE = _split_dedup_safe_sql()
+
+
+# ---------------------------------------------------------------------
+# CUBE grouping-sets surface + binary media dedup (r6 extensions)
+# ---------------------------------------------------------------------
+
+def q_media_dedup(spark, sf_dir):
+    """Exact dedup over an opaque BINARY payload column — the
+    multimodal face of dedup_exact: group media by md5 of the raw
+    bytes (documents_as_media adapter + planted byte-exact copies of
+    docs 0-14 as guaranteed positives), emit every duplicate cluster
+    with its representative (min media_id) and byte size. The hash
+    runs JVM-side on the binary column directly — payloads are never
+    decoded, so the pass is one map + one fixed-width-key aggregate
+    at any payload size."""
+    from twitter_to_sqlite_spark.functions import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    media = multimodal.documents_as_media(d.unionByName(copies))
+    return (
+        media.groupBy(F.md5("payload").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("keep_id"),
+            F.min(F.length("payload")).cast("long").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+SQL_MEDIA_DEDUP = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id < 15
+)
+SELECT md5(text) AS content_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keep_id,
+       CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+FROM docs
+GROUP BY md5(text)
+HAVING count(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------
+# Bootstrap AUC confidence band (r6 extension)
+# ---------------------------------------------------------------------
+
+_BOOT_B = 8
+
+
+def q_auc_bootstrap(spark, sf_dir):
+    """Deterministic Poisson-bootstrap band for the classifier's AUC
+    (functions/stats.py::auc_bootstrap): {B} replicas, every row
+    reweighted by a Poisson(1) draw that is a pure function of
+    (doc_id, replica) via the portable md5 — so the uncertainty
+    estimate itself is reproducible and cross-engine verified, which
+    random resampling can never be. One exploded pass collapses to
+    ≤ B·|distinct scores| rows before the replica-partitioned window;
+    DECIMAL rank products, one division per replica. Shares the
+    cached trained weights with quality_classifier."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    return stats.auc_bootstrap(
+        q_quality_classifier(spark, sf_dir), "y", "prob", "doc_id",
+        n_resamples=_BOOT_B)
+
+
+def _auc_bootstrap_sql(n_resamples: int = _BOOT_B) -> str:
+    from twitter_to_sqlite_spark.functions.stats import POISSON1_PPM
+
+    joined, sig, final = _logreg_parts()
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_PPM))
+    return f"""
+WITH {joined},
+scored AS (SELECT doc_id, y, round({sig}, 4) AS prob
+           FROM feat, {final}),
+rep AS (SELECT unnest(generate_series(1, {n_resamples})) AS b),
+wtd AS (
+  SELECT b, prob, y,
+         CASE {cases} ELSE {len(POISSON1_PPM)} END AS w
+  FROM (
+    SELECT s.doc_id, s.y, s.prob, r.b,
+           ('0x' || substring(md5(s.doc_id::VARCHAR || '#boot#'
+                                  || r.b::VARCHAR), 1, 15))::BIGINT
+             % 1000000 AS u
+    FROM scored s CROSS JOIN rep r)
+),
+g AS (
+  SELECT b, prob,
+         sum(w * y) AS w1, sum(w * (1 - y)) AS w0
+  FROM wtd GROUP BY b, prob
+),
+r2 AS (
+  SELECT b, w1, w0,
+         coalesce(sum(w0) OVER (PARTITION BY b ORDER BY prob
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS w0bef
+  FROM g
+)
+SELECT b,
+       CAST(sum(w1) AS BIGINT) AS w_pos,
+       CAST(sum(w0) AS BIGINT) AS w_neg,
+       CASE WHEN sum(w1) > 0 AND sum(w0) > 0 THEN
+         round(CAST(sum(CAST(w1 AS HUGEINT) * (2 * w0bef + w0))
+                    AS DOUBLE)
+               / (2.0 * CAST(sum(w1) AS DOUBLE)
+                  * CAST(sum(w0) AS DOUBLE)), 6)
+       END AS auc
+FROM r2 GROUP BY b
+"""
+
+
+SQL_AUC_BOOTSTRAP = _auc_bootstrap_sql()
+
+
+# ---------------------------------------------------------------------
+# Curriculum training order (r6 extension)
+# ---------------------------------------------------------------------
+
+_CURR_BUCKET_TOKENS = 20   # bucket = min(n_tokens DIV 20, 5): short->long
+_CURR_MAX_BUCKET = 5
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum training order
+    (functions/sampling.py::curriculum_order): training_order staged
+    by a length-based difficulty bucket — within each shard, short
+    documents come first, and inside a bucket the order is the same
+    unbiased salted-hash shuffle. Per-(shard, bucket) ranks through
+    the range-split prefix sum; bucket base offsets from the bounded
+    |shards|x|buckets| size table, broadcast back."""
+    from twitter_to_sqlite_spark.functions.sampling import curriculum_order
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        # floor-div explicitly: DuckDB's CAST(double AS INT) rounds to
+        # nearest while Spark's truncates — floor() agrees everywhere
+        F.least(
+            F.floor(F.size(_tokens(F.col("text")))
+                    / F.lit(float(_CURR_BUCKET_TOKENS))).cast("int"),
+            F.lit(_CURR_MAX_BUCKET),
+        ).alias("bucket"),
+    )
+    return curriculum_order(d, "doc_id", "bucket", _MANIFEST_SHARDS)
+
+
+SQL_CURRICULUM_ORDER = f"""
+WITH h AS (
+  SELECT doc_id,
+         least(CAST(floor(len({_SQL_TOKS}) / {_CURR_BUCKET_TOKENS}.0)
+                    AS INT),
+               {_CURR_MAX_BUCKET}) AS bucket,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_MANIFEST_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord
+  FROM documents
+)
+SELECT doc_id, shard, bucket,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY bucket, ord, doc_id)
+            - 1 AS BIGINT) AS position
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------
+# Per-language classifier AUC (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_grouped_auc(spark, sf_dir):
+    """Per-language ROC-AUC of the distilled classifier
+    (functions/stats.py::grouped_roc_auc) — classifier_auc's
+    Simpson's-paradox check: a scorer can rank well on the pooled
+    corpus while failing inside a stratum, and a corpus-wide keep
+    threshold then silently skews that stratum. Same exact tie-aware
+    rank-sum algebra per group; the window partitions by language, so
+    it is bounded by per-group score cardinality at any corpus size.
+    Shares the cached trained weights with quality_classifier."""
+    from twitter_to_sqlite_spark.functions import stats
+
+    scored = q_quality_classifier(spark, sf_dir)
+    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stats.grouped_roc_auc(
+        scored.join(lang, "doc_id"), "lang", "y", "prob")
+
+
+def _grouped_auc_sql() -> str:
+    joined, sig, final = _logreg_parts()
+    return f"""
+WITH {joined},
+scored AS (SELECT f.doc_id, d.lang AS lang, f.y,
+                  round({sig}, 4) AS prob
+           FROM feat f JOIN documents d ON f.doc_id = d.doc_id, {final}),
+g AS (SELECT lang, prob, count(*) AS n, sum(y) AS np
+      FROM scored GROUP BY lang, prob),
+r AS (SELECT lang, n, np,
+             coalesce(sum(n) OVER (PARTITION BY lang ORDER BY prob
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM g),
+s AS (SELECT lang, sum(np * (2 * before + n + 1)) AS r2,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(n - np) AS BIGINT) AS n_neg
+      FROM r GROUP BY lang)
+SELECT lang, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((r2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1))
+               / (2 * n_pos::DOUBLE * n_neg::DOUBLE), 6)
+       END AS auc
+FROM s
+"""
+
+
+SQL_GROUPED_AUC = _grouped_auc_sql()
+
+
+# ---------------------------------------------------------------------
+# Composed curation pipeline v2 (r6 capstone)
+# ---------------------------------------------------------------------
+
+_CURATE_MIN_TOKENS = 10
+_CURATE_SHARDS = 4
+
+
+def q_pipeline_curate(spark, sf_dir):
+    """The r6 operators composed end-to-end, the way a pipeline runs
+    them: paragraph-dedup the corpus (boilerplate out) → gate on
+    surviving token mass → hash-split → deterministic training order
+    over the train split. Emits the train-side loading manifest
+    (doc_id, shard, position, n_kept) — pipeline_clean's successor
+    with layout, not just cleaning. Everything stays one declarative
+    composition; the only materialization is the prefix sum's bounded
+    range/offset stage inside training_order. Filters compose BEFORE
+    the ordering, so the expensive rank runs on the curated subset
+    only."""
+    from twitter_to_sqlite_spark.functions import dedup, sampling
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    cleaned = dedup.paragraph_dedup(
+        _para_corpus(spark, sf_dir), "doc_id", "text", min_count=2)
+    gated = cleaned.filter(
+        (F.col("n_kept") >= 1)
+        & (F.size(_tokens(F.col("clean_text"))) >= _CURATE_MIN_TOKENS)
+    ).select("doc_id", "n_kept")
+    split = sampling.assign_splits(gated, _SPLITS, key_col="doc_id")
+    train = split.filter(F.col("split") == "train")
+    ordered = sampling.training_order(
+        train.select("doc_id"), "doc_id", _CURATE_SHARDS)
+    return ordered.join(train.select("doc_id", "n_kept"), "doc_id")
+
+
+def _pipeline_curate_sql() -> str:
+    total = sum(_SPLITS.values())
+    cases, lo = [], 0
+    for name, wt in _SPLITS.items():
+        cases.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    return f"""
+WITH {_SQL_PARA_CTES},
+gated AS (
+  SELECT doc_id, n_kept FROM para_clean
+  WHERE n_kept >= 1
+    AND len(list_filter(string_split_regex(lower(clean_text), '\\W+'),
+                        x -> x <> '')) >= {_CURATE_MIN_TOKENS}
+),
+sp AS (
+  SELECT doc_id, n_kept, CASE {" ".join(cases)} END AS split
+  FROM (
+    SELECT doc_id, n_kept,
+           ('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+             % {total} AS b
+    FROM gated)
+),
+train AS (SELECT doc_id, n_kept FROM sp WHERE split = 'train'),
+h AS (
+  SELECT doc_id, n_kept,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_CURATE_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord
+  FROM train
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+            - 1 AS BIGINT) AS position,
+       n_kept
+FROM h
+"""
+
+
+SQL_PIPELINE_CURATE = _pipeline_curate_sql()
+
+
+# ---------------------------------------------------------------------
+# Shuffle-quality audit (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_shuffle_audit(spark, sf_dir):
+    """Shuffle-quality audit of training_order — measure, don't
+    guess, that the deterministic shuffle actually decorrelates: per
+    shard, the lag-1 Pearson correlation of document token counts
+    along the reading order (a good shuffle gives ≈0; a sorted or
+    source-clustered layout shows up immediately as |corr| >> 0 —
+    exactly the gradient-bias a training run would silently absorb).
+    Adjacency comes from an equi-join on (shard, position+1) — exact
+    keys, never a per-shard window sort — and the correlation from
+    exact integer moments (DECIMAL sums), one division chain at the
+    end in the corr_matrix operation order."""
+    from twitter_to_sqlite_spark.functions.sampling import training_order
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("x"))
+    o = training_order(d.select("doc_id"), "doc_id", _MANIFEST_SHARDS)
+    j = o.join(d, "doc_id").select("shard", "position", "x")
+    nxt = j.select(
+        "shard", (F.col("position") - 1).alias("position"),
+        F.col("x").alias("y"))
+    p = j.join(nxt, ["shard", "position"])
+    dec = lambda c: c.cast("decimal(38,0)")
+    m = p.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(dec(F.col("x"))).alias("__sx"),
+        F.sum(dec(F.col("y"))).alias("__sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("__sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("__sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        F.round((n * sxy - sx * sy) / F.sqrt(vx) / F.sqrt(vy), 4))
+    return m.select("shard", "n_pairs", corr.alias("lag1_corr"))
+
+
+SQL_SHUFFLE_AUDIT = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ''), 1, 15))::BIGINT
+              % {_MANIFEST_SHARDS} AS INT) AS shard,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS x
+  FROM documents
+),
+o AS (
+  SELECT shard, x,
+         row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+           AS position
+  FROM h
+),
+p AS (
+  SELECT a.shard, a.x AS x, b.x AS y
+  FROM o a JOIN o b ON a.shard = b.shard AND b.position = a.position + 1
+),
+m AS (
+  SELECT shard,
+         count(*) AS n_pairs,
+         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x * y)::DOUBLE AS sxy,
+         sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy
+  FROM p GROUP BY shard
+)
+SELECT shard, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN n_pairs >= 2
+                 AND n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+            THEN round((n_pairs * sxy - sx * sy)
+                       / sqrt(n_pairs * sxx - sx * sx)
+                       / sqrt(n_pairs * syy - sy * sy), 4)
+       END AS lag1_corr
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------
+# Proportional stratified interleave (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_mixture_order(spark, sf_dir):
+    """Proportional stratified interleave
+    (functions/sampling.py::mixture_order): the deterministic reading
+    order in which every language advances at a rate proportional to
+    its size, so any contiguous batch is mixed like the corpus — the
+    batch-diversity guarantee plain concatenation destroys. Two
+    chained range-split prefix sums (per-stratum rank, then the
+    global rank over per-stratum progress); the oracle replays both
+    ranks as windows."""
+    from twitter_to_sqlite_spark.functions.sampling import mixture_order
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_order(d, "doc_id", "lang")
+
+
+SQL_MIXTURE_ORDER = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'ord'), 1, 15))::BIGINT
+           AS ord
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY ord, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY rk::DOUBLE / n, lang, doc_id)
+            - 1 AS BIGINT) AS position
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------
+# Corpus duplication profile (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_dedup_cluster_profile(spark, sf_dir):
+    """Corpus duplication profile: the near-dup cluster-size histogram
+    (cluster_size, n_clusters, n_docs), singletons included — the
+    one-table answer to 'how duplicated is this corpus?' that decides
+    whether dedup is worth a full pass and which granularity to run.
+    Multi-doc rows come from the shared MinHash components (bounded
+    frame, two tiny aggregates); the singleton row is corpus size
+    minus clustered size, two 1-row aggregates crossed broadcast."""
+    d = _docs_with_planted_dups(spark, sf_dir).select("doc_id")
+    comp = dedup.near_dup_components(
+        _minhash_pairs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__sz"))
+    multi = sizes.groupBy(F.col("__sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"))
+    multi = multi.select(
+        "cluster_size", "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("__t"))
+    clustered = comp.agg(F.count(F.lit(1)).alias("__c"))
+    single = total.crossJoin(clustered).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("__t") - F.col("__c")).alias("n_clusters"),
+        (F.col("__t") - F.col("__c")).alias("n_docs"),
+    )
+    return multi.unionByName(single)
+
+
+SQL_DEDUP_CLUSTER_PROFILE = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, component) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.component FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id AS doc_id, min(component) AS component
+         FROM walk GROUP BY id),
+sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+multi AS (
+  SELECT CAST(sz AS BIGINT) AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sz * count(*) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY sz
+),
+alldocs AS ({_SQL_DOCS_PLANTED}),
+tot AS (SELECT count(*) AS t FROM alldocs),
+clu AS (SELECT count(*) AS c FROM comp)
+SELECT cluster_size, n_clusters, n_docs FROM multi
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(t - c AS BIGINT), CAST(t - c AS BIGINT)
+FROM tot, clu
+"""
+
+
+# ---------------------------------------------------------------------
+# RAG chunk retrieval (r6 extension)
+# ---------------------------------------------------------------------
+
+_RAG_K = 10
+
+
+def q_chunk_search(spark, sf_dir):
+    """RAG retrieval composed from existing pieces: chunk the corpus
+    (chunk_documents' overlapping token windows), BM25-rank the CHUNKS
+    for a conjunctive query, return the top-{k} with their
+    (doc_id, chunk_id) provenance — retrieval at the granularity a
+    context window actually consumes, where whole-doc BM25 (fts_bm25)
+    buries the matching passage. One composed plan: the chunker is a
+    narrow pass, the ranker reuses the inverted-index machinery with
+    the composite chunk key, the top-k is TakeOrderedAndProject with a
+    deterministic key tie-break."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = text.chunk_documents(
+        d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE).select(
+        F.concat_ws("#", "doc_id", "chunk_id").alias("ck"),
+        F.col("chunk_text"))
+    idx = R.build_inverted_index(chunks, "ck", "chunk_text")
+    dl = R.doc_lengths(chunks, "ck", "chunk_text")
+    bm = R.fts_bm25(idx, "ck", ["spark", "join"], mode="all",
+                    doc_lens=dl)
+    top = bm.orderBy(F.col("score").desc(), "ck").limit(_RAG_K)
+    return top.select(
+        F.split("ck", "#")[0].cast("long").alias("doc_id"),
+        F.split("ck", "#")[1].cast("long").alias("chunk_id"),
+        "score",
+    )
+
+
+SQL_CHUNK_SEARCH = f"""
+WITH t0 AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+d0 AS (
+  SELECT doc_id, t,
+         1 + CAST(ceil(greatest(len(t) - {_CHUNK_SIZE}, 0)::DOUBLE
+                       / {_CHUNK_STRIDE}) AS INT) AS n_chunks
+  FROM t0 WHERE len(t) > 0
+),
+c0 AS (
+  SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM d0
+),
+chunks AS (
+  SELECT doc_id || '#' || chunk_id AS doc_id,
+         array_to_string(
+           list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                      chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')
+           AS text
+  FROM c0
+),
+{_SQL_BM25_CTES.replace("FROM documents", "FROM chunks")},
+top AS (
+  SELECT doc_id AS ck, score FROM bm
+  ORDER BY score DESC, ck
+  LIMIT {_RAG_K}
+)
+SELECT split_part(ck, '#', 1)::BIGINT AS doc_id,
+       split_part(ck, '#', 2)::BIGINT AS chunk_id,
+       score
+FROM top
+"""
+
+
+# ---------------------------------------------------------------------
+# Embedding norm outliers (r6 extension)
+# ---------------------------------------------------------------------
+
+_NORM_SCALE = 1 << 24     # embedding_stats' 2^-24 quantization device
+_NORM_Q = 0.99
+_NORM_K = 1024
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding L2-norm outliers — vector-pipeline hygiene: vectors
+    with extreme norms (an unnormalized batch, a zeroed upload, a
+    model swap) poison cosine retrieval quietly; flag everything above
+    the corpus p99. Norms are EXACT: per-element floor(v·2²⁴) integer
+    squares summed JVM-side (float64 multiply by a power of two is
+    lossless — the embedding_stats device), one sqrt + round at the
+    end, so both engines rank identical norms. The cutoff is the
+    deterministic bottom-k-hash sample's order statistic
+    (sketch.sample_quantiles — engine-portable where t-digest never
+    is), broadcast back as one row. Returns flagged (vec_id, norm,
+    cutoff)."""
+    from twitter_to_sqlite_spark.functions import sketch
+
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.expr(f"""
+        aggregate(embedding, CAST(0 AS BIGINT),
+          (acc, v) -> acc
+            + CAST(floor(v * {_NORM_SCALE}.0) AS BIGINT)
+              * CAST(floor(v * {_NORM_SCALE}.0) AS BIGINT))
+    """)
+    norms = e.select(
+        "vec_id",
+        F.round(F.sqrt(sq.cast("double")) / F.lit(float(_NORM_SCALE)), 6)
+        .alias("norm"),
+    )
+    cut = sketch.sample_quantiles(
+        norms, "norm", "vec_id", qs=(_NORM_Q,), k=_NORM_K
+    ).select(F.col("est").alias("cutoff"))
+    return (
+        norms.crossJoin(F.broadcast(cut))
+        .filter(F.col("norm") > F.col("cutoff"))
+        .select("vec_id", "norm", "cutoff")
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH norms AS (
+  SELECT vec_id,
+         round(sqrt(CAST(list_sum(list_transform(embedding,
+                 v -> (floor(v * {_NORM_SCALE}.0))::BIGINT
+                      * (floor(v * {_NORM_SCALE}.0))::BIGINT))
+               AS DOUBLE)) / {_NORM_SCALE}.0, 6) AS norm
+  FROM embeddings
+),
+s AS (
+  SELECT norm AS val,
+         ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM norms WHERE norm IS NOT NULL AND vec_id IS NOT NULL
+  ORDER BY h, val LIMIT {_NORM_K}
+),
+o AS (
+  SELECT val, row_number() OVER (ORDER BY val) AS rn,
+         count(*) OVER () AS n
+  FROM s
+),
+cut AS (
+  SELECT val AS cutoff FROM o
+  WHERE rn = CAST(floor({_NORM_Q} * (n - 1)) AS BIGINT) + 1
+)
+SELECT vec_id, norm, cutoff
+FROM norms, cut
+WHERE norm > cutoff
+"""
+
+
+# ---------------------------------------------------------------------
+# Dedup threshold sweep (r6 extension)
+# ---------------------------------------------------------------------
+
+_SWEEP_TAUS = [0.3, 0.5, 0.8]
+
+
+def q_dedup_sweep(spark, sf_dir):
+    """Dedup threshold sweep — ann_tuning's measure-don't-guess loop
+    for the Jaccard cutoff: from ONE pairs frame (computed once at the
+    loosest threshold), how many documents the greedy
+    drop-the-later-duplicate rule removes at each candidate τ, with
+    the corpus fraction. The τ explode touches only the bounded PAIRS
+    frame, never the corpus; a spine keeps zero-removal thresholds
+    visible. The committed number a pipeline reads before fixing its
+    dedup cutoff."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3,
+        threshold=min(_SWEEP_TAUS), max_df=_JACCARD_MAX_DF)
+    t = pairs.select(
+        "id_b", "jaccard",
+        F.explode(F.array(*[F.lit(x) for x in _SWEEP_TAUS]))
+        .alias("threshold"),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    rem = t.groupBy("threshold").agg(
+        F.countDistinct("id_b").alias("__rm"))
+    spine = spark.createDataFrame(
+        [(x,) for x in _SWEEP_TAUS], "threshold double")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    out = (
+        spine.join(rem, "threshold", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "threshold",
+            F.coalesce("__rm", F.lit(0).cast("long")).alias("n_removed"),
+            "n_docs",
+            F.round(
+                F.coalesce("__rm", F.lit(0).cast("long")).cast("double")
+                / F.col("n_docs").cast("double"), 4).alias("frac_removed"),
+        )
+    )
+    return out
+
+
+SQL_DEDUP_SWEEP = f"""
+WITH docs AS ({_SQL_DOCS_PLANTED}),
+sh AS ({_SQL_SHINGLES}),
+shf AS (
+  SELECT id, shingle FROM (
+    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+  ) WHERE df <= {_JACCARD_MAX_DF}
+),
+sz AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pr AS (
+  SELECT id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS j
+  FROM inter
+  JOIN sz sa ON sa.id = id_a
+  JOIN sz sb ON sb.id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {min(_SWEEP_TAUS)}
+),
+taus AS (SELECT CAST(unnest([{", ".join(str(x) for x in _SWEEP_TAUS)}])
+           AS DOUBLE) AS threshold),
+rem AS (
+  SELECT threshold, count(DISTINCT id_b) AS rm
+  FROM taus JOIN pr ON pr.j >= taus.threshold
+  GROUP BY threshold
+),
+n AS (SELECT count(*) AS n_docs FROM docs)
+SELECT t.threshold,
+       CAST(coalesce(rem.rm, 0) AS BIGINT) AS n_removed,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       round(coalesce(rem.rm, 0)::DOUBLE / n.n_docs, 4) AS frac_removed
+FROM taus t LEFT JOIN rem ON t.threshold = rem.threshold, n
+"""
+
+
+# ---------------------------------------------------------------------
+# Corpus-derived stopword discovery (r6 extension)
+# ---------------------------------------------------------------------
+
+_STOPDISC_MIN_RATIO = 0.5
+
+
+def q_stopword_discovery(spark, sf_dir):
+    """Corpus-derived stoplist: tokens whose document-frequency ratio
+    ≥ {r} — how a pipeline builds the stopword set for a new language
+    or domain where no curated list exists (the input every
+    quality/stopword-ratio heuristic upstream assumes). One distinct
+    (doc, token) projection, one token-keyed count, one broadcast of
+    the 1-row corpus size; emits (token, df, df_ratio) for the tokens
+    above the floor."""
+    from twitter_to_sqlite_spark.functions.text import _tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).distinct()
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    j = dfreq.crossJoin(F.broadcast(n))
+    ratio = F.col("df").cast("double") / F.col("__n").cast("double")
+    return (
+        j.filter(ratio >= _STOPDISC_MIN_RATIO)
+        .select("token", "df", F.round(ratio, 4).alias("df_ratio"))
+    )
+
+
+SQL_STOPWORD_DISCOVERY = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+),
+n AS (SELECT count(*) AS nn FROM documents),
+g AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY token)
+SELECT token, df, round(df::DOUBLE / nn, 4) AS df_ratio
+FROM g, n
+WHERE df::DOUBLE / nn >= {_STOPDISC_MIN_RATIO}
+"""
+
+
+# ---------------------------------------------------------------------
+# Soft-dedup sampling weights (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_dedup_soft_weights(spark, sf_dir):
+    """Soft dedup: instead of dropping near-duplicates, weight every
+    document by 1/|its near-dup cluster| so each cluster contributes
+    one document's worth of training mass (the downweight-don't-delete
+    alternative — D4/SemDeDup-era pipelines use it when duplicates
+    carry signal). Clusters are the shared MinHash components;
+    singletons weigh 1. One bounded components frame + one count
+    aggregate + one left join onto the corpus keys; weights feed
+    importance_sample directly. Weight emitted as round(1/n, 6) —
+    exact in both engines for integer n."""
+    d = _docs_with_planted_dups(spark, sf_dir).select("doc_id")
+    comp = dedup.near_dup_components(
+        _minhash_pairs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__n"))
+    labeled = comp.join(sizes, "component")
+    out = d.join(labeled, "doc_id", "left")
+    n = F.coalesce(F.col("__n"), F.lit(1).cast("long"))
+    return out.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster"),
+        n.alias("cluster_size"),
+        F.round(F.lit(1.0) / n.cast("double"), 6).alias("weight"),
+    )
+
+
+SQL_DEDUP_SOFT_WEIGHTS = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, component) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.component FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id AS doc_id, min(component) AS component
+         FROM walk GROUP BY id),
+sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component),
+alldocs AS ({_SQL_DOCS_PLANTED})
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster,
+       coalesce(s.n, 1) AS cluster_size,
+       round(CAST(1.0 AS DOUBLE) / coalesce(s.n, 1), 6) AS weight
+FROM alldocs d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.component = c.component
+"""
+
+
+# ---------------------------------------------------------------------
+# Kolmogorov-Smirnov drift (r6 extension)
+# ---------------------------------------------------------------------
+
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic of the quality
+    distribution, stored corpus vs incoming shard (same planted-spam
+    split as psi_drift) — PSI's binning-free companion: D = sup over
+    the score domain of |F_base − F_cur|, sensitive to shifts PSI's
+    10 fixed bins can wash out. EXACT, not sampled: the corpus
+    collapses to one row per distinct ROUNDED score (≤10⁴ rows for a
+    4-decimal score — the roc_auc device) before the only window, so
+    the sup runs over score cardinality at any corpus size; integer
+    cumulative counts, per-row double division, one max."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    planted = d.filter(
+        (F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.lit(("spam " * 40).strip()).alias("text"))
+    cur = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    def side(df_side, b, c):
+        return text.quality_score(df_side).select(
+            "quality", F.lit(b).alias("__b"), F.lit(c).alias("__c"))
+
+    u = side(base, 1, 0).unionByName(side(cur, 0, 1))
+    # cumulative window AND totals both hang off g: pin the bounded
+    # count-collapsed frame (<=10^4 rows) or both sides' quality
+    # scans run twice (the psi/emd convention)
+    g = u.groupBy("quality").agg(
+        F.sum("__b").alias("__nb"), F.sum("__c").alias("__nc")) \
+        .localCheckpoint(eager=False)
+    w = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        "quality",
+        F.sum("__nb").over(w).alias("__cb"),
+        F.sum("__nc").over(w).alias("__cc"),
+    )
+    t = g.agg(F.sum("__nb").alias("n_base"),
+              F.sum("__nc").alias("n_cur"))
+    j = c.crossJoin(F.broadcast(t))
+    gap = F.abs(
+        F.col("__cb").cast("double") / F.col("n_base").cast("double")
+        - F.col("__cc").cast("double") / F.col("n_cur").cast("double"))
+    return j.groupBy("n_base", "n_cur").agg(
+        F.round(F.max(gap), 6).alias("ks"))
+
+
+def _ks_sql() -> str:
+    quality = SQL_QUALITY_SCORE.replace("FROM documents", "FROM {src}")
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+cur AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id,
+         '{("spam " * 40).strip()}' AS text
+  FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+),
+qb AS ({quality.replace("{src}", "base")}),
+qc AS ({quality.replace("{src}", "cur")}),
+u AS (
+  SELECT quality, count(*) AS nb, 0 AS nc FROM qb GROUP BY quality
+  UNION ALL
+  SELECT quality, 0 AS nb, count(*) AS nc FROM qc GROUP BY quality
+),
+g AS (SELECT quality, sum(nb) AS nb, sum(nc) AS nc FROM u GROUP BY quality),
+c AS (
+  SELECT quality,
+         sum(nb) OVER (ORDER BY quality
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         sum(nc) OVER (ORDER BY quality
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM g
+),
+t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM g)
+SELECT CAST(t.tb AS BIGINT) AS n_base, CAST(t.tc AS BIGINT) AS n_cur,
+       round(max(abs(cb::DOUBLE / t.tb - cc::DOUBLE / t.tc)), 6) AS ks
+FROM c, t GROUP BY t.tb, t.tc
+"""
+
+
+SQL_KS_DRIFT = _ks_sql()
+
+
+# ---------------------------------------------------------------------
+# Per-domain cap curation (r7 extension)
+# ---------------------------------------------------------------------
+
+_DOMAIN_CAP = 18
+
+
+def q_domain_caps(spark, sf_dir):
+    """Per-domain document quota (functions/sampling.py::domain_caps,
+    RefinedWeb §3's "max N docs per domain"): at most {cap} docs kept
+    per source, ranked by the deterministic salted hash of doc_id —
+    the guard that stops one crawler trap from owning the mixture.
+    The Spark side runs the equidepth hash-slice refinement (bounded
+    (domain, slice) counts pick each over-cap domain's boundary
+    slice; only that slice's ~n/slices rows enter a sort); the oracle
+    is the semantic spec itself — the naive per-domain row_number
+    over (hash, key) — so the refinement is certified to change the
+    plan, never the answer."""
+    from twitter_to_sqlite_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.domain_caps(
+        d, "source", cap=_DOMAIN_CAP, key_col="doc_id", salt="dc")
+
+
+SQL_DOMAIN_CAPS = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'dc'), 1, 15))::BIGINT
+           AS h
+  FROM documents
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+           AS domain_rank
+  FROM h
+)
+SELECT doc_id, source, CAST(domain_rank AS BIGINT) AS domain_rank
+FROM r WHERE domain_rank <= {_DOMAIN_CAP}
+"""
+
+
+# ---------------------------------------------------------------------
+# Learned-artifact export/import through the versioned store (r7)
+# ---------------------------------------------------------------------
+
+def q_artifact_roundtrip(spark, sf_dir):
+    """Ship a learned artifact between jobs through the versioned-table
+    layer (operators/sinks.py write_version/read_version) and APPLY the
+    loaded copy: commit the trained BPE merge table as two artifact
+    versions (v1 = the greedy prefix with the last 2 merges dropped —
+    a genuinely smaller vocab, since BPE merge tables are prefix-
+    closed; v2 = the full table), time-travel-read the LATEST through
+    the manifest, and segment the corpus with the LOADED rules. Output
+    is bpe_segment's per-doc compression frame stamped with the
+    artifact version it was segmented with; the oracle retrains the
+    tokenizer from scratch relationally, so loaded == trained is
+    cross-engine certified end-to-end (train → commit → manifest read
+    → apply), not assumed. The per-call store is removed before
+    returning (the version_diff tempdir discipline); the artifact rows
+    themselves ride through createDataFrame, so nothing downstream
+    reads the deleted parquet."""
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.operators import sinks
+
+    merges = _bpe_merges(spark, sf_dir)
+    schema = "rank int, left string, right string, pair_count long"
+    root = tempfile.mkdtemp(prefix="artifact-")
+    try:
+        store = root + "/bpe_merges"
+        sinks.write_version(
+            spark.createDataFrame(merges[:-2], schema), store)
+        v = sinks.write_version(
+            spark.createDataFrame(merges, schema), store)
+        loaded = sorted(
+            ((r["rank"], r["left"], r["right"], r["pair_count"])
+             for r in sinks.read_version(spark, store).collect()),
+            key=lambda t: t[0])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    from twitter_to_sqlite_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe.bpe_segment(d, loaded, "text", "doc_id") \
+        .withColumn("artifact_version", F.lit(int(v)))
+
+
+def _artifact_roundtrip_sql() -> str:
+    # stamp the version column onto the segment oracle's FINAL select
+    # ("SELECT doc_id," alone would hit the docw CTE first)
+    marker = "SELECT doc_id,\n       CAST(sum(c) AS BIGINT) AS n_words"
+    assert marker in SQL_BPE_SEGMENT, \
+        "bpe segment oracle tail changed; update the marker"
+    return SQL_BPE_SEGMENT.replace(
+        marker,
+        "SELECT doc_id, CAST(2 AS INT) AS artifact_version,\n"
+        "       CAST(sum(c) AS BIGINT) AS n_words", 1)
+
+
+SQL_ARTIFACT_ROUNDTRIP = _artifact_roundtrip_sql()
+
+
+# ---------------------------------------------------------------------
+# Stream/batch agreement certification (r7)
+# ---------------------------------------------------------------------
+
+_SBA_EVENTS = 4000       # fixture bound: constant cost at any sf
+_SBA_DOCS = 1000
+_SBA_MOD = 1_000_000_007
+_SBA_STEPS = ("view", "click", "purchase")
+_SBA_WIN, _SBA_MINPTS = 8, 4
+
+
+def _sba_checksum(ingredients) -> int:
+    """Σ hash60(row) mod p — the portable relational checksum (same
+    md5-prefix hash as sampling._key_hash; DuckDB twin inline in
+    SQL_STREAM_BATCH_AGREEMENT). Order-insensitive, so it certifies
+    table CONTENT without imposing an order."""
+    import hashlib
+
+    return sum(
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _SBA_MOD
+        for s in ingredients)
+
+
+def _sba_fixture(spark, sf_dir):
+    """The SBA deterministic fixture: the bounded events slice, one
+    row per (user_id, ts), sorted by time and split into three
+    micro-batches. Shared by the maintenance twins (per call) and the
+    engine builder (cached); ≤ _SBA_EVENTS rows by construction."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < _SBA_EVENTS)
+        & F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull())
+    wd = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    fx = (e.withColumn("__rn", F.row_number().over(wd))
+          .filter(F.col("__rn") == 1)
+          .select("event_id", "user_id", "ts", "event_type", "value"))
+    rows = sorted(fx.collect(),
+                  key=lambda r: (r["ts"], r["event_id"]))  # ≤ _SBA_EVENTS
+    n = len(rows)
+    return [rows[:n // 3], rows[n // 3:2 * n // 3], rows[2 * n // 3:]]
+
+
+#: process-lifetime cache of the real-engine twin rows, keyed by
+#: sf_dir — the engine certificate is deterministic in the fixture, so
+#: bench bills ONE cold run to `_build:sba_engine` (INFRA_BUILDS) and
+#: the recurring per-pass entry pays only the per-call maintenance
+#: twins (VERDICT r7 task 4). The gate still certifies all six rows —
+#: the cached values came through the real engine in this process.
+
+
+def _sba_engine_rows(spark, sf_dir, parts=None):
+    """The two STATEFUL twins through the REAL engine — a json spool
+    + availableNow + applyInPandasWithState, mtime-ordered files so
+    per-key arrival stays time-ordered across batches (their
+    documented contract). Both streaming queries run CONCURRENTLY
+    (separate checkpoints, separate sink dicts): the engine cost is
+    startup + per-trigger state-store commits, so overlapping the two
+    queries halves the wall time without touching semantics. Spool
+    and checkpoints live in a tempdir removed before returning."""
+    if sf_dir in _SBA_ENGINE_CACHE:
+        return list(_SBA_ENGINE_CACHE[sf_dir])
+    # `parts` lets a caller that already collected the fixture (the
+    # recurring entry on a cold cache) hand it over instead of paying
+    # the fixture job twice.
+
+    import datetime as dt
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    schema = ("user_id long, ts timestamp_ntz, event_type string, "
+              "value double")
+    epoch = dt.datetime(1970, 1, 1)
+
+    def us(ts):
+        return (ts - epoch) // dt.timedelta(microseconds=1)
+
+    if parts is None:
+        parts = _sba_fixture(spark, sf_dir)
+    out = []
+    root = tempfile.mkdtemp(prefix="sba-eng-")
+    try:
+        spool = root + "/spool"
+        os.makedirs(spool)
+        for b, part in enumerate(parts):
+            p = os.path.join(spool, f"b{b}.json")
+            with open(p, "w") as fh:
+                for r in part:
+                    fh.write(_json.dumps({
+                        "user_id": r["user_id"],
+                        "ts": r["ts"].isoformat(),
+                        "event_type": r["event_type"],
+                        "value": r["value"]}) + "\n")
+            t = 1_000_000_000 + 100 * b   # mtime order = batch order
+            os.utime(p, (t, t))
+
+        def stream():
+            return (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).json(spool))
+
+        latest: dict = {}
+        q_funnel = (SA.funnel_stages(stream(), list(_SBA_STEPS))
+                    .writeStream.foreachBatch(
+                        lambda batch, bid: latest.update(
+                            {r["user_id"]: r["stage"]
+                             for r in batch.collect()}))
+                    .outputMode("update")
+                    .option("checkpointLocation", root + "/ck_funnel")
+                    .trigger(availableNow=True).start())
+        scored: dict = {}
+        q_zscore = (SA.zscore_stream(stream(), "user_id", "ts", "value",
+                                     window=_SBA_WIN,
+                                     min_points=_SBA_MINPTS,
+                                     threshold=3.0)
+                    .writeStream.foreachBatch(
+                        lambda batch, bid: scored.update(
+                            {(r["user_id"], r["ts"]): r["zscore"]
+                             for r in batch.collect()}))
+                    .outputMode("update")
+                    .option("checkpointLocation", root + "/ck_zscore")
+                    .trigger(availableNow=True).start())
+        q_funnel.awaitTermination()
+        q_zscore.awaitTermination()
+        out.append(("funnel", len(latest), _sba_checksum(
+            f"{uid}|{stage}" for uid, stage in latest.items())))
+        zkeys = [k for k, z in scored.items() if z is not None]
+        out.append(("zscore", len(zkeys), _sba_checksum(
+            f"{uid}|{us(ts)}" for uid, ts in zkeys)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    _SBA_ENGINE_CACHE[sf_dir] = list(out)
+    return out
+
+
+def q_stream_batch_agreement(spark, sf_dir):
+    """Put the streaming layer itself under the driver gate: run all
+    five streaming twins (funnel automaton, trailing-zscore ring
+    buffer, rollup maintenance, PSI bin counts, KS value counts —
+    streaming/analytics.py) plus the MAD derivation over a bounded
+    deterministic fixture split into three time-ordered micro-batches,
+    then emit one row per twin with the MAINTAINED/STREAMED result's
+    row count and content checksum. The oracle recomputes both numbers
+    ONE-SHOT from the base tables, so any divergence between N-batch
+    maintenance and the batch semantics — automaton state restoration,
+    ring-buffer trimming, read-merge-swap count algebra — hash-fails
+    the gate. All checksum ingredients are exact integers (decimal
+    sums scaled e4, scores at their rounded-4 grain), so there is no
+    float-parity surface at all; the float statistics stay pinned by
+    the pytest agreement tests.
+
+    The stateful twins (funnel, zscore) run through the REAL engine in
+    `_sba_engine_rows` — concurrent availableNow queries over a json
+    spool, cached per process and billed to `_build:sba_engine` in
+    bench (the certificate is deterministic in the fixture; VERDICT r7
+    task 4). The caching deliberately weakens the PER-PASS
+    certificate: only the first gate pass in a process exercises the
+    real engine; later passes in the same process replay the cached
+    checksums, so a mid-process engine regression would go unnoticed
+    until a fresh process runs (the official driver gate and
+    tools/closing_battery.py both start fresh processes, which is
+    where the certificate is actually read; clear_caches(
+    include_infra=True) drops the cache for in-process re-runs). The foreachBatch twins' maintenance callables are driven
+    directly with the same three batches on every call. Every collect
+    is bounded by the fixture constant; maintained tables live in a
+    per-call tempdir removed before returning (the version_diff
+    discipline — the output frame is built from plain driver values,
+    so nothing reads the deleted paths)."""
+    import shutil
+    import tempfile
+
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    parts = _sba_fixture(spark, sf_dir)
+    schema = ("user_id long, ts timestamp_ntz, event_type string, "
+              "value double")
+
+    def bdf(part):
+        return spark.createDataFrame(
+            [(r["user_id"], r["ts"], r["event_type"], r["value"])
+             for r in part], schema)
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SBA_DOCS).select("doc_id", "text")
+
+    out = []
+    root = tempfile.mkdtemp(prefix="sba-")
+    try:
+        # --- foreachBatch maintenance twins, driven directly ---
+        on_roll = SA.maintain_rollup(
+            spark, root + "/rollup", ["event_type"], "value")
+        on_psi = SA.drift_monitor(spark, root + "/psi", "quality")
+        on_ks = SA.value_monitor(spark, root + "/ks", "quality")
+        # ONE quality evaluation for all three batches (checkpointed
+        # with the batch tag); each batch's monitors then slice the
+        # bounded checkpointed frame instead of re-running the scorer
+        # — same per-batch inputs, two fewer corpus scans per call.
+        docs_q = (text.quality_score(docs)
+                  .select((F.col("doc_id") % 3).alias("__b"), "quality")
+                  .localCheckpoint(eager=True))
+        for b, part in enumerate(parts):
+            on_roll(bdf(part), b)
+            dq = docs_q.filter(F.col("__b") == b).select("quality")
+            on_psi(dq, b)
+            on_ks(dq, b)
+
+        roll = spark.read.parquet(root + "/rollup").collect()
+        out.append(("rollup", len(roll), _sba_checksum(
+            f"{r['event_type']}|{r['n_rows']}|{r['n_vals']}"
+            f"|{int(r['v_sum'] * 10000)}" for r in roll)))
+        bins = spark.read.parquet(root + "/psi").collect()
+        out.append(("psi_bins", len(bins), _sba_checksum(
+            f"{r['bin']}|{r['n']}" for r in bins)))
+        vals = spark.read.parquet(root + "/ks").collect()
+        out.append(("ks_counts", len(vals), _sba_checksum(
+            f"{int(round(r['val'] * 10000))}|{r['n']}" for r in vals)))
+        m = SA.mad_from_counts(spark, root + "/ks", k=3)
+        out.append(("mad", 1, _sba_checksum(
+            [f"{m['median4']}|{m['mad4']}|{m['n']}|{m['n_outliers']}"])))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    out.extend(_sba_engine_rows(spark, sf_dir, parts=parts))
+
+    return spark.createDataFrame(
+        sorted(out), "twin string, n_rows long, checksum long")
+
+
+def _sba_sql() -> str:
+    quality = SQL_QUALITY_SCORE.replace(
+        "FROM documents",
+        f"FROM (SELECT doc_id, text FROM documents"
+        f" WHERE doc_id < {_SBA_DOCS})")
+    h = ("('0x' || substring(md5({ingr}), 1, 15))::BIGINT"
+         f" % {_SBA_MOD}")
+
+    def ck(name, ingr, src):
+        return f"""{name} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(coalesce(sum({h.format(ingr=ingr)}), 0) AS BIGINT)
+           AS checksum
+  FROM {src}
+)"""
+
+    steps = _SBA_STEPS
+    return f"""
+WITH fx AS (
+  SELECT user_id, ts, event_type, value FROM (
+    SELECT user_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id) AS rn
+    FROM events
+    WHERE event_id < {_SBA_EVENTS} AND user_id IS NOT NULL
+      AND ts IS NOT NULL AND value IS NOT NULL
+  ) WHERE rn = 1
+),
+qf AS ({quality}),
+ru AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nr,
+         CAST(count(value) AS BIGINT) AS nv,
+         sum(CAST(value AS DECIMAL(18,4))) AS vs
+  FROM fx GROUP BY event_type
+),
+{ck("ru_ck",
+    "event_type || '|' || nr::VARCHAR || '|' || nv::VARCHAR || '|' "
+    "|| CAST(vs * 10000 AS BIGINT)::VARCHAR", "ru")},
+pb AS (
+  SELECT least(floor(quality * 10), 9)::INT AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qf WHERE quality IS NOT NULL GROUP BY 1
+),
+{ck("pb_ck", "bin::VARCHAR || '|' || n::VARCHAR", "pb")},
+kc AS (
+  SELECT CAST(round(quality * 10000, 0) AS BIGINT) AS v4,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qf WHERE quality IS NOT NULL GROUP BY 1
+),
+{ck("kc_ck", "v4::VARCHAR || '|' || n::VARCHAR", "kc")},
+fu AS (SELECT DISTINCT user_id FROM fx
+       WHERE event_type IN ('{steps[0]}', '{steps[1]}', '{steps[2]}')),
+s1 AS (SELECT user_id, min(ts) AS t FROM fx
+       WHERE event_type = '{steps[0]}' GROUP BY user_id),
+s2 AS (SELECT f.user_id, min(f.ts) AS t FROM fx f
+       JOIN s1 ON f.user_id = s1.user_id AND f.ts > s1.t
+       WHERE f.event_type = '{steps[1]}' GROUP BY f.user_id),
+s3 AS (SELECT f.user_id, min(f.ts) AS t FROM fx f
+       JOIN s2 ON f.user_id = s2.user_id AND f.ts > s2.t
+       WHERE f.event_type = '{steps[2]}' GROUP BY f.user_id),
+st AS (
+  SELECT fu.user_id,
+         CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM fu LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+          LEFT JOIN s3 USING (user_id)
+),
+{ck("fu_ck", "user_id::VARCHAR || '|' || stage::VARCHAR", "st")},
+zr AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         stddev_samp(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN {_SBA_WIN} PRECEDING AND 1 PRECEDING) AS sd
+  FROM fx
+),
+zs AS (SELECT user_id, epoch_us(ts) AS eus FROM zr
+       WHERE rn > {_SBA_MINPTS} AND sd > 0),
+{ck("zs_ck", "user_id::VARCHAR || '|' || eus::VARCHAR", "zs")},
+mc1 AS (
+  SELECT v4, n,
+         sum(n) OVER (ORDER BY v4
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER () AS tot
+  FROM kc
+),
+mmed AS (SELECT CAST(min(v4) AS BIGINT) AS med4,
+                CAST(any_value(tot) AS BIGINT) AS tot
+         FROM mc1 WHERE cum >= (tot + 1) // 2),
+mdev AS (SELECT abs(v4 - med4) AS d, sum(n) AS n
+         FROM kc, mmed GROUP BY 1),
+mc2 AS (
+  SELECT d, n,
+         sum(n) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER () AS tot
+  FROM mdev
+),
+mmad AS (SELECT CAST(min(d) AS BIGINT) AS mad4
+         FROM mc2 WHERE cum >= (tot + 1) // 2),
+mrow AS (
+  SELECT med4::VARCHAR || '|' || mad4::VARCHAR || '|' || tot::VARCHAR
+         || '|' || CAST((SELECT sum(CASE WHEN abs(kc.v4 - mmed.med4)
+                                         > 3 * mmad.mad4
+                                    THEN kc.n ELSE 0 END)
+                         FROM kc, mmed, mmad) AS BIGINT)::VARCHAR AS s
+  FROM mmed, mmad
+),
+{ck("mad_ck", "s", "mrow")}
+SELECT 'funnel' AS twin, n_rows, checksum FROM fu_ck
+UNION ALL SELECT 'mad', n_rows, checksum FROM mad_ck
+UNION ALL SELECT 'ks_counts', n_rows, checksum FROM kc_ck
+UNION ALL SELECT 'psi_bins', n_rows, checksum FROM pb_ck
+UNION ALL SELECT 'rollup', n_rows, checksum FROM ru_ck
+UNION ALL SELECT 'zscore', n_rows, checksum FROM zs_ck
+"""
+
+
+SQL_STREAM_BATCH_AGREEMENT = _sba_sql()
+
+
+
+
+__all__ = list(_prev.__all__) + [
+    "_PARA_CHUNK",
+    "_PARA_BOILER",
+    "_para_corpus",
+    "q_dedup_paragraph",
+    "_SQL_PARA_CTES",
+    "SQL_DEDUP_PARAGRAPH",
+    "q_dedup_paragraph_incremental",
+    "SQL_DEDUP_PARAGRAPH_INCR",
+    "q_training_order",
+    "SQL_TRAINING_ORDER",
+    "q_version_diff",
+    "SQL_VERSION_DIFF",
+    "_PACK_SEQ_LEN",
+    "q_sequence_pack",
+    "SQL_SEQUENCE_PACK",
+    "q_split_dedup_safe",
+    "_split_dedup_safe_sql",
+    "SQL_SPLIT_DEDUP_SAFE",
+    "q_media_dedup",
+    "SQL_MEDIA_DEDUP",
+    "_BOOT_B",
+    "q_auc_bootstrap",
+    "_auc_bootstrap_sql",
+    "SQL_AUC_BOOTSTRAP",
+    "_CURR_BUCKET_TOKENS",
+    "_CURR_MAX_BUCKET",
+    "q_curriculum_order",
+    "SQL_CURRICULUM_ORDER",
+    "q_grouped_auc",
+    "_grouped_auc_sql",
+    "SQL_GROUPED_AUC",
+    "_CURATE_MIN_TOKENS",
+    "_CURATE_SHARDS",
+    "q_pipeline_curate",
+    "_pipeline_curate_sql",
+    "SQL_PIPELINE_CURATE",
+    "q_shuffle_audit",
+    "SQL_SHUFFLE_AUDIT",
+    "q_mixture_order",
+    "SQL_MIXTURE_ORDER",
+    "q_dedup_cluster_profile",
+    "SQL_DEDUP_CLUSTER_PROFILE",
+    "_RAG_K",
+    "q_chunk_search",
+    "SQL_CHUNK_SEARCH",
+    "_NORM_SCALE",
+    "_NORM_Q",
+    "_NORM_K",
+    "q_embedding_outliers",
+    "SQL_EMBEDDING_OUTLIERS",
+    "_SWEEP_TAUS",
+    "q_dedup_sweep",
+    "SQL_DEDUP_SWEEP",
+    "_STOPDISC_MIN_RATIO",
+    "q_stopword_discovery",
+    "SQL_STOPWORD_DISCOVERY",
+    "q_dedup_soft_weights",
+    "SQL_DEDUP_SOFT_WEIGHTS",
+    "q_ks_drift",
+    "_ks_sql",
+    "SQL_KS_DRIFT",
+    "_DOMAIN_CAP",
+    "q_domain_caps",
+    "SQL_DOMAIN_CAPS",
+    "q_artifact_roundtrip",
+    "_artifact_roundtrip_sql",
+    "SQL_ARTIFACT_ROUNDTRIP",
+    "_SBA_EVENTS",
+    "_SBA_DOCS",
+    "_SBA_MOD",
+    "_SBA_STEPS",
+    "_sba_checksum",
+    "_sba_fixture",
+    "_sba_engine_rows",
+    "q_stream_batch_agreement",
+    "_sba_sql",
+    "SQL_STREAM_BATCH_AGREEMENT",
+]
