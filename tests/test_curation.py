@@ -1143,6 +1143,28 @@ class TestDistributionMatch:
         assert rates[3]["rate_ppm"] == 0
         assert rates[3]["n_target"] == 0 and rates[3]["n_in"] == 0
 
+    def test_supplied_rates_wrong_n_bins_raises(self, spark):
+        import pytest as _pytest
+
+        inc, tgt = self._frames(spark)
+        rates = sampling.distribution_match_rates(
+            inc, tgt, "quality", n_bins=5)
+        with _pytest.raises(ValueError, match="5 rows but n_bins=10"):
+            sampling.distribution_match(
+                inc, tgt, "quality", "doc_id", n_bins=10, rates=rates)
+
+    def test_supplied_rates_equal_internal_build(self, spark):
+        inc, tgt = self._frames(spark)
+        rates = sampling.distribution_match_rates(
+            inc, tgt, "quality", n_bins=10)
+        via_param = {r["doc_id"] for r in sampling.distribution_match(
+            inc, tgt, "quality", "doc_id", n_bins=10, salt="s",
+            rates=rates).collect()}
+        internal = {r["doc_id"] for r in sampling.distribution_match(
+            inc, tgt, "quality", "doc_id", n_bins=10,
+            salt="s").collect()}
+        assert via_param == internal
+
     def test_kept_set_matches_brute_force_hash_rule(self, spark):
         import hashlib
 

@@ -111,8 +111,12 @@ def main() -> None:
                 node.target, ast.Name):
             names = [node.target.id]
         elif isinstance(node, (ast.Import, ast.ImportFrom)):
-            names = [(a.asname or a.name).split(".")[0]
-                     for a in node.names]
+            # __future__ flags are per-module compiler directives, not
+            # re-exportable values
+            if not (isinstance(node, ast.ImportFrom)
+                    and node.module == "__future__"):
+                names = [(a.asname or a.name).split(".")[0]
+                         for a in node.names]
         block_names.append(names)
         for n in names:
             defined.setdefault(n, i)

@@ -635,12 +635,19 @@ def distribution_match(incoming: DataFrame, target: DataFrame,
     else:
         # Consistency guard (r8 ADVICE): a rates frame built with a
         # different n_bins would silently drop rows via the inner bin
-        # join below. The frame is bounded (n_bins rows) so the check
-        # is one tiny job. `resolution` cannot be read off the frame
-        # (rate_ppm ≤ resolution holds for any smaller resolution
-        # too), so it is a documented contract: the rates MUST have
-        # been built with the same `resolution` as this call, or the
-        # hash-compare acceptance threshold is mis-scaled.
+        # join below. The count is a deliberate construction-time
+        # fail-fast (a wrong n_bins should error at the call site,
+        # not deep inside a downstream action); pinning FIRST makes
+        # it cost-neutral — the count materializes the bounded
+        # n_bins-row checkpoint that the broadcast join below then
+        # reuses, so even an unpinned caller-built lineage is derived
+        # exactly once, same as without the guard. `resolution`
+        # cannot be read off the frame (rate_ppm ≤ resolution holds
+        # for any smaller resolution too), so it is a documented
+        # contract: the rates MUST have been built with the same
+        # `resolution` as this call, or the hash-compare acceptance
+        # threshold is mis-scaled.
+        rates = rates.localCheckpoint(eager=False)
         got = rates.count()
         if got != n_bins:
             raise ValueError(

@@ -587,7 +587,6 @@ FROM documents
 
 
 __all__ = [
-    "annotations",
     "Callable",
     "DataFrame",
     "SparkSession",

@@ -750,7 +750,15 @@ def q_substring_dedup(spark, sf_dir):
     return _dup_spans(spark, sf_dir)
 
 
-SQL_SUBSTRING_DEDUP = f"""
+def _substring_sql(d_cte: str, clean: bool) -> str:
+    """Shared oracle builder for the substring-dedup family: rolling
+    window hashes (t, w) → a caller-supplied duplicated-positions CTE
+    `d` → gaps-and-islands span merge (f, s). With ``clean`` the spans
+    are aggregated per doc and cut out of the token array (the
+    remove_spans twin); otherwise the span rows themselves are
+    returned. One definition of the merge/removal algebra, three
+    oracles — the policy variants differ ONLY in `d`."""
+    head = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 w AS (
   SELECT doc_id, i - 1 AS pos,
@@ -758,11 +766,7 @@ w AS (
   FROM t, unnest(generate_series(1, len(t) - {_SPAN_WINDOW} + 1)) AS u(i)
   WHERE len(t) >= {_SPAN_WINDOW}
 ),
-d AS (
-  SELECT doc_id, pos FROM (
-    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM w
-  ) WHERE c > 1
-),
+d AS ({d_cte}),
 f AS (
   SELECT doc_id, pos,
          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -775,51 +779,16 @@ s AS (
          sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM f
-)
+)"""
+    if not clean:
+        return head + f"""
 SELECT doc_id,
        min(pos)::BIGINT AS span_start,
        (max(pos) + {_SPAN_WINDOW})::BIGINT AS span_end,
        (max(pos) + {_SPAN_WINDOW} - min(pos))::BIGINT AS n_dup_tokens
 FROM s GROUP BY doc_id, sid
 """
-
-def q_substring_clean(spark, sf_dir):
-    """Exact substring dedup, applied: detect duplicated spans
-    (q_substring_dedup) and cut them out of the text — the
-    'remove every duplicated range' policy of Lee et al. 2022's
-    aggressive variant. Detection plus one 1:1 join and per-row
-    array surgery; the span frame is shared with substring_dedup
-    (_SPAN_CACHE) — built once per (session, sf_dir)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.remove_spans(d, _dup_spans(spark, sf_dir))
-
-
-SQL_SUBSTRING_CLEAN = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-w AS (
-  SELECT doc_id, i - 1 AS pos,
-         md5(array_to_string(list_slice(t, i, i + {_SPAN_WINDOW} - 1), ' ')) AS h
-  FROM t, unnest(generate_series(1, len(t) - {_SPAN_WINDOW} + 1)) AS u(i)
-  WHERE len(t) >= {_SPAN_WINDOW}
-),
-d AS (
-  SELECT doc_id, pos FROM (
-    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM w
-  ) WHERE c > 1
-),
-f AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                   <= {_SPAN_WINDOW}
-              THEN 0 ELSE 1 END AS new_span
-  FROM d
-),
-s AS (
-  SELECT doc_id, pos,
-         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS UNBOUNDED PRECEDING) AS sid
-  FROM f
-),
+    return head + f""",
 spans AS (
   SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_WINDOW} AS e
   FROM s GROUP BY doc_id, sid
@@ -847,6 +816,46 @@ SELECT doc_id,
        (len(t) - len(keep))::BIGINT AS n_removed_tokens
 FROM kept
 """
+
+
+# every window whose hash occurs ≥2 times corpus-wide (the aggressive
+# remove-every-occurrence policy)
+_D_ALL_DUPS = """
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM w
+  ) WHERE c > 1
+"""
+
+# same, EXCEPT each hash's canonical corpus-wide occurrence —
+# (min doc_id, then min pos within it) — which survives (keep-first)
+_D_KEEP_FIRST = """
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, c, mid,
+           min(CASE WHEN doc_id = mid THEN pos END)
+             OVER (PARTITION BY h) AS mpos
+    FROM (
+      SELECT doc_id, pos, h,
+             count(*) OVER (PARTITION BY h) AS c,
+             min(doc_id) OVER (PARTITION BY h) AS mid
+      FROM w
+    )
+  ) WHERE c > 1 AND NOT (doc_id = mid AND pos = mpos)
+"""
+
+SQL_SUBSTRING_DEDUP = _substring_sql(_D_ALL_DUPS, clean=False)
+
+def q_substring_clean(spark, sf_dir):
+    """Exact substring dedup, applied: detect duplicated spans
+    (q_substring_dedup) and cut them out of the text — the
+    'remove every duplicated range' policy of Lee et al. 2022's
+    aggressive variant. Detection plus one 1:1 join and per-row
+    array surgery; the span frame is shared with substring_dedup
+    (_SPAN_CACHE) — built once per (session, sf_dir)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.remove_spans(d, _dup_spans(spark, sf_dir))
+
+
+SQL_SUBSTRING_CLEAN = _substring_sql(_D_ALL_DUPS, clean=True)
 
 
 def q_substring_clean_keep_first(spark, sf_dir):
@@ -864,67 +873,7 @@ def q_substring_clean_keep_first(spark, sf_dir):
     return dedup.remove_spans(d, spans)
 
 
-SQL_SUBSTRING_CLEAN_KEEP_FIRST = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-w AS (
-  SELECT doc_id, i - 1 AS pos,
-         md5(array_to_string(list_slice(t, i, i + {_SPAN_WINDOW} - 1), ' ')) AS h
-  FROM t, unnest(generate_series(1, len(t) - {_SPAN_WINDOW} + 1)) AS u(i)
-  WHERE len(t) >= {_SPAN_WINDOW}
-),
-d AS (
-  SELECT doc_id, pos FROM (
-    SELECT doc_id, pos, c, mid,
-           min(CASE WHEN doc_id = mid THEN pos END)
-             OVER (PARTITION BY h) AS mpos
-    FROM (
-      SELECT doc_id, pos, h,
-             count(*) OVER (PARTITION BY h) AS c,
-             min(doc_id) OVER (PARTITION BY h) AS mid
-      FROM w
-    )
-  ) WHERE c > 1 AND NOT (doc_id = mid AND pos = mpos)
-),
-f AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                   <= {_SPAN_WINDOW}
-              THEN 0 ELSE 1 END AS new_span
-  FROM d
-),
-s AS (
-  SELECT doc_id, pos,
-         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS UNBOUNDED PRECEDING) AS sid
-  FROM f
-),
-spans AS (
-  SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_WINDOW} AS e
-  FROM s GROUP BY doc_id, sid
-),
-per_doc AS (
-  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
-  FROM spans GROUP BY doc_id
-),
-joined AS (
-  SELECT t.doc_id, t.t,
-         coalesce(p.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
-  FROM t LEFT JOIN per_doc p USING (doc_id)
-  WHERE len(t.t) > 0
-),
-kept AS (
-  SELECT doc_id, t,
-         list_filter(generate_series(0, len(t) - 1),
-                     i -> len(list_filter(sp,
-                              x -> i >= x.s AND i < x.e)) = 0) AS keep
-  FROM joined
-)
-SELECT doc_id,
-       coalesce(array_to_string(list_transform(keep, i -> t[i + 1]), ' '), '')
-         AS text_clean,
-       (len(t) - len(keep))::BIGINT AS n_removed_tokens
-FROM kept
-"""
+SQL_SUBSTRING_CLEAN_KEEP_FIRST = _substring_sql(_D_KEEP_FIRST, clean=True)
 
 # Target mixture proportions per source for q_mix_corpora (ratios,
 # need not sum to 1); sources outside the map are excluded.
@@ -2989,6 +2938,11 @@ FROM nodes, en, tri
 
 
 __all__ = list(_prev.__all__) + [
+    # post-split additions (keep every top-level name exported
+    # so the chunk chain stays complete):
+    "_substring_sql",
+    "_D_ALL_DUPS",
+    "_D_KEEP_FIRST",
     "q_token_count",
     "SQL_TOKEN_COUNT",
     "q_quality_score",
