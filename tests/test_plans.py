@@ -1064,3 +1064,22 @@ def test_r8_sweep_scan_budgets(spark, name, max_parquet_scans):
         f"{name}: parquet-scan budget {max_parquet_scans} exceeded — "
         "a shared frame lost its checkpoint pin and Catalyst is "
         "re-deriving its lineage per consumer")
+
+
+def test_catalog_wide_no_cartesian_product(spark):
+    """The one plan property every catalog entry must satisfy at
+    100 TB: no unconditioned big-big join anywhere. Every deliberate
+    crossJoin in the catalog broadcasts a 1-row/bounded scalar frame
+    (compiling to BroadcastNestedLoopJoin), so a CartesianProduct
+    node in ANY of the 231 plans is a regression — this sweeps the
+    whole registry, covering the long tail of entries without an
+    individual plan pin. (~5 min standalone: building a plan runs the bounded
+    query-construction fixtures; the session-scoped caches shared
+    with the parity tests absorb most of it.)"""
+    bad = {}
+    for name, fn in catalog.QUERIES.items():
+        plan = plan_of_df(spark, fn(spark, SF))
+        n = count_nodes(plan, "CartesianProduct")
+        if n:
+            bad[name] = n
+    assert not bad, f"CartesianProduct nodes found: {bad}"
