@@ -136,3 +136,47 @@ def test_append_equals_rebuild_ivf_and_lsh(spark, tmp_path):
     got = sorted(map(tuple, S.probe_lsh_index(spark, la, q, k=3).collect()))
     want = sorted(map(tuple, S.probe_lsh_index(spark, lb, q, k=3).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streamed_maintenance_probe_and_law(spark):
+    """r10 ann_maintained device end-to-end: the REAL availableNow
+    engine folds two parquet spool shards into the base-third index
+    via foreachBatch -> append_ann_index; the build itself enforces
+    maintain==rebuild by distributed content checksum (it raises on
+    divergence), and the resulting index must answer probes exactly
+    like the on-the-fly LSH path over the full corpus."""
+    from twitter_to_sqlite_spark import tables
+    from twitter_to_sqlite_spark.functions import similarity as S
+    from twitter_to_sqlite_spark.plans import _q08_eval_ops as Q8
+
+    path = Q8._ann_maintained_index(spark, SF)
+    emb = tables.load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = rows_of(S.probe_lsh_index(spark, path, queries, k=3))
+    want = rows_of(S.lsh_bucketed_topk(emb, queries, k=3, dims=DIMS))
+    assert got == want and len(got) == 15
+
+
+def test_maintained_checksum_discriminates(spark, tmp_path):
+    """The content checksum must actually bind the law: a partially
+    maintained index (missing shard) hashes DIFFERENT from the full
+    rebuild; appending the missing shard restores equality. Guards
+    against the checksum degenerating into a constant (which would
+    green-light a silently stale index)."""
+    from pyspark.sql import functions as F
+
+    from twitter_to_sqlite_spark import tables
+    from twitter_to_sqlite_spark.functions import similarity as S
+    from twitter_to_sqlite_spark.plans import _q08_eval_ops as Q8
+
+    e = tables.load_table(spark, SF, "embeddings") \
+        .select("vec_id", "embedding")
+    pa = str(tmp_path / "half")
+    pb = str(tmp_path / "full")
+    S.build_lsh_index(e.filter(F.col("vec_id") % 2 == 0), pa, dims=DIMS)
+    S.build_lsh_index(e, pb, dims=DIMS)
+    half = Q8._lsh_index_content_checksum(spark.read.parquet(pa))
+    full = Q8._lsh_index_content_checksum(spark.read.parquet(pb))
+    assert half != full
+    S.append_ann_index(e.filter(F.col("vec_id") % 2 == 1), pa)
+    assert Q8._lsh_index_content_checksum(spark.read.parquet(pa)) == full

@@ -945,6 +945,25 @@ def test_ann_index_append_result_is_bounded_local(spark):
     assert "Scan parquet" not in plan
 
 
+def test_ann_maintained_probe_is_partition_pruned(spark):
+    """The streaming-maintained index query measures the PROBE path:
+    a partition-pruned scan of the probed bucket dirs joined broadcast
+    to the query side — three parquet scans at most (index, query-side
+    embeddings, and the dynamic-partition-pruning subquery's copy of
+    the bounded query side), the index one carrying a bucket
+    PartitionFilter, and no shuffle-side join or cartesian anywhere.
+    The maintenance chain (engine run + checksum law) runs once at
+    build and is billed to _build:ann_maintained."""
+    plan = plan_of(spark, "ann_maintained")
+    assert "PartitionFilters:" in plan
+    part_filter = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "bucket" in part_filter
+    assert count_nodes(plan, "Scan parquet") <= 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mmr_diversify_greedy_steps_read_checkpoints(spark):
     """The greedy unroll must NOT re-derive the candidate lineage per
     step: candidates and each pick are checkpointed, so the final
@@ -1066,6 +1085,7 @@ def test_r8_sweep_scan_budgets(spark, name, max_parquet_scans):
         "re-deriving its lineage per consumer")
 
 
+@pytest.mark.sweep
 def test_catalog_wide_no_cartesian_product(spark):
     """The one plan property every catalog entry must satisfy at
     100 TB: no unconditioned big-big join anywhere. Every deliberate

@@ -128,6 +128,7 @@ def clear_caches(include_infra: bool = False) -> None:
         _LR_CACHE.clear()
         _BPE_CACHE.clear()
         _SBA_ENGINE_CACHE.clear()
+        _ANN_MAINT_CACHE.clear()
 
 
 def _minhash_pairs_build(spark, sf_dir) -> DataFrame:
@@ -423,6 +424,12 @@ _ANN_INDEX_CACHE: dict[tuple, str] = {}
 _SBA_ENGINE_CACHE: dict[str, list] = {}
 
 
+# Streaming-maintained LSH index (r10): path of the index kept live by
+# the availableNow append run, plus its verified maintain==rebuild
+# content checksum — build-once-probe-many, so infra lifetime.
+_ANN_MAINT_CACHE: dict[str, str] = {}
+
+
 _LR_CACHE: dict[tuple, list[float]] = {}
 
 
@@ -472,6 +479,7 @@ __all__ = list(_prev.__all__) + [
     "_BPE_CACHE",
     "_ANN_INDEX_CACHE",
     "_SBA_ENGINE_CACHE",
+    "_ANN_MAINT_CACHE",
     "_LR_CACHE",
     "_CENTROID_CACHE",
     "_KNNG_CACHE",

@@ -1920,6 +1920,118 @@ FROM h GROUP BY partition_key
 """
 
 
+# ---------------------------------------------------------------------
+# Streaming-maintained ANN index (r10)
+# ---------------------------------------------------------------------
+
+
+def _lsh_index_content_checksum(df: DataFrame) -> tuple[int, str]:
+    """Order-independent content checksum of a persisted LSH index:
+    count + DECIMAL(38,0) sum of an md5-prefix integer over
+    (neighbor_id, bucket, vec). Computed fully distributed (one
+    grouped-free aggregate — constant driver footprint at any index
+    size); both sides of the maintain==rebuild law are written by the
+    same build code, so double-to-string formatting is identical and
+    the comparison is engine-exact with no float surface."""
+    h = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', neighbor_id, bucket,"
+        " concat_ws(',', transform(vec, v -> CAST(v AS STRING))))),"
+        " 1, 15), 16, 10) AS DECIMAL(38,0))")
+    r = df.select(F.count(F.lit(1)).alias("n"),
+                  F.sum(h).alias("s")).collect()[0]
+    return int(r["n"]), str(r["s"])
+
+
+def _ann_maintained_index(spark, sf_dir) -> str:
+    """Build the streaming-MAINTAINED LSH index and certify the
+    maintain==rebuild law (VERDICT r9 task 2: the ann_index_append
+    twin of dm_maintained — index freshness kept live on a stream).
+
+    Base = the vec_id%3==0 third of the corpus, indexed one-shot
+    (build_lsh_index). The two remaining thirds arrive as parquet
+    files in an mtime-ordered spool consumed by the REAL Structured
+    Streaming engine (availableNow, maxFilesPerTrigger=1); each
+    micro-batch is folded into the live index by foreachBatch ->
+    similarity.append_ann_index — the sidecar-assigned, rename-promoted
+    maintenance path, so per-batch cost is shard-sized regardless of
+    index size. The law check then rebuilds the index from the full
+    corpus one-shot and compares COMPLETE index content (ids, bucket
+    assignments, stored vectors) by distributed integer checksum:
+    N-batch maintenance must equal the one-shot build bit-exactly, not
+    merely answer the probe set identically. Divergence raises — the
+    gate fails loud, never silently serves a stale index.
+
+    Cached per (process, sf_dir): the index is build-once-probe-many
+    infrastructure, billed cold to "_build:ann_maintained"; the
+    recurring ann_maintained entry measures the probe path."""
+    import os
+    import shutil
+    import tempfile
+
+    if sf_dir in _ANN_MAINT_CACHE:
+        return _ANN_MAINT_CACHE[sf_dir]
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = _infra_tmpdir("annmaint-") + "/idx"
+    similarity.build_lsh_index(
+        e.filter(F.col("vec_id") % 3 == 0), path, dims=_LSH_DIMS)
+
+    work = tempfile.mkdtemp(prefix="annmaint-work-")
+    try:
+        spool = os.path.join(work, "spool")
+        os.makedirs(spool)
+        for b in (1, 2):
+            shard_dir = os.path.join(work, f"shard{b}")
+            (e.filter(F.col("vec_id") % 3 == b)
+             .coalesce(1).write.mode("overwrite").parquet(shard_dir))
+            part = next(f for f in os.listdir(shard_dir)
+                        if f.endswith(".parquet"))
+            dst = os.path.join(spool, f"b{b}.parquet")
+            os.rename(os.path.join(shard_dir, part), dst)
+            t = 1_000_000_000 + 100 * b   # mtime order = arrival order
+            os.utime(dst, (t, t))
+
+        stream = (spark.readStream.schema(e.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(spool))
+        q = (stream.writeStream
+             .foreachBatch(lambda batch, bid:
+                           similarity.append_ann_index(batch, path))
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        rebuilt = os.path.join(work, "rebuilt")
+        similarity.build_lsh_index(e, rebuilt, dims=_LSH_DIMS)
+        got = _lsh_index_content_checksum(spark.read.parquet(path))
+        want = _lsh_index_content_checksum(spark.read.parquet(rebuilt))
+        if got != want:
+            raise RuntimeError(
+                "ann_maintained law violation: streamed index "
+                f"(n,checksum)={got} != one-shot rebuild {want}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    _ANN_MAINT_CACHE[sf_dir] = path
+    return path
+
+
+def q_ann_maintained(spark, sf_dir):
+    """Probe the streaming-maintained LSH index (the partition-pruned
+    probe_lsh_index path) with ann_lsh's query set. The oracle is
+    ann_lsh's full-corpus SQL verbatim: an index maintained across
+    micro-batches must answer exactly like one built whole — and the
+    build step already enforced the stronger content-checksum law
+    (see _ann_maintained_index), so a green row certifies both the
+    engine-run maintenance chain and the probe."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.probe_lsh_index(
+        spark, _ann_maintained_index(spark, sf_dir), queries, k=3)
+
+
+SQL_ANN_MAINTAINED = SQL_ANN_LSH
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2054,6 +2166,10 @@ __all__ = list(_prev.__all__) + [
     "SQL_ER_EVAL",
     "q_partition_checksums",
     "SQL_PARTITION_CHECKSUMS",
+    "_lsh_index_content_checksum",
+    "_ann_maintained_index",
+    "q_ann_maintained",
+    "SQL_ANN_MAINTAINED",
     "_force_build",
     "SHARED_BUILDS",
 ]
