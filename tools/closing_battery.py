@@ -146,7 +146,15 @@ def main() -> None:
                   "collected — commit the diff and re-run", flush=True)
             failures.append("readme-tests")
         ms = re.search(r"\*\*(\d+) passed \+ (\d+)", new)
-        if ms and int(ms.group(1)) + int(ms.group(2)) != total:
+        if not ms:
+            # A missing/reformatted suite-claim line is exactly the
+            # drift this check exists to catch — never fall through
+            # to the agree branch (ADVICE r9).
+            print("5. README suite claim: '**X passed + Y skipped' "
+                  "line not found — restore it from a fresh "
+                  "full-suite run", flush=True)
+            failures.append("readme-tests")
+        elif int(ms.group(1)) + int(ms.group(2)) != total:
             print(f"5. README suite claim: {ms.group(1)} passed + "
                   f"{ms.group(2)} skipped != {total} collected — "
                   "update from a fresh full-suite run", flush=True)

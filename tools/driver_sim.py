@@ -7,7 +7,12 @@ oracle, compares rows/schema/value-hash the way the driver does
 hash), and prints a table sorted by wall time so the slow tail of the
 correctness pass is visible.
 
-Usage: python tools/driver_sim.py [sf_dir] [--only name,name]
+Usage: python tools/driver_sim.py [sf_dir] [--only name,name] [--window[=N]]
+
+--window runs just the first N entries of queries() (default 50) —
+QUERIES is staleness-ordered, so that IS the driver's next
+certification window. ~5× cheaper per-commit loop; the closing
+battery still runs the full registry.
 """
 
 from __future__ import annotations
@@ -60,6 +65,7 @@ def main() -> None:
     argv = sys.argv[1:]
     args: list[str] = []
     only = None
+    window = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -71,6 +77,10 @@ def main() -> None:
             continue
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a == "--window":
+            window = 50
+        elif a.startswith("--window="):
+            window = int(a.split("=", 1)[1])
         else:
             args.append(a)
         i += 1
@@ -82,6 +92,10 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entry_mod.queries()
+    if window is not None:
+        # queries() is staleness-ordered (never-verified first), so
+        # the head-N slice is exactly the driver's next gate window.
+        queries = dict(list(queries.items())[:window])
     oracles = entry_mod.oracle_sql()
     results = {}
     t_start = time.perf_counter()
