@@ -7,8 +7,10 @@ NOT the tuned session.py configuration. Catching a query whose answer
 depends on partition count or on AQE's runtime re-planning here is
 the point: results must be a pure function of the data.
 
-Usage: python tools/invariance_check.py [sf_dir] [--only a,b]
-(defaults to every registry entry; pass --only for the fast loop).
+Usage: python tools/invariance_check.py [sf_dir] [--only a,b] [--window[=N]]
+(defaults to every registry entry; pass --only for the fast loop, or
+--window for the head-N staleness window — both forwarded to
+driver_sim's argument parser via runpy).
 """
 
 from __future__ import annotations
