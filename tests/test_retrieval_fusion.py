@@ -220,3 +220,50 @@ def test_bm25_param_sweep_discriminates_length_norm(spark):
     assert got[(1.2, 0.75)]["mean_ndcg"] < 1.0
     assert got[(1.2, 0.0)]["chosen"] and not got[(1.2, 0.75)]["chosen"]
     assert sum(r["chosen"] for r in got.values()) == 1
+
+
+# ------------------------------------------- fused ann_tuning (r10)
+
+
+def test_ann_tuning_matches_per_leg_operators(spark):
+    """The r10-fused ann_tuning sweep (one pair set, predicate legs,
+    join-free hit counting) must produce EXACTLY the rows the original
+    per-leg formulation produced: each leg re-derived here with the
+    stand-alone operators (lsh_bucketed_topk / ivf_topk / sq8_topk +
+    recall_at_k against a shared brute-force leg)."""
+    from twitter_to_sqlite_spark.plans import _q04_analytics as q4
+
+    e = tables.load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < q4._TUNE_NQ)
+    exact = similarity.brute_force_topk(e, q, k=q4._TUNE_K)
+    cents = q4._ivf_centroids(spark, SF)
+
+    def leg(method, setting, approx):
+        rec = similarity.recall_at_k(exact, approx, k=q4._TUNE_K)
+        row = rec.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("n_hits").alias("h")).collect()[0]
+        avg = (round(row["h"] / (q4._TUNE_K * row["n"]), 4)
+               if row["n"] else None)
+        return (method, setting, row["n"], avg)
+
+    expected = set()
+    for bits, dims in q4._TUNE_LSH_BITS.items():
+        expected.add(leg("lsh", f"bits={bits}",
+                         similarity.lsh_bucketed_topk(
+                             e, q, k=q4._TUNE_K, dims=dims)))
+    expected.add(leg("lsh_multiprobe", "bits=4,probe=1",
+                     similarity.lsh_bucketed_topk(
+                         e, q, k=q4._TUNE_K, dims=q4._TUNE_LSH_BITS[4],
+                         multiprobe=1)))
+    for p in q4._TUNE_IVF_PROBES:
+        expected.add(leg("ivf", f"n_probe={p}",
+                         similarity.ivf_topk(e, q, cents, k=q4._TUNE_K,
+                                             n_probe=p)))
+    for c in q4._TUNE_SQ8_CANDS:
+        expected.add(leg("sq8", f"cands={c}",
+                         similarity.sq8_topk(e, q, k=q4._TUNE_K,
+                                             candidates=c)))
+
+    got = {(r["method"], r["setting"], r["n_queries"], r["avg_recall"])
+           for r in q4.q_ann_tuning(spark, SF).collect()}
+    assert got == expected

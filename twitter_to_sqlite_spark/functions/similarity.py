@@ -298,12 +298,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
     return _score_and_rank(pairs, k, decimals)
 
 
-def _probe_cells(qv, centroids: list[list[float]], n_probe: int):
-    """Explode into the query's top-n_probe cells by centroid dot
-    product — THE one definition of probe-cell ranking, shared by the
-    on-the-fly path (ivf_topk) and the materialized index
-    (probe_ivf_index) so their 'identical results' contract can't
-    drift through a tweak to one copy's tie-breaking."""
+def _probe_cells_arr(qv, centroids: list[list[float]], n_probe: int):
+    """The query's top-n_probe cells by centroid dot product, as an
+    ORDERED array (best probe first) — the one definition of
+    probe-cell ranking. :func:`_probe_cells` explodes this; fused
+    sweeps (q_ann_tuning) keep the array and test membership by
+    position so every probe depth shares one pair set."""
     n_cells = len(centroids)
     n_probe = min(n_probe, n_cells)
     cents = F.array(*[
@@ -318,7 +318,16 @@ def _probe_cells(qv, centroids: list[list[float]], n_probe: int):
         ))),
         1, n_probe,
     )
-    return F.explode(F.transform(ranked, lambda p: p["cell"]).cast("array<long>"))
+    return F.transform(ranked, lambda p: p["cell"]).cast("array<long>")
+
+
+def _probe_cells(qv, centroids: list[list[float]], n_probe: int):
+    """Explode into the query's top-n_probe cells by centroid dot
+    product — THE one definition of probe-cell ranking, shared by the
+    on-the-fly path (ivf_topk) and the materialized index
+    (probe_ivf_index) so their 'identical results' contract can't
+    drift through a tweak to one copy's tie-breaking."""
+    return F.explode(_probe_cells_arr(qv, centroids, n_probe))
 
 
 # -------------------------------------------------- materialized index
@@ -602,6 +611,29 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _sq8_side(df: DataFrame, id_col: str, vec_col: str,
+              ida: str, va: str, na: str, qa: str, sa: str) -> DataFrame:
+    """One side of the SQ8 path: aliased id, double vector, norm,
+    per-vector scale and the rounded int-range codes — THE one
+    quantization definition, shared by sq8_topk and the fused tuning
+    sweep (q_ann_tuning) so the two can't drift."""
+    v = _as_double(F.col(vec_col))
+    # greatest(., tiny) guards the all-zero vector: its scale
+    # would otherwise be 0 and x/0 diverges between engines
+    # (Spark NULL vs IEEE inf); with the floor its codes are all
+    # zeros and the approx score a clean 0.
+    base = df.select(F.col(id_col).alias(ida), v.alias(va)) \
+        .withColumn(na, _norm(F.col(va))) \
+        .withColumn(sa, F.greatest(
+            F.array_max(F.transform(F.col(va), F.abs)) / F.lit(127.0),
+            F.lit(1e-30)))
+    # materialize-then-reference: the scale column must exist
+    # before the lambda uses it (interpreted per element otherwise)
+    return base.withColumn(
+        qa, F.transform(F.col(va),
+                        lambda x: F.round(x / F.col(sa), 0)))
+
+
 def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int,
              candidates: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -625,25 +657,10 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int,
     never shuffles, but the hot loop reads the int8-range codes; the
     exact vectors are touched only for |queries|·candidates rescores.
     """
-    def _quantized(df, ida, va, na, qa, sa):
-        v = _as_double(F.col(vec_col))
-        # greatest(., tiny) guards the all-zero vector: its scale
-        # would otherwise be 0 and x/0 diverges between engines
-        # (Spark NULL vs IEEE inf); with the floor its codes are all
-        # zeros and the approx score a clean 0.
-        base = df.select(F.col(id_col).alias(ida), v.alias(va)) \
-            .withColumn(na, _norm(F.col(va))) \
-            .withColumn(sa, F.greatest(
-                F.array_max(F.transform(F.col(va), F.abs)) / F.lit(127.0),
-                F.lit(1e-30)))
-        # materialize-then-reference: the scale column must exist
-        # before the lambda uses it (interpreted per element otherwise)
-        return base.withColumn(
-            qa, F.transform(F.col(va),
-                            lambda x: F.round(x / F.col(sa), 0)))
-
-    q = _quantized(queries, "query_id", "__qv", "__qn", "__qq", "__qs")
-    c = _quantized(corpus, "neighbor_id", "__cv", "__cn", "__cq", "__cs")
+    q = _sq8_side(queries, id_col, vec_col,
+                  "query_id", "__qv", "__qn", "__qq", "__qs")
+    c = _sq8_side(corpus, id_col, vec_col,
+                  "neighbor_id", "__cv", "__cn", "__cq", "__cs")
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )

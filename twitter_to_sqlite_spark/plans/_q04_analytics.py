@@ -2485,60 +2485,132 @@ def q_ann_tuning(spark, sf_dir):
     sign-LSH bits ∈ {2,4,6} (+ the 4-bit multiprobe-1 point), IVF
     n_probe ∈ {1,2,4} (shared cached k-means centroids — the same
     coarse quantizer every IVF query uses), SQ8 rescore depth ∈
-    {10,20,40}. Each approximate leg is the SAME operator the ann_*
-    catalog queries run (similarity.lsh_bucketed_topk / ivf_topk /
-    sq8_topk), measured by similarity.recall_at_k against one shared
-    exact leg — "measure, don't guess" as a committed artifact, not a
+    {10,20,40} — "measure, don't guess" as a committed artifact, not a
     single point.
+
+    r10 optimization: FUSED. The 12 per-leg plans (each its own
+    corpus×queries pair build, top-k window, recall semi-join and agg
+    — 140 Exchange / 40 SortMergeJoin nodes total) collapse into ONE
+    pair set: every leg's candidate rule is a per-pair predicate
+    (bucket equality per bits setting, probe-array membership by
+    position for every n_probe, SQ8 approx-rank prefix for every
+    rescore depth), so one query_id-keyed exchange carries the exact
+    rank AND the SQ8 candidate rank, one (method, setting, query_id)
+    window ranks every leg, and hits need NO join at all — a pair is
+    a hit iff its exact rank is also ≤ k (guide §2.4: operations
+    keyed the same way share one exchange). Leg semantics are pinned
+    to the stand-alone operators by sharing their definitions
+    (similarity._sq8_side / sign_bucket / _probe_buckets /
+    _probe_cells_arr / ivf_assign) and by
+    tests/test_retrieval_fusion.py::test_ann_tuning_matches_per_leg_operators,
+    which re-derives every leg with lsh_bucketed_topk / ivf_topk /
+    sq8_topk + recall_at_k and compares row sets.
 
     avg_recall is computed from integer hit counts
     (round(Σ n_hits / (k·n_queries), 4)) so the average is exact and
-    engine-stable. Scale: every leg is queries-broadcast ×
-    corpus-scan; the exact leg is computed once (lazy localCheckpoint)
-    and each per-setting eval joins only |queries|·k rows."""
-    # one materialization feeds all 11 legs' corpus AND query sides —
-    # without it the sweep re-scans the embeddings parquet ~20x
+    engine-stable. Scale: one queries-broadcast × corpus-scan, one
+    corpus-sized exchange, then everything is |queries|·k-bounded."""
     e = _t(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
     q = e.filter(F.col("vec_id") < _TUNE_NQ)
-    exact = similarity.brute_force_topk(e, q, k=_TUNE_K) \
-        .localCheckpoint(eager=False)
+    cents = _ivf_centroids(spark, sf_dir)
+    max_probe = max(_TUNE_IVF_PROBES)
 
-    def _summary(method: str, setting: str, approx) -> DataFrame:
-        rec = similarity.recall_at_k(exact, approx, k=_TUNE_K)
-        return rec.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum("n_hits").alias("__h"),
-        ).select(
-            F.lit(method).alias("method"),
-            F.lit(setting).alias("setting"),
+    # Corpus / query sides: one projection each carrying EVERY leg's
+    # probe metadata (SQ8 codes+scale, per-bits LSH buckets, IVF cell
+    # / probe array). _sq8_side also yields the exact vector + norm.
+    c = similarity._sq8_side(e, "vec_id", "embedding",
+                             "neighbor_id", "__cv", "__cn", "__cq", "__cs")
+    qs = similarity._sq8_side(q, "vec_id", "embedding",
+                              "query_id", "__qv", "__qn", "__qq", "__qs")
+    for bits, dims in _TUNE_LSH_BITS.items():
+        c = c.withColumn(f"__cb{bits}", similarity.sign_bucket("__cv", dims))
+        qs = qs.withColumn(f"__qb{bits}",
+                           similarity.sign_bucket("__qv", dims))
+    c = c.withColumn("__cell", similarity.ivf_assign(F.col("__cv"), cents))
+    qs = qs.withColumn("__mp4", F.array_distinct(similarity._probe_buckets(
+        F.col("__qb4"), len(_TUNE_LSH_BITS[4]), 1)))
+    qs = qs.withColumn("__probes", similarity._probe_cells_arr(
+        F.col("__qv"), cents, max_probe))
+
+    pairs = c.crossJoin(F.broadcast(qs)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    # Same expressions as _score_and_rank / sq8_topk, rounded the same.
+    cos = F.round(
+        similarity._dot(F.col("__qv"), F.col("__cv"))
+        / (F.col("__qn") * F.col("__cn")), 4)
+    sq8_approx = F.round(
+        (similarity._dot(F.col("__qq"), F.col("__cq"))
+         * F.col("__qs")) * F.col("__cs")
+        / (F.col("__qn") * F.col("__cn")), 4)
+    ivf_pos = F.array_position(F.col("__probes"), F.col("__cell"))
+    slim = pairs.select(
+        "query_id", "neighbor_id",
+        cos.alias("cosine"), sq8_approx.alias("__approx"),
+        ivf_pos.alias("__ivf_pos"),
+        *[(F.col(f"__cb{b}") == F.col(f"__qb{b}")).alias(f"__lsh{b}")
+          for b in _TUNE_LSH_BITS],
+        F.array_contains(F.col("__mp4"), F.col("__cb4")).alias("__mp"),
+    )
+    wq = Window.partitionBy("query_id")
+    ranked = (
+        slim
+        .withColumn("__xr", F.row_number().over(
+            wq.orderBy(F.col("cosine").desc(),
+                       F.col("neighbor_id").asc())))
+        .withColumn("__sqr", F.row_number().over(
+            wq.orderBy(F.col("__approx").desc(),
+                       F.col("neighbor_id").asc())))
+    )
+
+    leg_specs = (
+        [("lsh", f"bits={b}", F.col(f"__lsh{b}")) for b in _TUNE_LSH_BITS]
+        + [("lsh_multiprobe", "bits=4,probe=1", F.col("__mp"))]
+        + [("ivf", f"n_probe={p}",
+            (F.col("__ivf_pos") >= 1) & (F.col("__ivf_pos") <= p))
+           for p in _TUNE_IVF_PROBES]
+        + [("sq8", f"cands={cd}", F.col("__sqr") <= cd)
+           for cd in _TUNE_SQ8_CANDS]
+    )
+    legs = F.array(*[
+        F.struct(F.lit(m).alias("method"), F.lit(s).alias("setting"),
+                 pred.alias("__m"))
+        for m, s, pred in leg_specs])
+    member = (
+        ranked.select("query_id", "neighbor_id", "cosine", "__xr",
+                      F.explode(legs).alias("L"))
+        .filter(F.col("L.__m"))
+        .select("query_id", "neighbor_id", "cosine", "__xr",
+                F.col("L.method").alias("method"),
+                F.col("L.setting").alias("setting"))
+    )
+    wl = Window.partitionBy("method", "setting", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    hits = (
+        member.withColumn("__ar", F.row_number().over(wl))
+        .filter(F.col("__ar") <= _TUNE_K)
+        .groupBy("method", "setting")
+        .agg(F.sum(F.when(F.col("__xr") <= _TUNE_K, 1).otherwise(0))
+             .alias("__h"))
+    )
+    # n_queries = #queries in the exact leg — identical for every leg
+    # (a leg that misses a query still averages over it, recall 0).
+    nq = ranked.filter(F.col("__xr") <= _TUNE_K).agg(
+        F.countDistinct("query_id").alias("__n"))
+    # Left-join the literal leg grid so a leg with ZERO matching pairs
+    # still yields its row (hit count 0), exactly as the per-leg aggs did.
+    grid = spark.createDataFrame(
+        [(m, s) for m, s, _ in leg_specs], "method string, setting string")
+    return (
+        grid.join(hits, ["method", "setting"], "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "method", "setting",
             F.col("__n").cast("long").alias("n_queries"),
-            F.round(F.col("__h") / (F.lit(_TUNE_K) * F.col("__n")), 4)
+            F.round(F.coalesce(F.col("__h"), F.lit(0))
+                    / (F.lit(_TUNE_K) * F.col("__n")), 4)
             .alias("avg_recall"),
         )
-
-    out = []
-    for bits, dims in _TUNE_LSH_BITS.items():
-        out.append(_summary(
-            "lsh", f"bits={bits}",
-            similarity.lsh_bucketed_topk(e, q, k=_TUNE_K, dims=dims)))
-    out.append(_summary(
-        "lsh_multiprobe", "bits=4,probe=1",
-        similarity.lsh_bucketed_topk(e, q, k=_TUNE_K,
-                                     dims=_TUNE_LSH_BITS[4],
-                                     multiprobe=1)))
-    cents = _ivf_centroids(spark, sf_dir)
-    for p in _TUNE_IVF_PROBES:
-        out.append(_summary(
-            "ivf", f"n_probe={p}",
-            similarity.ivf_topk(e, q, cents, k=_TUNE_K, n_probe=p)))
-    for c in _TUNE_SQ8_CANDS:
-        out.append(_summary(
-            "sq8", f"cands={c}",
-            similarity.sq8_topk(e, q, k=_TUNE_K, candidates=c)))
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+    )
 
 
 def _ann_tuning_sql() -> str:
