@@ -222,6 +222,60 @@ def test_bm25_param_sweep_discriminates_length_norm(spark):
     assert sum(r["chosen"] for r in got.values()) == 1
 
 
+# --------------------------------------- fused bm25 sweep (r10)
+
+
+def test_bm25_param_sweep_matches_per_leg_eval(spark):
+    """The r10-fused bm25_param_sweep (one postings pipeline, per-grid
+    score columns, shared ideal ranking) must produce EXACTLY the rows
+    the original per-leg formulation produced: each (k1, b) leg
+    re-derived here with a stand-alone retrieval_eval call, then the
+    same rank-ordered mean fold and argmax."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    d = tables.load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = R.build_inverted_index(d, "doc_id", "text").localCheckpoint()
+    qs = spark.createDataFrame(
+        [(1, "the"), (1, "data"), (2, "model"), (2, "training"),
+         (3, "quality"), (3, "the")],
+        "query_id long, term string")
+    grid = [(1.2, 0.75), (0.9, 0.4), (1.6, 0.75), (1.2, 0.0)]
+
+    # The pre-r10 formulation, verbatim: per-leg retrieval_eval union
+    # + the same rank-ordered mean fold and argmax tail.
+    from pyspark.sql import Window
+
+    legs = None
+    for k1, b in grid:
+        leg = R.retrieval_eval(idx, "doc_id", qs, k=10,
+                               k1=k1, b=b).select(
+            F.lit(float(k1)).alias("k1"), F.lit(float(b)).alias("b"),
+            "query_id", "ndcg", "mrr")
+        legs = leg if legs is None else legs.unionByName(leg)
+    terms = legs.groupBy("k1", "b").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sort_array(F.collect_list(
+            F.struct("query_id", "ndcg", "mrr"))).alias("__ts"))
+
+    def mean(f):
+        return (F.aggregate("__ts", F.lit(0.0),
+                            lambda acc, s: acc + s[f])
+                / F.col("n_queries"))
+
+    scored = terms.select(
+        "k1", "b", "n_queries",
+        F.round(mean("ndcg"), 6).alias("mean_ndcg"),
+        F.round(mean("mrr"), 6).alias("mean_mrr"))
+    w = Window.orderBy(F.col("mean_ndcg").desc(),
+                       F.col("mean_mrr").desc(), "k1", "b")
+    expected = {tuple(r) for r in scored.withColumn(
+        "chosen", F.row_number().over(w) == 1).collect()}
+
+    got = {tuple(r) for r in
+           R.bm25_param_sweep(idx, "doc_id", qs, grid, k=10).collect()}
+    assert got == expected
+
+
 # ------------------------------------------- fused ann_tuning (r10)
 
 

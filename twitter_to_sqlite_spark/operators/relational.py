@@ -1397,6 +1397,44 @@ def resample_fill(df: DataFrame, key_col: str, ts_col: str, val_col: str,
     )
 
 
+def _bm25_eval_front(index: DataFrame, id_col: str,
+                     queries: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The (k1, b)-independent front of the BM25 retrieval eval: doc
+    lengths, 1-row corpus stats, postings hits for the query terms,
+    per-(query, term) doc frequencies — joined into the per-posting
+    scoring frame — plus the per-query distinct-term counts. THE one
+    definition shared by :func:`retrieval_eval` and the fused
+    :func:`bm25_param_sweep` so the two can't drift."""
+    dl = index.groupBy(id_col).agg(
+        F.sum("tf").cast("double").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    qn = queries.groupBy("query_id").agg(
+        F.countDistinct("term").alias("__qn"))
+    hits = index.join(F.broadcast(queries.select("query_id", "term")),
+                      "term")
+    dfreq = hits.groupBy("query_id", "term").agg(
+        F.countDistinct(id_col).cast("double").alias("__df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), ["query_id", "term"])
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    return scored, qn
+
+
+def _bm25_score(k1: float, b: float):
+    """Okapi BM25 per-posting score over _bm25_eval_front's columns —
+    the only (k1, b)-dependent expression in the eval."""
+    tf = F.col("tf").cast("double")
+    idf = F.log((F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5) + 1)
+    return (idf * tf * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))))
+
+
 def retrieval_eval(index: DataFrame, id_col: str, queries: DataFrame,
                    k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """Retrieval-quality metrics (NDCG@k + MRR@k) for query-keyed BM25
@@ -1420,29 +1458,8 @@ def retrieval_eval(index: DataFrame, id_col: str, queries: DataFrame,
     (an eval set), everything after the postings join is bounded by
     |queries| × |matching docs|.
     """
-    dl = index.groupBy(id_col).agg(
-        F.sum("tf").cast("double").alias("__dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.avg("__dl").alias("__avgdl"),
-    )
-    qn = queries.groupBy("query_id").agg(
-        F.countDistinct("term").alias("__qn"))
-    hits = index.join(F.broadcast(queries.select("query_id", "term")),
-                      "term")
-    dfreq = hits.groupBy("query_id", "term").agg(
-        F.countDistinct(id_col).cast("double").alias("__df"))
-    tf = F.col("tf").cast("double")
-    idf = F.log((F.col("__n") - F.col("__df") + 0.5)
-                / (F.col("__df") + 0.5) + 1)
-    score = (idf * tf * (k1 + 1)
-             / (tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))))
-    scored = (
-        hits.join(F.broadcast(dfreq), ["query_id", "term"])
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn("__s", score)
-    )
+    scored_base, qn = _bm25_eval_front(index, id_col, queries)
+    scored = scored_base.withColumn("__s", _bm25_score(k1, b))
     per_doc = scored.groupBy("query_id", id_col).agg(
         F.round(F.sum("__s"), 4).alias("score"),
         F.countDistinct("term").alias("rel"),
@@ -1539,14 +1556,63 @@ def bm25_param_sweep(index: DataFrame, id_col: str, queries: DataFrame,
 
     Per-leg means fold over the ≤|queries| collected rows in query_id
     order — engine-identical at the rounded grain; the final argmax
-    is a |grid|-row window."""
-    legs = None
-    for k1, b in grid:
-        leg = retrieval_eval(index, id_col, queries, k=k,
-                             k1=k1, b=b).select(
+    is a |grid|-row window.
+
+    r10 optimization: FUSED. The per-(k1, b) retrieval_eval legs
+    shared every input (postings hits, doc lengths, dfreq, corpus
+    stats, the ideal/rel ranking and IDCG) and differed ONLY in the
+    score expression — so the sweep now runs ONE pipeline: the
+    per-(query, doc) aggregation computes every grid point's score as
+    its own column, |grid| rank windows + the ideal window ride one
+    query_id-keyed exchange (guide §2.4), and one per-query aggregate
+    folds every leg's DCG/MRR. Per-leg semantics are pinned by
+    sharing retrieval_eval's expression definitions
+    (_bm25_eval_front / _bm25_score / the same rank-ordered
+    sort_array folds) and by
+    tests/test_retrieval_fusion.py::test_bm25_param_sweep_matches_per_leg_eval,
+    which re-derives every leg with stand-alone retrieval_eval calls
+    and compares row sets."""
+    scored, qn = _bm25_eval_front(index, id_col, queries)
+    names = [f"__s{i}" for i in range(len(grid))]
+    per_doc = scored.groupBy("query_id", id_col).agg(
+        *[F.round(F.sum(_bm25_score(k1, b)), 4).alias(nm)
+          for nm, (k1, b) in zip(names, grid)],
+        F.countDistinct("term").alias("rel"),
+    )
+    gain = (F.expr("shiftleft(1, cast(rel AS int))") - 1).cast("double")
+    wq = Window.partitionBy("query_id")
+    ranked = per_doc.join(F.broadcast(qn), "query_id")
+    ranked = ranked.withColumn("__rI", F.row_number().over(
+        wq.orderBy(F.col("rel").desc(), F.col(id_col).asc())))
+    for i, nm in enumerate(names):
+        ranked = ranked.withColumn(f"__r{i}", F.row_number().over(
+            wq.orderBy(F.col(nm).desc(), F.col(id_col).asc())))
+
+    def _dcg_fold(rcol):
+        # Identical to retrieval_eval's _dcg: top-k (rank, term)
+        # structs sorted by rank, float-folded in rank order.
+        lst = F.sort_array(F.collect_list(F.when(
+            F.col(rcol) <= k,
+            F.struct(F.col(rcol).alias("__r"),
+                     (gain / F.log2(F.col(rcol) + 1)).alias("__t")))))
+        return F.aggregate(lst, F.lit(0.0), lambda acc, s: acc + s["__t"])
+
+    aggs = [_dcg_fold("__rI").alias("__idcg")]
+    for i in range(len(grid)):
+        aggs.append(_dcg_fold(f"__r{i}").alias(f"__dcg{i}"))
+        # retrieval_eval's MRR: 1/rank of the first full-coverage doc
+        # in the top k; null-min → null → coalesced to 0.0 below.
+        aggs.append(F.round(1.0 / F.min(F.when(
+            (F.col("rel") == F.col("__qn")) & (F.col(f"__r{i}") <= k),
+            F.col(f"__r{i}"))), 6).alias(f"__mrr{i}"))
+    qrows = ranked.groupBy("query_id").agg(*aggs)
+    legs = qrows.select("query_id", F.explode(F.array(*[
+        F.struct(
             F.lit(float(k1)).alias("k1"), F.lit(float(b)).alias("b"),
-            "query_id", "ndcg", "mrr")
-        legs = leg if legs is None else legs.unionByName(leg)
+            F.round(F.col(f"__dcg{i}") / F.col("__idcg"), 6).alias("ndcg"),
+            F.coalesce(F.col(f"__mrr{i}"), F.lit(0.0)).alias("mrr"))
+        for i, (k1, b) in enumerate(grid)])).alias("L")
+    ).select("query_id", "L.k1", "L.b", "L.ndcg", "L.mrr")
     terms = legs.groupBy("k1", "b").agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.sort_array(F.collect_list(
