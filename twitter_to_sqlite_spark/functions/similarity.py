@@ -181,6 +181,25 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
     return _score_and_rank(pairs, k, decimals)
 
 
+def _sql_double(x) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _const_mat(mat: list[list[float]]):
+    """array<array<double>> constant built with ONE py4j round-trip.
+
+    A k×dim centroid table built as F.array(*[F.array(*[F.lit(x)…])])
+    costs k·dim Python→JVM calls — measured as SECONDS of pure
+    driver-side plan-build time per PQ query (the execution itself was
+    ~1s). Rendering the same values into one SQL string and letting
+    the JVM parse it is one call; the constant-folded doubles are
+    identical because Double.parseDouble of Python's repr round-trips
+    every finite IEEE double."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(_sql_double(x) for x in c) + ")"
+        for c in mat) + ")")
+
+
 def ivf_assign(vec_col, centroids: list[list[float]]):
     """IVF coarse quantization: index of the max-dot-product centroid.
 
@@ -191,9 +210,7 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
     k·dim literal tree serializes to multi-MB task binaries and falls
     out of codegen; the HOF form stays compact.)
     """
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
+    cents = _const_mat(centroids)
     v = F.transform(vec_col if not isinstance(vec_col, str) else F.col(vec_col),
                     lambda x: x.cast("double"))
     scores = F.transform(cents, lambda c: _dot(v, c))
@@ -306,9 +323,7 @@ def _probe_cells_arr(qv, centroids: list[list[float]], n_probe: int):
     position so every probe depth shares one pair set."""
     n_cells = len(centroids)
     n_probe = min(n_probe, n_cells)
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
+    cents = _const_mat(centroids)
     scores = F.transform(cents, lambda cc: _dot(qv, cc))
     ranked = F.slice(
         F.reverse(F.array_sort(F.zip_with(
@@ -766,12 +781,13 @@ def _pq_query_side(queries: DataFrame, codebooks, id_col: str,
     m, subdim = len(codebooks), len(codebooks[0][0])
 
     def qtab(qv, s):
-        return F.array(*[
-            F.round(_dot(_pq_sub(qv, s, subdim),
-                         F.array(*[F.lit(float(x)) for x in cent]))
-                    * 10000, 0).cast("long")
-            for cent in codebooks[s]
-        ])
+        # One HOF over the one-round-trip constant codebook (same
+        # per-element arithmetic as the old per-centroid unroll; array
+        # order = codebook order = cell index, unchanged).
+        return F.transform(
+            _const_mat(codebooks[s]),
+            lambda cent: F.round(_dot(_pq_sub(qv, s, subdim), cent)
+                                 * 10000, 0).cast("long"))
 
     qv = _as_double(F.col(vec_col))
     return queries.select(
