@@ -298,11 +298,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         if max_df is not None:
             sh = sh.filter(F.col("__df") <= max_df)
-    # post-filter set size attached in the SAME pipeline (window over
-    # id) so the explode/filter subtree executes exactly once — a
-    # separate sizes aggregate would re-run it.
-    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     if prefix_filter:
+        # post-filter set size attached in the SAME pipeline (window
+        # over id): the prefix machinery needs sz on every shingle row
+        # (prefix length), and the frame is checkpointed right after.
+        sh = sh.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
         # The prefix path consumes `sh` THREE times (prefix candidates
         # + both sides of the sets join); materialize once so the
         # md5/window shingle subtree isn't recomputed per branch.
@@ -336,16 +337,30 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         )
     else:
-        rows = sh.select("shingle", F.struct("id", "sz").alias("item"))
+        # r10 reshape (guide §2.4/§2.3): the old pipeline attached sz
+        # via an id-keyed window BETWEEN the shingle-keyed df window
+        # and the shingle-keyed pair bucketing, so the full shingle
+        # frame crossed the network three times (shingle → id →
+        # shingle). Keying df-filter and bucketing back-to-back shares
+        # ONE shingle exchange (window output partitioning satisfies
+        # the groupBy), and the per-doc sizes ride a map-side-combined
+        # aggregate off the same exchange (ReusedExchange) — joined
+        # onto the AGGREGATED pairs, which are candidate-sized, not
+        # shingle-sized. Values are identical: sizes are still counted
+        # over the post-filter shingle sets.
+        rows = sh.select("shingle", F.struct("id").alias("item"))
         pairs = _pairs_within_buckets(rows, ["shingle"])
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__sz"))
         inter = (
             pairs.groupBy(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                F.col("a.sz").alias("size_a"),
-                F.col("b.sz").alias("size_b"),
             )
             .agg(F.count(F.lit(1)).alias("inter"))
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("__sz").alias("size_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("__sz").alias("size_b")), "id_b")
         )
     return (
         inter.withColumn(
@@ -390,15 +405,23 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         sh = sh.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         ).filter(F.col("__df") <= max_df)
-    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    rows = sh.select("shingle", F.struct("id", "sz").alias("item"))
+    # r10 reshape — same single-shingle-exchange shape as
+    # ngram_jaccard_pairs: sizes ride a map-side-combined aggregate
+    # (ReusedExchange off the shingle-keyed window) and attach to the
+    # candidate-sized pair aggregate, so the full shingle frame
+    # crosses the network once instead of three times.
+    rows = sh.select("shingle", F.struct("id").alias("item"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__sz"))
     inter = (
         _pairs_within_buckets(rows, ["shingle"])
         .groupBy(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("size_a"), F.col("b.sz").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("__sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("__sz").alias("size_b")), "id_b")
     )
     small_first = F.col("size_a") <= F.col("size_b")
     return (
@@ -597,17 +620,21 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col(id_col).alias("id"),
         F.explode(_tokens(F.col(text_col))).alias("__tok"),
     ).select("id", _md5_long(F.col("__tok")).alias("__hv"))
+    # The per-bit columns and the 48-term signature sum are rendered
+    # as SQL text (one py4j round-trip each) — building them with
+    # F.sum/F.when chains cost ~2s of pure driver time per plan
+    # (the same pathology as similarity._const_mat); the parsed
+    # expressions are identical.
     ones = [
-        F.sum(F.shiftright(F.col("__hv"), j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
+        F.expr(f"sum(shiftright(__hv, {j}) & 1)").alias(f"__s{j}")
         for j in range(bits)
     ]
     g = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *ones)
-    sig = None
-    for j in range(bits):
-        term = F.when(
-            F.col(f"__s{j}") * 2 > F.col("__n"), F.lit(2 ** j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
+    sig = F.expr(" + ".join(
+        f"(CASE WHEN __s{j} * 2 > __n THEN CAST({2 ** j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    ))
     return g.select("id", sig.alias("simhash"))
 
 

@@ -1035,29 +1035,38 @@ def q_dedup_sweep(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", k=3,
         threshold=min(_SWEEP_TAUS), max_df=_JACCARD_MAX_DF)
-    t = pairs.select(
-        "id_b", "jaccard",
-        F.explode(F.array(*[F.lit(x) for x in _SWEEP_TAUS]))
-        .alias("threshold"),
-    ).filter(F.col("jaccard") >= F.col("threshold"))
-    rem = t.groupBy("threshold").agg(
-        F.countDistinct("id_b").alias("__rm"))
-    spine = spark.createDataFrame(
-        [(x,) for x in _SWEEP_TAUS], "threshold double")
+    # r10: countDistinct(id_b | j ≥ τ) ≡ count(id_b | max_j ≥ τ), and
+    # all |τ| counts collapse into ONE global conditional aggregate
+    # (1 row out, map-side combined) — replacing the τ explode, the
+    # per-τ distinct agg, the spine left-join and their stages. A τ
+    # with zero removals naturally reports 0 (null-sum coalesced), so
+    # the spine frame is gone too.
+    jb = pairs.groupBy("id_b").agg(F.max("jaccard").alias("__jmax"))
+    sums = jb.agg(*[
+        F.sum(F.when(F.col("__jmax") >= F.lit(x), 1).otherwise(0))
+        .cast("long").alias(f"__rm{i}")
+        for i, x in enumerate(_SWEEP_TAUS)
+    ])
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    out = (
-        spine.join(rem, "threshold", "left")
-        .crossJoin(F.broadcast(n))
+    legs = F.explode(F.array(*[
+        F.struct(
+            F.lit(float(x)).alias("threshold"),
+            F.coalesce(F.col(f"__rm{i}"), F.lit(0).cast("long"))
+            .alias("n_removed"))
+        for i, x in enumerate(_SWEEP_TAUS)
+    ])).alias("L")
+    return (
+        sums.crossJoin(F.broadcast(n))
+        .select(legs, "n_docs")
         .select(
-            "threshold",
-            F.coalesce("__rm", F.lit(0).cast("long")).alias("n_removed"),
+            F.col("L.threshold").alias("threshold"),
+            F.col("L.n_removed").alias("n_removed"),
             "n_docs",
-            F.round(
-                F.coalesce("__rm", F.lit(0).cast("long")).cast("double")
-                / F.col("n_docs").cast("double"), 4).alias("frac_removed"),
+            F.round(F.col("L.n_removed").cast("double")
+                    / F.col("n_docs").cast("double"), 4)
+            .alias("frac_removed"),
         )
     )
-    return out
 
 
 SQL_DEDUP_SWEEP = f"""

@@ -509,25 +509,35 @@ def q_simhash_sweep(spark, sf_dir):
     pairs = dedup.simhash_pairs(
         d, "doc_id", "text", bits=_SIMHASH_BITS, bands=_SIMHASH_BANDS,
         max_hamming=_SIMHASH_MAXHAM)
-    t = pairs.select(
-        "id_b", "hamming",
-        F.explode(F.array(*[F.lit(x) for x in _SIMHASH_RADII]))
-        .alias("radius"),
-    ).filter(F.col("hamming") <= F.col("radius"))
-    rem = t.groupBy("radius").agg(F.countDistinct("id_b").alias("__rm"))
-    spine = spark.createDataFrame(
-        [(x,) for x in _SIMHASH_RADII], "radius int")
+    # r10: countDistinct(id_b | h ≤ r) ≡ count(id_b | min_h ≤ r), and
+    # all |radius| counts collapse into ONE global conditional
+    # aggregate (1 row out) — no radius explode, no per-radius
+    # distinct agg, no spine join; a radius with zero removals
+    # naturally reports 0 (same device as dedup_sweep's τ tail).
+    hb = pairs.groupBy("id_b").agg(F.min("hamming").alias("__hmin"))
+    sums = hb.agg(*[
+        F.sum(F.when(F.col("__hmin") <= F.lit(x), 1).otherwise(0))
+        .cast("long").alias(f"__rm{i}")
+        for i, x in enumerate(_SIMHASH_RADII)
+    ])
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    legs = F.explode(F.array(*[
+        F.struct(
+            F.lit(int(x)).alias("radius"),
+            F.coalesce(F.col(f"__rm{i}"), F.lit(0).cast("long"))
+            .alias("n_removed"))
+        for i, x in enumerate(_SIMHASH_RADII)
+    ])).alias("L")
     return (
-        spine.join(rem, "radius", "left")
-        .crossJoin(F.broadcast(n))
+        sums.crossJoin(F.broadcast(n))
+        .select(legs, "n_docs")
         .select(
-            "radius",
-            F.coalesce("__rm", F.lit(0).cast("long")).alias("n_removed"),
+            F.col("L.radius").alias("radius"),
+            F.col("L.n_removed").alias("n_removed"),
             "n_docs",
-            F.round(
-                F.coalesce("__rm", F.lit(0).cast("long")).cast("double")
-                / F.col("n_docs").cast("double"), 4).alias("frac_removed"),
+            F.round(F.col("L.n_removed").cast("double")
+                    / F.col("n_docs").cast("double"), 4)
+            .alias("frac_removed"),
         )
     )
 
