@@ -884,15 +884,23 @@ def knn_graph(corpus: DataFrame, centroids: list[list[float]],
                      F.col("v").alias("__qv"), F.col("n").alias("__qn"))
     b = withc.select("cell", F.col("id").alias("nbr"),
                      F.col("v").alias("__cv"), F.col("n").alias("__cn"))
-    cand = a.join(b, "cell").filter(F.col("src") != F.col("nbr"))
+    # r10: cosine is symmetric, so score each unordered pair ONCE
+    # (src < nbr) and emit both directions from the same rounded
+    # value — half the per-pair dot products (the Σ cell² hot loop).
+    # Bit-identical to scoring each direction: IEEE multiplication
+    # commutes elementwise and the fold order over dimensions is
+    # unchanged.
+    half = a.join(b, "cell").filter(F.col("src") < F.col("nbr"))
     cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     # rank on the ROUNDED cosine (the _score_and_rank convention) so
     # the ordering is engine-reproducible at the published grain
+    hc = half.select("src", "nbr", F.round(cos, decimals).alias("cosine"))
+    sym = hc.unionByName(hc.select(
+        F.col("nbr").alias("src"), F.col("src").alias("nbr"), "cosine"))
     w = Window.partitionBy("src").orderBy(
         F.col("cosine").desc(), F.col("nbr").asc())
     return (
-        cand.withColumn("cosine", F.round(cos, decimals))
-        .withColumn("rank", F.row_number().over(w))
+        sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("src", "nbr", F.col("rank").cast("long").alias("rank"),
                 "cosine")
