@@ -827,12 +827,14 @@ def embed_covariance(df: DataFrame, vec_col: str = "embedding",
     base = (df.filter(v.isNotNull() & (F.size(v) >= n_dims))
             .select(q.alias("__q")))
     pairs_idx = [(i, j) for i in range(n_dims) for j in range(i, n_dims)]
-    terms = F.explode(F.array(*[
-        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),
-                 (F.element_at("__q", i + 1)
-                  * F.element_at("__q", j + 1)).alias("__xy"))
-        for i, j in pairs_idx
-    ])).alias("__t")
+    # The 136-struct upper-triangle array is rendered as ONE SQL
+    # string (the similarity._const_mat device): building it with
+    # per-struct F.struct/F.lit calls cost ~2s of py4j round-trips per
+    # plan; the parsed expression is identical.
+    terms = F.explode(F.expr("array(" + ",".join(
+        f"named_struct('i', {i}, 'j', {j}, '__xy',"
+        f" element_at(__q, {i + 1}) * element_at(__q, {j + 1}))"
+        for i, j in pairs_idx) + ")")).alias("__t")
     pair_sums = (base.select(terms)
                  .select("__t.i", "__t.j", "__t.__xy")
                  .groupBy("i", "j")

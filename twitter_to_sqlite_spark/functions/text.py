@@ -229,6 +229,15 @@ def lm_bigram_score(df: DataFrame, id_col: str = "doc_id",
     driver-side.
     """
     bg = _bigram_explode(df, id_col, text_col)
+    # r10 (guide §2.4): the model aggregation and the scoring join
+    # previously each re-derived the tokenize+explode subtree (their
+    # different grouping/join keys defeat exchange reuse). One
+    # explicit bigram-keyed repartition, pinned with a lazy local
+    # checkpoint, feeds both: the (w1, bg) counts cluster under
+    # hash(bg) with no further exchange, and the scoring join reuses
+    # the same partitioning — corpus bigram rows cross the network
+    # exactly once and the explode runs once.
+    bg = bg.repartition("__bg").localCheckpoint(eager=False)
     c_bg = bg.groupBy("__w1", "__bg").agg(F.count(F.lit(1)).alias("__cbg"))
     c_w1 = c_bg.groupBy("__w1").agg(F.sum("__cbg").alias("__cw1"))
     model = c_bg.join(c_w1, "__w1").select(
