@@ -1467,36 +1467,38 @@ def retrieval_eval(index: DataFrame, id_col: str, queries: DataFrame,
     # 2^rel − 1 exactly (integer shift; F.shiftleft only takes a
     # literal bit count, so route through the SQL form)
     gain = (F.expr("shiftleft(1, cast(rel AS int))") - 1).cast("double")
-    rw = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc())
-    iw = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col(id_col).asc())
-    ranked = (per_doc.withColumn("__r", F.row_number().over(rw))
-              .filter(F.col("__r") <= k))
-    ideal = (per_doc.withColumn("__r", F.row_number().over(iw))
-             .filter(F.col("__r") <= k))
+    # r10: the old tail built base/DCG/IDCG/MRR as four consumers of
+    # per_doc joined back together — four re-executions of the
+    # per-doc aggregate plus three joins. Both rank windows ride the
+    # one query_id exchange and ONE per-query aggregate computes all
+    # four stats; the DCG folds are the identical rank-ordered
+    # sort_array float folds (same device as the fused
+    # bm25_param_sweep, which shares this front).
+    wq = Window.partitionBy("query_id")
+    ranked = (
+        per_doc.join(F.broadcast(qn), "query_id")
+        .withColumn("__r", F.row_number().over(
+            wq.orderBy(F.col("score").desc(), F.col(id_col).asc())))
+        .withColumn("__rI", F.row_number().over(
+            wq.orderBy(F.col("rel").desc(), F.col(id_col).asc())))
+    )
 
-    def _dcg(frame, out):
-        terms = frame.select(
-            "query_id", "__r",
-            (gain / F.log2(F.col("__r") + 1)).alias("__t"))
-        return (terms.groupBy("query_id")
-                .agg(F.sort_array(F.collect_list(
-                    F.struct("__r", "__t"))).alias("__ts"))
-                .select("query_id", F.aggregate(
-                    "__ts", F.lit(0.0),
-                    lambda acc, s: acc + s["__t"]).alias(out)))
+    def _dcg_fold(rcol):
+        lst = F.sort_array(F.collect_list(F.when(
+            F.col(rcol) <= k,
+            F.struct(F.col(rcol).alias("__r"),
+                     (gain / F.log2(F.col(rcol) + 1)).alias("__t")))))
+        return F.aggregate(lst, F.lit(0.0), lambda acc, s: acc + s["__t"])
 
-    mrr = (ranked.join(F.broadcast(qn), "query_id")
-           .filter(F.col("rel") == F.col("__qn"))
-           .groupBy("query_id")
-           .agg(F.round(1.0 / F.min("__r"), 6).alias("__mrr")))
-    base = per_doc.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_cands"))
     return (
-        base.join(_dcg(ranked, "__dcg"), "query_id")
-        .join(_dcg(ideal, "__idcg"), "query_id")
-        .join(mrr, "query_id", "left")
+        ranked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_cands"),
+            _dcg_fold("__r").alias("__dcg"),
+            _dcg_fold("__rI").alias("__idcg"),
+            F.round(1.0 / F.min(F.when(
+                (F.col("rel") == F.col("__qn")) & (F.col("__r") <= k),
+                F.col("__r"))), 6).alias("__mrr"),
+        )
         .select(
             "query_id", "n_cands",
             F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
