@@ -98,6 +98,14 @@ def logreg_train(feats: DataFrame, iters: int = 3, lr: float = 1.0,
     landing within an ULP of a rounding boundary could still diverge;
     accumulate in decimal if a hard guarantee is ever needed.
     """
+    # Every iteration is one full pass over the features — |iters|
+    # sequential jobs. Materialize the NARROW numeric frame once
+    # (y + 4 doubles per row) so the passes read executor-local
+    # blocks instead of re-running the scan + tokenize + stopword
+    # filter + array_distinct feature extraction each time. Same
+    # rows, same per-partition layout as the single-scan plan, so
+    # the partial-avg merge order is unchanged.
+    feats = feats.select("y", *FEATURES).localCheckpoint(eager=True)
     w = [0.0] * (len(FEATURES) + 1)
     for _ in range(iters):
         resid = F.col("y").cast("double") - (
