@@ -650,14 +650,24 @@ def test_compaction_plan_never_scans_text(spark):
 def test_lsh_planner_is_one_agg_over_pairs(spark):
     """All five (b, r) legs fold into ONE aggregate pass over the
     pairs frame: the pair-generation explode (the in-bucket a<b
-    expansion over grouped shingles) appears exactly once, and the
-    output explode runs on the single aggregated row.  The r10
-    shingle reshape prints the tokenize front once per consumer
+    expansion over grouped shingles) appears exactly once in the RAW
+    pairs build (the registry form consumes the shared
+    `_build:jaccard_pairs` checkpoint, which explains as an RDD
+    scan), and the planner's own plan is joins/generates over that
+    frame plus the 1-row output explode — no pair regeneration.  The
+    r10 shingle reshape prints the tokenize front once per consumer
     branch in the STATIC explain (df-filter / pair / size branches),
     but those are the same exchange at runtime — verified 2
     ReusedExchange in the executed adaptive plan — so this pin counts
     Generate nodes by kind rather than in total."""
     import re
+
+    raw = plan_of_df(spark, catalog._jaccard_pairs_build(spark, SF))
+    assert "CartesianProduct" not in raw
+    raw_gens = re.findall(
+        r"^\(\d+\) Generate\n(?:.+\n)*?Arguments: ([^\n]*)",
+        raw, flags=re.MULTILINE)
+    assert len([g for g in raw_gens if "slice(" in g]) == 1
 
     plan = plan_of(spark, "lsh_planner")
     assert "CartesianProduct" not in plan
@@ -666,8 +676,8 @@ def test_lsh_planner_is_one_agg_over_pairs(spark):
         plan, flags=re.MULTILINE)
     pair_gens = [g for g in gens if "slice(" in g]
     token_gens = [g for g in gens if g.startswith("posexplode")]
-    assert len(pair_gens) == 1          # one shared pairs pass
-    assert len(gens) - len(pair_gens) - len(token_gens) == 1  # 1-row output explode
+    assert len(pair_gens) == 0          # pairs come from the shared build
+    assert len(gens) - len(token_gens) == 1  # 1-row output explode
 
 
 def test_retrieval_eval_broadcasts_stats_and_dfreq(spark):

@@ -1948,10 +1948,11 @@ def q_dedup_recall(spark, sf_dir):
     much candidate verification work is wasted). Both legs are the
     catalog's own operators; the output joins only pair KEYS, never
     documents."""
-    d = _docs_with_planted_dups(spark, sf_dir)
-    truth = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", k=3, threshold=_DR_TAU,
-        max_df=_JACCARD_MAX_DF).select("id_a", "id_b")
+    # r10: truth rides the shared `_build:jaccard_pairs` frame (built
+    # at the loosest catalog τ); filtering to τ=0.5 is row-identical
+    # to building at τ=0.5 (threshold is a pure post-filter).
+    truth = _jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= F.lit(_DR_TAU)).select("id_a", "id_b")
     cand = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     hits = truth.join(cand, ["id_a", "id_b"])
     return (

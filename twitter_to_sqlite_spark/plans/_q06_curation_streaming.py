@@ -1020,6 +1020,10 @@ WHERE norm > cutoff
 # ---------------------------------------------------------------------
 
 _SWEEP_TAUS = [0.3, 0.5, 0.8]
+# The shared `_build:jaccard_pairs` frame is built at the loosest τ in
+# the catalog; if a looser sweep point is ever added, loosen
+# _JPAIRS_TAU (plans/_q03_dedup.py) with it.
+assert min(_SWEEP_TAUS) == _JPAIRS_TAU
 
 
 def q_dedup_sweep(spark, sf_dir):
@@ -1032,9 +1036,9 @@ def q_dedup_sweep(spark, sf_dir):
     visible. The committed number a pipeline reads before fixing its
     dedup cutoff."""
     d = _docs_with_planted_dups(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", k=3,
-        threshold=min(_SWEEP_TAUS), max_df=_JACCARD_MAX_DF)
+    # r10: the pairs frame at the loosest τ IS the shared
+    # `_build:jaccard_pairs` frame — consume it instead of rebuilding.
+    pairs = _jaccard_pairs(spark, sf_dir)
     # r10: countDistinct(id_b | j ≥ τ) ≡ count(id_b | max_j ≥ τ), and
     # all |τ| counts collapse into ONE global conditional aggregate
     # (1 row out, map-side combined) — replacing the τ explode, the

@@ -1116,10 +1116,10 @@ def q_lsh_planner(spark, sf_dir):
     planted dups included), with the minimum-error leg marked chosen.
     All pair math is repeated-squaring + integer-ppm floors, so the
     aggregate is BIGINT-exact in any partition order."""
-    d = _docs_with_planted_dups(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", k=3,
-        threshold=min(_SWEEP_TAUS), max_df=_JACCARD_MAX_DF)
+    # r10: consumes the shared `_build:jaccard_pairs` frame (already
+    # built at min(_SWEEP_TAUS)) instead of rebuilding the shingle →
+    # pair pipeline; the band-plan tail is one aggregate over it.
+    pairs = _jaccard_pairs(spark, sf_dir)
     return dedup.lsh_band_plan(pairs, num_hashes=_LSH_PLAN_H)
 
 

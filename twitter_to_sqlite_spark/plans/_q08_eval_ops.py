@@ -2066,6 +2066,8 @@ def _force_build(df: DataFrame) -> None:
 SHARED_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
     "_build:minhash_pairs":
         lambda s, d: _force_build(_minhash_pairs(s, d)),
+    "_build:jaccard_pairs":
+        lambda s, d: _force_build(_jaccard_pairs(s, d)),
     "_build:dup_spans":
         lambda s, d: _force_build(_dup_spans(s, d)),
     "_build:knn_graph":
