@@ -27,40 +27,67 @@ def pagerank(edges: DataFrame, iterations: int = 6, damping: float = 0.85,
     probabilistic, not a hard guarantee) and lets a relational oracle
     replay the exact computation. Returns (node, rank).
 
-    Scale: per iteration, one shuffle join of edges against the
-    current rank vector on src and one partial-agg shuffle onto dst —
-    the standard distributed PageRank shape (edges never move if
-    pre-partitioned by src; only the rank vector reshuffles).
-    Lineage is truncated every iteration (localCheckpoint) so the
-    plan doesn't deepen linearly; 6 iterations ≈ power-iteration
-    convergence to ~1e-2 on graphs with spectral gap, which is rank-
-    ordering-stable for curation purposes.
+    Scale: the edge list is materialized ONCE as bounded adjacency
+    chunks — (src, dst-array of ≤4096, outdeg) rows, a celebrity
+    node's neighbours hash-split across ⌈outdeg/4096⌉ chunks so no
+    row is corpus-sized (guide §2.5 salting) — and per iteration only
+    the rank vector moves: the join touches |adjacency| rows (≈|src
+    nodes|), the explode regenerates the edge stream executor-local,
+    and the contribution aggregate partial-aggregates map-side before
+    its node-keyed shuffle. Nodes with no in-edge have the constant
+    rank (1−d) every iteration, so they are computed once as a static
+    frame and unioned in — replacing the per-iteration left-join
+    against the full node list (r10; measured 0.65–0.76× at sf0.1,
+    bit-identical trajectory). Lineage is truncated every 3rd
+    iteration (localCheckpoint) — deep enough to keep the plan
+    bounded, shallow enough to skip 2/3 of the materialization
+    barriers; 6 iterations ≈ power-iteration convergence to ~1e-2 on
+    graphs with spectral gap, which is rank-ordering-stable for
+    curation purposes.
     """
     # The caller's edge expression may be an expensive subtree (a
-    # fact-table join + distinct); every iteration re-reads it, so
-    # materialize it ONCE and pre-join the out-degree weight — per
-    # iteration only the (small) rank vector moves.
+    # fact-table join + distinct); materialize it ONCE.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(outdeg, "src").localCheckpoint(eager=False)
+    _chunk_cap = 4096
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.col("outdeg") / F.lit(_chunk_cap)))
+    adj = (
+        e.join(outdeg, "src")
+        .groupBy("src", F.pmod(F.xxhash64("dst"), n_chunks).alias("__chunk"))
+        .agg(F.collect_list("dst").alias("__dsts"),
+             F.first("outdeg").alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # rank(v) for a node with no in-edge is (1−d) + d·0 at EVERY
+    # iteration — a static frame (empty on symmetrized graphs).
+    base = F.round(
+        F.lit(1.0 - damping) + F.lit(damping) * F.lit(0.0), decimals)
+    no_in = (
+        nodes.join(e.select(F.col("dst").alias("node")).distinct(),
+                   "node", "left_anti")
+        .select("node", base.alias("rank"))
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
-            ew.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("__c"))
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select((F.col("rank") / F.col("outdeg")).alias("__w"),
+                    F.explode("__dsts").alias("node"))
+            .groupBy("node")
+            .agg(F.sum("__w").alias("__c"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
+            contrib.select(
                 "node",
                 F.round(
                     F.lit(1.0 - damping)
@@ -68,8 +95,10 @@ def pagerank(edges: DataFrame, iterations: int = 6, damping: float = 0.85,
                     decimals,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .unionByName(no_in)
         )
+        if (i + 1) % 3 == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -505,16 +505,13 @@ _PR_DAMPING = 0.85
 _PR_SUPP_OFFSET = 10_000_000
 
 
-def q_pagerank(spark, sf_dir):
-    """PageRank over the symmetrized customer↔supplier trade graph
-    (distinct pairs from orders ⋈ lineitem; supplier ids offset by
-    10M) — the influence/centrality signal for graph-aware curation
-    (functions/graph.py::pagerank, 6 iterations, d=0.85, per-iteration
-    round(6) so the oracle replays the trajectory relationally, like
-    quality_classifier does for logreg)."""
+def _trade_pairs_build(spark, sf_dir):
+    """The raw (uncached) distinct customer↔supplier trade pairs —
+    the edge source shared by pagerank (full) and kcore /
+    lpa_communities (md5-sampled subset). Plan tests inspect THIS."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("c"),
@@ -522,6 +519,24 @@ def q_pagerank(spark, sf_dir):
         )
         .distinct()
     )
+
+
+def _trade_pairs(spark, sf_dir):
+    key = (spark, sf_dir)
+    if key not in _TRADE_PAIRS_CACHE:
+        _TRADE_PAIRS_CACHE[key] = _trade_pairs_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _TRADE_PAIRS_CACHE[key]
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the symmetrized customer↔supplier trade graph
+    (distinct pairs from orders ⋈ lineitem; supplier ids offset by
+    10M) — the influence/centrality signal for graph-aware curation
+    (functions/graph.py::pagerank, 6 iterations, d=0.85, per-iteration
+    round(6) so the oracle replays the trajectory relationally, like
+    quality_classifier does for logreg)."""
+    pairs = _trade_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"),
@@ -1610,23 +1625,13 @@ def q_kcore(spark, sf_dir):
     min degree exceeds k, making the peel a no-op). Fixed rounds make
     the trajectory engine-replayable; at sf0.1 the peel converges
     within the budget so the output IS the exact 4-core."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + F.lit(_PR_SUPP_OFFSET)).alias("s"),
-        )
-        .distinct()
-        .filter(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("c"), F.col("s"))),
-                    1, 15),
-                16, 10,
-            ).cast("long") % _KCORE_MOD == 0
-        )
+    pairs = _trade_pairs(spark, sf_dir).filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("c"), F.col("s"))),
+                1, 15),
+            16, 10,
+        ).cast("long") % _KCORE_MOD == 0
     )
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
@@ -2202,23 +2207,13 @@ def q_lpa_communities(spark, sf_dir):
     core, LPA partitions everything into communities. Deterministic
     by construction (GraphX's hash tie-break can never oracle-match);
     the oracle replays the vote/argmax trajectory round by round."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + F.lit(_PR_SUPP_OFFSET)).alias("s"),
-        )
-        .distinct()
-        .filter(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("c"), F.col("s"))),
-                    1, 15),
-                16, 10,
-            ).cast("long") % _KCORE_MOD == 0
-        )
+    pairs = _trade_pairs(spark, sf_dir).filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("c"), F.col("s"))),
+                1, 15),
+            16, 10,
+        ).cast("long") % _KCORE_MOD == 0
     )
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
@@ -2801,6 +2796,8 @@ __all__ = list(_prev.__all__) + [
     "_PR_SUPP_OFFSET",
     "q_pagerank",
     "_pagerank_sql",
+    "_trade_pairs_build",
+    "_trade_pairs",
     "SQL_PAGERANK",
     "_KMV_K",
     "_KMV_COLS",

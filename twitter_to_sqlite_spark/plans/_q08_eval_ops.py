@@ -2068,6 +2068,8 @@ SHARED_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
         lambda s, d: _force_build(_minhash_pairs(s, d)),
     "_build:jaccard_pairs":
         lambda s, d: _force_build(_jaccard_pairs(s, d)),
+    "_build:trade_pairs":
+        lambda s, d: _force_build(_trade_pairs(s, d)),
     "_build:dup_spans":
         lambda s, d: _force_build(_dup_spans(s, d)),
     "_build:knn_graph":
