@@ -1611,11 +1611,28 @@ def q_stream_batch_agreement(spark, sf_dir):
         docs_q = (text.quality_score(docs)
                   .select((F.col("doc_id") % 3).alias("__b"), "quality")
                   .localCheckpoint(eager=True))
-        for b, part in enumerate(parts):
-            on_roll(bdf(part), b)
-            dq = docs_q.filter(F.col("__b") == b).select("quality")
-            on_psi(dq, b)
-            on_ks(dq, b)
+        # r10 (guide §2.6 overlap independent jobs): the three
+        # maintenance chains touch DISJOINT paths, so each chain runs
+        # its batches sequentially (the per-path order the algebra
+        # certifies) but the chains themselves overlap on a small
+        # thread pool — the maintained tables are byte-identical to
+        # the sequential drive, only the tiny read-merge-swap jobs
+        # stop serializing behind each other.
+        batch_dfs = [bdf(part) for part in parts]
+        slices = [docs_q.filter(F.col("__b") == b).select("quality")
+                  for b in range(len(parts))]
+
+        def _drive(on_batch, inputs):
+            for b, df in enumerate(inputs):
+                on_batch(df, b)
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(_drive, on_roll, batch_dfs),
+                    pool.submit(_drive, on_psi, slices),
+                    pool.submit(_drive, on_ks, slices)]
+            for f in futs:
+                f.result()
 
         roll = spark.read.parquet(root + "/rollup").collect()
         out.append(("rollup", len(roll), _sba_checksum(
