@@ -515,7 +515,8 @@ def tfidf_top_terms(df: DataFrame, group_col: str = "lang",
 
 def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", group_col: str = "lang",
-                       n_buckets: int = 3) -> DataFrame:
+                       n_buckets: int = 3,
+                       scored: DataFrame | None = None) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     every document under the corpus bigram LM (lm_bigram_score), then
     split each language into equal-size head/middle/tail buckets by
@@ -526,8 +527,15 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
     the bucket boundary is a deterministic total order in any engine.
     Per-language window over (doc, score) rows — state is one pass of
     the already-aggregated scores, no data-sized window.
+
+    ``scored`` lets a caller that already holds this corpus's
+    lm_bigram_score frame (doc_id, n_bigrams, avg_logp) inject it
+    instead of re-deriving the bigram model (r10 shared-build reuse);
+    it must be the score frame OF ``df`` — same id domain.
     """
-    scored = lm_bigram_score(df.select(id_col, text_col), id_col, text_col)
+    if scored is None:
+        scored = lm_bigram_score(
+            df.select(id_col, text_col), id_col, text_col)
     langs = df.select(id_col, group_col)
     j = scored.join(langs, id_col)
     from pyspark.sql import Window

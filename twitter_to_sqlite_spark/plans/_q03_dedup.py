@@ -131,6 +131,17 @@ _JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 # to its constants.
 _TRADE_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
+# r10: dedup_simhash and simhash_sweep build the IDENTICAL SimHash
+# pairs frame (same bits/bands/max_hamming over docs + planted dups);
+# one build per (session, sf_dir), billed as `_build:simhash_pairs`.
+_SIMHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+# r10: lm_bigram_score, perplexity_buckets and perplexity_buckets_dist
+# each scored the whole corpus under the corpus bigram LM — the same
+# (doc_id, n_bigrams, avg_logp) frame three times. One build, billed
+# as `_build:lm_scores`; builder in plans/_q05_text_multimodal.py.
+_LM_SCORE_CACHE: dict[tuple, DataFrame] = {}
+
 
 def _jaccard_pairs_build(spark, sf_dir) -> DataFrame:
     """The raw (uncached) exact-Jaccard pairs pipeline at the loosest
@@ -164,6 +175,8 @@ def clear_caches(include_infra: bool = False) -> None:
     _MINHASH_PAIRS_CACHE.clear()
     _JACCARD_PAIRS_CACHE.clear()
     _TRADE_PAIRS_CACHE.clear()
+    _SIMHASH_PAIRS_CACHE.clear()
+    _LM_SCORE_CACHE.clear()
     _SPAN_CACHE.clear()
     _KNNG_CACHE.clear()
     if include_infra:
@@ -395,14 +408,32 @@ _SIMHASH_BANDS = 4
 _SIMHASH_MAXHAM = 3
 
 
-def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs: banded bucket candidates + Hamming ≤ 3
-    verification, over documents + planted dups."""
+def _simhash_pairs_build(spark, sf_dir) -> DataFrame:
+    """The raw (uncached) SimHash pairs pipeline — shared verbatim by
+    dedup_simhash and simhash_sweep (identical parameters); plan
+    tests inspect THIS."""
     d = _docs_with_planted_dups(spark, sf_dir)
     return dedup.simhash_pairs(
         d, "doc_id", "text",
-        bits=_SIMHASH_BITS, bands=_SIMHASH_BANDS, max_hamming=_SIMHASH_MAXHAM,
+        bits=_SIMHASH_BITS, bands=_SIMHASH_BANDS,
+        max_hamming=_SIMHASH_MAXHAM,
     )
+
+
+def _simhash_pairs(spark, sf_dir) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _SIMHASH_PAIRS_CACHE:
+        _SIMHASH_PAIRS_CACHE[key] = _simhash_pairs_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _SIMHASH_PAIRS_CACHE[key]
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: banded bucket candidates + Hamming ≤ 3
+    verification, over documents + planted dups (the shared
+    `_build:simhash_pairs` frame — simhash_sweep consumes the same
+    pairs)."""
+    return _simhash_pairs(spark, sf_dir)
 
 
 def _simhash_ctes() -> str:
@@ -505,6 +536,9 @@ __all__ = list(_prev.__all__) + [
     "_jaccard_pairs",
     "_JPAIRS_TAU",
     "_TRADE_PAIRS_CACHE",
+    "_simhash_pairs_build",
+    "_simhash_pairs",
+    "_LM_SCORE_CACHE",
     "q_dedup_minhash",
     "_R",
     "_SQL_MINHASH_CTES",

@@ -244,11 +244,27 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
-def q_lm_bigram_score(spark, sf_dir):
-    """Corpus-as-its-own-LM perplexity signal: mean log2 P(w2|w1) of
-    each document's bigrams under corpus bigram statistics."""
+def _lm_scores_build(spark, sf_dir):
+    """The raw (uncached) corpus bigram-LM score frame (doc_id,
+    n_bigrams, avg_logp) — shared by lm_bigram_score and both
+    perplexity-bucket queries; plan tests inspect THIS."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return text.lm_bigram_score(d)
+
+
+def _lm_scores(spark, sf_dir):
+    key = (spark, sf_dir)
+    if key not in _LM_SCORE_CACHE:
+        _LM_SCORE_CACHE[key] = _lm_scores_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _LM_SCORE_CACHE[key]
+
+
+def q_lm_bigram_score(spark, sf_dir):
+    """Corpus-as-its-own-LM perplexity signal: mean log2 P(w2|w1) of
+    each document's bigrams under corpus bigram statistics (the
+    shared `_build:lm_scores` frame)."""
+    return _lm_scores(spark, sf_dir)
 
 
 SQL_LM_BIGRAM_SCORE = f"""
@@ -1178,7 +1194,9 @@ def q_perplexity_buckets(spark, sf_dir):
     per-language ntile(3) over the rounded score
     (text.perplexity_buckets)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    return text.perplexity_buckets(d, group_col="lang", n_buckets=3)
+    return text.perplexity_buckets(
+        d, group_col="lang", n_buckets=3,
+        scored=_lm_scores(spark, sf_dir))
 
 
 SQL_PERPLEXITY_BUCKETS = f"""
@@ -1205,7 +1223,7 @@ def q_perplexity_buckets_dist(spark, sf_dir):
     two-phase distributed grouped rank (relational.grouped_ntile_dist,
     the batch_chunks_dist machinery generalized) — same oracle."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    scored = text.lm_bigram_score(d.select("doc_id", "text"))
+    scored = _lm_scores(spark, sf_dir)
     j = (
         scored.join(d.select("doc_id", "lang"), "doc_id")
         # DESC score order as an ASC numeric key; avg_logp is rounded
@@ -2969,6 +2987,8 @@ __all__ = list(_prev.__all__) + [
     "q_repetition_stats",
     "SQL_REPETITION_STATS",
     "q_lm_bigram_score",
+    "_lm_scores_build",
+    "_lm_scores",
     "SQL_LM_BIGRAM_SCORE",
     "_SAMPLE_RATES",
     "_SAMPLE_DEFAULT",

@@ -506,9 +506,9 @@ def q_simhash_sweep(spark, sf_dir):
     cutoff. The radius explode touches only the bounded pairs frame;
     a spine keeps zero-removal radii visible."""
     d = _docs_with_planted_dups(spark, sf_dir)
-    pairs = dedup.simhash_pairs(
-        d, "doc_id", "text", bits=_SIMHASH_BITS, bands=_SIMHASH_BANDS,
-        max_hamming=_SIMHASH_MAXHAM)
+    # r10: the pairs frame is parameter-identical to dedup_simhash's —
+    # consume the shared `_build:simhash_pairs` checkpoint.
+    pairs = _simhash_pairs(spark, sf_dir)
     # r10: countDistinct(id_b | h ≤ r) ≡ count(id_b | min_h ≤ r), and
     # all |radius| counts collapse into ONE global conditional
     # aggregate (1 row out) — no radius explode, no per-radius
@@ -2070,6 +2070,10 @@ SHARED_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
         lambda s, d: _force_build(_jaccard_pairs(s, d)),
     "_build:trade_pairs":
         lambda s, d: _force_build(_trade_pairs(s, d)),
+    "_build:simhash_pairs":
+        lambda s, d: _force_build(_simhash_pairs(s, d)),
+    "_build:lm_scores":
+        lambda s, d: _force_build(_lm_scores(s, d)),
     "_build:dup_spans":
         lambda s, d: _force_build(_dup_spans(s, d)),
     "_build:knn_graph":
