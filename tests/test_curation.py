@@ -840,6 +840,21 @@ class TestTrainingOrder:
                  self._base(spark, parts=13), "doc_id", 4).collect()}
         assert a == b
 
+    def test_carry_columns_ride_through_unchanged(self, spark):
+        """carry= must add the named columns to the output without
+        perturbing (shard, position) — it replaces the join-back
+        pattern, so it must be row-identical to it."""
+        base = self._base(spark).withColumn(
+            "n_kept", (F.col("doc_id") * 7 % 13).cast("long"))
+        plain = sampling.training_order(
+            base.select("doc_id"), "doc_id", 4)
+        joined = {tuple(r) for r in plain.join(
+            base, "doc_id").select(
+            "doc_id", "shard", "position", "n_kept").collect()}
+        carried = {tuple(r) for r in sampling.training_order(
+            base, "doc_id", 4, carry=["n_kept"]).collect()}
+        assert carried == joined
+
     def test_order_salt_decorrelates(self, spark):
         base = self._base(spark)
         a = {r["doc_id"]: r["position"] for r in sampling.training_order(

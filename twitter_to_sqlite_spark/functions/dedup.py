@@ -202,7 +202,7 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             k: int = 3) -> DataFrame:
+             k: int = 3, carry: list[str] | None = None) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
 
     Built by posexplode + a window of ``lead(tok, i)`` concats — fully
@@ -211,11 +211,20 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     per element (measured 3.2× slower end-to-end at sf0.1). The window
     shuffles on the doc id once; consumers that need per-doc ARRAYS
     (MinHash signatures, fingerprints) keep using ``shingle_array``.
+
+    ``carry`` names extra per-document columns to keep on every
+    shingle row (they must be functionally dependent on ``id_col`` —
+    they join the distinct key, which is only row-identical when the
+    column is constant per id). Carrying a group key here is free
+    (the rows already flow through the id-keyed window) and replaces
+    the consumer's alternative — a corpus-sized equi-join back on id.
     """
     from pyspark.sql import Window
 
+    carry = carry or []
     base = df.select(F.col(id_col).alias("id"),
-                     _tokens(F.col(text_col)).alias("__t"))
+                     _tokens(F.col(text_col)).alias("__t"),
+                     *[F.col(c) for c in carry])
     # A zero-token document must still emit its single '' shingle —
     # that is what shingle_array's greatest(n-k+1, 1) bound and the
     # DuckDB oracles produce (two punctuation-only docs are an exact
@@ -230,6 +239,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     toks = base.select(
         "id", F.size("__t").alias("__n"),
         F.posexplode("__t").alias("__pos", "__tok"),
+        *carry,
     )
     w = Window.partitionBy("id").orderBy("__pos")
     parts = [F.col("__tok")] + [
@@ -244,9 +254,10 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             (F.col("__pos")
              <= F.greatest(F.col("__n") - (k - 1), F.lit(1)) - 1)
             .alias("__keep"),
+            *carry,
         )
         .filter(F.col("__keep"))
-        .select("id", "shingle")
+        .select("id", "shingle", *carry)
         .distinct()
     )
 
@@ -509,16 +520,18 @@ def boilerplate_stats(df: DataFrame, group_col: str = "source",
     boilerplate strings into a dimension; this is the statistical
     generalization that *discovers* the boilerplate.
     """
-    sh = shingles(spread(df), id_col, text_col, k)
-    src = df.select(F.col(id_col).alias("id"),
-                    F.col(group_col).alias("__grp"))
+    # The group key rides the shingle explode (carry=) — it is
+    # per-document, so carrying it is free on the id-keyed window,
+    # and the old corpus-sized equi-join back on id disappears.
+    sh = shingles(
+        spread(df.withColumnRenamed(group_col, "__grp")),
+        id_col, text_col, k, carry=["__grp"])
     totals = (
         df.groupBy(F.col(group_col).alias("__grp"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     dfreq = (
-        sh.join(src, "id")
-        .groupBy("__grp", "shingle")
+        sh.groupBy("__grp", "shingle")
         .agg(F.count(F.lit(1)).alias("__ndocs"))
     )
     flagged = dfreq.join(F.broadcast(totals), "__grp").withColumn(

@@ -84,7 +84,8 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
 
 
 def training_order(df: DataFrame, key_col: str, n_shards: int,
-                   salt: str = "", order_salt: str = "ord") -> DataFrame:
+                   salt: str = "", order_salt: str = "ord",
+                   carry: list[str] | None = None) -> DataFrame:
     """Deterministic global training order: (key, shard, position) —
     the reproducible shuffle a dataloader consumes, the missing last
     step after write_training_shards proves membership. shard =
@@ -96,6 +97,13 @@ def training_order(df: DataFrame, key_col: str, n_shards: int,
     example is read when — the property that makes a resumed training
     run exactly reproducible.
 
+    ``carry`` names extra input columns to keep in the output (after
+    ``position``): the prefix sum materializes its input once anyway
+    (localCheckpoint), so carrying a column through is free, while the
+    caller's alternative — joining the output back to the input on
+    ``key_col`` — re-executes the whole upstream pipeline a second
+    time AND pays a corpus-sized join.
+
     Scale: per-shard rank goes through the two-phase range-split
     prefix sum (operators/relational.py::_range_split_prefix), NOT a
     window partitioned by shard — with few shards a window would sort
@@ -106,11 +114,13 @@ def training_order(df: DataFrame, key_col: str, n_shards: int,
     from twitter_to_sqlite_spark.operators.relational import \
         _range_split_prefix
 
+    carry = carry or []
     keyed = df.select(
         F.col(key_col),
         (_key_hash(F.col(key_col), salt) % n_shards).cast("int")
         .alias("shard"),
         _key_hash(F.col(key_col), order_salt).alias("__ord"),
+        *[F.col(c) for c in carry],
     )
     ranked = _range_split_prefix(
         keyed, "__ord", tie_cols=[key_col], group_cols=["shard"])
@@ -118,6 +128,7 @@ def training_order(df: DataFrame, key_col: str, n_shards: int,
         key_col, "shard",
         (F.col("__off") + F.col("__lval") - 1).cast("long")
         .alias("position"),
+        *carry,
     )
 
 
@@ -363,10 +374,14 @@ def temperature_mixture(df: DataFrame, strata_col: str,
     as broadcast scalars, so the plan is one partial-agg pass over the
     corpus regardless of scale.
     """
+    # Lazy checkpoint of the bounded |strata|-row aggregate: the
+    # totals, the partition function AND the final select all hang
+    # off `per` — unpinned, the corpus tokenize+aggregate pass runs
+    # three times (the dsir_logweights convention).
     per = df.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per.agg(F.sum("n_tokens").alias("__tot"))
     withp = per.crossJoin(F.broadcast(tot)).withColumn(
         "__p", F.col("n_tokens").cast("double") / F.col("__tot").cast("double")
@@ -551,7 +566,8 @@ def domain_caps(df: DataFrame, domain_col: str, cap: int,
 
 def distribution_match_rates(incoming: DataFrame, target: DataFrame,
                              value_col: str, n_bins: int = 10,
-                             resolution: int = 1_000_000) -> DataFrame:
+                             resolution: int = 1_000_000,
+                             hist: DataFrame | None = None) -> DataFrame:
     """Per-bin acceptance rates that reshape `incoming`'s [0,1]-score
     distribution toward `target`'s (the importance-clipped matcher:
     rate(b) = min(1, target_share(b) / incoming_share(b)) — bins the
@@ -567,28 +583,37 @@ def distribution_match_rates(incoming: DataFrame, target: DataFrame,
     Scale: two histogram aggregates (full map-side combine) + 1-row
     totals broadcast onto the n_bins-row spine — nothing here scales
     with the corpus.
+
+    ``hist`` injects a prebuilt spine-coalesced histogram frame
+    (bin, n_target, n_in — exactly the frame this function builds
+    from its first two arguments; the caller should have checkpointed
+    it) so a pipeline that already maintains the histograms pays only
+    the bounded rate tail; ``incoming``/``target`` are ignored then.
     """
+    if hist is not None:
+        g = hist
+    else:
+        def bins(df):
+            b = F.least(F.floor(F.col(value_col) * n_bins).cast("int"),
+                        F.lit(n_bins - 1))
+            return (df.filter(F.col(value_col).isNotNull())
+                    .groupBy(b.alias("bin"))
+                    .agg(F.count(F.lit(1)).alias("n")))
 
-    def bins(df):
-        b = F.least(F.floor(F.col(value_col) * n_bins).cast("int"),
-                    F.lit(n_bins - 1))
-        return (df.filter(F.col(value_col).isNotNull())
-                .groupBy(b.alias("bin"))
-                .agg(F.count(F.lit(1)).alias("n")))
-
-    spark = incoming.sparkSession
-    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
-    t = bins(target).withColumnRenamed("n", "__t")
-    c = bins(incoming).withColumnRenamed("n", "__n")
-    # Lazy checkpoint of the bounded n_bins-row frame: `tot` below
-    # re-derives g, and Catalyst does not reuse common subplans — an
-    # unpinned g re-runs BOTH histogram scans for the 1-row totals
-    # (the dsir_logweights convention).
-    g = (spine.join(t, "bin", "left").join(c, "bin", "left")
-         .select("bin",
-                 F.coalesce("__t", F.lit(0)).alias("n_target"),
-                 F.coalesce("__n", F.lit(0)).alias("n_in"))
-         .localCheckpoint(eager=False))
+        spark = incoming.sparkSession
+        spine = spark.range(n_bins).select(
+            F.col("id").cast("int").alias("bin"))
+        t = bins(target).withColumnRenamed("n", "__t")
+        c = bins(incoming).withColumnRenamed("n", "__n")
+        # Lazy checkpoint of the bounded n_bins-row frame: `tot` below
+        # re-derives g, and Catalyst does not reuse common subplans —
+        # an unpinned g re-runs BOTH histogram scans for the 1-row
+        # totals (the dsir_logweights convention).
+        g = (spine.join(t, "bin", "left").join(c, "bin", "left")
+             .select("bin",
+                     F.coalesce("__t", F.lit(0)).alias("n_target"),
+                     F.coalesce("__n", F.lit(0)).alias("n_in"))
+             .localCheckpoint(eager=False))
     tot = g.agg(F.sum("n_target").alias("__T"), F.sum("n_in").alias("__N"))
     return (
         g.crossJoin(F.broadcast(tot))

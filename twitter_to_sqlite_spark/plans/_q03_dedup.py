@@ -179,6 +179,7 @@ def clear_caches(include_infra: bool = False) -> None:
     _LM_SCORE_CACHE.clear()
     _SPAN_CACHE.clear()
     _KNNG_CACHE.clear()
+    _DRIFT_HISTS_CACHE.clear()
     if include_infra:
         _ANN_INDEX_CACHE.clear()
         _CENTROID_CACHE.clear()
@@ -515,6 +516,16 @@ _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 _KNNG_CACHE: dict[tuple, DataFrame] = {}
 
 
+# r10: distribution_match and emd_drift both reduce the SAME drift
+# fixture (base = even docs, cur = odd + planted spam) to the SAME
+# spine-coalesced 10-row quality histogram pair before their bounded
+# tails — two full tokenize+aggregate corpus scans per query. One
+# build per (session, sf_dir), billed as `_build:drift_hists`;
+# builder lives in plans/_q07_quantized_drift.py next to
+# _drift_sides.
+_DRIFT_HISTS_CACHE: dict[tuple, DataFrame] = {}
+
+
 __all__ = list(_prev.__all__) + [
     "_PLANT_OFFSET",
     "_docs_with_planted_dups",
@@ -566,4 +577,5 @@ __all__ = list(_prev.__all__) + [
     "_LR_CACHE",
     "_CENTROID_CACHE",
     "_KNNG_CACHE",
+    "_DRIFT_HISTS_CACHE",
 ]

@@ -634,9 +634,12 @@ def q_pipeline_curate(spark, sf_dir):
     ).select("doc_id", "n_kept")
     split = sampling.assign_splits(gated, _SPLITS, key_col="doc_id")
     train = split.filter(F.col("split") == "train")
-    ordered = sampling.training_order(
-        train.select("doc_id"), "doc_id", _CURATE_SHARDS)
-    return ordered.join(train.select("doc_id", "n_kept"), "doc_id")
+    # carry= rides n_kept through the prefix sum's checkpointed input
+    # instead of joining the output back to train — the join form
+    # re-executed the whole paragraph-dedup pipeline a second time.
+    return sampling.training_order(
+        train.select("doc_id", "n_kept"), "doc_id", _CURATE_SHARDS,
+        carry=["n_kept"])
 
 
 def _pipeline_curate_sql() -> str:
@@ -701,8 +704,10 @@ def q_shuffle_audit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("x"))
-    o = training_order(d.select("doc_id"), "doc_id", _MANIFEST_SHARDS)
-    j = o.join(d, "doc_id").select("shard", "position", "x")
+    # carry= keeps x with its row through the prefix sum — the old
+    # join-back on doc_id paid a second tokenize pass plus a shuffle.
+    o = training_order(d, "doc_id", _MANIFEST_SHARDS, carry=["x"])
+    j = o.select("shard", "position", "x")
     nxt = j.select(
         "shard", (F.col("position") - 1).alias("position"),
         F.col("x").alias("y"))

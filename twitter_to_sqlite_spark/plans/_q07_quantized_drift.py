@@ -23,6 +23,40 @@ def _drift_sides(spark, sf_dir):
     return base, cur
 
 
+def _drift_hists_build(spark, sf_dir):
+    """Raw (uncached) plan for the shared drift histogram pair: the
+    spine-coalesced _PSI_BINS-row quality histograms of BOTH drift
+    sides — (bin, n_target = base count, n_in = cur count). This is
+    exactly the `g` frame distribution_match_rates builds internally
+    (same isNotNull filter, same least(floor(q·n), n−1) binning via
+    score_bin_counts, same left-join-spine coalesce), and emd_drift's
+    cumulative front reads the same counts under its nb/nc names —
+    so ONE build serves both queries' bounded tails."""
+    from twitter_to_sqlite_spark.streaming import analytics as SA
+
+    base, cur = _drift_sides(spark, sf_dir)
+    spine = spark.range(_PSI_BINS).select(
+        F.col("id").cast("int").alias("bin"))
+    nb = SA.score_bin_counts(
+        text.quality_score(base).select("quality"), "quality",
+        _PSI_BINS).withColumnRenamed("n", "__t")
+    nc = SA.score_bin_counts(
+        text.quality_score(cur).select("quality"), "quality",
+        _PSI_BINS).withColumnRenamed("n", "__n")
+    return (spine.join(nb, "bin", "left").join(nc, "bin", "left")
+            .select("bin",
+                    F.coalesce("__t", F.lit(0)).alias("n_target"),
+                    F.coalesce("__n", F.lit(0)).alias("n_in")))
+
+
+def _drift_hists(spark, sf_dir):
+    key = (spark, sf_dir)
+    if key not in _DRIFT_HISTS_CACHE:
+        _DRIFT_HISTS_CACHE[key] = _drift_hists_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _DRIFT_HISTS_CACHE[key]
+
+
 _DRIFT_SIDES_SQL = f"""base AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
 ),
@@ -50,14 +84,15 @@ def q_distribution_match(spark, sf_dir):
     from twitter_to_sqlite_spark.functions import sampling
 
     base, cur = _drift_sides(spark, sf_dir)
-    tq = text.quality_score(base).select("quality")
     cq = text.quality_score(cur).select("doc_id", "quality")
-    # rates computed ONCE and checkpointed (n_bins rows): the kept
-    # filter and the published report share it, so the two quality
-    # histograms are scanned once, not once per consumer.
+    # rates derive from the SHARED drift histogram checkpoint
+    # (_build:drift_hists — emd_drift reads the same 10-row frame),
+    # so this query's own work is only the bounded rate tail plus the
+    # kept filter's one per-doc quality scan of cur.
     rates = sampling.distribution_match_rates(
-        cq, tq, "quality", _PSI_BINS).localCheckpoint(eager=False)
-    kept = sampling.distribution_match(cq, tq, "quality", "doc_id",
+        None, None, "quality", _PSI_BINS,
+        hist=_drift_hists(spark, sf_dir)).localCheckpoint(eager=False)
+    kept = sampling.distribution_match(cq, None, "quality", "doc_id",
                                        _PSI_BINS, salt="dm", rates=rates)
     nk = kept.groupBy("bin").agg(F.count(F.lit(1)).alias("__k"))
     return (rates.join(nk, "bin", "left")
@@ -211,28 +246,13 @@ def q_emd_drift(spark, sf_dir):
     until ONE final division, so the statistic is engine-exact at the
     rounded grain — no per-bin float folding at all (stronger than the
     PSI pair's ordered-sum device)."""
-    from twitter_to_sqlite_spark.streaming import analytics as SA
-
-    base, cur = _drift_sides(spark, sf_dir)
-
-    def bins(side, alias):
-        q = text.quality_score(side).select("quality")
-        return SA.score_bin_counts(q, "quality", _PSI_BINS) \
-            .withColumnRenamed("n", alias)
-
     from pyspark.sql import Window
 
-    spine = spark.range(_PSI_BINS).select(
-        F.col("id").cast("int").alias("bin"))
-    # Lazy checkpoint of the bounded 10-row histogram frame: the
-    # cumulative window AND the totals both hang off g — unpinned,
-    # both quality-histogram scans run twice.
-    g = (spine.join(bins(base, "__nb"), "bin", "left")
-         .join(bins(cur, "__nc"), "bin", "left")
-         .select("bin",
-                 F.coalesce("__nb", F.lit(0)).alias("nb"),
-                 F.coalesce("__nc", F.lit(0)).alias("nc"))
-         .localCheckpoint(eager=False))
+    # The shared drift histogram checkpoint (_build:drift_hists) IS
+    # this query's g frame — same spine-coalesced counts under the
+    # rates-frame names; only the bounded cumulative tail runs here.
+    g = _drift_hists(spark, sf_dir).select(
+        "bin", F.col("n_target").alias("nb"), F.col("n_in").alias("nc"))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     c = g.select(
         "bin",
@@ -1409,6 +1429,8 @@ FROM v, t
 
 __all__ = list(_prev.__all__) + [
     "_drift_sides",
+    "_drift_hists_build",
+    "_drift_hists",
     "_DRIFT_SIDES_SQL",
     "q_distribution_match",
     "_distribution_match_sql",
