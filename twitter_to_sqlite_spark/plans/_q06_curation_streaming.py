@@ -896,6 +896,10 @@ def q_chunk_search(spark, sf_dir):
     the composite chunk key, the top-k is TakeOrderedAndProject with a
     deterministic key tie-break."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # The chunk frame feeds four plan branches, but their exchanges
+    # are reused at runtime (ReusedExchange), so checkpointing it only
+    # adds a barrier — measured 1.38s plain vs 1.83s checkpointed
+    # (r10 alternating A/B, min-of-5, sf0.1). Left as-is.
     chunks = text.chunk_documents(
         d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE).select(
         F.concat_ws("#", "doc_id", "chunk_id").alias("ck"),
