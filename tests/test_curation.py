@@ -319,6 +319,25 @@ class TestDuplicateSpansKeepFirst:
         aggressive = positions(dedup.duplicate_spans(d, window=4))
         assert keep_first < aggressive  # strictly: canonicals survive
 
+    def test_injected_positions_match_self_computed(self, spark):
+        """The shared duplicate_positions front must reproduce BOTH
+        policies' self-computed span rows exactly (the r10 sharing —
+        one hash-window pass, two filters)."""
+        from twitter_to_sqlite_spark.functions import dedup
+
+        d = _docs(spark, [
+            (1, "one two three four five six seven eight"),
+            (2, "zz one two three four five qq rr ss tt"),
+            (3, "p q r s p q r s one two three four xx"),
+            (4, "unique tokens only here nothing shared at all"),
+        ])
+        pos = dedup.duplicate_positions(d, window=4)
+        for fn in (dedup.duplicate_spans, dedup.duplicate_spans_keep_first):
+            plain = fn(d, window=4)
+            shared = fn(d, window=4, positions=pos)
+            assert plain.exceptAll(shared).count() == 0, fn.__name__
+            assert shared.exceptAll(plain).count() == 0, fn.__name__
+
 
 class TestMixCorpora:
     def _mix_input(self, spark):

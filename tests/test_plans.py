@@ -256,23 +256,34 @@ def test_substring_dedup_has_no_pair_join(spark):
     """Exact substring-span dedup must stay linear: occurrence counts
     come from a count window over the hash, never a self-join — no
     join node of any kind, and every window is partitioned. Inspects
-    the raw builder: the catalog query serves a shared lazy-checkpoint
-    cache (_SPAN_CACHE) whose reused form explains as a checkpoint
-    scan."""
+    the raw POSITIONS builder (the family's shared hash-window front,
+    r10) plus the spans builder's islands tail: the catalog queries
+    serve lazy-checkpoint caches (_DUP_POS_CACHE / _SPAN_CACHE) whose
+    reused forms explain as checkpoint scans."""
     import re
 
-    plan = plan_of_df(spark, catalog._dup_spans_build(spark, SF))
-    for node in ("SortMergeJoin", "BroadcastHashJoin",
-                 "ShuffledHashJoin", "CartesianProduct",
-                 "BroadcastNestedLoopJoin"):
-        assert count_nodes(plan, node) == 0, node
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs
-    for spec in specs:
-        first = spec.split(",")[0].strip()
-        assert " ASC" not in first and " DESC" not in first, (
-            f"global window: {spec}"
-        )
+    for build in (catalog._dup_positions_build(spark, SF),
+                  catalog._dup_spans_build(spark, SF)):
+        plan = plan_of_df(spark, build)
+        for node in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"):
+            assert count_nodes(plan, node) == 0, node
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs
+        for spec in specs:
+            first = spec.split(",")[0].strip()
+            assert " ASC" not in first and " DESC" not in first, (
+                f"global window: {spec}"
+            )
+    # the positions front carries the per-hash count window; the spans
+    # builder must NOT re-shuffle on the hash (one front, two policies)
+    pos_plan = plan_of_df(spark, catalog._dup_positions_build(spark, SF))
+    assert len(re.findall(r"^Arguments: hashpartitioning\(h#",
+                          pos_plan, re.M)) == 1, pos_plan
+    spans_plan = plan_of_df(spark, catalog._dup_spans_build(spark, SF))
+    assert not re.findall(r"^Arguments: hashpartitioning\(h#",
+                          spans_plan, re.M), spans_plan
 
 
 def test_keep_first_spans_add_no_join_and_one_hash_shuffle(spark):

@@ -968,7 +968,8 @@ def probe_minhash_index(spark, path: str, new: DataFrame,
 
 
 def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text", window: int = 8) -> DataFrame:
+                    text_col: str = "text", window: int = 8,
+                    positions: DataFrame | None = None) -> DataFrame:
     """Exact substring-duplication spans: maximal token ranges whose
     every ``window``-gram occurs more than once in the corpus.
 
@@ -991,9 +992,23 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 
     Reference parity: the reference engine has no substring dedup;
     this extends its exact-dedup tier (SURVEY §2 dedup family).
+
+    ``positions`` injects a precomputed :func:`duplicate_positions`
+    frame (id, pos, __canon) so the hash-window front — the expensive
+    half, one full tokenize + per-position md5 + count window over the
+    corpus — is paid once and shared with
+    :func:`duplicate_spans_keep_first` instead of per variant. The
+    remove-every-occurrence policy uses ALL duplicated positions, so
+    the canonical flag is simply ignored; rows are identical to the
+    self-computed path (the extra min aggregates the shared front
+    carries ride the same per-hash window partition and change no
+    rows).
     """
     from pyspark.sql import Window
 
+    if positions is not None:
+        return _merge_position_islands(
+            positions.select("id", "pos"), window, id_col)
     wins = _window_hashes(df, id_col, text_col, window)
     dup = (
         wins.withColumn(
@@ -1064,9 +1079,52 @@ def _merge_position_islands(dup: DataFrame, window: int,
     )
 
 
+def duplicate_positions(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        window: int = 8) -> DataFrame:
+    """Duplicated window positions with their canonical flag: (id, pos,
+    __canon) rows for every ``window``-gram whose hash occurs ≥2 times
+    corpus-wide, ``__canon`` marking the corpus-wide (min doc id, then
+    min position within that doc) occurrence.
+
+    The shared front of the substring-dedup family: ONE tokenize +
+    per-position md5 + per-hash window pass serves BOTH span policies —
+    :func:`duplicate_spans` (remove every occurrence → ignore
+    ``__canon``) and :func:`duplicate_spans_keep_first` (keep the
+    canonical copy → drop ``__canon`` rows) — via their ``positions``
+    parameter. The count/min/conditional-min aggregates are all
+    frame-free over the same per-hash partition, so the sharing adds
+    no exchange and no sort; output is bounded by the corpus's actual
+    duplication (only positions with ``__c > 1`` survive), which is
+    what makes it the right frame to checkpoint.
+    """
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    wins = _window_hashes(df, id_col, text_col, window)
+    counted = (
+        wins
+        .withColumn("__c", F.count(F.lit(1)).over(wh))
+        .withColumn("__mid", F.min("id").over(wh))
+    )
+    first_pos = F.min(
+        F.when(F.col("id") == F.col("__mid"), F.col("pos"))
+    ).over(wh)
+    return (
+        counted.withColumn("__mpos", first_pos)
+        .filter(F.col("__c") > 1)
+        .select(
+            "id", "pos",
+            ((F.col("id") == F.col("__mid"))
+             & (F.col("pos") == F.col("__mpos"))).alias("__canon"),
+        )
+    )
+
+
 def duplicate_spans_keep_first(df: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text",
-                               window: int = 8) -> DataFrame:
+                               window: int = 8,
+                               positions: DataFrame | None = None) -> DataFrame:
     """Exact substring-duplication spans, KEEP-FIRST policy: like
     :func:`duplicate_spans`, but each duplicated ``window``-gram's
     canonical occurrence — the corpus-wide (min doc id, then min
@@ -1096,9 +1154,18 @@ def duplicate_spans_keep_first(df: DataFrame, id_col: str = "doc_id",
 
     Reference parity: no counterpart — extends the reference's
     exact-dedup tier (SURVEY §2 dedup family) like duplicate_spans.
+
+    ``positions`` injects a precomputed :func:`duplicate_positions`
+    frame so the hash-window front is shared with
+    :func:`duplicate_spans` — the keep-first dup set is exactly the
+    non-canonical rows of that frame.
     """
     from pyspark.sql import Window
 
+    if positions is not None:
+        return _merge_position_islands(
+            positions.filter(~F.col("__canon")).select("id", "pos"),
+            window, id_col)
     wh = Window.partitionBy("h")
     wins = _window_hashes(df, id_col, text_col, window)
     counted = (

@@ -178,6 +178,7 @@ def clear_caches(include_infra: bool = False) -> None:
     _SIMHASH_PAIRS_CACHE.clear()
     _LM_SCORE_CACHE.clear()
     _SPAN_CACHE.clear()
+    _DUP_POS_CACHE.clear()
     _KNNG_CACHE.clear()
     _DRIFT_HISTS_CACHE.clear()
     if include_infra:
@@ -492,6 +493,11 @@ _DRIFT_BASELINE_CACHE: dict[tuple, str] = {}
 _SPAN_CACHE: dict[tuple, DataFrame] = {}
 
 
+#: duplicated window positions + canonical flag — the shared front of
+#: the substring-dedup family (see _q05's _dup_positions).
+_DUP_POS_CACHE: dict[tuple, DataFrame] = {}
+
+
 _BPE_CACHE: dict[tuple, list[tuple]] = {}
 
 
@@ -570,6 +576,7 @@ __all__ = list(_prev.__all__) + [
     "SQL_DEDUP_SIMHASH",
     "_DRIFT_BASELINE_CACHE",
     "_SPAN_CACHE",
+    "_DUP_POS_CACHE",
     "_BPE_CACHE",
     "_ANN_INDEX_CACHE",
     "_SBA_ENGINE_CACHE",

@@ -744,11 +744,34 @@ _SPAN_WINDOW = 8
 # localCheckpoint(eager=False) materializes on first action.
 
 
-def _dup_spans_build(spark, sf_dir) -> DataFrame:
-    """The raw (uncached) span pipeline — plan tests inspect THIS
-    (the cached form explains as a Scan ExistingRDD checkpoint)."""
+def _dup_positions_build(spark, sf_dir) -> DataFrame:
+    """The raw (uncached) duplicated-positions front — one tokenize +
+    per-position md5 + per-hash count/min window pass, the expensive
+    half of BOTH span policies. Plan tests inspect THIS (the cached
+    form explains as a Scan ExistingRDD checkpoint)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.duplicate_spans(d, window=_SPAN_WINDOW)
+    return dedup.duplicate_positions(d, window=_SPAN_WINDOW)
+
+
+def _dup_positions(spark, sf_dir) -> DataFrame:
+    """Shared (session, sf_dir)-cached duplicated-positions frame —
+    billed per bench pass as `_build:dup_positions`; serves
+    duplicate_spans (ignores the canonical flag) and
+    duplicate_spans_keep_first (drops canonical rows), so the corpus
+    hash-window pass is paid once per pipeline run, not per policy."""
+    key = (spark, sf_dir)
+    if key not in _DUP_POS_CACHE:
+        _DUP_POS_CACHE[key] = _dup_positions_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _DUP_POS_CACHE[key]
+
+
+def _dup_spans_build(spark, sf_dir) -> DataFrame:
+    """The span pipeline over the shared positions frame (islands
+    merge only — the hash-window front lives in _dup_positions)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.duplicate_spans(
+        d, window=_SPAN_WINDOW, positions=_dup_positions(spark, sf_dir))
 
 
 def _dup_spans(spark, sf_dir) -> DataFrame:
@@ -883,9 +906,13 @@ def q_substring_clean_keep_first(spark, sf_dir):
     Detection stays linear (the duplicate_spans shape plus two more
     frame-free aggregates on the same per-hash window partition — no
     pair join, no per-hash sort), then remove_spans' 1:1 join + array
-    surgery. New capability staged in round 9 (VERDICT r8 task 2a)."""
+    surgery. New capability staged in round 9 (VERDICT r8 task 2a).
+    Detection consumes the shared _dup_positions frame (r10): the
+    hash-window front is paid once for both span policies; keep-first
+    is the frame minus its canonical rows."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    spans = dedup.duplicate_spans_keep_first(d, window=_SPAN_WINDOW)
+    spans = dedup.duplicate_spans_keep_first(
+        d, window=_SPAN_WINDOW, positions=_dup_positions(spark, sf_dir))
     return dedup.remove_spans(d, spans)
 
 
@@ -3020,6 +3047,8 @@ __all__ = list(_prev.__all__) + [
     "q_pack_sequences",
     "SQL_PACK_SEQUENCES",
     "_SPAN_WINDOW",
+    "_dup_positions_build",
+    "_dup_positions",
     "_dup_spans_build",
     "_dup_spans",
     "q_substring_dedup",

@@ -2076,6 +2076,8 @@ SHARED_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
         lambda s, d: _force_build(_lm_scores(s, d)),
     "_build:drift_hists":
         lambda s, d: _force_build(_drift_hists(s, d)),
+    "_build:dup_positions":
+        lambda s, d: _force_build(_dup_positions(s, d)),
     "_build:dup_spans":
         lambda s, d: _force_build(_dup_spans(s, d)),
     "_build:knn_graph":
