@@ -319,6 +319,52 @@ class TestDuplicateSpansKeepFirst:
         aggressive = positions(dedup.duplicate_spans(d, window=4))
         assert keep_first < aggressive  # strictly: canonicals survive
 
+    def test_injected_shingles_match_self_computed(self, spark):
+        """The shared base-corpus shingle frame must reproduce every
+        consumer's self-computed rows exactly (the r10 sharing):
+        shingling is per-document, so a disjoint-id union's shingles
+        are the union of its parts' shingles, and id filters commute
+        with it."""
+        from pyspark.sql import functions as F
+        from twitter_to_sqlite_spark.functions import dedup
+
+        base = _docs(spark, [
+            (1, "one two three four five six seven"),
+            (2, "zz one two three four five qq rr"),
+            (3, "p q r s p q r s one two three"),
+            (4, "alpha beta gamma delta epsilon zeta"),
+        ])
+        planted = _docs(spark, [
+            (1_000_001, "one two three four five six seven zzz"),
+        ])
+        union = base.unionByName(planted)
+        sh = dedup.shingles(base, "doc_id", "text", 3).unionByName(
+            dedup.shingles(planted, "doc_id", "text", 3))
+
+        def same(a, b, name):
+            assert a.exceptAll(b).count() == 0, name
+            assert b.exceptAll(a).count() == 0, name
+
+        same(dedup.ngram_jaccard_pairs(union, k=3, threshold=0.1,
+                                       max_df=3, shingles_df=sh),
+             dedup.ngram_jaccard_pairs(union, k=3, threshold=0.1,
+                                       max_df=3), "jaccard")
+        same(dedup.containment_pairs(union, k=3, threshold=0.1,
+                                     max_df=3, shingles_df=sh),
+             dedup.containment_pairs(union, k=3, threshold=0.1,
+                                     max_df=3), "containment")
+        same(dedup.dup_ngram_stats(union, k=3, shingles_df=sh),
+             dedup.dup_ngram_stats(union, k=3), "dup_ngram")
+        # novelty: id filters + verbatim-copy remap off one base frame
+        base_sh = dedup.shingles(base, "doc_id", "text", 3)
+        new = base.filter(F.col("doc_id") % 2 == 1)
+        stored = base.filter(F.col("doc_id") % 2 == 0)
+        same(dedup.novelty_stats(
+                 new, stored, k=3,
+                 new_shingles=base_sh.filter(F.col("id") % 2 == 1),
+                 stored_shingles=base_sh.filter(F.col("id") % 2 == 0)),
+             dedup.novelty_stats(new, stored, k=3), "novelty")
+
     def test_injected_positions_match_self_computed(self, spark):
         """The shared duplicate_positions front must reproduce BOTH
         policies' self-computed span rows exactly (the r10 sharing —

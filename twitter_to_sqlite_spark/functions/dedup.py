@@ -266,7 +266,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         threshold: float = 0.5,
                         max_df: int | None = None,
-                        prefix_filter: bool = False) -> DataFrame:
+                        prefix_filter: bool = False,
+                        shingles_df: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs by k-gram Jaccard similarity.
 
     Plan: shingle inverted index → self-join on shingle (id_a < id_b)
@@ -293,11 +294,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     corpus is large/skewed; at small SF the extra windows cost more
     than they save (measured — see q_dedup_jaccard), which is why it
     is a flag, not the default.
+    ``shingles_df`` injects a precomputed frame equal to
+    ``shingles(df, id_col, text_col, k)`` — (id, shingle) distinct
+    rows — so a checkpointed corpus shingle build can be shared
+    across consumers (shingling is per-document, so a disjoint-id
+    union's shingles are the union of its parts' shingles); every
+    downstream step (df window, pair bucketing, sizes) is keyed on
+    those rows, not on ``df``.
     """
-    df = spread(df)
-    # codegen'd window-lead shingles (3.2× the exploded-array form —
-    # see shingles()); same distinct (id, shingle) contract.
-    sh = shingles(df, id_col, text_col, k)
+    if shingles_df is not None:
+        sh = shingles_df
+    else:
+        df = spread(df)
+        # codegen'd window-lead shingles (3.2× the exploded-array form
+        # — see shingles()); same distinct (id, shingle) contract.
+        sh = shingles(df, id_col, text_col, k)
     from pyspark.sql import Window
 
     # document frequency window over the shingle key; stop-shingles
@@ -390,7 +401,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       threshold: float = 0.9,
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | None = None,
+                      shingles_df: DataFrame | None = None) -> DataFrame:
     """Directed containment near-dup pairs: C(A⊂B) = |A∩B| / |A| over
     k-gram shingle sets, reported for the SMALLER set of each pair.
 
@@ -407,9 +419,15 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     identical sets report the lesser id as the contained one. Returns
     (contained_id, container_id, inter, size_contained,
     size_container, containment).
+
+    ``shingles_df`` injects a precomputed ``shingles(...)`` frame —
+    see :func:`ngram_jaccard_pairs`.
     """
-    df = spread(df)
-    sh = shingles(df, id_col, text_col, k)
+    if shingles_df is not None:
+        sh = shingles_df
+    else:
+        df = spread(df)
+        sh = shingles(df, id_col, text_col, k)
     from pyspark.sql import Window
 
     if max_df is not None:
@@ -453,7 +471,8 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text", k: int = 3) -> DataFrame:
+                    text_col: str = "text", k: int = 3,
+                    shingles_df: DataFrame | None = None) -> DataFrame:
     """Per-document duplicated-n-gram fraction: of a doc's distinct
     k-gram shingles, what share also occurs in at least one OTHER
     document.
@@ -469,10 +488,16 @@ def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     (shingle-keyed, uniform md5-like distribution) and one partial-agg
     shuffle back onto the doc id. No pair generation, no joins — cost
     is linear in total shingles at any corpus size.
+
+    ``shingles_df`` injects a precomputed ``shingles(...)`` frame —
+    see :func:`ngram_jaccard_pairs`.
     """
     from pyspark.sql import Window
 
-    sh = shingles(spread(df), id_col, text_col, k)
+    if shingles_df is not None:
+        sh = shingles_df
+    else:
+        sh = shingles(spread(df), id_col, text_col, k)
     sh = sh.withColumn(
         "__docs", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
@@ -875,7 +900,9 @@ def cross_minhash_pairs(new: DataFrame, stored: DataFrame,
 
 def novelty_stats(new: DataFrame, stored: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
-                  k: int = 3, decimals: int = 6) -> DataFrame:
+                  k: int = 3, decimals: int = 6,
+                  new_shingles: DataFrame | None = None,
+                  stored_shingles: DataFrame | None = None) -> DataFrame:
     """Per-document novelty of a new shard against the stored corpus:
     the fraction of each new document's distinct k-shingles that occur
     NOWHERE in the store — the data-valuation signal an incremental
@@ -891,10 +918,17 @@ def novelty_stats(new: DataFrame, stored: DataFrame,
 
     Returns (doc_id, n_shingles, n_novel, novelty) for every new doc;
     novelty = n_novel / n_shingles rounded to `decimals`.
+
+    ``new_shingles`` / ``stored_shingles`` inject precomputed
+    ``shingles(...)`` frames for either side — see
+    :func:`ngram_jaccard_pairs` (shingling is per-document, so id
+    filters and disjoint-id unions commute with it).
     """
-    new_sh = shingles(new, id_col, text_col, k)
+    new_sh = (new_shingles if new_shingles is not None
+              else shingles(new, id_col, text_col, k))
     stored_sh = (
-        shingles(stored, id_col, text_col, k)
+        (stored_shingles if stored_shingles is not None
+         else shingles(stored, id_col, text_col, k))
         .select("shingle").distinct()
         .withColumn("__hit", F.lit(1))
     )

@@ -143,14 +143,54 @@ _SIMHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 _LM_SCORE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _doc_shingles_build(spark, sf_dir) -> DataFrame:
+    """The raw (uncached) distinct (id, shingle) frame of the BASE
+    document corpus at k=3 — the tokenize + id-window-lead + distinct
+    pass shared by every k=3 shingle consumer. Plan tests inspect THIS
+    (the cached form explains as a Scan ExistingRDD checkpoint)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.shingles(dedup.spread(d), "doc_id", "text", 3)
+
+
+def _doc_shingles(spark, sf_dir) -> DataFrame:
+    """Shared (session, sf_dir)-cached base-corpus shingle frame —
+    billed per bench pass as `_build:doc_shingles`. Shingling is
+    per-document, so consumers over planted/excerpt unions attach
+    their extra docs' shingles with a disjoint-id union, and
+    split-corpus consumers (novelty) filter on id — both row-identical
+    to shingling their composed corpus directly."""
+    key = (spark, sf_dir)
+    if key not in _DOC_SHINGLES_CACHE:
+        _DOC_SHINGLES_CACHE[key] = _doc_shingles_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _DOC_SHINGLES_CACHE[key]
+
+
+def _planted_dup_shingles(spark, sf_dir, n: int = 20) -> DataFrame:
+    """Shingles of ONLY the planted near-copies from
+    _docs_with_planted_dups (n docs, ' zzz' appended so their shingle
+    sets differ from their sources') — the tiny side of the shared
+    shingle union."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return dedup.shingles(planted, "doc_id", "text", 3)
+
+
 def _jaccard_pairs_build(spark, sf_dir) -> DataFrame:
     """The raw (uncached) exact-Jaccard pairs pipeline at the loosest
     catalog threshold — plan tests inspect THIS (the cached form
-    explains as a Scan ExistingRDD checkpoint)."""
+    explains as a Scan ExistingRDD checkpoint). Consumes the shared
+    base-corpus shingle frame (r10): shingles(docs ∪ planted) ≡
+    shingles(docs) ∪ shingles(planted), ids disjoint."""
     d = _docs_with_planted_dups(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).unionByName(
+        _planted_dup_shingles(spark, sf_dir))
     return dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", k=3,
-        threshold=_JPAIRS_TAU, max_df=_JACCARD_MAX_DF)
+        threshold=_JPAIRS_TAU, max_df=_JACCARD_MAX_DF, shingles_df=sh)
 
 
 def _jaccard_pairs(spark, sf_dir) -> DataFrame:
@@ -179,6 +219,7 @@ def clear_caches(include_infra: bool = False) -> None:
     _LM_SCORE_CACHE.clear()
     _SPAN_CACHE.clear()
     _DUP_POS_CACHE.clear()
+    _DOC_SHINGLES_CACHE.clear()
     _KNNG_CACHE.clear()
     _DRIFT_HISTS_CACHE.clear()
     if include_infra:
@@ -498,6 +539,11 @@ _SPAN_CACHE: dict[tuple, DataFrame] = {}
 _DUP_POS_CACHE: dict[tuple, DataFrame] = {}
 
 
+#: distinct (id, shingle) of the base documents at k=3 — the shared
+#: front of the jaccard/containment/dup-ngram/novelty consumers.
+_DOC_SHINGLES_CACHE: dict[tuple, DataFrame] = {}
+
+
 _BPE_CACHE: dict[tuple, list[tuple]] = {}
 
 
@@ -549,6 +595,9 @@ __all__ = list(_prev.__all__) + [
     "clear_caches",
     "_minhash_pairs_build",
     "_minhash_pairs",
+    "_doc_shingles_build",
+    "_doc_shingles",
+    "_planted_dup_shingles",
     "_jaccard_pairs_build",
     "_jaccard_pairs",
     "_JPAIRS_TAU",
@@ -577,6 +626,7 @@ __all__ = list(_prev.__all__) + [
     "_DRIFT_BASELINE_CACHE",
     "_SPAN_CACHE",
     "_DUP_POS_CACHE",
+    "_DOC_SHINGLES_CACHE",
     "_BPE_CACHE",
     "_ANN_INDEX_CACHE",
     "_SBA_ENGINE_CACHE",

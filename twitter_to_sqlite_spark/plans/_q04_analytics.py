@@ -479,9 +479,13 @@ def q_dup_ngram_frac(spark, sf_dir):
     share of each doc's distinct 3-gram shingles that occur in at
     least one other document — the boilerplate signal pretraining
     pipelines threshold on without running pairwise dedup. Planted
-    near-copies score dup_frac ≈ 1."""
+    near-copies score dup_frac ≈ 1. r10: consumes the shared
+    _build:doc_shingles frame unioned with the planted docs' shingles
+    (disjoint ids — row-identical to shingling the union)."""
     d = _docs_with_planted_dups(spark, sf_dir)
-    return dedup.dup_ngram_stats(d, "doc_id", "text", k=3)
+    sh = _doc_shingles(spark, sf_dir).unionByName(
+        _planted_dup_shingles(spark, sf_dir))
+    return dedup.dup_ngram_stats(d, "doc_id", "text", k=3, shingles_df=sh)
 
 
 SQL_DUP_NGRAM_FRAC = f"""
@@ -1567,9 +1571,15 @@ def q_containment(spark, sf_dir):
             ).alias("text"),
         )
     )
+    # r10: the base corpus side of the shingle frame comes from the
+    # shared _build:doc_shingles checkpoint; shingling is per-document
+    # and excerpt ids are disjoint, so the union is row-identical to
+    # shingling docs ∪ excerpts directly.
+    sh = _doc_shingles(spark, sf_dir).unionByName(
+        dedup.shingles(excerpts, "doc_id", "text", 3))
     return dedup.containment_pairs(
         d.unionByName(excerpts), "doc_id", "text",
-        k=3, threshold=_CONT_TAU, max_df=_CONT_MAX_DF)
+        k=3, threshold=_CONT_TAU, max_df=_CONT_MAX_DF, shingles_df=sh)
 
 
 SQL_CONTAINMENT = f"""

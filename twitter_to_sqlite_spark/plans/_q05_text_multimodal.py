@@ -1685,7 +1685,20 @@ def q_novelty(spark, sf_dir):
         (F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
         (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
     new = d.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
-    return dedup.novelty_stats(new, stored, k=3)
+    # r10: both sides' shingles derive from the shared
+    # _build:doc_shingles checkpoint — shingling is per-document, so
+    # the parity filters commute with it, and the planted copies are
+    # VERBATIM text so their shingle sets are their sources' with the
+    # id remapped. Row-identical to shingling new/stored directly.
+    base_sh = _doc_shingles(spark, sf_dir)
+    planted_sh = base_sh.filter(
+        (F.col("id") < 40) & (F.col("id") % 2 == 0)).select(
+        (F.col("id") + _PLANT_OFFSET).alias("id"), "shingle")
+    new_sh = base_sh.filter(F.col("id") % 2 == 1).unionByName(planted_sh)
+    stored_sh = base_sh.filter(F.col("id") % 2 == 0)
+    return dedup.novelty_stats(new, stored, k=3,
+                               new_shingles=new_sh,
+                               stored_shingles=stored_sh)
 
 
 SQL_NOVELTY = f"""

@@ -2064,6 +2064,8 @@ def _force_build(df: DataFrame) -> None:
 #   weights, stored baselines) dropped only by
 #   clear_caches(include_infra=True); bench times them once, cold.
 SHARED_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
+    "_build:doc_shingles":
+        lambda s, d: _force_build(_doc_shingles(s, d)),
     "_build:minhash_pairs":
         lambda s, d: _force_build(_minhash_pairs(s, d)),
     "_build:jaccard_pairs":
