@@ -693,10 +693,28 @@ def test_lsh_planner_is_one_agg_over_pairs(spark):
 
 def test_retrieval_eval_broadcasts_stats_and_dfreq(spark):
     """Corpus stats (1 row) and per-(query, term) dfreq (≤8 rows)
-    must broadcast; the postings side never shuffles for them."""
-    plan = plan_of(spark, "retrieval_eval")
+    must broadcast; the postings side never shuffles for them. r11:
+    those joins live in the shared `_bm25_front` scored frame, so the
+    pin inspects the RAW front build (the registry form explains as a
+    checkpoint scan — asserted by the consumer pin below)."""
+    plan = plan_of_df(spark, catalog._bm25_front_build(spark, SF))
     assert count_nodes(plan, "BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_eval_consumers_read_shared_front(spark):
+    """retrieval_eval and bm25_tuning must consume the checkpointed
+    `_bm25_front` frame: no parquet scan, no tokenize explode, and no
+    postings/dfreq join may reappear in the consumer plans (that
+    would mean the shared front silently lost its pin and each query
+    re-pays the corpus-sized index front)."""
+    # bm25_tuning keeps ONE bounded Generate: the |grid|-legs explode
+    # over the per-query aggregate rows (not a tokenize fan-out).
+    for name, max_gen in (("retrieval_eval", 0), ("bm25_tuning", 1)):
+        plan = plan_of(spark, name)
+        assert count_nodes(plan, "Scan parquet") == 0, name
+        assert count_nodes(plan, "Generate") <= max_gen, name
 
 
 def test_knn_graph_joins_only_within_cells(spark):

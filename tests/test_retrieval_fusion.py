@@ -276,6 +276,33 @@ def test_bm25_param_sweep_matches_per_leg_eval(spark):
     assert got == expected
 
 
+def test_injected_bm25_front_matches_self_computed(spark):
+    """The r11 shared `_bm25_eval_front` injection must reproduce the
+    self-computed rows exactly for BOTH consumers (retrieval_eval and
+    bm25_param_sweep) — the front is the same frame, checkpointed
+    once instead of derived per query."""
+    from twitter_to_sqlite_spark.operators import relational as R
+
+    d = tables.load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = R.build_inverted_index(d, "doc_id", "text").localCheckpoint()
+    qs = spark.createDataFrame(
+        [(1, "the"), (1, "data"), (2, "model"), (2, "training")],
+        "query_id long, term string")
+    scored, qn = R._bm25_eval_front(idx, "doc_id", qs)
+    front = (scored.localCheckpoint(), qn)
+    grid = [(1.2, 0.75), (0.9, 0.4)]
+
+    pairs = [
+        (R.retrieval_eval(idx, "doc_id", qs, k=10),
+         R.retrieval_eval(None, "doc_id", qs, k=10, front=front)),
+        (R.bm25_param_sweep(idx, "doc_id", qs, grid, k=10),
+         R.bm25_param_sweep(None, "doc_id", qs, grid, k=10, front=front)),
+    ]
+    for plain, injected in pairs:
+        assert plain.exceptAll(injected).count() == 0
+        assert injected.exceptAll(plain).count() == 0
+
+
 # ------------------------------------------- fused ann_tuning (r10)
 
 

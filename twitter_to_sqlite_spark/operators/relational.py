@@ -1436,7 +1436,9 @@ def _bm25_score(k1: float, b: float):
 
 
 def retrieval_eval(index: DataFrame, id_col: str, queries: DataFrame,
-                   k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                   k: int = 10, k1: float = 1.2, b: float = 0.75,
+                   front: tuple[DataFrame, DataFrame] | None = None
+                   ) -> DataFrame:
     """Retrieval-quality metrics (NDCG@k + MRR@k) for query-keyed BM25
     over the inverted index — the eval loop a RAG / search pipeline
     runs after every index or ranker change.
@@ -1457,8 +1459,16 @@ def retrieval_eval(index: DataFrame, id_col: str, queries: DataFrame,
     per-query aggs are map-side combinable. With |queries| bounded
     (an eval set), everything after the postings join is bounded by
     |queries| × |matching docs|.
+
+    ``front`` (optional, r11): a precomputed `_bm25_eval_front(index,
+    id_col, queries)` result — (scored, qn) — e.g. a checkpointed
+    frame shared with :func:`bm25_param_sweep` over the same index and
+    query set (the shingles_df=/positions= injection convention).
+    Defaults to self-computing the front; the injected frame must be
+    the same columns over the same (index, queries) or results change.
     """
-    scored_base, qn = _bm25_eval_front(index, id_col, queries)
+    scored_base, qn = (front if front is not None
+                       else _bm25_eval_front(index, id_col, queries))
     scored = scored_base.withColumn("__s", _bm25_score(k1, b))
     per_doc = scored.groupBy("query_id", id_col).agg(
         F.round(F.sum("__s"), 4).alias("score"),
@@ -1548,7 +1558,9 @@ def changelog_compact(changelog: DataFrame, key_cols: list[str],
 
 def bm25_param_sweep(index: DataFrame, id_col: str, queries: DataFrame,
                      grid: list[tuple[float, float]],
-                     k: int = 10) -> DataFrame:
+                     k: int = 10,
+                     front: tuple[DataFrame, DataFrame] | None = None
+                     ) -> DataFrame:
     """(k1, b) tuning sweep for the BM25 ranker, priced by retrieval
     quality: one :func:`retrieval_eval` leg per grid point over the
     SAME index, reduced to per-leg mean NDCG@k / MRR@k with the best
@@ -1573,8 +1585,12 @@ def bm25_param_sweep(index: DataFrame, id_col: str, queries: DataFrame,
     sort_array folds) and by
     tests/test_retrieval_fusion.py::test_bm25_param_sweep_matches_per_leg_eval,
     which re-derives every leg with stand-alone retrieval_eval calls
-    and compares row sets."""
-    scored, qn = _bm25_eval_front(index, id_col, queries)
+    and compares row sets.
+
+    ``front`` (optional, r11): a precomputed `_bm25_eval_front`
+    result shared with :func:`retrieval_eval` — see there."""
+    scored, qn = (front if front is not None
+                  else _bm25_eval_front(index, id_col, queries))
     names = [f"__s{i}" for i in range(len(grid))]
     per_doc = scored.groupBy("query_id", id_col).agg(
         *[F.round(F.sum(_bm25_score(k1, b)), 4).alias(nm)

@@ -9,11 +9,36 @@ from twitter_to_sqlite_spark.plans._q01_relational import *  # noqa: F401,F403
 # Text search (SURVEY §2.9)
 # =====================================================================
 
+# r11 (guide §1.2 step 1, VERDICT r10 'Next round' #3): SIX catalog
+# queries (text_terms, fts_search, fts_bm25, hybrid_search's lexical
+# leg, retrieval_eval, bm25_tuning) each re-ran the identical
+# tokenize + explode + groupBy inverted-index build over documents —
+# the corpus-sized front of the whole text-search family. ONE
+# (session, sf_dir)-cached localCheckpoint now serves all six, billed
+# per bench pass as `_build:bm25_index` (the _build:doc_shingles
+# convention; cleared by plans/_q03_dedup.py clear_caches every pass).
+_BM25_IDX_CACHE: dict[tuple, object] = {}
+
+
+def _doc_index_build(spark, sf_dir):
+    """The raw (uncached) inverted index over documents — plan tests
+    inspect THIS (the cached form explains as an RDD-scan)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return R.build_inverted_index(d, "doc_id", "text")
+
+
+def _doc_index(spark, sf_dir):
+    key = (spark, sf_dir)
+    if key not in _BM25_IDX_CACHE:
+        _BM25_IDX_CACHE[key] = _doc_index_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _BM25_IDX_CACHE[key]
+
+
 def q_text_terms(spark, sf_dir):
     """T1 FTS inverted index: per-term document frequency and total
     term frequency over documents (FTS5 analogue, utils.py:352)."""
-    d = _t(spark, sf_dir, "documents")
-    idx = R.build_inverted_index(d, "doc_id", "text")
+    idx = _doc_index(spark, sf_dir)
     return idx.groupBy("term").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("tf").alias("total_tf"),
@@ -33,8 +58,7 @@ FROM tok WHERE term <> '' GROUP BY term
 def q_fts_search(spark, sf_dir):
     """T1/T2 FTS AND-query through the inverted index: docs containing
     both 'spark' and 'join'."""
-    d = _t(spark, sf_dir, "documents")
-    idx = R.build_inverted_index(d, "doc_id", "text")
+    idx = _doc_index(spark, sf_dir)
     return R.fts_search(idx, "doc_id", ["spark", "join"], mode="all")
 
 
@@ -49,12 +73,15 @@ def q_fts_bm25(spark, sf_dir):
     """T1 ranked FTS: Okapi BM25 (k1=1.2, b=0.75 — FTS5's rank
     defaults) over the inverted index for docs containing both 'spark'
     and 'join'. Integer-valued corpus stats keep the score exact across
-    engines; compared on round(score, 4)."""
-    d = _t(spark, sf_dir, "documents")
-    idx = R.build_inverted_index(d, "doc_id", "text")
-    dl = R.doc_lengths(d, "doc_id", "text")
-    return R.fts_bm25(idx, "doc_id", ["spark", "join"], mode="all",
-                      doc_lens=dl)
+    engines; compared on round(score, 4).
+
+    r11: rides the shared `_doc_index` checkpoint; doc lengths come
+    from sum(tf) over the checkpointed index (one cheap block-scan agg)
+    instead of a second no-explode corpus pass — the values are the
+    same exact integers per doc, so the score is bit-identical (the
+    fts_bm25 docstring's tokenizer-consistency contract)."""
+    idx = _doc_index(spark, sf_dir)
+    return R.fts_bm25(idx, "doc_id", ["spark", "join"], mode="all")
 
 
 #: BM25 CTE chain ('spark' AND 'join'), shared by the plain ranked-FTS
@@ -236,6 +263,9 @@ FROM pick LEFT JOIN c ON c.event_id = pick.click_event_id
 
 
 __all__ = list(_prev.__all__) + [
+    "_BM25_IDX_CACHE",
+    "_doc_index_build",
+    "_doc_index",
     "q_text_terms",
     "SQL_TEXT_TERMS",
     "q_fts_search",

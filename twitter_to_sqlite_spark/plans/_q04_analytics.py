@@ -420,15 +420,12 @@ def q_hybrid_search(spark, sf_dir):
     Scale: each leg's candidate set is an orderBy+limit
     (TakeOrderedAndProject — no global sort of the corpus); fusion
     operates on ≤40 rows regardless of corpus size."""
-    d = _t(spark, sf_dir, "documents")
-    # fts_bm25 references the index for postings AND document
-    # frequencies — checkpoint it (the retrieval_eval device) so the
-    # tokenize fan-out runs once per leg build.
-    idx = R.build_inverted_index(d, "doc_id", "text") \
-        .localCheckpoint(eager=False)
-    dl = R.doc_lengths(d, "doc_id", "text")
-    bm = R.fts_bm25(idx, "doc_id", ["spark", "join"], mode="all",
-                    doc_lens=dl)
+    # r11: the lexical leg rides the shared `_doc_index` checkpoint
+    # (the whole text-search family's one index build); doc lengths
+    # aggregate off the checkpoint — same exact integers as the old
+    # separate no-explode corpus pass, score bit-identical.
+    idx = _doc_index(spark, sf_dir)
+    bm = R.fts_bm25(idx, "doc_id", ["spark", "join"], mode="all")
     bm_top = bm.orderBy(F.col("score").desc(), "doc_id").limit(20)
     wb = Window.orderBy(F.col("score").desc(), "doc_id")
     lex = bm_top.withColumn("rank", F.row_number().over(wb)).select(

@@ -1222,6 +1222,43 @@ _RETEVAL_QS = [(1, "spark"), (1, "join"), (2, "hash"), (2, "merge"),
                (3, "window"), (3, "filter"), (4, "stream"), (4, "batch")]
 
 
+# r11 (VERDICT r10 'Next round' #3): retrieval_eval and bm25_tuning
+# call `_bm25_eval_front` with the IDENTICAL (index, queries) — the
+# postings join + doc lengths + corpus stats + dfreq scoring frame.
+# ONE (session, sf_dir)-cached checkpoint of that frame now serves
+# both, billed per bench pass as `_build:bm25_front` (it consumes the
+# `_build:bm25_index` checkpoint, the doc_shingles→jaccard_pairs
+# chained-builds convention). qn is an 8-row aggregate of the literal
+# query set — not worth pinning. The cache dict `_BM25_FRONT_CACHE`
+# lives in plans/_q03_dedup.py with the other per-pass caches so
+# clear_caches() drops it every bench pass.
+
+
+def _reteval_queries(spark):
+    return spark.createDataFrame(_RETEVAL_QS,
+                                 "query_id long, term string")
+
+
+def _bm25_front_build(spark, sf_dir):
+    """The raw (uncached) eval-front scored frame — plan tests inspect
+    THIS (the cached form explains as an RDD-scan)."""
+    idx = _doc_index(spark, sf_dir)
+    scored, _qn = R._bm25_eval_front(idx, "doc_id",
+                                     _reteval_queries(spark))
+    return scored
+
+
+def _bm25_front(spark, sf_dir):
+    key = (spark, sf_dir)
+    if key not in _BM25_FRONT_CACHE:
+        scored = _bm25_front_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+        qn = _reteval_queries(spark).groupBy("query_id").agg(
+            F.countDistinct("term").alias("__qn"))
+        _BM25_FRONT_CACHE[key] = (scored, qn)
+    return _BM25_FRONT_CACHE[key]
+
+
 def q_retrieval_eval(spark, sf_dir):
     """Search/RAG eval harness (operators/relational.py
     retrieval_eval): NDCG@10 and MRR@10 of query-keyed BM25 over the
@@ -1229,15 +1266,11 @@ def q_retrieval_eval(spark, sf_dir):
     coverage graded relevance (gain 2^rel − 1). The regression number
     a pipeline reads after every ranker or index change; per-query
     DCG folds run in rank order over ≤k rows, so the floats are
-    engine-identical at the rounded grain."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # Lazy checkpoint (the bm25_tuning device): the eval's stats /
-    # dfreq / postings legs all hang off the index — unpinned, the
-    # tokenize fan-out re-ran once per leg (16 corpus scans).
-    idx = R.build_inverted_index(d, "doc_id", "text") \
-        .localCheckpoint(eager=False)
-    qs = spark.createDataFrame(_RETEVAL_QS, "query_id long, term string")
-    return R.retrieval_eval(idx, "doc_id", qs, k=_RETEVAL_K)
+    engine-identical at the rounded grain. r11: consumes the shared
+    `_bm25_front` checkpoint (same frame bm25_tuning scores over)."""
+    qs = _reteval_queries(spark)
+    return R.retrieval_eval(None, "doc_id", qs, k=_RETEVAL_K,
+                            front=_bm25_front(spark, sf_dir))
 
 
 def _reteval_shared_ctes() -> str:
@@ -1428,6 +1461,9 @@ FROM v, t
 
 
 __all__ = list(_prev.__all__) + [
+    "_reteval_queries",
+    "_bm25_front_build",
+    "_bm25_front",
     "_drift_sides",
     "_drift_hists_build",
     "_drift_hists",

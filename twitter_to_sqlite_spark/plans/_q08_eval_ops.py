@@ -411,13 +411,12 @@ def q_bm25_tuning(spark, sf_dir):
     feeds all legs. On this synthetic corpus's near-uniform
     vocabulary every leg scores a perfect mean NDCG and the tie-break
     decides; the discriminating case is pinned by the planted-corpus
-    unit test."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = R.build_inverted_index(d, "doc_id", "text") \
-        .localCheckpoint(eager=False)
-    qs = spark.createDataFrame(_RETEVAL_QS, "query_id long, term string")
-    return R.bm25_param_sweep(idx, "doc_id", qs, _BM25_GRID,
-                              k=_RETEVAL_K)
+    unit test. r11: consumes the shared `_bm25_front` checkpoint
+    (same frame retrieval_eval folds over)."""
+    qs = _reteval_queries(spark)
+    return R.bm25_param_sweep(None, "doc_id", qs, _BM25_GRID,
+                              k=_RETEVAL_K,
+                              front=_bm25_front(spark, sf_dir))
 
 
 def _bm25_tuning_sql() -> str:
@@ -2064,6 +2063,13 @@ def _force_build(df: DataFrame) -> None:
 #   weights, stored baselines) dropped only by
 #   clear_caches(include_infra=True); bench times them once, cold.
 SHARED_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
+    # bm25_index before bm25_front: the front consumes the index
+    # checkpoint, so insertion order keeps each bill incremental
+    # (the doc_shingles → jaccard_pairs convention).
+    "_build:bm25_index":
+        lambda s, d: _force_build(_doc_index(s, d)),
+    "_build:bm25_front":
+        lambda s, d: _force_build(_bm25_front(s, d)[0]),
     "_build:doc_shingles":
         lambda s, d: _force_build(_doc_shingles(s, d)),
     "_build:minhash_pairs":
