@@ -720,11 +720,22 @@ def test_bm25_eval_consumers_read_shared_front(spark):
 def test_knn_graph_joins_only_within_cells(spark):
     """Pair generation must be an equi-join on the cell key — a
     cartesian/nested-loop over the corpus is the n² bug this
-    operator exists to avoid. Inspects the RAW build (the registry
-    form is a shared localCheckpoint that explains as an RDD scan)."""
-    plan = plan_of_df(spark, catalog._knn_graph_build(spark, SF))
+    operator exists to avoid. r11: generation lives in the shared
+    `_cell_pairs_build` (inspected raw — the cached form explains as
+    an RDD scan); the graph build itself must be a pure window tail
+    over the checkpoint (no join, no re-scan of the corpus)."""
+    plan = plan_of_df(spark, catalog._cell_pairs_build(spark, SF))
     assert "CartesianProduct" not in plan
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert (count_nodes(plan, "SortMergeJoin")
+            + count_nodes(plan, "BroadcastHashJoin")
+            + count_nodes(plan, "ShuffledHashJoin")) >= 1
+    tail = plan_of_df(spark, catalog._knn_graph_build(spark, SF))
+    assert "Join" not in tail
+    assert count_nodes(tail, "Scan parquet") == 0
+    # one rank Window (+ its WindowGroupLimit top-k pushdown pair,
+    # which the prefix match also counts)
+    assert 1 <= count_nodes(tail, "Window") <= 3
 
 
 def test_changelog_compact_single_agg_pass(spark):

@@ -27,6 +27,43 @@ def test_knn_graph_blocked_neighbors(spark):
         == [3, 2]
 
 
+def test_injected_cell_pairs_match_self_computed(spark):
+    """The r11 shared cell_scored_pairs frame must reproduce every
+    consumer's self-computed rows exactly: the semdedup threshold is
+    a pure post-filter, knn_graph is a pure rank tail, and the
+    right= decomposition (base pairs ∪ pairs-involving-planted, when
+    every planted id exceeds every base id) is row-exact."""
+    from pyspark.sql import functions as F
+
+    from twitter_to_sqlite_spark.functions import similarity as S
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.8, 0.05]),
+            (11, [0.0, 1.0]), (12, [0.1, 0.9])]
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    planted = base.filter(F.col("vec_id") <= 2).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"))
+    union = base.unionByName(planted)
+
+    def same(a, b, name):
+        assert a.exceptAll(b).count() == 0, name
+        assert b.exceptAll(a).count() == 0, name
+
+    base_pairs = S.cell_scored_pairs(base, cents)
+    # decomposition law: pairs(base ∪ planted) splits exactly
+    composed = base_pairs.unionByName(
+        S.cell_scored_pairs(union, cents, right=planted))
+    same(composed, S.cell_scored_pairs(union, cents), "decomposition")
+    # semdedup: injected shared frame ≡ self-computed
+    same(S.semdedup_pairs(None, cents, threshold=0.9, pairs=composed),
+         S.semdedup_pairs(union, cents, threshold=0.9), "semdedup")
+    # knn_graph: injected shared frame ≡ self-computed
+    same(S.knn_graph(base, cents, k=2, pairs=base_pairs),
+         S.knn_graph(base, cents, k=2), "knn_graph")
+
+
 def test_mmr_diversify_prefers_diverse_over_redundant(spark):
     """Planted geometry: candidates A(rel .99) and A'(rel .98) are
     near-copies; B(rel .90) is orthogonal-ish to A. Pure relevance

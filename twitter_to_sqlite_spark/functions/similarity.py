@@ -500,6 +500,13 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                      F.col("v").alias("__qv"), F.col("n").alias("__qn"))
     b = withb.select("bucket", F.col("id").alias("id_b"),
                      F.col("v").alias("__cv"), F.col("n").alias("__cn"))
+    # Same probe-side spread as cell_scored_pairs (guide §2.5/§2.2):
+    # the bucket join's output explodes Σ bucket² while its input is
+    # |corpus| narrow rows, and the cellmate side broadcasts — spread
+    # the probe side so the pair-scoring projection runs cluster-wide
+    # instead of inside the scan's partition count.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(par, "id_a")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     return (
@@ -509,10 +516,78 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     )
 
 
+def cell_scored_pairs(corpus: DataFrame, centroids: list[list[float]],
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      decimals: int = 4, max_cell: int | None = None,
+                      right: DataFrame | None = None) -> DataFrame:
+    """Every in-cell unordered pair (id_a < id_b) of the k-means-
+    blocked corpus with its rounded cosine — (id_a, id_b, cell,
+    cosine), NO threshold and NO ranking. The one Σ cell² pair-scoring
+    pass shared by :func:`semdedup_pairs` (threshold filter) and
+    :func:`knn_graph` (per-node rank window): r11, VERDICT r10 'Next
+    round' #4 — the two operators over the same corpus + centroids
+    were each paying the identical dominant pair loop.
+
+    ``right`` restricts the b-side (the LARGER id of each pair) to a
+    sub-corpus: pairs(A ∪ B) where every B id exceeds every A id
+    decomposes exactly into cell_scored_pairs(A) ∪
+    cell_scored_pairs(A ∪ B, right=B) — the device consumers use to
+    attach a tiny planted set to a shared base-pairs frame without
+    rescoring the base. Per-row cell/norm expressions are identical
+    either way, so the decomposition is row- and bit-exact.
+    """
+    if not centroids:
+        # empty corpus → kmeans_centroids returned [] → no cells, no
+        # pairs (ivf_assign over an empty literal array would NULL out)
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cell long, cosine double")
+
+    def prep(df):
+        withc = df.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        ).withColumn("cell", ivf_assign(F.col("v"), centroids)) \
+         .withColumn("n", _norm(F.col("v")))
+        if max_cell is not None:
+            ok = (
+                withc.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
+                .filter(F.col("__cn") <= max_cell)
+                .select("cell")
+            )
+            withc = withc.join(F.broadcast(ok), "cell", "left_semi")
+        return withc
+
+    withc = prep(corpus)
+    bsrc = withc if right is None else prep(right)
+    a = withc.select("cell", F.col("id").alias("id_a"),
+                     F.col("v").alias("__qv"), F.col("n").alias("__qn"))
+    b = bsrc.select("cell", F.col("id").alias("id_b"),
+                    F.col("v").alias("__cv"), F.col("n").alias("__cn"))
+    # Spread the probe side across the cluster BEFORE the cell join
+    # (guide §2.5/§2.2): the join's INPUT is |corpus| narrow rows but
+    # its OUTPUT explodes Σ cell², and the cellmate side broadcasts
+    # (bounded-corpus regime) — so without this the whole pair-scoring
+    # projection runs inside the probe side's 1-2 scan partitions
+    # (measured at the sf1 probe tier: one RUNNABLE task evaluating
+    # every interpreted-HOF cosine while 31 cores idle; the r10 driver
+    # scaling block's knn_graph c8/c32 = 0.99 was this same
+    # serialization). A deterministic id-hash repartition keys the
+    # scoring stage to the corpus spread — scale-adaptive
+    # (defaultParallelism), row-identical output, no local constants.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(par, "id_a")
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    return pairs.select(
+        "id_a", "id_b", F.col("cell").cast("long").alias("cell"),
+        F.round(cos, decimals).alias("cosine"))
+
+
 def semdedup_pairs(corpus: DataFrame, centroids: list[list[float]],
                    threshold: float = 0.95, id_col: str = "vec_id",
                    vec_col: str = "embedding", decimals: int = 4,
-                   max_cell: int | None = None) -> DataFrame:
+                   max_cell: int | None = None,
+                   pairs: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
     2023, arXiv:2303.09540): cluster the corpus around k-means
     centroids (kmeans_centroids), then emit cosine-≥-threshold pairs
@@ -525,35 +600,19 @@ def semdedup_pairs(corpus: DataFrame, centroids: list[list[float]],
     costs Σ cell² (k chosen so cells ≈ n/k), never n²; `max_cell`
     is the same skew guard — a degenerate cell (mode collapse in the
     embedding model) is excluded instead of exploding size².
+
+    ``pairs`` (optional, r11): a precomputed :func:`cell_scored_pairs`
+    frame over the same (corpus, centroids) — e.g. a checkpoint shared
+    with :func:`knn_graph`. The threshold is a pure post-filter on the
+    rounded cosine, so filtering the shared frame is row-identical to
+    self-computing. Defaults to self-computing.
     """
-    if not centroids:
-        # empty corpus → kmeans_centroids returned [] → no cells, no
-        # pairs (ivf_assign over an empty literal array would NULL out)
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], "id_a long, id_b long, cell long, cosine double")
-    withc = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("cell", ivf_assign(F.col("v"), centroids)) \
-     .withColumn("n", _norm(F.col("v")))
-    if max_cell is not None:
-        ok = (
-            withc.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
-            .filter(F.col("__cn") <= max_cell)
-            .select("cell")
-        )
-        withc = withc.join(F.broadcast(ok), "cell", "left_semi")
-    a = withc.select("cell", F.col("id").alias("id_a"),
-                     F.col("v").alias("__qv"), F.col("n").alias("__qn"))
-    b = withc.select("cell", F.col("id").alias("id_b"),
-                     F.col("v").alias("__cv"), F.col("n").alias("__cn"))
-    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    if pairs is None:
+        pairs = cell_scored_pairs(corpus, centroids, id_col, vec_col,
+                                  decimals, max_cell)
     return (
-        pairs.withColumn("cosine", F.round(cos, decimals))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.col("cell").cast("long").alias("cell"),
-                "cosine")
+        pairs.filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cell", "cosine")
     )
 
 
@@ -848,7 +907,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
 def knn_graph(corpus: DataFrame, centroids: list[list[float]],
               k: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding", decimals: int = 4,
-              max_cell: int | None = None) -> DataFrame:
+              max_cell: int | None = None,
+              pairs: DataFrame | None = None) -> DataFrame:
     """Cell-blocked k-nearest-neighbor graph: each vector's top-k
     cosine neighbors WITHIN its k-means cell (the semdedup_pairs
     blocking, kept as a ranked neighbor list instead of thresholded
@@ -862,6 +922,12 @@ def knn_graph(corpus: DataFrame, centroids: list[list[float]],
     `max_cell` guards degenerate cells like semdedup_pairs. The
     per-node top-k is a bounded rank window keyed on the node —
     partition-count invariant, map-side combinable up to the window.
+
+    ``pairs`` (optional, r11): a precomputed :func:`cell_scored_pairs`
+    frame over the same (corpus, centroids) — e.g. a checkpoint shared
+    with :func:`semdedup_pairs`, so the Σ cell² scoring pass runs once
+    per pipeline instead of once per consumer. Defaults to
+    self-computing.
     """
     if not centroids:
         spark = corpus.sparkSession
@@ -869,32 +935,19 @@ def knn_graph(corpus: DataFrame, centroids: list[list[float]],
             [], "src long, nbr long, rank long, cosine double")
     from pyspark.sql import Window
 
-    withc = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("cell", ivf_assign(F.col("v"), centroids)) \
-     .withColumn("n", _norm(F.col("v")))
-    if max_cell is not None:
-        ok = (
-            withc.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
-            .filter(F.col("__cn") <= max_cell)
-            .select("cell")
-        )
-        withc = withc.join(F.broadcast(ok), "cell", "left_semi")
-    a = withc.select("cell", F.col("id").alias("src"),
-                     F.col("v").alias("__qv"), F.col("n").alias("__qn"))
-    b = withc.select("cell", F.col("id").alias("nbr"),
-                     F.col("v").alias("__cv"), F.col("n").alias("__cn"))
     # r10: cosine is symmetric, so score each unordered pair ONCE
     # (src < nbr) and emit both directions from the same rounded
     # value — half the per-pair dot products (the Σ cell² hot loop).
     # Bit-identical to scoring each direction: IEEE multiplication
     # commutes elementwise and the fold order over dimensions is
-    # unchanged.
-    half = a.join(b, "cell").filter(F.col("src") < F.col("nbr"))
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-    # rank on the ROUNDED cosine (the _score_and_rank convention) so
-    # the ordering is engine-reproducible at the published grain
-    hc = half.select("src", "nbr", F.round(cos, decimals).alias("cosine"))
+    # unchanged. The rank runs on the ROUNDED cosine (the
+    # _score_and_rank convention) so the ordering is engine-
+    # reproducible at the published grain.
+    if pairs is None:
+        pairs = cell_scored_pairs(corpus, centroids, id_col, vec_col,
+                                  decimals, max_cell)
+    hc = pairs.select(F.col("id_a").alias("src"),
+                      F.col("id_b").alias("nbr"), "cosine")
     sym = hc.unionByName(hc.select(
         F.col("nbr").alias("src"), F.col("src").alias("nbr"), "cosine"))
     w = Window.partitionBy("src").orderBy(

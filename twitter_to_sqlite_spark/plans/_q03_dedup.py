@@ -123,6 +123,15 @@ _MINHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 _JPAIRS_TAU = 0.3  # == min(_SWEEP_TAUS); asserted in _q06
 _JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
+# r11 (VERDICT r10 'Next round' #4): semdedup and the knn_graph build
+# both generate and cosine-score the identical Σ cell² in-cell pair
+# set over the base embeddings + shared IVF centroids — at the sf1
+# probe tier the two pair passes were 45.7s + 32.8s, the two largest
+# entries in the catalog. ONE cell_scored_pairs checkpoint now serves
+# both (builder `_cell_pairs` in plans/_q04_analytics.py next to
+# q_semdedup), billed per pass as `_build:cell_pairs`.
+_CELL_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
 # r11: retrieval_eval and bm25_tuning share one checkpointed
 # `_bm25_eval_front` scored frame over the shared document index
 # (builder `_bm25_front` in plans/_q07_quantized_drift.py next to
@@ -222,6 +231,7 @@ def clear_caches(include_infra: bool = False) -> None:
     measure the probe path (VERDICT r5 'What's wrong' #2)."""
     _BM25_IDX_CACHE.clear()
     _BM25_FRONT_CACHE.clear()
+    _CELL_PAIRS_CACHE.clear()
     _MINHASH_PAIRS_CACHE.clear()
     _JACCARD_PAIRS_CACHE.clear()
     _TRADE_PAIRS_CACHE.clear()
@@ -646,4 +656,5 @@ __all__ = list(_prev.__all__) + [
     "_KNNG_CACHE",
     "_DRIFT_HISTS_CACHE",
     "_BM25_FRONT_CACHE",
+    "_CELL_PAIRS_CACHE",
 ]

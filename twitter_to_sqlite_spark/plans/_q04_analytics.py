@@ -310,6 +310,34 @@ FROM pairs WHERE {_SQL_COS} >= 0.95
 """
 
 
+def _embed_base(spark, sf_dir):
+    """The double-cast embedding corpus — the base side of every
+    cell-blocked pair consumer (semdedup, knn_graph, knn_classify)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def _cell_pairs_build(spark, sf_dir):
+    """The raw (uncached) Σ cell² in-cell scored pair frame over the
+    BASE embeddings + shared IVF centroids — plan tests inspect THIS
+    (the cached form explains as an RDD scan). The one pair-scoring
+    pass shared by semdedup and the knn_graph build (r11)."""
+    centroids = _ivf_centroids(spark, sf_dir)
+    return similarity.cell_scored_pairs(
+        _embed_base(spark, sf_dir), centroids)
+
+
+def _cell_pairs(spark, sf_dir):
+    key = (spark, sf_dir)
+    if key not in _CELL_PAIRS_CACHE:
+        _CELL_PAIRS_CACHE[key] = _cell_pairs_build(
+            spark, sf_dir).localCheckpoint(eager=False)
+    return _CELL_PAIRS_CACHE[key]
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     corpus, then near-dup pairs only within each cluster cell — the
@@ -317,19 +345,27 @@ def q_semdedup(spark, sf_dir):
     buckets (similarity.semdedup_pairs). Centroids come from the same
     deterministic Lloyd's run as ann_ivf; the planted v*1.01 copies
     guarantee positives and assign to the same cell as their original
-    (scaling doesn't move the max-dot-product argmax)."""
-    e = _t(spark, sf_dir, "embeddings")
+    (scaling doesn't move the max-dot-product argmax).
+
+    r11: the base-corpus pair set comes from the shared `_cell_pairs`
+    checkpoint (the frame knn_graph ranks); only the pairs involving
+    the 10 planted copies are scored fresh, via cell_scored_pairs'
+    right= restriction. Every planted id exceeds every base id, so
+    pairs(base ∪ planted) = pairs(base) ∪ pairs(base ∪ planted,
+    right=planted) exactly — per-row cell/norm/cosine expressions are
+    identical, making the decomposition row- and bit-exact (pinned by
+    test_semdedup_composed_matches_direct)."""
     centroids = _ivf_centroids(spark, sf_dir)
-    base = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
+    base = _embed_base(spark, sf_dir)
     planted = base.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
     )
+    extra = similarity.cell_scored_pairs(
+        base.unionByName(planted), centroids, right=planted)
+    pairs = _cell_pairs(spark, sf_dir).unionByName(extra)
     return similarity.semdedup_pairs(
-        base.unionByName(planted), centroids, threshold=0.95)
+        None, centroids, threshold=0.95, pairs=pairs)
 
 
 def _semdedup_sql() -> str:
@@ -2789,6 +2825,9 @@ __all__ = list(_prev.__all__) + [
     "SQL_ANN_IVF_INDEXED",
     "q_embed_near_dup",
     "SQL_EMBED_NEAR_DUP",
+    "_embed_base",
+    "_cell_pairs_build",
+    "_cell_pairs",
     "q_semdedup",
     "_semdedup_sql",
     "SQL_SEMDEDUP",

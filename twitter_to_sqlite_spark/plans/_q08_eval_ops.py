@@ -19,14 +19,15 @@ _KNNG_K = 5
 
 
 def _knn_graph_build(spark, sf_dir) -> DataFrame:
-    """Raw (uncached) graph pipeline — plan tests inspect THIS."""
-    e = _t(spark, sf_dir, "embeddings")
+    """Raw (uncached) graph TAIL — the per-node rank window over the
+    shared `_cell_pairs` checkpoint (r11: the Σ cell² scoring pass is
+    billed to `_build:cell_pairs` and shared with semdedup; plan tests
+    inspect `_cell_pairs_build` for the cell-equi-join property and
+    THIS for the window tail)."""
     centroids = _ivf_centroids(spark, sf_dir)
-    base = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double"))
-        .alias("embedding"))
-    return similarity.knn_graph(base, centroids, k=_KNNG_K)
+    return similarity.knn_graph(
+        _embed_base(spark, sf_dir), centroids, k=_KNNG_K,
+        pairs=_cell_pairs(spark, sf_dir))
 
 
 def _knn_graph_frame(spark, sf_dir) -> DataFrame:
@@ -2088,6 +2089,10 @@ SHARED_BUILDS: dict[str, Callable[[SparkSession, str], None]] = {
         lambda s, d: _force_build(_dup_positions(s, d)),
     "_build:dup_spans":
         lambda s, d: _force_build(_dup_spans(s, d)),
+    # cell_pairs before knn_graph: the graph ranks the shared pair
+    # checkpoint, so insertion order keeps each bill incremental.
+    "_build:cell_pairs":
+        lambda s, d: _force_build(_cell_pairs(s, d)),
     "_build:knn_graph":
         lambda s, d: _force_build(_knn_graph_frame(s, d)),
 }
