@@ -1516,8 +1516,25 @@ def _sba_engine_rows(spark, sf_dir, parts=None):
             t = 1_000_000_000 + 100 * b   # mtime order = batch order
             os.utime(p, (t, t))
 
+        # r11 (guide §2.2 fewer-larger partitions, applied to state
+        # stores): a stateful query's state-partition count is fixed
+        # from spark.sql.shuffle.partitions at checkpoint creation,
+        # and EVERY micro-batch commits EVERY state partition (delta
+        # file + CRC) and launches a Python worker round per
+        # partition — at the session default (cluster width) that is
+        # width × 3 batches × 2 queries near-empty commits for a
+        # fixture bounded at _SBA_EVENTS rows by contract. The engine
+        # queries therefore run in a cloned session whose shuffle-
+        # partition count is sized to the BOUNDED fixture, not the
+        # cluster. State partitioning is hash-per-key and never
+        # changes results (the checksums are order-insensitive); the
+        # bound derives from the fixture contract, so it is valid at
+        # any data scale.
+        ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+
         def stream():
-            return (spark.readStream.schema(schema)
+            return (ss.readStream.schema(schema)
                     .option("maxFilesPerTrigger", 1).json(spool))
 
         latest: dict = {}
