@@ -53,6 +53,25 @@ def _side(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
     ).withColumn(norm_alias, _norm(F.col(vec_alias)))
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic id-hash repartition of the corpus side of a
+    scoring join to the session's core count (r11, guide §2.5/§2.2).
+
+    Every ANN scoring path joins a corpus/pruned-index side against a
+    broadcast query side, so the per-pair cosine projection runs in
+    the corpus side's INPUT partitioning — for a small or
+    single-row-group parquet (a bench tier, a freshly-written index
+    shard) that is 1-2 tasks evaluating |rows| × |matching queries|
+    interpreted-HOF dots while the rest of the cluster idles (the
+    single-task pair-scoring pathology; measured at the sf1 probe
+    tier). The spread costs one narrow pass of the corpus rows —
+    always ≤ the scoring fan-out it parallelizes — and the width
+    derives from the cluster, not a local constant. Output rows are
+    identical (partitioning only)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, key)
+
+
 def _score_and_rank(pairs: DataFrame, k: int, decimals: int) -> DataFrame:
     cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     scored = pairs.withColumn("cosine", F.round(cos, decimals))
@@ -79,7 +98,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     per-query top-k window. For large k·|queries| use lsh_bucketed_topk.
     """
     q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn")
-    c = _side(corpus, id_col, vec_col, "neighbor_id", "__cv", "__cn")
+    c = _side(_spread(corpus, id_col), id_col, vec_col,
+              "neighbor_id", "__cv", "__cn")
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -106,7 +126,7 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int,
     q = _side(queries.filter(F.col(label_col).isNotNull()),
               id_col, vec_col, "query_id", "__qv", "__qn",
               extra={label_col: "__ql"})
-    c = _side(corpus.filter(F.col(label_col).isNotNull()),
+    c = _side(_spread(corpus.filter(F.col(label_col).isNotNull()), id_col),
               id_col, vec_col, "neighbor_id", "__cv", "__cn",
               extra={label_col: "__cl"})
     pairs = c.crossJoin(F.broadcast(q)).filter(
@@ -172,7 +192,8 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 _probe_buckets(F.col("bucket"), len(dims), multiprobe)
             )),
         )
-    c = _side(corpus, id_col, vec_col, "neighbor_id", "__cv", "__cn").withColumn(
+    c = _side(_spread(corpus, id_col), id_col, vec_col,
+              "neighbor_id", "__cv", "__cn").withColumn(
         "bucket", sign_bucket("__cv", dims)
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(
@@ -304,7 +325,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
     pruned scan. n_probe > 1 fans out only the (broadcast) query side,
     like LSH multiprobe.
     """
-    c = _side(corpus, id_col, vec_col, "neighbor_id", "__cv", "__cn").withColumn(
+    c = _side(_spread(corpus, id_col), id_col, vec_col,
+              "neighbor_id", "__cv", "__cn").withColumn(
         "cell", ivf_assign(F.col("__cv"), centroids)
     )
     q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn")
@@ -416,10 +438,10 @@ def probe_lsh_index(spark, path: str, queries: DataFrame, k: int,
             )),
         )
     buckets = sorted(r[0] for r in q.select("bucket").distinct().collect())
-    c = _pruned_scan(spark, path, "bucket", buckets).select(
+    c = _spread(_pruned_scan(spark, path, "bucket", buckets).select(
         "bucket", "neighbor_id",
         F.col("vec").alias("__cv"), F.col("norm").alias("__cn"),
-    )
+    ), "neighbor_id")
     pairs = c.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -460,10 +482,10 @@ def probe_ivf_index(spark, path: str, queries: DataFrame, k: int,
     q = _side(queries, id_col, vec_col, "query_id", "__qv", "__qn")
     q = q.withColumn("cell", _probe_cells(F.col("__qv"), centroids, n_probe))
     cells = sorted(r[0] for r in q.select("cell").distinct().collect())
-    c = _pruned_scan(spark, path, "cell", cells).select(
+    c = _spread(_pruned_scan(spark, path, "cell", cells).select(
         "cell", "neighbor_id",
         F.col("vec").alias("__cv"), F.col("norm").alias("__cn"),
-    )
+    ), "neighbor_id")
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -733,7 +755,7 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int,
     """
     q = _sq8_side(queries, id_col, vec_col,
                   "query_id", "__qv", "__qn", "__qq", "__qs")
-    c = _sq8_side(corpus, id_col, vec_col,
+    c = _sq8_side(_spread(corpus, id_col), id_col, vec_col,
                   "neighbor_id", "__cv", "__cn", "__cq", "__cs")
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -807,7 +829,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     can be precomputed and stored — 64x smaller than the vectors);
     exact vectors are touched only for |queries|*candidates rescores.
     """
-    c = _pq_corpus_side(corpus, codebooks, id_col, vec_col)
+    c = _pq_corpus_side(_spread(corpus, id_col), codebooks,
+                        id_col, vec_col)
     q = _pq_query_side(queries, codebooks, id_col, vec_col)
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id"))
@@ -893,7 +916,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
     row read is m small codes instead of the float vector; exact
     vectors are touched only for |queries|·candidates rescores.
     """
-    c = _pq_corpus_side(corpus, codebooks, id_col, vec_col) \
+    c = _pq_corpus_side(_spread(corpus, id_col), codebooks,
+                        id_col, vec_col) \
         .withColumn("cell", ivf_assign(F.col("__cv"), centroids))
     q = _pq_query_side(queries, codebooks, id_col, vec_col) \
         .withColumn("cell",
@@ -1215,7 +1239,8 @@ def semantic_contamination(train: DataFrame, eval_set: DataFrame,
     window, whose groups are |eval|-bounded. Cosines round to the
     ANN-family grain before the threshold compare.
     """
-    t = _side(train, id_col, vec_col, "__tid", "__tv", "__tn")
+    t = _side(_spread(train, id_col), id_col, vec_col,
+              "__tid", "__tv", "__tn")
     e = _side(eval_set, id_col, vec_col, "eval_id", "__ev", "__en")
     cos = F.round(
         _dot(F.col("__tv"), F.col("__ev"))

@@ -2557,8 +2557,9 @@ def q_ann_tuning(spark, sf_dir):
     # Corpus / query sides: one projection each carrying EVERY leg's
     # probe metadata (SQ8 codes+scale, per-bits LSH buckets, IVF cell
     # / probe array). _sq8_side also yields the exact vector + norm.
-    c = similarity._sq8_side(e, "vec_id", "embedding",
-                             "neighbor_id", "__cv", "__cn", "__cq", "__cs")
+    c = similarity._sq8_side(
+        similarity._spread(e, "vec_id"), "vec_id", "embedding",
+        "neighbor_id", "__cv", "__cn", "__cq", "__cs")
     qs = similarity._sq8_side(q, "vec_id", "embedding",
                               "query_id", "__qv", "__qn", "__qq", "__qs")
     for bits, dims in _TUNE_LSH_BITS.items():
