@@ -22,9 +22,14 @@ _BM25_IDX_CACHE: dict[tuple, object] = {}
 
 def _doc_index_build(spark, sf_dir):
     """The raw (uncached) inverted index over documents — plan tests
-    inspect THIS (the cached form explains as an RDD-scan)."""
+    inspect THIS (the cached form explains as an RDD-scan). The corpus
+    is spread before the tokenize+explode front (the size-aware
+    dedup.spread device: a narrow scan serializes the fan-out on one
+    core; a wide scan is left untouched)."""
+    from twitter_to_sqlite_spark.functions import dedup
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return R.build_inverted_index(d, "doc_id", "text")
+    return R.build_inverted_index(dedup.spread(d), "doc_id", "text")
 
 
 def _doc_index(spark, sf_dir):

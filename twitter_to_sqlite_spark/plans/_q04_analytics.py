@@ -547,7 +547,13 @@ def _trade_pairs_build(spark, sf_dir):
     the edge source shared by pagerank (full) and kcore /
     lpa_communities (md5-sampled subset). Plan tests inspect THIS."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Spread the fact side before the join+distinct front (size-aware
+    # dedup.spread): a ≤maxPartitionBytes lineitem scan is one
+    # partition, and with the dimension side broadcast the whole
+    # join + partial-distinct stage would run on one core (measured
+    # at the sf1 probe tier — the pagerank family's dominant cost).
+    li = dedup.spread(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(

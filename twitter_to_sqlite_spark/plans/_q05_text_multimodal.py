@@ -249,7 +249,9 @@ def _lm_scores_build(spark, sf_dir):
     n_bigrams, avg_logp) — shared by lm_bigram_score and both
     perplexity-bucket queries; plan tests inspect THIS."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.lm_bigram_score(d)
+    # Spread a narrow corpus scan before the tokenize+bigram-explode
+    # front (size-aware; the _doc_index_build convention).
+    return text.lm_bigram_score(dedup.spread(d))
 
 
 def _lm_scores(spark, sf_dir):

