@@ -1241,7 +1241,11 @@ def remove_spans(docs: DataFrame, spans: DataFrame,
                      F.col("span_end").alias("e"))
         ).alias("__spans")
     )
-    toks = docs.select(
+    # r11: spread a narrow corpus scan before the per-row surgery —
+    # the span side broadcasts, so the tokenize + O(tokens × spans)
+    # keep-index filter otherwise runs inside the scan's 1-2
+    # partitions (size-aware; wide scans left untouched).
+    toks = spread(docs).select(
         F.col(id_col), _tokens(F.col(text_col)).alias("__t")
     )
     joined = toks.join(

@@ -35,6 +35,11 @@ def _drift_hists_build(spark, sf_dir):
     from twitter_to_sqlite_spark.streaming import analytics as SA
 
     base, cur = _drift_sides(spark, sf_dir)
+    # r11: spreading these scans before the quality scoring was tried
+    # and measured a WASH at sf1 (4.82s vs 4.65s warm) — the build's
+    # cost is not the scoring stage — so the narrow-scan spread is
+    # deliberately NOT applied here (unlike _doc_index_build /
+    # _trade_pairs_build / remove_spans, where it measurably won).
     spine = spark.range(_PSI_BINS).select(
         F.col("id").cast("int").alias("bin"))
     nb = SA.score_bin_counts(
